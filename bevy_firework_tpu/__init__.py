@@ -1,0 +1,85 @@
+"""bevy_firework_tpu — a TPU-native particle simulation framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+`bevy_firework` (CPU-simulated, batch-rendered particles for Bevy; reference
+at /root/reference, analyzed in SURVEY.md).  Spawners become fixed-capacity
+SoA pools in HBM; the per-frame step (emission, integration, collision,
+curves, cull, instance packing) runs as fused TPU programs; scaling is
+sharding the pool/emitter axes over a `jax.sharding.Mesh`.
+"""
+
+from .cadence import compute_emission_count, np_compute_emission_count
+from .colliders import Collider, ColliderTable, compile_colliders
+from .compiled import CompiledSpawner, compile_spawner
+from .curve import FireworkCurve, FireworkGradient, gradient_constant, gradient_even_samples, gradient_uneven_samples
+from .emission_shape import EmissionShape
+from .pool import FrameInput, PoolState, init_pool, make_frame_input
+from .rand import RandF32, RandVec3
+from .render import FireworkUniform, RenderItem, instances_to_bytes, make_uniform, pack_instances
+from .scene import DestroyedParticle, Scene, Transform
+from .settings import (
+    BlendMode,
+    EffectModifier,
+    EmissionMode,
+    EmissionPacing,
+    EmissionSettings,
+    ParticleCollisionSettings,
+    ParticleEventHandlers,
+    ParticleSettings,
+    ParticleSpawner,
+    SpawnTransformMode,
+    spawner_from_dict,
+    spawner_from_json,
+    spawner_to_dict,
+    spawner_to_json,
+)
+from .step import StepOutputs, step, step_jit
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BlendMode",
+    "Collider",
+    "ColliderTable",
+    "CompiledSpawner",
+    "DestroyedParticle",
+    "EffectModifier",
+    "EmissionMode",
+    "EmissionPacing",
+    "EmissionSettings",
+    "EmissionShape",
+    "FireworkCurve",
+    "FireworkGradient",
+    "FireworkUniform",
+    "FrameInput",
+    "ParticleCollisionSettings",
+    "ParticleEventHandlers",
+    "ParticleSettings",
+    "ParticleSpawner",
+    "PoolState",
+    "RandF32",
+    "RandVec3",
+    "RenderItem",
+    "Scene",
+    "SpawnTransformMode",
+    "StepOutputs",
+    "Transform",
+    "compile_colliders",
+    "compile_spawner",
+    "compute_emission_count",
+    "gradient_constant",
+    "gradient_even_samples",
+    "gradient_uneven_samples",
+    "init_pool",
+    "instances_to_bytes",
+    "make_frame_input",
+    "make_uniform",
+    "np_compute_emission_count",
+    "pack_instances",
+    "spawner_from_dict",
+    "spawner_from_json",
+    "spawner_to_dict",
+    "spawner_to_json",
+    "step",
+    "step_jit",
+]

@@ -1,0 +1,98 @@
+"""Emission shapes: where on the spawner a particle appears.
+
+Authoring equivalents of `EmissionShape::{Point, Sphere, Circle}`
+(`/root/reference/src/emission_shape.rs:6-40`) with vectorized samplers.
+
+Distributions replicated deliberately, quirks included (SURVEY.md A.3):
+  * Point  -> zero offset.
+  * Sphere(R): u ~ U[0,2π), v ~ U[0,π), r ~ U[0,1);
+      offset = PitchYaw(u, v).to_unit_vec() * r * R
+    — linear-in-r and pitch/yaw angle draws bias samples toward the center
+    and the convention's poles; this is the reference's behaviour, not a bug.
+  * Circle{normal, radius}: u ~ U[0,2π), r ~ U[0,1);
+      offset = rotation_arc(+Y -> normal) ⊗ rot_y(u) ⊗ (r·radius, 0, 0)
+    — a center-biased disk in the plane perpendicular to `normal`.
+
+Each shape consumes up to 3 uniforms per spawn; the compiled form is
+(kind, radius, arc_quat) so one branchless kernel serves every emitter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .rand import TWO_PI, pitch_yaw_to_unit_vec
+from .utils.quat import np_quat_from_rotation_arc, quat_rotate
+
+SHAPE_POINT = 0
+SHAPE_SPHERE = 1
+SHAPE_CIRCLE = 2
+
+PI = np.float32(np.pi)
+
+
+@dataclasses.dataclass(frozen=True)
+class EmissionShape:
+    kind: int = SHAPE_POINT
+    radius: float = 0.0
+    normal: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+
+    @staticmethod
+    def point() -> "EmissionShape":
+        return EmissionShape(SHAPE_POINT)
+
+    @staticmethod
+    def sphere(radius: float) -> "EmissionShape":
+        return EmissionShape(SHAPE_SPHERE, float(radius))
+
+    @staticmethod
+    def circle(normal, radius: float) -> "EmissionShape":
+        return EmissionShape(SHAPE_CIRCLE, float(radius), tuple(float(x) for x in normal))
+
+    def to_dict(self):
+        return {"kind": ["point", "sphere", "circle"][self.kind], "radius": self.radius, "normal": list(self.normal)}
+
+    @staticmethod
+    def from_dict(d):
+        kind = {"point": SHAPE_POINT, "sphere": SHAPE_SPHERE, "circle": SHAPE_CIRCLE}[d["kind"]]
+        return EmissionShape(kind, float(d.get("radius", 0.0)), tuple(float(x) for x in d.get("normal", (0, 1, 0))))
+
+    def compile(self) -> np.ndarray:
+        """Pack to f32[6]: [kind, radius, qx, qy, qz, qw] with q = arc(+Y->normal)."""
+        n = np.asarray(self.normal, dtype=np.float32)
+        ln = np.linalg.norm(n)
+        n = n / ln if ln > 0 else np.array([0, 1, 0], np.float32)
+        q = np_quat_from_rotation_arc(np.array([0, 1, 0], np.float32), n)
+        return np.array([float(self.kind), self.radius, q[0], q[1], q[2], q[3]], dtype=np.float32)
+
+
+def sample_shape(params, u0, u1, u2):
+    """Vectorized EmissionShape::generate_point.
+
+    params: f32[..., 6] compiled rows; u0,u1,u2: uniforms [0,1), shape [...].
+    Returns offsets [..., 3].
+    """
+    params = jnp.asarray(params, jnp.float32)
+    kind = params[..., 0]
+    radius = params[..., 1]
+    q = params[..., 2:6]
+
+    # Sphere: PitchYaw(u*2π, v*π).to_unit_vec() * r * R
+    u = jnp.asarray(u0, jnp.float32) * TWO_PI
+    v = jnp.asarray(u1, jnp.float32) * PI
+    r = jnp.asarray(u2, jnp.float32)
+    sphere = pitch_yaw_to_unit_vec(u, v) * (r * radius)[..., None]
+
+    # Circle: arc(Y->normal) ⊗ rot_y(u·2π) applied to (r·R, 0, 0).
+    # rot_y(a) * (x,0,0) = (x·cos a, 0, -x·sin a)
+    x = r * radius
+    local = jnp.stack([x * jnp.cos(u), jnp.zeros_like(x), -x * jnp.sin(u)], axis=-1)
+    circle = quat_rotate(q, local)
+
+    out = jnp.where((kind == SHAPE_SPHERE)[..., None], sphere, 0.0)
+    out = jnp.where((kind == SHAPE_CIRCLE)[..., None], circle, out)
+    return out

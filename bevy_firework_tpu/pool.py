@@ -1,0 +1,139 @@
+"""Fixed-capacity SoA particle pool state (SURVEY.md §7 architecture).
+
+The reference keeps `Vec<Vec<ParticleData>>` per spawner — AoS, dynamically
+sized (`/root/reference/src/core.rs:269-321`).  Under XLA everything is static
+shape, so a spawner owns one fixed-capacity pool of N slots; dead particles
+are masked lanes, and spawning claims dead slots by prefix-sum rank instead of
+`Vec::push` (same observable behaviour, different mechanism).
+
+Layout notes (TPU): every field is a separate 1-D f32 array of length N.
+Component-split (px/py/pz rather than [N,3]) keeps the minor dimension large
+so XLA tiles lanes efficiently — an [N,3] array would pad its minor dim to the
+128-lane tile and waste ~42x HBM bandwidth.  N should be a multiple of 1024
+(8 sublanes x 128 lanes).
+
+Particle types share the pool: `ptype` selects per-type settings via a small
+unrolled select (T is tiny).  `last_emitted` is [E, N]: per-emitter "age when
+this particle last spawned a nested child" (`/root/reference/src/core.rs:320`),
+initialized to f32::MIN on spawn (`core.rs:467`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .utils.f32 import F32_MIN
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PoolState:
+    # per-slot fields, all shape [N] f32 unless noted
+    px: jax.Array
+    py: jax.Array
+    pz: jax.Array
+    vx: jax.Array
+    vy: jax.Array
+    vz: jax.Array
+    qx: jax.Array
+    qy: jax.Array
+    qz: jax.Array
+    qw: jax.Array
+    wx: jax.Array
+    wy: jax.Array
+    wz: jax.Array
+    initial_scale: jax.Array
+    scale: jax.Array
+    age: jax.Array
+    lifetime: jax.Array
+    col_r: jax.Array
+    col_g: jax.Array
+    col_b: jax.Array
+    col_a: jax.Array
+    em_r: jax.Array
+    em_g: jax.Array
+    em_b: jax.Array
+    em_a: jax.Array
+    ptype: jax.Array  # [N] int32
+    alive: jax.Array  # [N] bool
+    last_emitted: jax.Array  # [E, N] f32
+    # per-emitter scalars, shape [E]
+    time_in_cycle: jax.Array  # f32
+    last_emission: jax.Array  # f32
+    enabled: jax.Array  # bool
+    # spawner-level scalars
+    manual_queued: jax.Array  # int32 scalar
+    finished_notified: jax.Array  # bool scalar
+    rng_key: jax.Array  # jax PRNG key data (uint32[2])
+
+    @property
+    def capacity(self) -> int:
+        return self.px.shape[-1]
+
+    @property
+    def num_emitters(self) -> int:
+        return self.last_emitted.shape[-2]
+
+    def alive_count(self):
+        return jnp.sum(self.alive.astype(jnp.int32), axis=-1)
+
+
+def init_pool(capacity: int, num_emitters: int, starts_enabled: bool = True, seed: int = 0) -> PoolState:
+    """Fresh pool, everything dead — the state produced by `sync_spawner_data`
+    (`/root/reference/src/core.rs:343-365`)."""
+    n = int(capacity)
+    z = jnp.zeros((n,), jnp.float32)
+    return PoolState(
+        px=z, py=z, pz=z,
+        vx=z, vy=z, vz=z,
+        qx=z, qy=z, qz=z, qw=jnp.ones((n,), jnp.float32),
+        wx=z, wy=z, wz=z,
+        initial_scale=z, scale=z, age=z,
+        lifetime=jnp.ones((n,), jnp.float32),
+        col_r=z, col_g=z, col_b=z, col_a=z,
+        em_r=z, em_g=z, em_b=z, em_a=z,
+        ptype=jnp.zeros((n,), jnp.int32),
+        alive=jnp.zeros((n,), bool),
+        last_emitted=jnp.full((num_emitters, n), F32_MIN, jnp.float32),
+        time_in_cycle=jnp.zeros((num_emitters,), jnp.float32),
+        last_emission=jnp.zeros((num_emitters,), jnp.float32),
+        enabled=jnp.full((num_emitters,), bool(starts_enabled)),
+        manual_queued=jnp.zeros((), jnp.int32),
+        finished_notified=jnp.zeros((), bool),
+        rng_key=jax.random.PRNGKey(seed),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FrameInput:
+    """Per-frame host-provided inputs for one spawner.
+
+    transform_translation/rotation: the spawn origin (Global or Local
+    transform per SpawnTransformMode, `/root/reference/src/core.rs:432-435`).
+    parent_velocity: world-space velocity of the rigid-body ancestor
+    (`core.rs:705-742`); modifier_*: EffectModifier (`core.rs:323-336`).
+    """
+
+    dt: jax.Array  # f32 scalar
+    transform_translation: jax.Array  # [3]
+    transform_rotation: jax.Array  # [4] xyzw
+    parent_velocity: jax.Array  # [3]
+    modifier_scale: jax.Array  # f32 scalar
+    modifier_speed: jax.Array  # f32 scalar
+
+
+def make_frame_input(dt, translation=(0.0, 0.0, 0.0), rotation=(0.0, 0.0, 0.0, 1.0), parent_velocity=(0.0, 0.0, 0.0), modifier_scale=1.0, modifier_speed=1.0) -> FrameInput:
+    f = jnp.float32
+    return FrameInput(
+        dt=f(dt),
+        transform_translation=jnp.asarray(translation, jnp.float32),
+        transform_rotation=jnp.asarray(rotation, jnp.float32),
+        parent_velocity=jnp.asarray(parent_velocity, jnp.float32),
+        modifier_scale=f(modifier_scale),
+        modifier_speed=f(modifier_speed),
+    )

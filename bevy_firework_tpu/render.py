@@ -1,0 +1,120 @@
+"""Render boundary: batched billboard instance buffers + per-system uniforms.
+
+This is the contract the reference's GPU pipeline consumes, preserved
+byte-for-byte (SURVEY.md §A.6):
+
+  * `ParticleInstance` — 16 f32 = 64 bytes per particle:
+    [pos.x, pos.y, pos.z, scale, rot.x, rot.y, rot.z, rot.w,
+     base r,g,b,a, emissive r,g,b,a]
+    (`/root/reference/src/render.rs:95-115`, vertex layout `:737-766`).
+  * One instance array per (spawner x non-empty particle type), one instanced
+    draw per system (`render.rs:439-461,926`).
+  * `FireworkUniform {alpha_mode, pbr, fade_edge, fade_scene, flags}` with
+    texture-presence bits 1/2/4 (`render.rs:354-366`).
+
+On TPU the per-type "extract" is a masked prefix-sum compaction into a dense
+buffer (live lanes only, order-preserving by slot index) — the analog of the
+reference copying live particles into `ParticleMaterialData` each frame
+(`render.rs:368-423`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .compiled import CompiledSpawner
+from .pool import PoolState
+
+FIREWORK_BASE_COLOR_TEXTURE_BIT = 1
+FIREWORK_NORMAL_MAP_TEXTURE_BIT = 1 << 1
+FIREWORK_ORM_TEXTURE_BIT = 1 << 2
+
+
+@dataclasses.dataclass(frozen=True)
+class FireworkUniform:
+    """Per-system render uniform (`render.rs:354-362`). 32 bytes with pad."""
+
+    alpha_mode: int
+    pbr: int
+    fade_edge: float
+    fade_scene: float
+    flags: int
+
+    def to_bytes(self) -> bytes:
+        """std140-style packing mirroring the WGSL struct
+        (`/root/reference/src/particles.wgsl:39-48`): 2x u32, 2x f32, u32,
+        12 bytes padding."""
+        buf = np.zeros(8, dtype=np.uint32)
+        buf[0] = self.alpha_mode
+        buf[1] = self.pbr
+        buf[2:4] = np.array([self.fade_edge, self.fade_scene], dtype=np.float32).view(np.uint32)
+        buf[4] = self.flags
+        return buf.tobytes()
+
+
+def make_uniform(compiled: CompiledSpawner, type_index: int) -> FireworkUniform:
+    base_tex, normal_tex, orm_tex = compiled.textures[type_index]
+    flags = 0
+    if base_tex is not None:
+        flags |= FIREWORK_BASE_COLOR_TEXTURE_BIT
+    if normal_tex is not None:
+        flags |= FIREWORK_NORMAL_MAP_TEXTURE_BIT
+    if orm_tex is not None:
+        flags |= FIREWORK_ORM_TEXTURE_BIT
+    pbr = 1 if float(np.asarray(compiled.params.pbr)[type_index]) != 0.0 else 0
+    return FireworkUniform(
+        alpha_mode=compiled.blend_modes[type_index],
+        pbr=pbr,
+        fade_edge=compiled.fade_edges[type_index],
+        fade_scene=compiled.fade_scenes[type_index],
+        flags=flags,
+    )
+
+
+@partial(jax.jit, static_argnums=(1,))
+def pack_instances(state: PoolState, type_index: int) -> Tuple[jax.Array, jax.Array]:
+    """Compact live lanes of one particle type into a dense [N, 16] f32
+    instance buffer (render contract rows). Returns (buffer, count); rows
+    beyond `count` are zero. Slot order is preserved.
+    """
+    n = state.capacity
+    sel = state.alive & (state.ptype == type_index)
+    seli = sel.astype(jnp.int32)
+    idx = jnp.cumsum(seli) - seli  # exclusive rank among selected
+    out_idx = jnp.where(sel, idx, n)  # dropped lanes scatter out of range
+    rows = jnp.stack(
+        [
+            state.px, state.py, state.pz, state.scale,
+            state.qx, state.qy, state.qz, state.qw,
+            state.col_r, state.col_g, state.col_b, state.col_a,
+            state.em_r, state.em_g, state.em_b, state.em_a,
+        ],
+        axis=-1,
+    )
+    buf = jnp.zeros((n, 16), jnp.float32).at[out_idx].set(rows, mode="drop")
+    return buf, jnp.sum(seli)
+
+
+def instances_to_bytes(buffer: np.ndarray) -> bytes:
+    """Host-side: dense instance rows -> the exact 64 B/particle byte stream
+    uploaded by `prepare_instance_buffers` (`render.rs:568-584`)."""
+    return np.ascontiguousarray(buffer, dtype=np.float32).tobytes()
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderItem:
+    """One draw call's worth of data: the analog of the reference's render
+    entity per (spawner x non-empty type) (`render.rs:382-423`)."""
+
+    spawner_id: int
+    type_index: int
+    instances: np.ndarray  # [count, 16] f32
+    count: int
+    uniform: FireworkUniform
+    textures: Tuple[Optional[str], Optional[str], Optional[str]]

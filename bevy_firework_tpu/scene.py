@@ -1,0 +1,275 @@
+"""Host facade: the engine's public runtime API (SURVEY.md §7 host facade).
+
+`Scene` plays the role of the reference's ECS plumbing (plugin schedule +
+component queries, `/root/reference/src/plugin.rs:46-60`):
+
+  scene = Scene(colliders=[...])
+  sid = scene.add_spawner(ParticleSpawner(...), capacity=65536,
+                          transform=Transform(...))
+  scene.step(dt)                      # the whole per-frame system chain
+  scene.queue_particles(sid, 5)       # ParticleSpawnerData::queue_particles
+  scene.render_items()                # per (spawner x non-empty type) draws
+  scene.on_finished(sid, callback)    # ParticleSpawnerFinished observer
+
+Differences from the reference, by design:
+  * Time is an input: `step(dt)` — slow-motion is the caller scaling dt
+    (the examples' time-scale toggle, `examples/sparks.rs:112-126`).
+  * `parent_velocity` / `EffectModifier` are explicit per-spawner setters
+    instead of ECS hierarchy propagation (`core.rs:690-736`); a caller with a
+    scene graph computes them and passes them down.
+  * Mutating spawner settings via `set_spawner` resets the pool — matching
+    `sync_spawner_data` on `Changed<ParticleSpawner>` (`core.rs:343-365`,
+    "mutating settings clears all live particles").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from .colliders import Collider, ColliderTable, compile_colliders, empty_collider_table
+from .compiled import CompiledSpawner, compile_spawner
+from .pool import PoolState, init_pool, make_frame_input
+from .render import RenderItem, make_uniform, pack_instances
+from .settings import EffectModifier, ParticleSpawner, SpawnTransformMode
+from .step import StepOutputs, step_jit
+
+DEFAULT_CAPACITY = 16384
+
+
+@dataclasses.dataclass
+class Transform:
+    translation: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    rotation: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)  # xyzw
+
+
+@dataclasses.dataclass
+class _SpawnerSlot:
+    spawner: ParticleSpawner
+    compiled: CompiledSpawner
+    state: PoolState
+    outputs: Optional[StepOutputs]
+    capacity: int
+    transform: Transform
+    global_transform: Transform
+    parent_velocity: Tuple[float, float, float]
+    modifier: EffectModifier
+    finished_observers: List[Callable]
+    finished_fired: bool
+    seed: int
+
+
+@dataclasses.dataclass(frozen=True)
+class DestroyedParticle:
+    """Host-side mirror of `ParticleData` handed to `particles_destroyed`
+    handlers (`core.rs:164-167,660-667`)."""
+
+    position: Tuple[float, float, float]
+    velocity: Tuple[float, float, float]
+    rotation: Tuple[float, float, float, float]
+    angular_velocity: Tuple[float, float, float]
+    initial_scale: float
+    scale: float
+    age: float
+    lifetime: float
+    base_color: Tuple[float, float, float, float]
+    emissive_color: Tuple[float, float, float, float]
+    pbr: bool
+
+
+class Scene:
+    def __init__(self, colliders: Optional[List[Collider]] = None, seed: int = 0):
+        self._colliders: ColliderTable = (
+            compile_colliders(colliders) if colliders else empty_collider_table()
+        )
+        self._spawners: Dict[int, _SpawnerSlot] = {}
+        self._next_id = 0
+        self._seed = seed
+        self.time = 0.0
+
+    # ------------------------------------------------------------- authoring
+    def add_spawner(
+        self,
+        spawner: ParticleSpawner,
+        capacity: int = DEFAULT_CAPACITY,
+        transform: Optional[Transform] = None,
+        global_transform: Optional[Transform] = None,
+        modifier: Optional[EffectModifier] = None,
+    ) -> int:
+        sid = self._next_id
+        self._next_id += 1
+        compiled = compile_spawner(spawner)
+        seed = self._seed + sid
+        t = transform or Transform()
+        self._spawners[sid] = _SpawnerSlot(
+            spawner=spawner,
+            compiled=compiled,
+            state=init_pool(capacity, compiled.num_emitters, spawner.starts_enabled, seed),
+            outputs=None,
+            capacity=capacity,
+            transform=t,
+            global_transform=global_transform or t,
+            parent_velocity=(0.0, 0.0, 0.0),
+            modifier=modifier or EffectModifier(),
+            finished_observers=[],
+            finished_fired=False,
+            seed=seed,
+        )
+        return sid
+
+    def remove_spawner(self, sid: int):
+        del self._spawners[sid]
+
+    def set_spawner(self, sid: int, spawner: ParticleSpawner):
+        """Settings change => full re-sync, clearing live particles
+        (`core.rs:343-365`)."""
+        slot = self._spawners[sid]
+        slot.spawner = spawner
+        slot.compiled = compile_spawner(spawner)
+        slot.state = init_pool(slot.capacity, slot.compiled.num_emitters, spawner.starts_enabled, slot.seed)
+        slot.outputs = None
+        slot.finished_fired = False
+
+    def set_colliders(self, colliders: List[Collider]):
+        self._colliders = compile_colliders(colliders) if colliders else empty_collider_table()
+
+    def set_transform(self, sid: int, transform: Transform, global_transform: Optional[Transform] = None):
+        slot = self._spawners[sid]
+        slot.transform = transform
+        slot.global_transform = global_transform or transform
+
+    def set_parent_velocity(self, sid: int, velocity):
+        """Host-side analog of `sync_parent_velocity` (`core.rs:705-742`): the
+        caller computes v = v_lin + omega x r for the rigid-body ancestor."""
+        self._spawners[sid].parent_velocity = tuple(float(v) for v in velocity)
+
+    def set_modifier(self, sid: int, modifier: EffectModifier):
+        """Analog of `propagate_particle_spawner_modifier` (`core.rs:690-703`)."""
+        self._spawners[sid].modifier = modifier
+
+    def queue_particles(self, sid: int, count: int):
+        """`ParticleSpawnerData::queue_particles` (`core.rs:284-286`)."""
+        slot = self._spawners[sid]
+        slot.state = dataclasses.replace(
+            slot.state, manual_queued=slot.state.manual_queued + np.int32(count)
+        )
+
+    def set_enabled(self, sid: int, enabled: bool):
+        import jax.numpy as jnp
+
+        slot = self._spawners[sid]
+        slot.state = dataclasses.replace(
+            slot.state, enabled=jnp.full_like(slot.state.enabled, bool(enabled))
+        )
+
+    def on_finished(self, sid: int, callback: Callable[[int], None]):
+        self._spawners[sid].finished_observers.append(callback)
+
+    # ------------------------------------------------------------------ step
+    def step(self, dt: float):
+        """Advance every spawner one frame (spawn -> integrate -> notify)."""
+        self.time += float(dt)
+        for sid, slot in list(self._spawners.items()):
+            tf = (
+                slot.transform
+                if slot.spawner.spawn_transform_mode == SpawnTransformMode.LOCAL
+                else slot.global_transform
+            )
+            frame = make_frame_input(
+                dt,
+                translation=tf.translation,
+                rotation=tf.rotation,
+                parent_velocity=slot.parent_velocity,
+                modifier_scale=slot.modifier.scale,
+                modifier_speed=slot.modifier.speed,
+            )
+            colliders = self._colliders if slot.compiled.static.any_collision else None
+            slot.state, slot.outputs = step_jit(
+                slot.compiled.static, slot.compiled.params, colliders, slot.state, frame
+            )
+            # host-side event surfacing (forces a sync only when someone cares)
+            if slot.finished_observers and not slot.finished_fired:
+                if bool(slot.outputs.finished_event):
+                    slot.finished_fired = True
+                    for cb in slot.finished_observers:
+                        cb(sid)
+            if slot.compiled.static.any_destroyed_dump:
+                self._dispatch_destroyed(sid, slot)
+
+    def _dispatch_destroyed(self, sid: int, slot: _SpawnerSlot):
+        mask = np.asarray(slot.outputs.destroyed_mask)
+        if not mask.any():
+            return
+        st = slot.state
+        idx = np.nonzero(mask)[0]
+        f = {k: np.asarray(getattr(st, k))[idx] for k in (
+            "px", "py", "pz", "vx", "vy", "vz", "qx", "qy", "qz", "qw",
+            "wx", "wy", "wz", "initial_scale", "scale", "age", "lifetime",
+            "col_r", "col_g", "col_b", "col_a", "em_r", "em_g", "em_b", "em_a", "ptype",
+        )}
+        pbr = np.asarray(slot.compiled.params.pbr)
+        for t, handler in enumerate(slot.compiled.destroyed_handlers):
+            if handler is None:
+                continue
+            tsel = f["ptype"] == t
+            if not tsel.any():
+                continue
+            records = [
+                DestroyedParticle(
+                    position=(f["px"][i], f["py"][i], f["pz"][i]),
+                    velocity=(f["vx"][i], f["vy"][i], f["vz"][i]),
+                    rotation=(f["qx"][i], f["qy"][i], f["qz"][i], f["qw"][i]),
+                    angular_velocity=(f["wx"][i], f["wy"][i], f["wz"][i]),
+                    initial_scale=float(f["initial_scale"][i]),
+                    scale=float(f["scale"][i]),
+                    age=float(f["age"][i]),
+                    lifetime=float(f["lifetime"][i]),
+                    base_color=(f["col_r"][i], f["col_g"][i], f["col_b"][i], f["col_a"][i]),
+                    emissive_color=(f["em_r"][i], f["em_g"][i], f["em_b"][i], f["em_a"][i]),
+                    pbr=bool(pbr[t] != 0.0),
+                )
+                for i in np.nonzero(tsel)[0]
+            ]
+            handler(records)
+
+    # ----------------------------------------------------------------- query
+    def alive_count(self, sid: Optional[int] = None) -> int:
+        if sid is not None:
+            return int(self._spawners[sid].state.alive_count())
+        return sum(int(s.state.alive_count()) for s in self._spawners.values())
+
+    def aabb(self, sid: int):
+        out = self._spawners[sid].outputs
+        if out is None or not bool(out.aabb_valid):
+            return None
+        return np.asarray(out.aabb_min), np.asarray(out.aabb_max)
+
+    def spawner_ids(self) -> List[int]:
+        return list(self._spawners.keys())
+
+    # ---------------------------------------------------------------- render
+    def render_items(self) -> List[RenderItem]:
+        """The extract step: one item per (spawner x non-empty type)
+        (`render.rs:439-461`), each carrying a dense instance array in the
+        64-byte contract layout."""
+        items = []
+        for sid, slot in self._spawners.items():
+            for t in range(slot.compiled.num_types):
+                buf, count = pack_instances(slot.state, t)
+                count = int(count)
+                if count == 0:
+                    continue
+                items.append(
+                    RenderItem(
+                        spawner_id=sid,
+                        type_index=t,
+                        instances=np.asarray(buf[:count]),
+                        count=count,
+                        uniform=make_uniform(slot.compiled, t),
+                        textures=slot.compiled.textures[t],
+                    )
+                )
+        return items

@@ -1,0 +1,424 @@
+"""The per-frame simulation step: spawn -> integrate -> notify.
+
+One jit-compiled function reproduces the reference's main-world system chain
+for a single spawner (`/root/reference/src/plugin.rs:46-60`):
+
+  spawn_particles     (`/root/reference/src/core.rs:367-551`)
+  update_particles    (`core.rs:577-670`, op order in SURVEY.md §A.4)
+  notify_finished     (`core.rs:674-688`)
+  update_aabbs        (`/root/reference/src/render.rs:677-703`)
+
+Mechanism differences from the reference (behaviour preserved):
+  * Dead particles are masked lanes; spawning claims dead slots by exclusive
+    prefix-sum rank over the dead mask instead of Vec::push.
+  * Emitters are processed sequentially at *trace* time (E is static), so a
+    nested emitter sees particles pushed by earlier emitters this frame —
+    exactly the reference's in-order iteration. Newly-pushed parents get
+    count 0 from the cadence math and their `last_emitted_age` advanced from
+    f32::MIN, as in the reference.
+  * Randomness: jax threefry uniforms per (frame, emitter); distribution
+    parity, not bitstream parity (SURVEY.md §7 hard part 2).
+  * Pool overflow: if fewer dead slots than requested spawns, the overflow is
+    dropped (capacity is an explicit knob; the reference's Vec grows
+    unboundedly instead).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .cadence import compute_emission_count
+from .colliders import ColliderTable
+from .collision import particle_collision
+from .compiled import (
+    MODE_GLOBAL,
+    MODE_NESTED,
+    PACING_ON_DEMAND,
+    PACING_ONE_SHOT,
+    PACING_RATE,
+    SpawnerParams,
+    SpawnerStatic,
+)
+from .curve import eval_curve_table
+from .emission_shape import sample_shape
+from .pool import FrameInput, PoolState
+from .rand import sample_randf32, sample_randvec3
+from .utils.f32 import F32_MIN, rem_euclid
+from .utils.quat import quat_from_scaled_axis, quat_mul, quat_rotate
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StepOutputs:
+    """Per-frame device outputs surfaced to the host."""
+
+    alive_count: jax.Array  # int32 scalar
+    alive_count_per_type: jax.Array  # [T] int32
+    finished_event: jax.Array  # bool scalar: fire ParticleSpawnerFinished now
+    aabb_valid: jax.Array  # bool scalar (any live particle)
+    aabb_min: jax.Array  # [3] min(pos - scale) over live (render.rs:677-703)
+    aabb_max: jax.Array  # [3] max(pos + scale)
+    destroyed_mask: jax.Array  # [N] bool (all-False unless dump enabled)
+
+
+def _select_by_type(values, ptype, num_types):
+    """values: [T] or [T, ...] param array; ptype: [N] int32 -> per-lane value.
+    Unrolled compare-select; T is tiny so this beats a gather."""
+    out = jnp.broadcast_to(values[0], ptype.shape + values.shape[1:])
+    for t in range(1, num_types):
+        v = jnp.broadcast_to(values[t], ptype.shape + values.shape[1:])
+        m = ptype == t
+        if values.ndim > 1:
+            m = m.reshape(m.shape + (1,) * (values.ndim - 1))
+        out = jnp.where(m, v, out)
+    return out
+
+
+def _eval_curve_by_type(ts, vs, n, kind, ptype, t_query, num_types):
+    """Evaluate per-type curve tables ([T,K] / [T,K,C]) at per-lane t."""
+    out = eval_curve_table(ts[0], vs[0], n[0], kind[0], t_query)
+    for ti in range(1, num_types):
+        v = eval_curve_table(ts[ti], vs[ti], n[ti], kind[ti], t_query)
+        m = ptype == ti
+        if v.ndim > t_query.ndim:
+            m = m[..., None]
+        out = jnp.where(m, v, out)
+    return out
+
+
+def _normalize_or_zero3(v):
+    l2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    inv = jnp.where(l2 > 0, 1.0 / jnp.sqrt(l2), 0.0)
+    return v * inv
+
+
+def _active_flag(static: SpawnerStatic, state: PoolState):
+    """`ParticleSpawnerData::active` (`core.rs:288-302`): a global emitter
+    counts if enabled; a nested emitter counts only if any particle (of any
+    type) exists."""
+    any_particles = jnp.any(state.alive)
+    active = jnp.zeros((), bool)
+    for e in range(static.num_emitters):
+        en = state.enabled[e]
+        if static.mode_kinds[e] == MODE_NESTED:
+            active = active | (en & any_particles)
+        else:
+            active = active | en
+    return active
+
+
+def _claim_and_init(
+    static: SpawnerStatic,
+    params: SpawnerParams,
+    frame: FrameInput,
+    fields: dict,
+    e: int,
+    n_spawn,
+    uni,
+    origin_pos,
+    origin_rot,
+    base_vel,
+    parent_idx=None,
+):
+    """Claim `n_spawn` dead slots and initialize them for emitter `e`.
+
+    origin_pos/origin_rot/base_vel: either [3]/[4]/[3] (global emission) or
+    per-lane [N,3]/[N,4]/[N,3] gathered parent state (nested emission).
+    Spawn initialization follows `core.rs:437-468` / SURVEY.md §A.2.
+    """
+    alive = fields["alive"]
+    dead = ~alive
+    rank = jnp.cumsum(dead.astype(jnp.int32)) - dead.astype(jnp.int32)  # exclusive
+    spawn = dead & (rank < n_spawn)
+
+    ti = static.particle_indices[e]
+
+    offset = sample_shape(params.shape_params[e], uni[0], uni[1], uni[2])  # [N,3]
+    ivel = sample_randvec3(params.ivel_params[e], uni[3], uni[4], uni[5])  # [N,3]
+    radial = sample_randf32(uni[6], params.radial_lo[e], params.radial_hi[e])  # [N]
+    offset_dir = _normalize_or_zero3(offset)
+
+    vel = frame.modifier_speed * (quat_rotate(origin_rot, ivel) + offset_dir * radial[:, None]) + params.inherit[e] * base_vel
+    pos = origin_pos + offset
+
+    init_scale = sample_randf32(uni[7], params.initial_scale_lo[ti], params.initial_scale_hi[ti]) * frame.modifier_scale
+    lifetime = sample_randf32(uni[8], params.lifetime_lo[ti], params.lifetime_hi[ti])
+    angvel = sample_randvec3(params.iangvel_params[e], uni[9], uni[10], uni[11])
+
+    def w(name, new):
+        fields[name] = jnp.where(spawn, new, fields[name])
+
+    w("px", pos[:, 0]); w("py", pos[:, 1]); w("pz", pos[:, 2])
+    w("vx", vel[:, 0]); w("vy", vel[:, 1]); w("vz", vel[:, 2])
+    rot = jnp.broadcast_to(params.init_rot[e], spawn.shape + (4,))
+    w("qx", rot[:, 0]); w("qy", rot[:, 1]); w("qz", rot[:, 2]); w("qw", rot[:, 3])
+    w("wx", angvel[:, 0]); w("wy", angvel[:, 1]); w("wz", angvel[:, 2])
+    w("initial_scale", init_scale)
+    w("scale", init_scale)
+    w("age", jnp.zeros_like(init_scale))
+    w("lifetime", lifetime)
+    w("col_r", params.base_color0[ti, 0]); w("col_g", params.base_color0[ti, 1])
+    w("col_b", params.base_color0[ti, 2]); w("col_a", params.base_color0[ti, 3])
+    w("em_r", params.emis_color0[ti, 0]); w("em_g", params.emis_color0[ti, 1])
+    w("em_b", params.emis_color0[ti, 2]); w("em_a", params.emis_color0[ti, 3])
+    fields["ptype"] = jnp.where(spawn, ti, fields["ptype"])
+    # last_emitted_age = f32::MIN for every emitter (core.rs:467)
+    fields["last_emitted"] = jnp.where(spawn[None, :], F32_MIN, fields["last_emitted"])
+    fields["alive"] = alive | spawn
+    return spawn, rank
+
+
+def step(
+    static: SpawnerStatic,
+    params: SpawnerParams,
+    colliders: Optional[ColliderTable],
+    state: PoolState,
+    frame: FrameInput,
+):
+    """Advance one spawner's pool by one frame. Pure function; jit over
+    (static, collider kinds) as the compile key."""
+    N = state.capacity
+    E = static.num_emitters
+    T = static.num_types
+    dt = frame.dt
+
+    active = _active_flag(static, state)
+    new_key, frame_key = jax.random.split(state.rng_key)
+
+    fields = {
+        "px": state.px, "py": state.py, "pz": state.pz,
+        "vx": state.vx, "vy": state.vy, "vz": state.vz,
+        "qx": state.qx, "qy": state.qy, "qz": state.qz, "qw": state.qw,
+        "wx": state.wx, "wy": state.wy, "wz": state.wz,
+        "initial_scale": state.initial_scale, "scale": state.scale,
+        "age": state.age, "lifetime": state.lifetime,
+        "col_r": state.col_r, "col_g": state.col_g, "col_b": state.col_b, "col_a": state.col_a,
+        "em_r": state.em_r, "em_g": state.em_g, "em_b": state.em_b, "em_a": state.em_a,
+        "ptype": state.ptype, "alive": state.alive,
+        "last_emitted": state.last_emitted,
+    }
+    time_in_cycle = state.time_in_cycle
+    last_emission = state.last_emission
+    enabled = state.enabled
+    manual_queued = state.manual_queued
+
+    # Spawn origin per SpawnTransformMode (`core.rs:432-435`): the host passes
+    # whichever transform applies in frame.transform_*.
+    g_origin_pos = frame.transform_translation
+    g_origin_rot = frame.transform_rotation
+
+    # ------------------------------------------------------------------ spawn
+    for e in range(E):
+        gate = active & enabled[e]
+        uni = jax.random.uniform(jax.random.fold_in(frame_key, e), (12, N), jnp.float32)
+
+        if static.mode_kinds[e] == MODE_GLOBAL:
+            pk = static.pacing_kinds[e]
+            if pk == PACING_ONE_SHOT:
+                n_spawn = jnp.where(gate, params.count[e].astype(jnp.int32), 0)
+                # emitter disables itself after the burst (core.rs:397-400)
+                enabled = enabled.at[e].set(enabled[e] & ~gate)
+            elif pk == PACING_ON_DEMAND:
+                n_spawn = jnp.where(gate, manual_queued, 0)
+                manual_queued = jnp.where(gate, 0, manual_queued)
+            else:  # PACING_RATE / CountOverDuration (core.rs:406-427)
+                tic = rem_euclid(time_in_cycle[e] + dt, params.duration[e])
+                cnt, next_last = compute_emission_count(
+                    tic, last_emission[e], params.duration[e],
+                    params.off_start[e], params.off_end[e], params.count[e],
+                )
+                n_spawn = jnp.where(gate, cnt, 0)
+                time_in_cycle = time_in_cycle.at[e].set(jnp.where(gate, tic, time_in_cycle[e]))
+                last_emission = last_emission.at[e].set(jnp.where(gate, next_last, last_emission[e]))
+
+            _claim_and_init(
+                static, params, frame, fields, e, n_spawn, uni,
+                origin_pos=g_origin_pos, origin_rot=g_origin_rot,
+                base_vel=frame.parent_velocity,
+            )
+        else:
+            # Nested (core.rs:471-546); invalid pacing combos are skipped with
+            # a host-side warning (core.rs:481-484) at compile time.
+            if not static.nested_valid[e]:
+                continue
+            target = static.target_types[e]
+            parent_mask = fields["alive"] & (fields["ptype"] == target) & gate
+            counts, next_last = compute_emission_count(
+                fields["age"], fields["last_emitted"][e], fields["lifetime"],
+                params.off_start[e], params.off_end[e], params.count[e],
+            )
+            counts = jnp.where(parent_mask, counts, 0)
+            fields["last_emitted"] = fields["last_emitted"].at[e].set(
+                jnp.where(parent_mask, next_last, fields["last_emitted"][e])
+            )
+            cum = jnp.cumsum(counts)
+            total = cum[-1]
+            # child rank r -> parent slot: first parent whose inclusive cumsum
+            # exceeds r (two-stage spawn pass, SURVEY.md #9)
+            dead = ~fields["alive"]
+            rank = jnp.cumsum(dead.astype(jnp.int32)) - dead.astype(jnp.int32)
+            parent = jnp.clip(jnp.searchsorted(cum, rank, side="right"), 0, N - 1)
+            ppos = jnp.stack([fields["px"][parent], fields["py"][parent], fields["pz"][parent]], axis=-1)
+            prot = jnp.stack([fields["qx"][parent], fields["qy"][parent], fields["qz"][parent], fields["qw"][parent]], axis=-1)
+            pvel = jnp.stack([fields["vx"][parent], fields["vy"][parent], fields["vz"][parent]], axis=-1)
+            _claim_and_init(
+                static, params, frame, fields, e, total, uni,
+                origin_pos=ppos, origin_rot=prot, base_vel=pvel,
+            )
+
+    # -------------------------------------------------------------- integrate
+    alive0 = fields["alive"]
+    ptype = fields["ptype"]
+    age_new = fields["age"] + dt
+    dead_by_age = age_new >= fields["lifetime"]
+    age_pct = age_new / fields["lifetime"]
+
+    scale_factor = _eval_curve_by_type(params.scale_ts, params.scale_vs, params.scale_n, params.scale_kind, ptype, age_pct, T)
+    scale_new = fields["initial_scale"] * scale_factor
+
+    vx, vy, vz = fields["vx"], fields["vy"], fields["vz"]
+    px, py, pz = fields["px"], fields["py"], fields["pz"]
+    if static.any_collision and colliders is not None and colliders.count > 0:
+        restitution = _select_by_type(params.restitution, ptype, T)
+        friction = _select_by_type(params.friction, ptype, T)
+        destroy_flag = _select_by_type(params.destroy_on_collision, ptype, T)
+        lane_mask = _select_by_type(params.collision_mask, ptype, T)
+        cpx, cpy, cpz, cvx, cvy, cvz, cdestroy = particle_collision(
+            colliders, px, py, pz, vx, vy, vz, dt, restitution, friction, destroy_flag, lane_mask
+        )
+        has_col = jnp.zeros_like(alive0)
+        for t in range(T):
+            if static.collision_types[t]:
+                has_col = has_col | (ptype == t)
+        npx = jnp.where(has_col, cpx, px + vx * dt)
+        npy = jnp.where(has_col, cpy, py + vy * dt)
+        npz = jnp.where(has_col, cpz, pz + vz * dt)
+        nvx = jnp.where(has_col, cvx, vx)
+        nvy = jnp.where(has_col, cvy, vy)
+        nvz = jnp.where(has_col, cvz, vz)
+        should_destroy = has_col & cdestroy
+    else:
+        npx, npy, npz = px + vx * dt, py + vy * dt, pz + vz * dt
+        nvx, nvy, nvz = vx, vy, vz
+        should_destroy = jnp.zeros_like(alive0)
+
+    moved = alive0 & ~dead_by_age  # lanes that execute the move (A.4 step 3)
+    survivor = moved & ~should_destroy
+
+    accel = _select_by_type(params.acceleration, ptype, T)  # [N,3]
+    lin_drag = _select_by_type(params.linear_drag, ptype, T)
+    ang_accel = _select_by_type(params.angular_acceleration, ptype, T)
+    ang_drag = _select_by_type(params.angular_drag, ptype, T)
+
+    # semi-implicit drag on the post-bounce velocity (A.4 step 5)
+    dvx = nvx + (accel[:, 0] - nvx * lin_drag) * dt
+    dvy = nvy + (accel[:, 1] - nvy * lin_drag) * dt
+    dvz = nvz + (accel[:, 2] - nvz * lin_drag) * dt
+
+    w = jnp.stack([fields["wx"], fields["wy"], fields["wz"]], axis=-1)
+    rot = jnp.stack([fields["qx"], fields["qy"], fields["qz"], fields["qw"]], axis=-1)
+    rot2 = quat_mul(quat_from_scaled_axis(w * dt), rot)
+    w2 = w + (ang_accel - ang_drag[:, None] * w) * dt
+
+    base_rgba = _eval_curve_by_type(params.base_ts, params.base_vs, params.base_n, params.base_kind, ptype, age_pct, T)
+    emis_rgba = _eval_curve_by_type(params.emis_ts, params.emis_vs, params.emis_n, params.emis_kind, ptype, age_pct, T)
+
+    # --- commit, matching exactly what the reference's per-particle clone sees
+    fields["age"] = jnp.where(alive0, age_new, fields["age"])
+    fields["scale"] = jnp.where(moved, scale_new, fields["scale"])
+    fields["px"] = jnp.where(moved, npx, fields["px"])
+    fields["py"] = jnp.where(moved, npy, fields["py"])
+    fields["pz"] = jnp.where(moved, npz, fields["pz"])
+    fields["vx"] = jnp.where(survivor, dvx, jnp.where(moved, nvx, fields["vx"]))
+    fields["vy"] = jnp.where(survivor, dvy, jnp.where(moved, nvy, fields["vy"]))
+    fields["vz"] = jnp.where(survivor, dvz, jnp.where(moved, nvz, fields["vz"]))
+    fields["qx"] = jnp.where(survivor, rot2[:, 0], fields["qx"])
+    fields["qy"] = jnp.where(survivor, rot2[:, 1], fields["qy"])
+    fields["qz"] = jnp.where(survivor, rot2[:, 2], fields["qz"])
+    fields["qw"] = jnp.where(survivor, rot2[:, 3], fields["qw"])
+    fields["wx"] = jnp.where(survivor, w2[:, 0], fields["wx"])
+    fields["wy"] = jnp.where(survivor, w2[:, 1], fields["wy"])
+    fields["wz"] = jnp.where(survivor, w2[:, 2], fields["wz"])
+    fields["col_r"] = jnp.where(survivor, base_rgba[:, 0], fields["col_r"])
+    fields["col_g"] = jnp.where(survivor, base_rgba[:, 1], fields["col_g"])
+    fields["col_b"] = jnp.where(survivor, base_rgba[:, 2], fields["col_b"])
+    fields["col_a"] = jnp.where(survivor, base_rgba[:, 3], fields["col_a"])
+    fields["em_r"] = jnp.where(survivor, emis_rgba[:, 0], fields["em_r"])
+    fields["em_g"] = jnp.where(survivor, emis_rgba[:, 1], fields["em_g"])
+    fields["em_b"] = jnp.where(survivor, emis_rgba[:, 2], fields["em_b"])
+    fields["em_a"] = jnp.where(survivor, emis_rgba[:, 3], fields["em_a"])
+    fields["alive"] = survivor
+
+    destroyed = alive0 & ~survivor
+    if static.any_destroyed_dump:
+        dump_mask = jnp.zeros_like(destroyed)
+        for t in range(T):
+            if static.destroyed_dump_types[t]:
+                dump_mask = dump_mask | (destroyed & (ptype == t))
+    else:
+        dump_mask = jnp.zeros_like(destroyed)
+
+    # ------------------------------------------------------ notify + aabb
+    alive_new = fields["alive"]
+    all_empty = ~jnp.any(alive_new)
+    # re-evaluate active() on post-frame state (core.rs:678-687)
+    any_particles = ~all_empty
+    active_now = jnp.zeros((), bool)
+    for e in range(E):
+        en = enabled[e]
+        if static.mode_kinds[e] == MODE_NESTED:
+            active_now = active_now | (en & any_particles)
+        else:
+            active_now = active_now | en
+    finished = all_empty & ~active_now & ~state.finished_notified
+    finished_notified = state.finished_notified | finished
+
+    # AABB over live particles: pos +- scale (render.rs:677-703)
+    s = fields["scale"]
+    inf = jnp.float32(jnp.inf)
+    mins = []
+    maxs = []
+    for c in ("px", "py", "pz"):
+        v = fields[c]
+        mins.append(jnp.min(jnp.where(alive_new, v - s, inf)))
+        maxs.append(jnp.max(jnp.where(alive_new, v + s, -inf)))
+    aabb_min = jnp.stack(mins)
+    aabb_max = jnp.stack(maxs)
+
+    per_type = jnp.stack([jnp.sum((alive_new & (ptype == t)).astype(jnp.int32)) for t in range(T)])
+
+    new_state = PoolState(
+        px=fields["px"], py=fields["py"], pz=fields["pz"],
+        vx=fields["vx"], vy=fields["vy"], vz=fields["vz"],
+        qx=fields["qx"], qy=fields["qy"], qz=fields["qz"], qw=fields["qw"],
+        wx=fields["wx"], wy=fields["wy"], wz=fields["wz"],
+        initial_scale=fields["initial_scale"], scale=fields["scale"],
+        age=fields["age"], lifetime=fields["lifetime"],
+        col_r=fields["col_r"], col_g=fields["col_g"], col_b=fields["col_b"], col_a=fields["col_a"],
+        em_r=fields["em_r"], em_g=fields["em_g"], em_b=fields["em_b"], em_a=fields["em_a"],
+        ptype=fields["ptype"], alive=alive_new,
+        last_emitted=fields["last_emitted"],
+        time_in_cycle=time_in_cycle, last_emission=last_emission, enabled=enabled,
+        manual_queued=manual_queued, finished_notified=finished_notified,
+        rng_key=new_key,
+    )
+    outputs = StepOutputs(
+        alive_count=jnp.sum(alive_new.astype(jnp.int32)),
+        alive_count_per_type=per_type,
+        finished_event=finished,
+        aabb_valid=any_particles,
+        aabb_min=aabb_min,
+        aabb_max=aabb_max,
+        destroyed_mask=dump_mask,
+    )
+    return new_state, outputs
+
+
+@partial(jax.jit, static_argnums=(0,))
+def step_jit(static: SpawnerStatic, params: SpawnerParams, colliders: Optional[ColliderTable], state: PoolState, frame: FrameInput):
+    return step(static, params, colliders, state, frame)
