@@ -1,0 +1,173 @@
+"""Nested emission: sub-particles from live parents (`core.rs:471-546`,
+SURVEY.md #9), modeled on the textures example (`examples/textures.rs:52-173`):
+type 0 parents emit type 1 children during the first 10% of parent life."""
+
+import numpy as np
+
+from bevy_firework_tpu import (
+    EmissionMode,
+    EmissionPacing,
+    EmissionSettings,
+    ParticleSettings,
+    ParticleSpawner,
+    RandF32,
+    RandVec3,
+    Scene,
+    compile_spawner,
+    init_pool,
+    make_frame_input,
+    step_jit,
+)
+from tests.oracle import oracle_init, oracle_step
+
+
+def nested_spawner(parent_rate=12.0, children_per_parent=6.0, parent_life=5.0, child_life=2.0, window=0.1):
+    return ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(parent_life), initial_scale=RandF32.constant(0.2),
+                             acceleration=(0.0, -9.81, 0.0), linear_drag=0.0),
+            ParticleSettings(lifetime=RandF32.constant(child_life), initial_scale=RandF32.constant(0.1),
+                             acceleration=(0.0, 0.3, 0.0), linear_drag=0.0),
+        ],
+        emission_settings=[
+            EmissionSettings(
+                particle_index=0,
+                emission_pacing=EmissionPacing.rate(parent_rate),
+                initial_velocity=RandVec3.constant((0.5, 3.0, 0.0)),
+            ),
+            EmissionSettings(
+                particle_index=1,
+                emission_mode=EmissionMode.nested(0),
+                emission_pacing=EmissionPacing.count_over_duration(children_per_parent, 1.0, 0.0, window),
+                inherit_parent_velocity=True,
+            ),
+        ],
+    )
+
+
+def run_engine(sp, n_frames, dt, capacity=4096):
+    compiled = compile_spawner(sp)
+    state = init_pool(capacity, compiled.num_emitters, True, 0)
+    per_type = []
+    snaps = []
+    for _ in range(n_frames):
+        state, out = step_jit(compiled.static, compiled.params, None, state, make_frame_input(dt))
+        per_type.append(np.asarray(out.alive_count_per_type))
+        alive = np.asarray(state.alive)
+        tys = np.asarray(state.ptype)[alive]
+        snaps.append({
+            "pos": np.stack([np.asarray(state.px)[alive], np.asarray(state.py)[alive], np.asarray(state.pz)[alive]], -1),
+            "vel": np.stack([np.asarray(state.vx)[alive], np.asarray(state.vy)[alive], np.asarray(state.vz)[alive]], -1),
+            "age": np.asarray(state.age)[alive],
+            "ptype": tys,
+        })
+    return per_type, snaps
+
+
+def run_oracle(sp, n_frames, dt):
+    st = oracle_init(sp)
+    per_type = []
+    snaps = []
+    for _ in range(n_frames):
+        oracle_step(sp, st, dt)
+        per_type.append(np.array([len(pl) for pl in st.particles]))
+        parts = [(p, ti) for ti, pl in enumerate(st.particles) for p in pl]
+        snaps.append({
+            "pos": np.array([p.position for p, _ in parts]).reshape(-1, 3),
+            "vel": np.array([p.velocity for p, _ in parts]).reshape(-1, 3),
+            "age": np.array([p.age for p, _ in parts]),
+            "ptype": np.array([ti for _, ti in parts], dtype=np.int64),
+        })
+    return per_type, snaps
+
+
+def _sorted(a):
+    a = np.asarray(a, np.float64)
+    if a.ndim == 1:
+        return np.sort(a)
+    return a[np.lexsort(a.T[::-1])] if a.size else a
+
+
+def test_nested_counts_and_trajectories_match_oracle():
+    sp = nested_spawner()
+    dt = 1.0 / 60.0
+    n = 180  # 3 s: parents spawning, children spawning + dying
+    ec, es = run_engine(sp, n, dt)
+    oc, os_ = run_oracle(sp, n, dt)
+    for fi in range(n):
+        np.testing.assert_array_equal(ec[fi], oc[fi], err_msg=f"frame {fi} per-type counts")
+        for key in ("pos", "vel", "age"):
+            np.testing.assert_allclose(_sorted(es[fi][key]), _sorted(os_[fi][key]), atol=3e-4, err_msg=f"frame {fi} {key}")
+
+
+def test_children_only_in_window():
+    """Children spawn only during the first `window` of a parent's life: with
+    one parent, all children appear within window*parent_life."""
+    sp = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(2.0), linear_drag=0.0, acceleration=(0, 0, 0)),
+            ParticleSettings(lifetime=RandF32.constant(10.0), linear_drag=0.0, acceleration=(0, 0, 0)),
+        ],
+        emission_settings=[
+            EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.one_shot(1)),
+            EmissionSettings(particle_index=1, emission_mode=EmissionMode.nested(0),
+                             emission_pacing=EmissionPacing.count_over_duration(6.0, 1.0, 0.0, 0.1)),
+        ],
+    )
+    dt = 0.01
+    counts, _ = run_engine(sp, 100, dt, capacity=64)
+    child_counts = [int(c[1]) for c in counts]
+    # off-by-one tolerated, like the reference's own conservation test
+    # (`core.rs:830-834`): the first interval must fully elapse before the
+    # first emission, so a [0, w] window yields count or count-1 children.
+    assert child_counts[-1] in (5, 6)
+    # all children existed by the time parent age ~ 0.25 (window ends at 0.2)
+    frame_02 = int(0.25 / dt)
+    assert child_counts[frame_02] == child_counts[-1]
+    # no children before parent exists
+    assert child_counts[0] == 0
+
+
+def test_nested_invalid_pacing_skipped():
+    """Nested + OneShot is invalid; reference warns and skips (core.rs:481)."""
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(1.0)),
+                           ParticleSettings(lifetime=RandF32.constant(1.0))],
+        emission_settings=[
+            EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.one_shot(2)),
+            EmissionSettings(particle_index=1, emission_mode=EmissionMode.nested(0),
+                             emission_pacing=EmissionPacing.one_shot(5)),
+        ],
+    )
+    counts, _ = run_engine(sp, 30, 1 / 60, capacity=64)
+    assert all(int(c[1]) == 0 for c in counts)  # no children ever
+    assert max(int(c[0]) for c in counts) == 2
+
+
+def test_children_inherit_parent_velocity_and_position():
+    sp = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(5.0), linear_drag=0.0, acceleration=(0, 0, 0)),
+            ParticleSettings(lifetime=RandF32.constant(5.0), linear_drag=0.0, acceleration=(0, 0, 0)),
+        ],
+        emission_settings=[
+            EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.one_shot(1),
+                             initial_velocity=RandVec3.constant((2.0, 0.0, 0.0))),
+            EmissionSettings(particle_index=1, emission_mode=EmissionMode.nested(0),
+                             emission_pacing=EmissionPacing.count_over_duration(10.0, 1.0, 0.0, 1.0),
+                             inherit_parent_velocity=True),
+        ],
+    )
+    compiled = compile_spawner(sp)
+    state = init_pool(128, 2, True, 0)
+    # nested pacing ignores the configured duration and uses parent lifetime
+    # (5 s) as the cycle (`core.rs:18-23,494`): 10/cycle => a child every 0.5 s
+    dt = 0.05
+    for _ in range(30):
+        state, _ = step_jit(compiled.static, compiled.params, None, state, make_frame_input(dt))
+    alive = np.asarray(state.alive)
+    tys = np.asarray(state.ptype)[alive]
+    vx = np.asarray(state.vx)[alive]
+    child_vx = vx[tys == 1]
+    assert len(child_vx) > 0
+    np.testing.assert_allclose(child_vx, 2.0, atol=1e-5)  # inherited (drag 0)

@@ -1,0 +1,114 @@
+"""Render-contract tests: 64-byte instance layout, compaction, uniforms
+(SURVEY.md §A.6, `/root/reference/src/render.rs:95-115,354-366`)."""
+
+import numpy as np
+
+from bevy_firework_tpu import (
+    BlendMode,
+    EmissionPacing,
+    EmissionSettings,
+    ParticleSettings,
+    ParticleSpawner,
+    RandF32,
+    Scene,
+    compile_spawner,
+    instances_to_bytes,
+    make_uniform,
+    pack_instances,
+)
+from bevy_firework_tpu.pool import init_pool, make_frame_input
+from bevy_firework_tpu.render import (
+    FIREWORK_BASE_COLOR_TEXTURE_BIT,
+    FIREWORK_NORMAL_MAP_TEXTURE_BIT,
+    FIREWORK_ORM_TEXTURE_BIT,
+)
+from bevy_firework_tpu.step import step_jit
+
+
+def test_instance_row_layout():
+    """Row = [pos3, scale, quat4(xyzw), base rgba, emissive rgba] f32x16."""
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(
+            lifetime=RandF32.constant(5.0), initial_scale=RandF32.constant(0.25),
+            acceleration=(0, 0, 0), linear_drag=0.0)],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.one_shot(1),
+            initial_rotation=(0.1, 0.2, 0.3, 0.9273618))],
+    )
+    compiled = compile_spawner(sp)
+    state = init_pool(64, 1, True, 0)
+    state, _ = step_jit(compiled.static, compiled.params, None, state, make_frame_input(0.0))
+    buf, count = pack_instances(state, 0)
+    assert int(count) == 1
+    row = np.asarray(buf)[0]
+    np.testing.assert_allclose(row[3], 0.25, atol=1e-6)  # scale
+    np.testing.assert_allclose(row[4:8], [0.1, 0.2, 0.3, 0.9273618], atol=1e-6)  # quat xyzw
+    np.testing.assert_allclose(row[8:12], [1, 1, 1, 1], atol=1e-6)  # base WHITE
+    np.testing.assert_allclose(row[12:16], [0, 0, 0, 0], atol=1e-6)  # emissive BLACK
+    assert len(instances_to_bytes(np.asarray(buf)[: int(count)])) == 64
+
+
+def test_compaction_dense_and_ordered():
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32(0.1, 1.0))],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.rate(500.0))],
+    )
+    compiled = compile_spawner(sp)
+    state = init_pool(1024, 1, True, 0)
+    for _ in range(60):
+        state, _ = step_jit(compiled.static, compiled.params, None, state, make_frame_input(1 / 60))
+    buf, count = pack_instances(state, 0)
+    buf = np.asarray(buf)
+    count = int(count)
+    alive = np.asarray(state.alive)
+    assert count == alive.sum()
+    # rows beyond count are zero; rows within are non-degenerate
+    assert np.all(buf[count:] == 0.0)
+    np.testing.assert_allclose(
+        np.sort(buf[:count, 1]), np.sort(np.asarray(state.py)[alive]), atol=0
+    )
+    # slot order preserved
+    np.testing.assert_array_equal(buf[:count, 1], np.asarray(state.py)[alive])
+
+
+def test_uniform_bits_and_values():
+    sp = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(blend_mode=BlendMode.ADD, fade_edge=0.3, fade_scene=3.5, pbr=True,
+                             base_color_texture="a.png", orm_texture="b.png"),
+            ParticleSettings(blend_mode=BlendMode.OPAQUE, normal_map_texture="n.png"),
+        ],
+        emission_settings=[EmissionSettings(particle_index=0)],
+    )
+    compiled = compile_spawner(sp)
+    u0 = make_uniform(compiled, 0)
+    assert u0.alpha_mode == 4 and u0.pbr == 1
+    assert u0.flags == FIREWORK_BASE_COLOR_TEXTURE_BIT | FIREWORK_ORM_TEXTURE_BIT
+    assert u0.fade_edge == 0.3 and u0.fade_scene == 3.5
+    u1 = make_uniform(compiled, 1)
+    assert u1.alpha_mode == 0 and u1.pbr == 0
+    assert u1.flags == FIREWORK_NORMAL_MAP_TEXTURE_BIT
+    assert len(u0.to_bytes()) == 32
+
+
+def test_blend_mode_codes():
+    codes = {BlendMode.OPAQUE: 0, BlendMode.BLEND: 2, BlendMode.PREMULTIPLIED: 3, BlendMode.ADD: 4, BlendMode.MULTIPLY: 5}
+    for bm, code in codes.items():
+        assert bm.as_u32() == code
+
+
+def test_render_items_per_nonempty_type():
+    from bevy_firework_tpu import EmissionMode
+
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(5.0)),
+                           ParticleSettings(lifetime=RandF32.constant(5.0))],
+        emission_settings=[EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.one_shot(3))],
+    )
+    scene = Scene()
+    sid = scene.add_spawner(sp, capacity=64)
+    scene.step(1 / 60)
+    items = scene.render_items()
+    assert len(items) == 1  # type 1 empty -> no item (render.rs:382-423)
+    assert items[0].type_index == 0 and items[0].count == 3
+    assert items[0].instances.shape == (3, 16)

@@ -1,0 +1,186 @@
+"""Scene facade behaviour: lifecycle, events, modifiers, serde, reset."""
+
+import numpy as np
+
+from bevy_firework_tpu import (
+    EffectModifier,
+    EmissionPacing,
+    EmissionSettings,
+    ParticleEventHandlers,
+    ParticleSettings,
+    ParticleSpawner,
+    RandF32,
+    RandVec3,
+    Scene,
+    Transform,
+    SpawnTransformMode,
+    spawner_from_json,
+    spawner_to_json,
+)
+
+
+def burst(n=5, lifetime=0.2, **ps):
+    return ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(lifetime), **ps)],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.one_shot(n))],
+    )
+
+
+def test_finished_event_fires_once():
+    scene = Scene()
+    sid = scene.add_spawner(burst(), capacity=32)
+    fired = []
+    scene.on_finished(sid, fired.append)
+    for _ in range(30):
+        scene.step(1 / 60)
+    assert fired == [sid]
+
+
+def test_starts_disabled_never_spawns_or_finishes():
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings()],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.rate(100.0))],
+        starts_enabled=False,
+    )
+    scene = Scene()
+    sid = scene.add_spawner(sp, capacity=32)
+    fired = []
+    scene.on_finished(sid, fired.append)
+    for _ in range(10):
+        scene.step(1 / 60)
+    assert scene.alive_count(sid) == 0
+    # inactive spawner (no enabled emitters) does fire finished: the reference
+    # condition is all-empty && !active (core.rs:678-687)
+    assert fired == [sid]
+
+
+def test_set_enabled_toggles_emission():
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(10.0))],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.rate(600.0))],
+    )
+    scene = Scene()
+    sid = scene.add_spawner(sp, capacity=256)
+    for _ in range(6):
+        scene.step(1 / 60)
+    n1 = scene.alive_count(sid)
+    scene.set_enabled(sid, False)
+    for _ in range(6):
+        scene.step(1 / 60)
+    assert scene.alive_count(sid) == n1  # no new spawns, none expired
+    scene.set_enabled(sid, True)
+    for _ in range(6):
+        scene.step(1 / 60)
+    assert scene.alive_count(sid) > n1
+
+
+def test_destroyed_handler_payload():
+    got = []
+    sp = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(
+                lifetime=RandF32.constant(0.1),
+                initial_scale=RandF32.constant(0.5),
+                event_handlers=ParticleEventHandlers(particles_destroyed=got.extend),
+            )
+        ],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.one_shot(4),
+            initial_velocity=RandVec3.constant((1.0, 0.0, 0.0)))],
+    )
+    scene = Scene()
+    scene.add_spawner(sp, capacity=32)
+    for _ in range(10):
+        scene.step(1 / 60)
+    assert len(got) == 4
+    r = got[0]
+    assert r.age >= r.lifetime  # died of old age
+    assert r.initial_scale == 0.5
+    assert abs(r.velocity[0]) > 0  # carried its velocity
+
+
+def test_local_vs_global_transform_mode():
+    def spawner(mode):
+        return ParticleSpawner(
+            particle_settings=[ParticleSettings(lifetime=RandF32.constant(5.0), acceleration=(0, 0, 0), linear_drag=0.0)],
+            emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.one_shot(1))],
+            spawn_transform_mode=mode,
+        )
+
+    scene = Scene()
+    g = scene.add_spawner(spawner(SpawnTransformMode.GLOBAL), capacity=8,
+                          transform=Transform(translation=(1, 0, 0)),
+                          global_transform=Transform(translation=(10, 0, 0)))
+    l = scene.add_spawner(spawner(SpawnTransformMode.LOCAL), capacity=8,
+                          transform=Transform(translation=(1, 0, 0)),
+                          global_transform=Transform(translation=(10, 0, 0)))
+    scene.step(0.0)
+    gx = float(np.asarray(scene._spawners[g].state.px)[np.asarray(scene._spawners[g].state.alive)][0])
+    lx = float(np.asarray(scene._spawners[l].state.px)[np.asarray(scene._spawners[l].state.alive)][0])
+    assert gx == 10.0 and lx == 1.0
+
+
+def test_modifier_and_parent_velocity():
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(5.0), acceleration=(0, 0, 0), linear_drag=0.0,
+                                            initial_scale=RandF32.constant(1.0))],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.one_shot(1),
+            initial_velocity=RandVec3.constant((1.0, 0.0, 0.0)),
+            inherit_parent_velocity=True)],
+    )
+    scene = Scene()
+    sid = scene.add_spawner(sp, capacity=8)
+    scene.set_modifier(sid, EffectModifier(scale=2.0, speed=3.0))
+    scene.set_parent_velocity(sid, (0.0, 5.0, 0.0))
+    scene.step(0.0)
+    st = scene._spawners[sid].state
+    alive = np.asarray(st.alive)
+    assert float(np.asarray(st.initial_scale)[alive][0]) == 2.0
+    np.testing.assert_allclose(
+        [float(np.asarray(st.vx)[alive][0]), float(np.asarray(st.vy)[alive][0])],
+        [3.0, 5.0], atol=1e-6)  # speed*v + parent_velocity
+
+
+def test_serde_full_round_trip():
+    from bevy_firework_tpu import (
+        BlendMode, EmissionMode, EmissionShape, FireworkCurve,
+        ParticleCollisionSettings, gradient_uneven_samples,
+    )
+
+    sp = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(
+                lifetime=RandF32(0.5, 1.5),
+                scale_curve=FireworkCurve.even_samples([1.0, 2.0, 0.5]),
+                base_color=gradient_uneven_samples([(0.0, (1, 0, 0, 1)), (1.0, (0, 0, 1, 0))]),
+                blend_mode=BlendMode.ADD,
+                pbr=True,
+                base_color_texture="tex/diffuse.png",
+                collision_settings=ParticleCollisionSettings(0.6, 0.2, True, 0b1010),
+            )
+        ],
+        emission_settings=[
+            EmissionSettings(
+                emission_pacing=EmissionPacing.count_over_duration(6.0, 2.0, 0.1, 0.9),
+                emission_mode=EmissionMode.nested(0),
+                emission_shape=EmissionShape.sphere(0.5),
+                initial_velocity=RandVec3(RandF32(0, 10), (0, 1, 0), 0.5),
+                initial_rotation=(0.1, 0.2, 0.3, 0.9273618),
+            )
+        ],
+        starts_enabled=False,
+        spawn_transform_mode=SpawnTransformMode.LOCAL,
+    )
+    assert spawner_from_json(spawner_to_json(sp)) == sp
+
+
+def test_capacity_overflow_drops_gracefully():
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(10.0))],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.one_shot(100))],
+    )
+    scene = Scene()
+    sid = scene.add_spawner(sp, capacity=32)
+    scene.step(1 / 60)
+    assert scene.alive_count(sid) == 32  # clamped to capacity, no crash
