@@ -170,12 +170,11 @@ def compile_curve(curve: FireworkCurve, channels: int = 0):
     return ts_pad, vs_pad, np.int32(n), np.int32(curve.kind)
 
 
-def eval_curve_table(ts, vs, n, kind, t):
-    """Branchless sample_clamped over a padded keyframe table.
+def curve_index_frac(ts, n, kind, t):
+    """Segment index + interpolation fraction for a padded keyframe table.
 
-    ts: [K] knots (+inf padded); vs: [K] or [K, C]; n: knot count (int32);
-    kind: CURVE_* (int32, traced or static); t: [...] query times.
-    Returns [...] or [..., C] values.  All f32.
+    ts: [K] knots (+inf padded); n: knot count (int32); kind: CURVE_* (int32,
+    traced or static); t: [...] query times. Returns (i:int32[...], frac[...]).
 
     Works under vmap/jit; the even-curve path recomputes knots implicitly via
     index scaling so it matches bevy's EvenCore exactly, and the uneven path
@@ -207,9 +206,32 @@ def eval_curve_table(ts, vs, n, kind, t):
     frac = jnp.where(is_even, frac_even, frac_un)
     frac = jnp.where(is_const, 0.0, frac)
     i = jnp.where(is_const, 0, i)
+    return i, frac
 
+
+def eval_curve_table(ts, vs, n, kind, t):
+    """Branchless sample_clamped. vs: [K] or [K, C]; returns [...] or [..., C].
+
+    PERF (TPU): multi-channel values gather each channel from its own [K] row
+    (`vs.T[c]`) instead of row-gathering [.., C] — a [N, C] gather with tiny
+    minor dim pads C to the 128-lane tile and is ~10x slower.
+    """
+    i, frac = curve_index_frac(ts, n, kind, t)
+    if vs.ndim == 2:
+        return jnp.stack(eval_curve_table_channels(ts, vs, n, kind, t, _if=(i, frac)), axis=-1)
     v0 = jnp.take(vs, i, axis=0)
     v1 = jnp.take(vs, i + 1, axis=0)
-    if vs.ndim == 2:
-        frac = frac[..., None]
     return v0 + (v1 - v0) * frac
+
+
+def eval_curve_table_channels(ts, vs, n, kind, t, _if=None):
+    """Channel-split evaluation: vs [K, C] -> tuple of C arrays shaped like t.
+    The hot-path form: everything stays in component-split [N] layout."""
+    i, frac = curve_index_frac(ts, n, kind, t) if _if is None else _if
+    vs_t = vs.T  # [C, K]
+    out = []
+    for c in range(vs.shape[1]):
+        v0 = jnp.take(vs_t[c], i, axis=0)
+        v1 = jnp.take(vs_t[c], i + 1, axis=0)
+        out.append(v0 + (v1 - v0) * frac)
+    return tuple(out)

@@ -70,29 +70,39 @@ class EmissionShape:
         return np.array([float(self.kind), self.radius, q[0], q[1], q[2], q[3]], dtype=np.float32)
 
 
-def sample_shape(params, u0, u1, u2):
-    """Vectorized EmissionShape::generate_point.
+def sample_shape_comp(params, u0, u1, u2):
+    """Vectorized EmissionShape::generate_point, component-split (TPU hot
+    path). params: f32[6] compiled row; u0,u1,u2: uniforms [0,1), shape [...].
+    Returns (x, y, z)."""
+    from .utils.quat import quat_rotate_comp
 
-    params: f32[..., 6] compiled rows; u0,u1,u2: uniforms [0,1), shape [...].
-    Returns offsets [..., 3].
-    """
     params = jnp.asarray(params, jnp.float32)
     kind = params[..., 0]
     radius = params[..., 1]
-    q = params[..., 2:6]
 
     # Sphere: PitchYaw(u*2π, v*π).to_unit_vec() * r * R
     u = jnp.asarray(u0, jnp.float32) * TWO_PI
     v = jnp.asarray(u1, jnp.float32) * PI
     r = jnp.asarray(u2, jnp.float32)
-    sphere = pitch_yaw_to_unit_vec(u, v) * (r * radius)[..., None]
+    rr = r * radius
+    # pitch_yaw_to_unit_vec(pitch=u, yaw=v) expanded on components
+    cu = jnp.cos(u)
+    sx, sy, sz = -jnp.sin(v) * cu * rr, jnp.sin(u) * rr, -jnp.cos(v) * cu * rr
 
     # Circle: arc(Y->normal) ⊗ rot_y(u·2π) applied to (r·R, 0, 0).
     # rot_y(a) * (x,0,0) = (x·cos a, 0, -x·sin a)
-    x = r * radius
-    local = jnp.stack([x * jnp.cos(u), jnp.zeros_like(x), -x * jnp.sin(u)], axis=-1)
-    circle = quat_rotate(q, local)
+    lx, ly, lz = rr * jnp.cos(u), jnp.zeros_like(rr), -rr * jnp.sin(u)
+    cx, cy, cz = quat_rotate_comp(params[..., 2], params[..., 3], params[..., 4], params[..., 5], lx, ly, lz)
 
-    out = jnp.where((kind == SHAPE_SPHERE)[..., None], sphere, 0.0)
-    out = jnp.where((kind == SHAPE_CIRCLE)[..., None], circle, out)
-    return out
+    is_sphere = kind == SHAPE_SPHERE
+    is_circle = kind == SHAPE_CIRCLE
+    ox = jnp.where(is_sphere, sx, jnp.where(is_circle, cx, 0.0))
+    oy = jnp.where(is_sphere, sy, jnp.where(is_circle, cy, 0.0))
+    oz = jnp.where(is_sphere, sz, jnp.where(is_circle, cz, 0.0))
+    return ox, oy, oz
+
+
+def sample_shape(params, u0, u1, u2):
+    """As sample_shape_comp but returning stacked offsets [..., 3]."""
+    x, y, z = sample_shape_comp(params, u0, u1, u2)
+    return jnp.stack([x, y, z], axis=-1)

@@ -110,24 +110,29 @@ class RandVec3:
         )
 
 
-def sample_randvec3(params, u_mag, u_dev, u_azim):
-    """Vectorized RandVec3.generate().
+def sample_randvec3_comp(params, u_mag, u_dev, u_azim):
+    """Vectorized RandVec3.generate(), component-split (TPU hot path).
 
-    params: f32[..., 7] compiled rows (broadcast against u_*);
-    u_mag/u_dev/u_azim: uniforms in [0,1), shape [...].
-    Returns [..., 3].
+    params: f32[7] compiled row; u_*: uniforms in [0,1), shape [...].
+    Returns (x, y, z) arrays.
     """
+    from .utils.quat import quat_rotate_comp
+
     params = jnp.asarray(params, jnp.float32)
     mag = sample_randf32(u_mag, params[..., 0], params[..., 1])
     spread = params[..., 2]
     a = jnp.asarray(u_dev, jnp.float32) * spread  # deviation from axis
     b = jnp.asarray(u_azim, jnp.float32) * TWO_PI  # azimuth about axis
-    # deviated unit vector in the +Y frame
     sa, ca = jnp.sin(a), jnp.cos(a)
-    local = jnp.stack([sa * jnp.cos(b), ca, -sa * jnp.sin(b)], axis=-1)
-    q = params[..., 3:7]
-    dirv = quat_rotate(q, local)
-    return mag[..., None] * dirv
+    lx, ly, lz = sa * jnp.cos(b), ca, -sa * jnp.sin(b)  # +Y frame
+    dx, dy, dz = quat_rotate_comp(params[..., 3], params[..., 4], params[..., 5], params[..., 6], lx, ly, lz)
+    return mag * dx, mag * dy, mag * dz
+
+
+def sample_randvec3(params, u_mag, u_dev, u_azim):
+    """As sample_randvec3_comp but returning a stacked [..., 3] array."""
+    x, y, z = sample_randvec3_comp(params, u_mag, u_dev, u_azim)
+    return jnp.stack([x, y, z], axis=-1)
 
 
 def pitch_yaw_to_unit_vec(pitch, yaw):

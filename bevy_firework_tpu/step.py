@@ -21,6 +21,12 @@ Mechanism differences from the reference (behaviour preserved):
   * Pool overflow: if fewer dead slots than requested spawns, the overflow is
     dropped (capacity is an explicit knob; the reference's Vec grows
     unboundedly instead).
+
+PERF (TPU): every per-particle quantity stays a separate [N] f32 array —
+vectors/quats/colors are never materialized as [N, 3/4] arrays, whose tiny
+minor dim would pad to the 128-lane tile (~40x bloat; measured ~10x slowdown
+on the color-gradient gathers alone). Quaternion math, samplers and curve
+lookups all use the component-split forms.
 """
 
 from __future__ import annotations
@@ -44,12 +50,12 @@ from .compiled import (
     SpawnerParams,
     SpawnerStatic,
 )
-from .curve import eval_curve_table
-from .emission_shape import sample_shape
+from .curve import eval_curve_table, eval_curve_table_channels
+from .emission_shape import sample_shape_comp
 from .pool import FrameInput, PoolState
-from .rand import sample_randf32, sample_randvec3
+from .rand import sample_randf32, sample_randvec3_comp
 from .utils.f32 import F32_MIN, rem_euclid
-from .utils.quat import quat_from_scaled_axis, quat_mul, quat_rotate
+from .utils.quat import quat_from_scaled_axis_comp, quat_mul_comp, quat_rotate_comp
 
 
 @jax.tree_util.register_dataclass
@@ -79,22 +85,25 @@ def _select_by_type(values, ptype, num_types):
     return out
 
 
-def _eval_curve_by_type(ts, vs, n, kind, ptype, t_query, num_types):
-    """Evaluate per-type curve tables ([T,K] / [T,K,C]) at per-lane t."""
+def _eval_scalar_curve_by_type(ts, vs, n, kind, ptype, t_query, num_types):
+    """Evaluate per-type scalar curve tables ([T, K]) at per-lane t."""
     out = eval_curve_table(ts[0], vs[0], n[0], kind[0], t_query)
     for ti in range(1, num_types):
         v = eval_curve_table(ts[ti], vs[ti], n[ti], kind[ti], t_query)
-        m = ptype == ti
-        if v.ndim > t_query.ndim:
-            m = m[..., None]
-        out = jnp.where(m, v, out)
+        out = jnp.where(ptype == ti, v, out)
     return out
 
 
-def _normalize_or_zero3(v):
-    l2 = jnp.sum(v * v, axis=-1, keepdims=True)
-    inv = jnp.where(l2 > 0, 1.0 / jnp.sqrt(l2), 0.0)
-    return v * inv
+def _eval_gradient_by_type(ts, vs, n, kind, ptype, t_query, num_types):
+    """Evaluate per-type gradient tables ([T, K, 4]) at per-lane t; returns
+    4 channel arrays (component-split hot path)."""
+    out = list(eval_curve_table_channels(ts[0], vs[0], n[0], kind[0], t_query))
+    for ti in range(1, num_types):
+        ch = eval_curve_table_channels(ts[ti], vs[ti], n[ti], kind[ti], t_query)
+        m = ptype == ti
+        for c in range(4):
+            out[c] = jnp.where(m, ch[c], out[c])
+    return out
 
 
 def _active_flag(static: SpawnerStatic, state: PoolState):
@@ -120,47 +129,55 @@ def _claim_and_init(
     e: int,
     n_spawn,
     uni,
-    origin_pos,
-    origin_rot,
-    base_vel,
-    parent_idx=None,
+    origin_pos,  # (x, y, z) scalars or [N] arrays
+    origin_rot,  # (qx, qy, qz, qw) scalars or [N] arrays
+    base_vel,  # (vx, vy, vz) scalars or [N] arrays
 ):
     """Claim `n_spawn` dead slots and initialize them for emitter `e`.
 
-    origin_pos/origin_rot/base_vel: either [3]/[4]/[3] (global emission) or
-    per-lane [N,3]/[N,4]/[N,3] gathered parent state (nested emission).
-    Spawn initialization follows `core.rs:437-468` / SURVEY.md §A.2.
+    origin_* are component tuples: scalars for global emission, gathered
+    per-lane arrays for nested emission. Spawn initialization follows
+    `core.rs:437-468` / SURVEY.md §A.2.
     """
     alive = fields["alive"]
     dead = ~alive
-    rank = jnp.cumsum(dead.astype(jnp.int32)) - dead.astype(jnp.int32)  # exclusive
+    di = dead.astype(jnp.int32)
+    rank = jnp.cumsum(di) - di  # exclusive rank among dead slots
     spawn = dead & (rank < n_spawn)
 
     ti = static.particle_indices[e]
 
-    offset = sample_shape(params.shape_params[e], uni[0], uni[1], uni[2])  # [N,3]
-    ivel = sample_randvec3(params.ivel_params[e], uni[3], uni[4], uni[5])  # [N,3]
-    radial = sample_randf32(uni[6], params.radial_lo[e], params.radial_hi[e])  # [N]
-    offset_dir = _normalize_or_zero3(offset)
+    offx, offy, offz = sample_shape_comp(params.shape_params[e], uni[0], uni[1], uni[2])
+    ivx, ivy, ivz = sample_randvec3_comp(params.ivel_params[e], uni[3], uni[4], uni[5])
+    radial = sample_randf32(uni[6], params.radial_lo[e], params.radial_hi[e])
 
-    vel = frame.modifier_speed * (quat_rotate(origin_rot, ivel) + offset_dir * radial[:, None]) + params.inherit[e] * base_vel
-    pos = origin_pos + offset
+    l2 = offx * offx + offy * offy + offz * offz
+    inv = jnp.where(l2 > 0, 1.0 / jnp.sqrt(l2), 0.0)  # normalize_or_zero
+    rvx, rvy, rvz = offx * inv * radial, offy * inv * radial, offz * inv * radial
+
+    orx, ory, orz, orw = origin_rot
+    wvx, wvy, wvz = quat_rotate_comp(orx, ory, orz, orw, ivx, ivy, ivz)
+    spd = frame.modifier_speed
+    inh = params.inherit[e]
+    velx = spd * (wvx + rvx) + inh * base_vel[0]
+    vely = spd * (wvy + rvy) + inh * base_vel[1]
+    velz = spd * (wvz + rvz) + inh * base_vel[2]
 
     init_scale = sample_randf32(uni[7], params.initial_scale_lo[ti], params.initial_scale_hi[ti]) * frame.modifier_scale
     lifetime = sample_randf32(uni[8], params.lifetime_lo[ti], params.lifetime_hi[ti])
-    angvel = sample_randvec3(params.iangvel_params[e], uni[9], uni[10], uni[11])
+    avx, avy, avz = sample_randvec3_comp(params.iangvel_params[e], uni[9], uni[10], uni[11])
 
     def w(name, new):
         fields[name] = jnp.where(spawn, new, fields[name])
 
-    w("px", pos[:, 0]); w("py", pos[:, 1]); w("pz", pos[:, 2])
-    w("vx", vel[:, 0]); w("vy", vel[:, 1]); w("vz", vel[:, 2])
-    rot = jnp.broadcast_to(params.init_rot[e], spawn.shape + (4,))
-    w("qx", rot[:, 0]); w("qy", rot[:, 1]); w("qz", rot[:, 2]); w("qw", rot[:, 3])
-    w("wx", angvel[:, 0]); w("wy", angvel[:, 1]); w("wz", angvel[:, 2])
+    w("px", origin_pos[0] + offx); w("py", origin_pos[1] + offy); w("pz", origin_pos[2] + offz)
+    w("vx", velx); w("vy", vely); w("vz", velz)
+    w("qx", params.init_rot[e, 0]); w("qy", params.init_rot[e, 1])
+    w("qz", params.init_rot[e, 2]); w("qw", params.init_rot[e, 3])
+    w("wx", avx); w("wy", avy); w("wz", avz)
     w("initial_scale", init_scale)
     w("scale", init_scale)
-    w("age", jnp.zeros_like(init_scale))
+    w("age", 0.0)
     w("lifetime", lifetime)
     w("col_r", params.base_color0[ti, 0]); w("col_g", params.base_color0[ti, 1])
     w("col_b", params.base_color0[ti, 2]); w("col_a", params.base_color0[ti, 3])
@@ -209,8 +226,9 @@ def step(
 
     # Spawn origin per SpawnTransformMode (`core.rs:432-435`): the host passes
     # whichever transform applies in frame.transform_*.
-    g_origin_pos = frame.transform_translation
-    g_origin_rot = frame.transform_rotation
+    g_pos = tuple(frame.transform_translation[i] for i in range(3))
+    g_rot = tuple(frame.transform_rotation[i] for i in range(4))
+    g_vel = tuple(frame.parent_velocity[i] for i in range(3))
 
     # ------------------------------------------------------------------ spawn
     for e in range(E):
@@ -238,8 +256,7 @@ def step(
 
             _claim_and_init(
                 static, params, frame, fields, e, n_spawn, uni,
-                origin_pos=g_origin_pos, origin_rot=g_origin_rot,
-                base_vel=frame.parent_velocity,
+                origin_pos=g_pos, origin_rot=g_rot, base_vel=g_vel,
             )
         else:
             # Nested (core.rs:471-546); invalid pacing combos are skipped with
@@ -261,11 +278,12 @@ def step(
             # child rank r -> parent slot: first parent whose inclusive cumsum
             # exceeds r (two-stage spawn pass, SURVEY.md #9)
             dead = ~fields["alive"]
-            rank = jnp.cumsum(dead.astype(jnp.int32)) - dead.astype(jnp.int32)
+            di = dead.astype(jnp.int32)
+            rank = jnp.cumsum(di) - di
             parent = jnp.clip(jnp.searchsorted(cum, rank, side="right"), 0, N - 1)
-            ppos = jnp.stack([fields["px"][parent], fields["py"][parent], fields["pz"][parent]], axis=-1)
-            prot = jnp.stack([fields["qx"][parent], fields["qy"][parent], fields["qz"][parent], fields["qw"][parent]], axis=-1)
-            pvel = jnp.stack([fields["vx"][parent], fields["vy"][parent], fields["vz"][parent]], axis=-1)
+            ppos = (fields["px"][parent], fields["py"][parent], fields["pz"][parent])
+            prot = (fields["qx"][parent], fields["qy"][parent], fields["qz"][parent], fields["qw"][parent])
+            pvel = (fields["vx"][parent], fields["vy"][parent], fields["vz"][parent])
             _claim_and_init(
                 static, params, frame, fields, e, total, uni,
                 origin_pos=ppos, origin_rot=prot, base_vel=pvel,
@@ -278,7 +296,7 @@ def step(
     dead_by_age = age_new >= fields["lifetime"]
     age_pct = age_new / fields["lifetime"]
 
-    scale_factor = _eval_curve_by_type(params.scale_ts, params.scale_vs, params.scale_n, params.scale_kind, ptype, age_pct, T)
+    scale_factor = _eval_scalar_curve_by_type(params.scale_ts, params.scale_vs, params.scale_n, params.scale_kind, ptype, age_pct, T)
     scale_new = fields["initial_scale"] * scale_factor
 
     vx, vy, vz = fields["vx"], fields["vy"], fields["vz"]
@@ -310,23 +328,29 @@ def step(
     moved = alive0 & ~dead_by_age  # lanes that execute the move (A.4 step 3)
     survivor = moved & ~should_destroy
 
-    accel = _select_by_type(params.acceleration, ptype, T)  # [N,3]
+    ax = _select_by_type(params.acceleration[:, 0], ptype, T)
+    ay = _select_by_type(params.acceleration[:, 1], ptype, T)
+    az = _select_by_type(params.acceleration[:, 2], ptype, T)
     lin_drag = _select_by_type(params.linear_drag, ptype, T)
-    ang_accel = _select_by_type(params.angular_acceleration, ptype, T)
+    aax = _select_by_type(params.angular_acceleration[:, 0], ptype, T)
+    aay = _select_by_type(params.angular_acceleration[:, 1], ptype, T)
+    aaz = _select_by_type(params.angular_acceleration[:, 2], ptype, T)
     ang_drag = _select_by_type(params.angular_drag, ptype, T)
 
     # semi-implicit drag on the post-bounce velocity (A.4 step 5)
-    dvx = nvx + (accel[:, 0] - nvx * lin_drag) * dt
-    dvy = nvy + (accel[:, 1] - nvy * lin_drag) * dt
-    dvz = nvz + (accel[:, 2] - nvz * lin_drag) * dt
+    dvx = nvx + (ax - nvx * lin_drag) * dt
+    dvy = nvy + (ay - nvy * lin_drag) * dt
+    dvz = nvz + (az - nvz * lin_drag) * dt
 
-    w = jnp.stack([fields["wx"], fields["wy"], fields["wz"]], axis=-1)
-    rot = jnp.stack([fields["qx"], fields["qy"], fields["qz"], fields["qw"]], axis=-1)
-    rot2 = quat_mul(quat_from_scaled_axis(w * dt), rot)
-    w2 = w + (ang_accel - ang_drag[:, None] * w) * dt
+    wx, wy, wz = fields["wx"], fields["wy"], fields["wz"]
+    sqx, sqy, sqz, sqw = quat_from_scaled_axis_comp(wx * dt, wy * dt, wz * dt)
+    rqx, rqy, rqz, rqw = quat_mul_comp(sqx, sqy, sqz, sqw, fields["qx"], fields["qy"], fields["qz"], fields["qw"])
+    wx2 = wx + (aax - ang_drag * wx) * dt
+    wy2 = wy + (aay - ang_drag * wy) * dt
+    wz2 = wz + (aaz - ang_drag * wz) * dt
 
-    base_rgba = _eval_curve_by_type(params.base_ts, params.base_vs, params.base_n, params.base_kind, ptype, age_pct, T)
-    emis_rgba = _eval_curve_by_type(params.emis_ts, params.emis_vs, params.emis_n, params.emis_kind, ptype, age_pct, T)
+    br, bg, bb, ba = _eval_gradient_by_type(params.base_ts, params.base_vs, params.base_n, params.base_kind, ptype, age_pct, T)
+    er, eg, eb, ea = _eval_gradient_by_type(params.emis_ts, params.emis_vs, params.emis_n, params.emis_kind, ptype, age_pct, T)
 
     # --- commit, matching exactly what the reference's per-particle clone sees
     fields["age"] = jnp.where(alive0, age_new, fields["age"])
@@ -337,21 +361,21 @@ def step(
     fields["vx"] = jnp.where(survivor, dvx, jnp.where(moved, nvx, fields["vx"]))
     fields["vy"] = jnp.where(survivor, dvy, jnp.where(moved, nvy, fields["vy"]))
     fields["vz"] = jnp.where(survivor, dvz, jnp.where(moved, nvz, fields["vz"]))
-    fields["qx"] = jnp.where(survivor, rot2[:, 0], fields["qx"])
-    fields["qy"] = jnp.where(survivor, rot2[:, 1], fields["qy"])
-    fields["qz"] = jnp.where(survivor, rot2[:, 2], fields["qz"])
-    fields["qw"] = jnp.where(survivor, rot2[:, 3], fields["qw"])
-    fields["wx"] = jnp.where(survivor, w2[:, 0], fields["wx"])
-    fields["wy"] = jnp.where(survivor, w2[:, 1], fields["wy"])
-    fields["wz"] = jnp.where(survivor, w2[:, 2], fields["wz"])
-    fields["col_r"] = jnp.where(survivor, base_rgba[:, 0], fields["col_r"])
-    fields["col_g"] = jnp.where(survivor, base_rgba[:, 1], fields["col_g"])
-    fields["col_b"] = jnp.where(survivor, base_rgba[:, 2], fields["col_b"])
-    fields["col_a"] = jnp.where(survivor, base_rgba[:, 3], fields["col_a"])
-    fields["em_r"] = jnp.where(survivor, emis_rgba[:, 0], fields["em_r"])
-    fields["em_g"] = jnp.where(survivor, emis_rgba[:, 1], fields["em_g"])
-    fields["em_b"] = jnp.where(survivor, emis_rgba[:, 2], fields["em_b"])
-    fields["em_a"] = jnp.where(survivor, emis_rgba[:, 3], fields["em_a"])
+    fields["qx"] = jnp.where(survivor, rqx, fields["qx"])
+    fields["qy"] = jnp.where(survivor, rqy, fields["qy"])
+    fields["qz"] = jnp.where(survivor, rqz, fields["qz"])
+    fields["qw"] = jnp.where(survivor, rqw, fields["qw"])
+    fields["wx"] = jnp.where(survivor, wx2, fields["wx"])
+    fields["wy"] = jnp.where(survivor, wy2, fields["wy"])
+    fields["wz"] = jnp.where(survivor, wz2, fields["wz"])
+    fields["col_r"] = jnp.where(survivor, br, fields["col_r"])
+    fields["col_g"] = jnp.where(survivor, bg, fields["col_g"])
+    fields["col_b"] = jnp.where(survivor, bb, fields["col_b"])
+    fields["col_a"] = jnp.where(survivor, ba, fields["col_a"])
+    fields["em_r"] = jnp.where(survivor, er, fields["em_r"])
+    fields["em_g"] = jnp.where(survivor, eg, fields["em_g"])
+    fields["em_b"] = jnp.where(survivor, eb, fields["em_b"])
+    fields["em_a"] = jnp.where(survivor, ea, fields["em_a"])
     fields["alive"] = survivor
 
     destroyed = alive0 & ~survivor

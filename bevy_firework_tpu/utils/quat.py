@@ -69,6 +69,48 @@ def quat_normalize(q, eps=1e-12):
 
 
 # ---------------------------------------------------------------------------
+# Component-split variants (the TPU hot-path forms)
+#
+# On TPU, [N, 3]/[N, 4] arrays pad their minor dimension to the 128-lane tile
+# (~40x memory bloat when materialized); the step kernel therefore keeps every
+# quantity as separate [N] component arrays and uses these helpers.
+# ---------------------------------------------------------------------------
+
+
+def quat_rotate_comp(qx, qy, qz, qw, vx, vy, vz):
+    """Rotate vector components by quaternion components (broadcasting)."""
+    tx = 2.0 * (qy * vz - qz * vy)
+    ty = 2.0 * (qz * vx - qx * vz)
+    tz = 2.0 * (qx * vy - qy * vx)
+    ox = vx + qw * tx + (qy * tz - qz * ty)
+    oy = vy + qw * ty + (qz * tx - qx * tz)
+    oz = vz + qw * tz + (qx * ty - qy * tx)
+    return ox, oy, oz
+
+
+def quat_mul_comp(x1, y1, z1, w1, x2, y2, z2, w2):
+    """Hamilton product components: (q1 ⊗ q2)."""
+    return (
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+    )
+
+
+def quat_from_scaled_axis_comp(vx, vy, vz, eps=1e-12):
+    """glam `Quat::from_scaled_axis` on components; zero vector -> identity."""
+    angle = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    safe = jnp.maximum(angle, eps)
+    half = 0.5 * angle
+    s = jnp.sin(half) / safe
+    small = angle < 1e-8
+    s = jnp.where(small, 0.0, s)
+    w = jnp.where(small, 1.0, jnp.cos(half))
+    return vx * s, vy * s, vz * s, w
+
+
+# ---------------------------------------------------------------------------
 # Host-side (numpy, compile-time) helpers
 # ---------------------------------------------------------------------------
 
