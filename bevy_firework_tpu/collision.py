@@ -37,8 +37,12 @@ from .colliders import (
 )
 from .utils.quat import quat_rotate
 
-BIG = jnp.float32(1e30)
-EPS = jnp.float32(1e-12)
+import numpy as np
+
+# numpy scalars (not traced jnp arrays) so the raycast helpers can be inlined
+# into pallas kernels without captured-constant errors
+BIG = np.float32(1e30)
+EPS = np.float32(1e-12)
 
 
 def _normalize_or_zero(vx, vy, vz):

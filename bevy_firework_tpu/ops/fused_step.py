@@ -1,0 +1,731 @@
+"""Fused Pallas TPU kernel for the spawn-init + integrate hot path.
+
+The XLA-composed `step()` emits ~30 small kernels per frame (one per fused
+where-chain); at 131k lanes that costs ~0.6 ms/frame of device time, ~12x the
+HBM speed-of-light for the ~30 MB of state touched.  This module fuses the
+entire per-lane pipeline into ONE Pallas kernel pass over the pool:
+
+  spawn-lane init (RNG draws, shape/velocity sampling)  core.rs:437-468
+  -> age/cull                                           core.rs:594-599
+  -> scale curve                                        core.rs:601-605
+  -> move or collide (<=4 substeps, unrolled colliders) core.rs:607-631,744-800
+  -> drag, quaternion rotation, angular drag            core.rs:641-650
+  -> color gradients                                    core.rs:652-655
+
+Division of labor (SURVEY.md §7 "one fused step kernel"):
+  * XLA prelude (tiny): active flag, emission cadence, per-emitter dead-slot
+    claim (prefix-sum ranks -> a `claim` lane map: which emitter initializes
+    each lane this frame, -1 for none).
+  * Pallas kernel (this file): everything touching the 25 field arrays — one
+    HBM read + one write per field.  RNG via the on-core PRNG
+    (`pltpu.prng_random_bits`), free compared to streaming threefry draws.
+  * XLA epilogue: alive counts, AABB reduction, finished flag.
+
+Curve evaluation inside the kernel uses K-unrolled compare-selects on scalar
+table entries instead of gathers (K = 8, T <= a few): pure VPU work.
+
+Applicability: archetypes whose emitters are all Global (any pacing).  Nested
+emission needs a cross-tile parent gather and stays on the XLA path —
+`step_auto` dispatches per archetype.
+
+RNG note: this path uses the hardware PRNG stream, the XLA path uses
+threefry; both draw identical distributions (SURVEY.md §7 hard part 2 needs
+distribution parity only), so the paths agree exactly on deterministic
+configs and statistically otherwise.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..cadence import compute_emission_count
+from ..colliders import ColliderTable
+from ..collision import (
+    _ray_capsule,
+    _ray_cone,
+    _ray_cuboid,
+    _ray_cylinder,
+    _ray_halfspace,
+    _ray_sphere,
+)
+from ..compiled import (
+    MODE_GLOBAL,
+    PACING_ON_DEMAND,
+    PACING_ONE_SHOT,
+    PACING_RATE,
+    SpawnerParams,
+    SpawnerStatic,
+)
+from ..curve import K_MAX
+from ..pool import FrameInput, PoolState
+from ..step import StepOutputs, _active_flag
+from ..utils.f32 import rem_euclid
+from ..utils.quat import quat_from_scaled_axis_comp, quat_mul_comp, quat_rotate_comp
+
+LANES = 128
+BLOCK_ROWS = 64  # 64 x 128 = 8192 lanes per tile
+
+_F32_FIELDS = (
+    "px", "py", "pz", "vx", "vy", "vz",
+    "qx", "qy", "qz", "qw", "wx", "wy", "wz",
+    "initial_scale", "scale", "age", "lifetime",
+    "col_r", "col_g", "col_b", "col_a", "em_r", "em_g", "em_b", "em_a",
+)
+TWO_PI = np.float32(2.0 * np.pi)
+PI = np.float32(np.pi)
+
+
+def can_fuse(static: SpawnerStatic) -> bool:
+    """The pallas fast path covers global-only archetypes (collision ok)."""
+    return all(m == MODE_GLOBAL for m in static.mode_kinds)
+
+
+def _u01(bits):
+    """uint32 random bits -> f32 uniform [0, 1) from the top 24 bits.
+    (mosaic has no uint32->f32 cast; after the shift the value fits in int32,
+    which does cast)."""
+    return pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+
+
+def _randvec3_row(row, u_mag, u_dev, u_azim):
+    """RandVec3.generate() from a compiled 7-float row (scalars)."""
+    mag = row[0] + (row[1] - row[0]) * u_mag
+    a = u_dev * row[2]
+    b = u_azim * TWO_PI
+    sa, ca = jnp.sin(a), jnp.cos(a)
+    lx, ly, lz = sa * jnp.cos(b), ca, -sa * jnp.sin(b)
+    dx, dy, dz = quat_rotate_comp(row[3], row[4], row[5], row[6], lx, ly, lz)
+    return mag * dx, mag * dy, mag * dz
+
+
+def _shape_row(row, u0, u1, u2):
+    """EmissionShape.generate_point() from a compiled 6-float row."""
+    kind, radius = row[0], row[1]
+    u = u0 * TWO_PI
+    v = u1 * PI
+    rr = u2 * radius
+    cu = jnp.cos(u)
+    sx, sy, sz = -jnp.sin(v) * cu * rr, jnp.sin(u) * rr, -jnp.cos(v) * cu * rr
+    lx = rr * jnp.cos(u)
+    lz = -rr * jnp.sin(u)
+    cx, cy, cz = quat_rotate_comp(row[2], row[3], row[4], row[5], lx, jnp.zeros_like(lx), lz)
+    is_sphere = kind == 1.0
+    is_circle = kind == 2.0
+    ox = jnp.where(is_sphere, sx, jnp.where(is_circle, cx, 0.0))
+    oy = jnp.where(is_sphere, sy, jnp.where(is_circle, cy, 0.0))
+    oz = jnp.where(is_sphere, sz, jnp.where(is_circle, cz, 0.0))
+    return ox, oy, oz
+
+
+def _eval_curve_unrolled(ts, vs, n, kind, t):
+    """sample_clamped with K-unrolled selects; ts/vs are loaded [K] arrays
+    (scalar entries), n/kind int32 scalars, t a tile. Matches
+    curve.curve_index_frac semantics exactly."""
+    nf = n.astype(jnp.float32)
+    t01 = jnp.clip(t, 0.0, 1.0)
+    x = t01 * (nf - 1.0)
+    i_even = jnp.clip(jnp.floor(x), 0.0, nf - 2.0)
+    frac_even = x - i_even
+
+    t_end = ts[0]
+    for k in range(1, K_MAX):
+        t_end = jnp.where(n - 1 == k, ts[k], t_end)
+    tun = jnp.clip(t, ts[0], t_end)
+    i_un = jnp.zeros_like(t)
+    for k in range(1, K_MAX):
+        i_un = i_un + (tun >= ts[k]).astype(jnp.float32)
+    i_un = jnp.clip(i_un, 0.0, nf - 2.0)
+
+    is_even = kind == 1
+    is_const = kind == 0
+    i = jnp.where(is_even, i_even, i_un)
+    frac = frac_even  # overwritten below for uneven/const via t0/t1 select
+    t0 = jnp.zeros_like(t)
+    t1 = jnp.ones_like(t)
+    v0 = jnp.zeros_like(t)
+    v1 = jnp.zeros_like(t)
+    for k in range(K_MAX):
+        sel = i == k
+        t0 = jnp.where(sel, ts[k], t0)
+        v0 = jnp.where(sel, vs[k], v0)
+        if k + 1 < K_MAX:
+            t1 = jnp.where(sel, ts[k + 1], t1)
+            v1 = jnp.where(sel, vs[k + 1], v1)
+    frac_un = (tun - t0) / (t1 - t0)
+    frac = jnp.where(is_even, frac_even, frac_un)
+    frac = jnp.where(is_const, 0.0, frac)
+    return v0 + (v1 - v0) * frac
+
+
+def _collide_tile(kinds, cpos, crot, cpar, clay, px, py, pz, vx, vy, vz, dt,
+                  restitution, friction, destroy_flag, lane_mask):
+    """particle_collision (core.rs:744-800) on one tile, colliders unrolled;
+    mirrors collision.particle_collision lane-for-lane."""
+    BIG = jnp.float32(1e30)
+    orig_delta = dt
+    delta = jnp.full(px.shape, dt, jnp.float32)
+    destroyed = jnp.zeros(px.shape, bool)
+    done = jnp.zeros(px.shape, bool)
+
+    def conj_rot(qx, qy, qz, qw, x, y, z):
+        return quat_rotate_comp(-qx, -qy, -qz, qw, x, y, z)
+
+    for _ in range(4):
+        lane_active = (~done) & (delta > 0.0)
+        speed2 = vx * vx + vy * vy + vz * vz
+        speed = jnp.sqrt(speed2)
+        ok = speed2 > 0.0
+        inv = jnp.where(ok, 1.0 / jnp.where(speed > 0, speed, 1.0), 0.0)
+        dx = jnp.where(ok, vx * inv, 0.0)
+        dy = jnp.where(ok, vy * inv, 1.0)
+        dz = jnp.where(ok, vz * inv, 0.0)
+        max_dist = speed * delta
+
+        best = jnp.full(px.shape, BIG)
+        bnx = jnp.zeros_like(px)
+        bny = jnp.zeros_like(px)
+        bnz = jnp.zeros_like(px)
+        for ci, k in enumerate(kinds):
+            qx, qy, qz, qw = crot[ci, 0], crot[ci, 1], crot[ci, 2], crot[ci, 3]
+            ox, oy, oz = conj_rot(qx, qy, qz, qw, px - cpos[ci, 0], py - cpos[ci, 1], pz - cpos[ci, 2])
+            rdx, rdy, rdz = conj_rot(qx, qy, qz, qw, dx, dy, dz)
+            p0, p1, p2 = cpar[ci, 0], cpar[ci, 1], cpar[ci, 2]
+            if k == 0:
+                dist, nx, ny, nz = _ray_halfspace(ox, oy, oz, rdx, rdy, rdz)
+            elif k == 1:
+                dist, nx, ny, nz = _ray_sphere(ox, oy, oz, rdx, rdy, rdz, p0)
+            elif k == 2:
+                dist, nx, ny, nz = _ray_cuboid(ox, oy, oz, rdx, rdy, rdz, p0, p1, p2)
+            elif k == 3:
+                dist, nx, ny, nz = _ray_capsule(ox, oy, oz, rdx, rdy, rdz, p0, p1)
+            elif k == 4:
+                dist, nx, ny, nz = _ray_cylinder(ox, oy, oz, rdx, rdy, rdz, p0, p1)
+            else:
+                dist, nx, ny, nz = _ray_cone(ox, oy, oz, rdx, rdy, rdz, p0, p1)
+            layer_ok = (lane_mask & clay[ci, 0]) != 0
+            dist = jnp.where(layer_ok, dist, BIG)
+            closer = (dist <= max_dist) & (dist < best)
+            wnx, wny, wnz = quat_rotate_comp(qx, qy, qz, qw, nx, ny, nz)
+            bnx = jnp.where(closer, wnx, bnx)
+            bny = jnp.where(closer, wny, bny)
+            bnz = jnp.where(closer, wnz, bnz)
+            best = jnp.where(closer, dist, best)
+        hit = (best <= max_dist) & lane_active
+        dist = jnp.where(hit, best, 0.0)
+        nx, ny, nz = bnx, bny, bnz
+
+        inside = hit & (dist == 0.0)
+        surface = hit & (dist > 0.0)
+        miss = lane_active & ~hit
+
+        n_zero = (nx == 0.0) & (ny == 0.0) & (nz == 0.0)
+        v_zero = ~ok
+        fnx = jnp.where(n_zero, jnp.where(v_zero, 0.0, dx), nx)
+        fny = jnp.where(n_zero, jnp.where(v_zero, 1.0, dy), ny)
+        fnz = jnp.where(n_zero, jnp.where(v_zero, 0.0, dz), nz)
+        push = jnp.maximum(speed, 1.0) * delta
+        px = jnp.where(inside, px + push * fnx, px)
+        py = jnp.where(inside, py + push * fny, py)
+        pz = jnp.where(inside, pz + push * fnz, pz)
+
+        px_s = px + dx * dist
+        py_s = py + dy * dist
+        pz_s = pz + dz * dist
+        vdotn = vx * nx + vy * ny + vz * nz
+        pjx, pjy, pjz = vdotn * nx, vdotn * ny, vdotn * nz
+        rjx, rjy, rjz = vx - pjx, vy - pjy, vz - pjz
+        proj_len = jnp.abs(vdotn)
+        rej_len2 = rjx * rjx + rjy * rjy + rjz * rjz
+        rej_len = jnp.sqrt(rej_len2)
+        friction_dv = jnp.minimum(proj_len, rej_len) * friction
+        rinv = jnp.where(rej_len2 > 0, 1.0 / jnp.where(rej_len > 0, rej_len, 1.0), 0.0)
+        nvx = rjx - friction_dv * rjx * rinv - restitution * pjx
+        nvy = rjy - friction_dv * rjy * rinv - restitution * pjy
+        nvz = rjz - friction_dv * rjz * rinv - restitution * pjz
+        px = jnp.where(surface, px_s + nx * 1e-4, px)
+        py = jnp.where(surface, py_s + ny * 1e-4, py)
+        pz = jnp.where(surface, pz_s + nz * 1e-4, pz)
+        vx = jnp.where(surface, nvx, vx)
+        vy = jnp.where(surface, nvy, vy)
+        vz = jnp.where(surface, nvz, vz)
+        delta = jnp.where(surface, jnp.clip(delta - dist, 0.0, orig_delta), delta)
+
+        kill = hit & (destroy_flag > 0.0)
+        destroyed = destroyed | kill
+        done = done | kill
+
+        px = jnp.where(miss, px + vx * delta, px)
+        py = jnp.where(miss, py + vy * delta, py)
+        pz = jnp.where(miss, pz + vz * delta, pz)
+        delta = jnp.where(miss, 0.0, delta)
+    return px, py, pz, vx, vy, vz, destroyed
+
+
+def _make_kernel(static: SpawnerStatic, collider_kinds, dump: bool):
+    E = static.num_emitters
+    T = static.num_types
+    C = len(collider_kinds)
+    n_small = 16  # number of small (non-blocked) leading inputs
+
+    def kernel(*refs):
+        (
+            fscal_ref,  # [1, 16] f32: dt, mod_scale, mod_speed, pvel xyz, trans xyz, rot xyzw, seed
+            shape_ref,  # [E, 6]
+            ivel_ref,  # [E, 7]
+            iang_ref,  # [E, 7]
+            emisc_ref,  # [E, 8]: radial_lo, radial_hi, inherit, init_rot xyzw
+            trand_ref,  # [T, 8]: iscale_lo, iscale_hi, life_lo, life_hi
+            tcol0_ref,  # [T, 8]: base0 rgba, emis0 rgba
+            tphys_ref,  # [T, 8]: accel xyz, lin_drag, ang_accel xyz, ang_drag
+            tcoll_ref,  # [T, 4]: restitution, friction, destroy, unused
+            tmask_ref,  # [T, 1] int32 collision layer mask
+            cmeta_ref,  # curve tables f32 [T, 12, K]: scale ts, scale vs,
+            #             base ts, base r/g/b/a vs, emis ts, emis r/g/b/a vs
+            cnum_ref,  # [T, 8] int32: scale n, kind, base n, kind, emis n, kind
+            cpos_ref,  # [C', 3]
+            crot_ref,  # [C', 4]
+            cpar_ref,  # [C', 3]
+            clay_ref,  # [C', 1] int32
+        ) = refs[:n_small]
+        claim_ref, alive_ref, ptype_ref = refs[n_small : n_small + 3]
+        out_refs = refs[n_small + 3 :]
+
+        fs = fscal_ref[0]
+        dt = fs[0]
+        mod_scale, mod_speed = fs[1], fs[2]
+        pvel = (fs[3], fs[4], fs[5])
+        trans = (fs[6], fs[7], fs[8])
+        orot = (fs[9], fs[10], fs[11], fs[12])
+
+        tid = pl.program_id(0)
+        pltpu.prng_seed(fs[13].astype(jnp.int32) + tid * 1000003)
+
+        # field inputs come AFTER claim/alive/ptype in the same refs list:
+        field_in = refs[n_small + 3 : n_small + 3 + len(_F32_FIELDS)]
+        f = {name: field_in[i][:, :] for i, name in enumerate(_F32_FIELDS)}
+        outs = refs[n_small + 3 + len(_F32_FIELDS) :]
+        out_alive_ref = outs[0]
+        out_ptype_ref = outs[1]
+        out_dump_ref = outs[2] if dump else None
+        out_field = outs[3 if dump else 2 :]
+
+        alive0 = alive_ref[:, :] != 0
+        ptype = ptype_ref[:, :]
+        claim = claim_ref[:, :]
+
+        # ---------------- spawn init for claimed lanes -----------------------
+        spawned_any = claim >= 0
+        bits = pltpu.bitcast(pltpu.prng_random_bits((12,) + claim.shape), jnp.uint32)
+        u = _u01(bits)
+        for e in range(E):
+            m = claim == e
+            srow = shape_ref[e]
+            ivrow = ivel_ref[e]
+            iarow = iang_ref[e]
+            em = emisc_ref[e]
+            offx, offy, offz = _shape_row(srow, u[0], u[1], u[2])
+            ivx, ivy, ivz = _randvec3_row(ivrow, u[3], u[4], u[5])
+            radial = em[0] + (em[1] - em[0]) * u[6]
+            l2 = offx * offx + offy * offy + offz * offz
+            inv = jnp.where(l2 > 0, 1.0 / jnp.sqrt(jnp.where(l2 > 0, l2, 1.0)), 0.0)
+            wvx, wvy, wvz = quat_rotate_comp(*orot, ivx, ivy, ivz)
+            velx = mod_speed * (wvx + offx * inv * radial) + em[2] * pvel[0]
+            vely = mod_speed * (wvy + offy * inv * radial) + em[2] * pvel[1]
+            velz = mod_speed * (wvz + offz * inv * radial) + em[2] * pvel[2]
+            ti = static.particle_indices[e]
+            tr = trand_ref[ti]
+            tc = tcol0_ref[ti]
+            iscale = (tr[0] + (tr[1] - tr[0]) * u[7]) * mod_scale
+            life = tr[2] + (tr[3] - tr[2]) * u[8]
+            avx, avy, avz = _randvec3_row(iarow, u[9], u[10], u[11])
+
+            def W(name, val):
+                f[name] = jnp.where(m, val, f[name])
+
+            W("px", trans[0] + offx); W("py", trans[1] + offy); W("pz", trans[2] + offz)
+            W("vx", velx); W("vy", vely); W("vz", velz)
+            W("qx", em[3]); W("qy", em[4]); W("qz", em[5]); W("qw", em[6])
+            W("wx", avx); W("wy", avy); W("wz", avz)
+            W("initial_scale", iscale); W("scale", iscale)
+            W("age", jnp.float32(0.0)); W("lifetime", life)
+            W("col_r", tc[0]); W("col_g", tc[1]); W("col_b", tc[2]); W("col_a", tc[3])
+            W("em_r", tc[4]); W("em_g", tc[5]); W("em_b", tc[6]); W("em_a", tc[7])
+            ptype = jnp.where(m, ti, ptype)
+        alive_sp = alive0 | spawned_any
+
+        # ---------------- integrate ------------------------------------------
+        age_new = f["age"] + dt
+        dead_by_age = age_new >= f["lifetime"]
+        age_pct = age_new / f["lifetime"]
+
+        def eval_type_curve(ti, ts_idx, vs_idx, n_col, k_col, t):
+            return _eval_curve_unrolled(cmeta_ref[ti, ts_idx], cmeta_ref[ti, vs_idx], cnum_ref[ti, n_col], cnum_ref[ti, k_col], t)
+
+        def by_type_curve(ts_idx, vs_idx, n_col, k_col, t):
+            out = eval_type_curve(0, ts_idx, vs_idx, n_col, k_col, t)
+            for ti in range(1, T):
+                v = eval_type_curve(ti, ts_idx, vs_idx, n_col, k_col, t)
+                out = jnp.where(ptype == ti, v, out)
+            return out
+
+        def by_type(ref, col):
+            out = jnp.full(ptype.shape, ref[0, col])
+            for t in range(1, T):
+                out = jnp.where(ptype == t, ref[t, col], out)
+            return out
+
+        sf = by_type_curve(0, 1, 0, 1, age_pct)
+        scale_new = f["initial_scale"] * sf
+
+        px, py, pz = f["px"], f["py"], f["pz"]
+        vx, vy, vz = f["vx"], f["vy"], f["vz"]
+        if C > 0 and static.any_collision:
+            restitution = by_type(tcoll_ref, 0)
+            friction = by_type(tcoll_ref, 1)
+            destroy_flag = by_type(tcoll_ref, 2)
+            lane_mask = by_type(tmask_ref, 0)
+            cpx, cpy, cpz, cvx, cvy, cvz, cdes = _collide_tile(
+                collider_kinds, cpos_ref[:, :], crot_ref[:, :], cpar_ref[:, :], clay_ref[:, :],
+                px, py, pz, vx, vy, vz, dt, restitution, friction, destroy_flag, lane_mask,
+            )
+            has_col = jnp.zeros(ptype.shape, bool)
+            for t in range(T):
+                if static.collision_types[t]:
+                    has_col = has_col | (ptype == t)
+            npx = jnp.where(has_col, cpx, px + vx * dt)
+            npy = jnp.where(has_col, cpy, py + vy * dt)
+            npz = jnp.where(has_col, cpz, pz + vz * dt)
+            nvx = jnp.where(has_col, cvx, vx)
+            nvy = jnp.where(has_col, cvy, vy)
+            nvz = jnp.where(has_col, cvz, vz)
+            should_destroy = has_col & cdes
+        else:
+            npx, npy, npz = px + vx * dt, py + vy * dt, pz + vz * dt
+            nvx, nvy, nvz = vx, vy, vz
+            should_destroy = jnp.zeros(ptype.shape, bool)
+
+        moved = alive_sp & ~dead_by_age
+        survivor = moved & ~should_destroy
+
+        ax, ay, az = by_type(tphys_ref, 0), by_type(tphys_ref, 1), by_type(tphys_ref, 2)
+        lin_drag = by_type(tphys_ref, 3)
+        aax, aay, aaz = by_type(tphys_ref, 4), by_type(tphys_ref, 5), by_type(tphys_ref, 6)
+        ang_drag = by_type(tphys_ref, 7)
+
+        dvx = nvx + (ax - nvx * lin_drag) * dt
+        dvy = nvy + (ay - nvy * lin_drag) * dt
+        dvz = nvz + (az - nvz * lin_drag) * dt
+
+        sqx, sqy, sqz, sqw = quat_from_scaled_axis_comp(f["wx"] * dt, f["wy"] * dt, f["wz"] * dt)
+        rqx, rqy, rqz, rqw = quat_mul_comp(sqx, sqy, sqz, sqw, f["qx"], f["qy"], f["qz"], f["qw"])
+        wx2 = f["wx"] + (aax - ang_drag * f["wx"]) * dt
+        wy2 = f["wy"] + (aay - ang_drag * f["wy"]) * dt
+        wz2 = f["wz"] + (aaz - ang_drag * f["wz"]) * dt
+
+        br = by_type_curve(2, 3, 2, 3, age_pct)
+        bg = by_type_curve(2, 4, 2, 3, age_pct)
+        bb = by_type_curve(2, 5, 2, 3, age_pct)
+        ba = by_type_curve(2, 6, 2, 3, age_pct)
+        er = by_type_curve(7, 8, 4, 5, age_pct)
+        eg = by_type_curve(7, 9, 4, 5, age_pct)
+        eb = by_type_curve(7, 10, 4, 5, age_pct)
+        ea = by_type_curve(7, 11, 4, 5, age_pct)
+
+        f["age"] = jnp.where(alive_sp, age_new, f["age"])
+        f["scale"] = jnp.where(moved, scale_new, f["scale"])
+        f["px"] = jnp.where(moved, npx, f["px"])
+        f["py"] = jnp.where(moved, npy, f["py"])
+        f["pz"] = jnp.where(moved, npz, f["pz"])
+        f["vx"] = jnp.where(survivor, dvx, jnp.where(moved, nvx, f["vx"]))
+        f["vy"] = jnp.where(survivor, dvy, jnp.where(moved, nvy, f["vy"]))
+        f["vz"] = jnp.where(survivor, dvz, jnp.where(moved, nvz, f["vz"]))
+        f["qx"] = jnp.where(survivor, rqx, f["qx"])
+        f["qy"] = jnp.where(survivor, rqy, f["qy"])
+        f["qz"] = jnp.where(survivor, rqz, f["qz"])
+        f["qw"] = jnp.where(survivor, rqw, f["qw"])
+        f["wx"] = jnp.where(survivor, wx2, f["wx"])
+        f["wy"] = jnp.where(survivor, wy2, f["wy"])
+        f["wz"] = jnp.where(survivor, wz2, f["wz"])
+        f["col_r"] = jnp.where(survivor, br, f["col_r"])
+        f["col_g"] = jnp.where(survivor, bg, f["col_g"])
+        f["col_b"] = jnp.where(survivor, bb, f["col_b"])
+        f["col_a"] = jnp.where(survivor, ba, f["col_a"])
+        f["em_r"] = jnp.where(survivor, er, f["em_r"])
+        f["em_g"] = jnp.where(survivor, eg, f["em_g"])
+        f["em_b"] = jnp.where(survivor, eb, f["em_b"])
+        f["em_a"] = jnp.where(survivor, ea, f["em_a"])
+
+        out_alive_ref[:, :] = survivor.astype(jnp.int32)
+        out_ptype_ref[:, :] = ptype
+        if dump:
+            destroyed = alive_sp & ~survivor
+            dmask = jnp.zeros(ptype.shape, bool)
+            for t in range(T):
+                if static.destroyed_dump_types[t]:
+                    dmask = dmask | (destroyed & (ptype == t))
+            out_dump_ref[:, :] = dmask.astype(jnp.int32)
+        for i, name in enumerate(_F32_FIELDS):
+            out_field[i][:, :] = f[name]
+
+    return kernel
+
+
+def _pack_curves(params: SpawnerParams) -> jax.Array:
+    """[T, 12, K] f32 table: 0 scale ts, 1 scale vs, 2 base ts, 3..6 base
+    r/g/b/a vs, 7 emis ts, 8..11 emis r/g/b/a vs."""
+    T = params.scale_ts.shape[0]
+    rows = [
+        params.scale_ts, params.scale_vs,
+        params.base_ts,
+        params.base_vs[..., 0], params.base_vs[..., 1], params.base_vs[..., 2], params.base_vs[..., 3],
+        params.emis_ts,
+        params.emis_vs[..., 0], params.emis_vs[..., 1], params.emis_vs[..., 2], params.emis_vs[..., 3],
+    ]
+    return jnp.stack(rows, axis=1)  # [T, 12, K]
+
+
+def _pack_cnum(params: SpawnerParams) -> jax.Array:
+    """[T, 8] int32: scale n/kind, base n/kind, emis n/kind, pad."""
+    T = params.scale_n.shape[0]
+    out = jnp.zeros((T, 8), jnp.int32)
+    out = out.at[:, 0].set(params.scale_n)
+    out = out.at[:, 1].set(params.scale_kind)
+    out = out.at[:, 2].set(params.base_n)
+    out = out.at[:, 3].set(params.base_kind)
+    out = out.at[:, 4].set(params.emis_n)
+    out = out.at[:, 5].set(params.emis_kind)
+    return out
+
+
+def _compute_claim(static: SpawnerStatic, params, state, frame, active):
+    """XLA prelude: per-emitter cadence + dead-slot claim.
+
+    Returns (claim [N] int32 lane->emitter map (-1 none), updated emitter
+    state scalars). Exactly mirrors the sequential-emitters semantics of
+    step.py's spawn loop for global emitters."""
+    N = state.capacity
+    E = static.num_emitters
+    enabled = state.enabled
+    time_in_cycle = state.time_in_cycle
+    last_emission = state.last_emission
+    manual_queued = state.manual_queued
+    dt = frame.dt
+
+    claim = jnp.full((N,), -1, jnp.int32)
+    alive = state.alive
+    for e in range(E):
+        gate = active & enabled[e]
+        pk = static.pacing_kinds[e]
+        if pk == PACING_ONE_SHOT:
+            n_spawn = jnp.where(gate, params.count[e].astype(jnp.int32), 0)
+            enabled = enabled.at[e].set(enabled[e] & ~gate)
+        elif pk == PACING_ON_DEMAND:
+            n_spawn = jnp.where(gate, manual_queued, 0)
+            manual_queued = jnp.where(gate, 0, manual_queued)
+        else:
+            tic = rem_euclid(time_in_cycle[e] + dt, params.duration[e])
+            cnt, next_last = compute_emission_count(
+                tic, last_emission[e], params.duration[e],
+                params.off_start[e], params.off_end[e], params.count[e],
+            )
+            n_spawn = jnp.where(gate, cnt, 0)
+            time_in_cycle = time_in_cycle.at[e].set(jnp.where(gate, tic, time_in_cycle[e]))
+            last_emission = last_emission.at[e].set(jnp.where(gate, next_last, last_emission[e]))
+        dead = ~alive & (claim < 0)
+        di = dead.astype(jnp.int32)
+        rank = jnp.cumsum(di) - di
+        spawn = dead & (rank < n_spawn)
+        claim = jnp.where(spawn, e, claim)
+        alive = alive | spawn
+    return claim, enabled, time_in_cycle, last_emission, manual_queued
+
+
+def fused_step(
+    static: SpawnerStatic,
+    params: SpawnerParams,
+    colliders: Optional[ColliderTable],
+    state: PoolState,
+    frame: FrameInput,
+):
+    """Drop-in replacement for step() on global-only archetypes, with the
+    per-lane pipeline in one Pallas kernel. Same state/outputs contract."""
+    assert can_fuse(static)
+    N = state.capacity
+    assert N % (BLOCK_ROWS * LANES) == 0, (
+        f"pool capacity {N} must be a multiple of {BLOCK_ROWS * LANES} for the fused kernel"
+    )
+    T = static.num_types
+    rows = N // LANES
+    grid = rows // BLOCK_ROWS
+
+    active = _active_flag(static, state)
+    new_key, frame_key = jax.random.split(state.rng_key)
+    claim, enabled, time_in_cycle, last_emission, manual_queued = _compute_claim(
+        static, params, state, frame, active
+    )
+
+    kinds = colliders.kinds if (colliders is not None and static.any_collision) else ()
+    dump = static.any_destroyed_dump
+    kernel = _make_kernel(static, kinds, dump)
+
+    fscal = jnp.zeros((1, 16), jnp.float32)
+    fscal = fscal.at[0, 0].set(frame.dt)
+    fscal = fscal.at[0, 1].set(frame.modifier_scale)
+    fscal = fscal.at[0, 2].set(frame.modifier_speed)
+    fscal = fscal.at[0, 3:6].set(frame.parent_velocity)
+    fscal = fscal.at[0, 6:9].set(frame.transform_translation)
+    fscal = fscal.at[0, 9:13].set(frame.transform_rotation)
+    # seed must round-trip through f32 exactly: keep it under 2^24
+    seed = jax.random.randint(frame_key, (), 0, 1 << 24)
+    fscal = fscal.at[0, 13].set(seed.astype(jnp.float32))
+
+    E = static.num_emitters
+    emisc = jnp.zeros((E, 8), jnp.float32)
+    emisc = emisc.at[:, 0].set(params.radial_lo)
+    emisc = emisc.at[:, 1].set(params.radial_hi)
+    emisc = emisc.at[:, 2].set(params.inherit)
+    emisc = emisc.at[:, 3:7].set(params.init_rot)
+
+    trand = jnp.zeros((T, 8), jnp.float32)
+    trand = trand.at[:, 0].set(params.initial_scale_lo)
+    trand = trand.at[:, 1].set(params.initial_scale_hi)
+    trand = trand.at[:, 2].set(params.lifetime_lo)
+    trand = trand.at[:, 3].set(params.lifetime_hi)
+
+    tcol0 = jnp.concatenate([params.base_color0, params.emis_color0], axis=1)  # [T, 8]
+
+    tphys = jnp.zeros((T, 8), jnp.float32)
+    tphys = tphys.at[:, 0:3].set(params.acceleration)
+    tphys = tphys.at[:, 3].set(params.linear_drag)
+    tphys = tphys.at[:, 4:7].set(params.angular_acceleration)
+    tphys = tphys.at[:, 7].set(params.angular_drag)
+
+    tcoll = jnp.zeros((T, 4), jnp.float32)
+    tcoll = tcoll.at[:, 0].set(params.restitution)
+    tcoll = tcoll.at[:, 1].set(params.friction)
+    tcoll = tcoll.at[:, 2].set(params.destroy_on_collision)
+    tmask = params.collision_mask.astype(jnp.int32).reshape(T, 1)
+
+    cmeta = _pack_curves(params)
+    cnum = _pack_cnum(params)
+
+    if len(kinds) > 0:
+        cpos, crot, cpar = colliders.position, colliders.rotation, colliders.params
+        clay = colliders.layers.astype(jnp.int32).reshape(-1, 1)
+    else:
+        cpos = jnp.zeros((1, 3), jnp.float32)
+        crot = jnp.zeros((1, 4), jnp.float32)
+        cpar = jnp.zeros((1, 3), jnp.float32)
+        clay = jnp.zeros((1, 1), jnp.int32)
+
+    def blocked(i):
+        return pl.BlockSpec((BLOCK_ROWS, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM)
+
+    small = pl.BlockSpec(memory_space=pltpu.VMEM)
+    nf = len(_F32_FIELDS)
+
+    in_specs = [small] * 16 + [blocked(0)] * 3 + [blocked(0)] * nf
+    n_extra = 3 if dump else 2
+    out_specs = [blocked(0)] * (n_extra + nf)
+
+    out_shape = (
+        [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] * n_extra
+        + [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * nf
+    )
+
+    field_arrays = [getattr(state, name).reshape(rows, LANES) for name in _F32_FIELDS]
+    inputs = [
+        fscal, params.shape_params, params.ivel_params, params.iangvel_params, emisc,
+        trand, tcol0, tphys, tcoll, tmask, cmeta, cnum, cpos, crot, cpar, clay,
+        claim.reshape(rows, LANES),
+        state.alive.astype(jnp.int32).reshape(rows, LANES),
+        state.ptype.reshape(rows, LANES),
+    ] + field_arrays
+
+    # alias field inputs (indices 19..) onto field outputs (n_extra..)
+    aliases = {19 + i: n_extra + i for i in range(nf)}
+
+    results = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+    )(*inputs)
+
+    alive_new = results[0].reshape(N) != 0
+    ptype_new = results[1].reshape(N)
+    dump_mask = (results[2].reshape(N) != 0) if dump else jnp.zeros((N,), bool)
+    new_fields = {name: results[n_extra + i].reshape(N) for i, name in enumerate(_F32_FIELDS)}
+
+    # last_emitted: freshly spawned lanes reset to f32::MIN (core.rs:467);
+    # no nested emitters exist on this path, so no per-frame updates.
+    from ..utils.f32 import F32_MIN
+
+    last_emitted = jnp.where((claim >= 0)[None, :], F32_MIN, state.last_emitted)
+
+    # ---------------- epilogue: stats + finished -----------------------------
+    all_empty = ~jnp.any(alive_new)
+    any_particles = ~all_empty
+    active_now = jnp.zeros((), bool)
+    for e in range(E):
+        active_now = active_now | enabled[e]
+    finished = all_empty & ~active_now & ~state.finished_notified
+    finished_notified = state.finished_notified | finished
+
+    s = new_fields["scale"]
+    inf = jnp.float32(jnp.inf)
+    aabb_min = jnp.stack([jnp.min(jnp.where(alive_new, new_fields[c] - s, inf)) for c in ("px", "py", "pz")])
+    aabb_max = jnp.stack([jnp.max(jnp.where(alive_new, new_fields[c] + s, -inf)) for c in ("px", "py", "pz")])
+    per_type = jnp.stack([jnp.sum((alive_new & (ptype_new == t)).astype(jnp.int32)) for t in range(T)])
+
+    new_state = PoolState(
+        **new_fields,
+        ptype=ptype_new,
+        alive=alive_new,
+        last_emitted=last_emitted,
+        time_in_cycle=time_in_cycle,
+        last_emission=last_emission,
+        enabled=enabled,
+        manual_queued=manual_queued,
+        finished_notified=finished_notified,
+        rng_key=new_key,
+    )
+    outputs = StepOutputs(
+        alive_count=jnp.sum(alive_new.astype(jnp.int32)),
+        alive_count_per_type=per_type,
+        finished_event=finished,
+        aabb_valid=any_particles,
+        aabb_min=aabb_min,
+        aabb_max=aabb_max,
+        destroyed_mask=dump_mask,
+    )
+    return new_state, outputs
+
+
+def step_auto(static, params, colliders, state, frame):
+    """Dispatch: fused pallas path when on TPU, the archetype allows it, and
+    the pool is tile-aligned; else the XLA path (CPU backend, nested
+    emission, odd capacities)."""
+    from ..step import step
+
+    if (
+        jax.default_backend() == "tpu"
+        and can_fuse(static)
+        and state.capacity % (BLOCK_ROWS * LANES) == 0
+    ):
+        return fused_step(static, params, colliders, state, frame)
+    return step(static, params, colliders, state, frame)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def step_auto_jit(static, params, colliders, state, frame):
+    return step_auto(static, params, colliders, state, frame)

@@ -34,8 +34,9 @@ from .colliders import Collider, ColliderTable, compile_colliders, empty_collide
 from .compiled import CompiledSpawner, compile_spawner
 from .pool import PoolState, init_pool, make_frame_input
 from .render import RenderItem, make_uniform, pack_instances
+from .ops.fused_step import step_auto_jit
 from .settings import EffectModifier, ParticleSpawner, SpawnTransformMode
-from .step import StepOutputs, step_jit
+from .step import StepOutputs
 
 DEFAULT_CAPACITY = 16384
 
@@ -187,7 +188,7 @@ class Scene:
                 modifier_speed=slot.modifier.speed,
             )
             colliders = self._colliders if slot.compiled.static.any_collision else None
-            slot.state, slot.outputs = step_jit(
+            slot.state, slot.outputs = step_auto_jit(
                 slot.compiled.static, slot.compiled.params, colliders, slot.state, frame
             )
             # host-side event surfacing (forces a sync only when someone cares)

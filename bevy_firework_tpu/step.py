@@ -446,3 +446,25 @@ def step(
 @partial(jax.jit, static_argnums=(0,))
 def step_jit(static: SpawnerStatic, params: SpawnerParams, colliders: Optional[ColliderTable], state: PoolState, frame: FrameInput):
     return step(static, params, colliders, state, frame)
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def multi_step(
+    static: SpawnerStatic,
+    params: SpawnerParams,
+    colliders: Optional[ColliderTable],
+    state: PoolState,
+    frame: FrameInput,
+    n_frames: int,
+):
+    """Advance n_frames in one dispatch via lax.scan (same frame input each
+    step). Amortizes host->device dispatch latency — the TPU analog of the
+    reference's pipelined simulate-while-rendering (`src/render.rs:52-54`).
+    Returns (final_state, outputs_of_last_frame)."""
+
+    def body(s, _):
+        s2, out = step(static, params, colliders, s, frame)
+        return s2, None
+
+    final, _ = jax.lax.scan(body, state, None, length=n_frames - 1)
+    return step(static, params, colliders, final, frame)

@@ -1,0 +1,105 @@
+"""Fused Pallas kernel vs XLA step parity (interpret mode on CPU; the same
+comparison runs compiled on real TPU in bench/verify flows)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from bevy_firework_tpu import (
+    Collider,
+    EmissionPacing,
+    EmissionSettings,
+    FireworkCurve,
+    ParticleCollisionSettings,
+    ParticleSettings,
+    ParticleSpawner,
+    RandF32,
+    RandVec3,
+    compile_colliders,
+    compile_spawner,
+    gradient_uneven_samples,
+    init_pool,
+    make_frame_input,
+)
+from bevy_firework_tpu.ops.fused_step import can_fuse, fused_step
+from bevy_firework_tpu.step import step_jit
+
+N = 8192  # one kernel tile — interpret mode is slow, keep it minimal
+
+
+def det_spawner(**kw):
+    return ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(
+                lifetime=RandF32.constant(0.3),
+                initial_scale=RandF32.constant(0.1),
+                scale_curve=FireworkCurve.uneven_samples([(0.0, 1.0), (1.0, 2.0)]),
+                base_color=gradient_uneven_samples([(0.0, (1, 0.5, 0.2, 1)), (1.0, (0, 0, 0, 0))]),
+                **kw.get("ps", {}),
+            )
+        ],
+        emission_settings=[
+            EmissionSettings(
+                emission_pacing=kw.get("pacing", EmissionPacing.rate(2000.0)),
+                initial_velocity=RandVec3.constant((1.0, 3.0, 0.2)),
+                initial_angular_velocity=RandVec3.constant((0.0, 2.0, 0.0)),
+            )
+        ],
+    )
+
+
+def run_both(sp, n_frames=25, colliders=None):
+    c = compile_spawner(sp)
+    assert can_fuse(c.static)
+    table = compile_colliders(colliders) if colliders else None
+    sA = init_pool(N, c.num_emitters, True, 0)
+    sB = init_pool(N, c.num_emitters, True, 0)
+    frame = make_frame_input(1 / 50)
+    fused = jax.jit(fused_step, static_argnums=(0,))
+    for _ in range(n_frames):
+        sA, oA = step_jit(c.static, c.params, table, sA, frame)
+        with pltpu.force_tpu_interpret_mode():
+            sB, oB = fused(c.static, c.params, table, sB, frame)
+    return sA, oA, sB, oB
+
+
+def assert_state_match(sA, sB, atol=2e-5):
+    a_alive = np.asarray(sA.alive)
+    b_alive = np.asarray(sB.alive)
+    assert a_alive.sum() == b_alive.sum()
+    for f in ("px", "py", "pz", "vx", "vy", "vz", "age", "scale", "lifetime",
+              "col_r", "col_g", "col_a", "em_r", "qx", "qy", "qw", "wx", "wy"):
+        xa = np.sort(np.asarray(getattr(sA, f))[a_alive])
+        xb = np.sort(np.asarray(getattr(sB, f))[b_alive])
+        np.testing.assert_allclose(xa, xb, atol=atol, err_msg=f)
+
+
+def test_fused_matches_xla_rate_emitter():
+    sA, oA, sB, oB = run_both(det_spawner())
+    assert int(oA.alive_count) == int(oB.alive_count)
+    assert_state_match(sA, sB)
+    np.testing.assert_allclose(np.asarray(oA.aabb_min), np.asarray(oB.aabb_min), atol=1e-4)
+
+
+def test_fused_one_shot_lifecycle():
+    sA, oA, sB, oB = run_both(det_spawner(pacing=EmissionPacing.one_shot(30)), n_frames=20)
+    # one-shot: 30 spawned, all dead by frame 20 (lifetime 0.3 < 20/50)
+    assert int(oB.alive_count) == 0
+    assert bool(oB.finished_event) == bool(oA.finished_event)
+    assert_state_match(sA, sB)
+
+
+def test_fused_collision_parity():
+    sp = det_spawner(
+        ps=dict(
+            linear_drag=0.0,
+            collision_settings=ParticleCollisionSettings(restitution=0.6, friction=0.2),
+        ),
+        pacing=EmissionPacing.one_shot(40),
+    )
+    colliders = [Collider.halfspace(position=(0.0, -0.5, 0.0))]
+    sA, oA, sB, oB = run_both(sp, n_frames=12, colliders=colliders)
+    assert int(oA.alive_count) == int(oB.alive_count) > 0
+    assert_state_match(sA, sB, atol=1e-4)
