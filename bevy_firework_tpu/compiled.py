@@ -58,6 +58,9 @@ class SpawnerStatic:
     destroyed_dump_types: Tuple[bool, ...]  # per type: capture destroyed records?
     spawn_transform_local: bool
     nested_valid: Tuple[bool, ...]  # per emitter: mode/pacing combination legal
+    # per type (kind, knot count) of the scale curve — compile-time shape so
+    # kernels specialize the interpolation (constant curves cost zero ops)
+    scale_curve_meta: Tuple[Tuple[int, int], ...]
 
     @property
     def any_collision(self) -> bool:
@@ -165,6 +168,7 @@ def compile_spawner(spawner: ParticleSpawner) -> CompiledSpawner:
         destroyed_dump_types=tuple(t.event_handlers.particles_destroyed is not None for t in types),
         spawn_transform_local=spawner.spawn_transform_mode == SpawnTransformMode.LOCAL,
         nested_valid=nested_valid,
+        scale_curve_meta=tuple((t.scale_curve.kind, t.scale_curve.n) for t in types),
     )
 
     def farr(vals):

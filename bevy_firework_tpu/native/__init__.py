@@ -1,0 +1,187 @@
+"""Native (C++) render-bridge runtime bindings.
+
+Builds `instance_ring.cpp` on first import (g++ -O3 -shared), binds it via
+ctypes, and exposes `InstanceRing` — the double-buffered host-side hand-off
+of packed instance buffers from simulation to renderer (the TPU analog of
+the reference's per-frame vertex-buffer upload + pipelined extract,
+`/root/reference/src/render.rs:52-54,568-584`).
+
+Falls back to a pure-numpy implementation when no compiler is available, so
+the library never hard-depends on the toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "instance_ring.cpp")
+_SO = os.path.join(_HERE, "_instance_ring.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build() -> bool:
+    try:
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+            return True
+        cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO]
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None if unavailable."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not _build():
+            return None
+        lib = ctypes.CDLL(_SO)
+        lib.ring_create.restype = ctypes.c_void_p
+        lib.ring_create.argtypes = [ctypes.c_int64, ctypes.c_int]
+        lib.ring_destroy.argtypes = [ctypes.c_void_p]
+        lib.ring_capacity.restype = ctypes.c_int64
+        lib.ring_capacity.argtypes = [ctypes.c_void_p]
+        lib.ring_begin_write.restype = ctypes.c_int
+        lib.ring_begin_write.argtypes = [ctypes.c_void_p]
+        lib.ring_slot_data.restype = ctypes.POINTER(ctypes.c_float)
+        lib.ring_slot_data.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.ring_publish_planar.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.ring_publish_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.ring_acquire.restype = ctypes.c_int
+        lib.ring_acquire.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.ring_release.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.transpose_planes.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        _lib = lib
+        return _lib
+
+
+def _fptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+class InstanceRing:
+    """Double-buffered instance hand-off.
+
+    Producer side (simulation loop):
+        slot = ring.publish(planes, count, frame_id)   # planes: [16, M] f32
+    Consumer side (render loop, possibly another thread):
+        view = ring.acquire()       # -> (instances [count,16] view, frame_id)
+        ...upload / draw...
+        ring.release()
+
+    If the consumer falls behind, the producer overwrites the oldest ready
+    slot — only the latest frame is rendered, like Bevy's pipelined extract.
+    """
+
+    def __init__(self, capacity: int, n_slots: int = 3):
+        self._lib = get_lib()
+        self.capacity = int(capacity)
+        self.n_slots = int(n_slots)
+        self._acquired = None
+        if self._lib is not None:
+            self._h = self._lib.ring_create(self.capacity, self.n_slots)
+        else:  # numpy fallback
+            self._h = None
+            self._bufs = [np.zeros((self.capacity, 16), np.float32) for _ in range(n_slots)]
+            self._state = [0] * n_slots
+            self._meta = [(0, -1)] * n_slots
+
+    def close(self):
+        if self._lib is not None and self._h:
+            self._lib.ring_destroy(self._h)
+            self._h = None
+
+    # ------------------------------------------------------------- producer
+    def publish(self, planes: np.ndarray, count: int, frame_id: int) -> int:
+        """planes: [16, M] f32 (component-planar, the device's fast output
+        layout); interleaves into the 64 B/particle contract records."""
+        planes = np.ascontiguousarray(planes, dtype=np.float32)
+        count = min(int(count), self.capacity, planes.shape[1])
+        if self._lib is not None:
+            slot = self._lib.ring_begin_write(self._h)
+            self._lib.ring_publish_planar(self._h, slot, _fptr(planes), planes.shape[1], count, frame_id)
+            return slot
+        slot = self._state.index(0) if 0 in self._state else self._state.index(2)
+        self._bufs[slot][:count] = planes[:, :count].T
+        self._meta[slot] = (count, frame_id)
+        self._state[slot] = 2
+        return slot
+
+    def publish_rows(self, rows: np.ndarray, frame_id: int) -> int:
+        rows = np.ascontiguousarray(rows, dtype=np.float32)
+        count = min(rows.shape[0], self.capacity)
+        if self._lib is not None:
+            slot = self._lib.ring_begin_write(self._h)
+            self._lib.ring_publish_rows(self._h, slot, _fptr(rows), count, frame_id)
+            return slot
+        slot = self._state.index(0) if 0 in self._state else self._state.index(2)
+        self._bufs[slot][:count] = rows[:count]
+        self._meta[slot] = (count, frame_id)
+        self._state[slot] = 2
+        return slot
+
+    # ------------------------------------------------------------- consumer
+    def acquire(self):
+        """Returns (instances_view [count, 16] f32, frame_id) or None."""
+        if self._lib is not None:
+            cnt = ctypes.c_int64()
+            fid = ctypes.c_int64()
+            slot = self._lib.ring_acquire(self._h, ctypes.byref(cnt), ctypes.byref(fid))
+            if slot < 0:
+                return None
+            ptr = self._lib.ring_slot_data(self._h, slot)
+            buf = np.ctypeslib.as_array(ptr, shape=(self.capacity, 16))
+            self._acquired = slot
+            return buf[: cnt.value], fid.value
+        ready = [(self._meta[i][1], i) for i in range(self.n_slots) if self._state[i] == 2]
+        if not ready:
+            return None
+        _, slot = max(ready)
+        self._state[slot] = 3
+        self._acquired = slot
+        cnt, fid = self._meta[slot]
+        return self._bufs[slot][:cnt], fid
+
+    def release(self):
+        if self._acquired is None:
+            return
+        if self._lib is not None:
+            self._lib.ring_release(self._h, self._acquired)
+        else:
+            self._state[self._acquired] = 0
+        self._acquired = None
+
+
+def transpose_planes(planes: np.ndarray) -> np.ndarray:
+    """[16, M] planar f32 -> [M, 16] interleaved instance rows (native when
+    available)."""
+    planes = np.ascontiguousarray(planes, dtype=np.float32)
+    m = planes.shape[1]
+    lib = get_lib()
+    if lib is None:
+        return np.ascontiguousarray(planes.T)
+    out = np.empty((m, 16), np.float32)
+    lib.transpose_planes(_fptr(out), _fptr(planes), m, m)
+    return out

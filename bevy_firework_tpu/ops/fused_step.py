@@ -2,24 +2,29 @@
 
 The XLA-composed `step()` emits ~30 small kernels per frame (one per fused
 where-chain); at 131k lanes that costs ~0.6 ms/frame of device time, ~12x the
-HBM speed-of-light for the ~30 MB of state touched.  This module fuses the
-entire per-lane pipeline into ONE Pallas kernel pass over the pool:
+HBM speed-of-light for the state touched.  This module fuses the entire
+per-lane pipeline into ONE Pallas kernel pass over the pool:
 
   spawn-lane init (RNG draws, shape/velocity sampling)  core.rs:437-468
   -> age/cull                                           core.rs:594-599
   -> scale curve                                        core.rs:601-605
   -> move or collide (<=4 substeps, unrolled colliders) core.rs:607-631,744-800
   -> drag, quaternion rotation, angular drag            core.rs:641-650
-  -> color gradients                                    core.rs:652-655
+  -> per-tile stats (alive counts, AABB partials)       render.rs:677-703
 
 Division of labor (SURVEY.md §7 "one fused step kernel"):
   * XLA prelude (tiny): active flag, emission cadence, per-emitter dead-slot
     claim (prefix-sum ranks -> a `claim` lane map: which emitter initializes
     each lane this frame, -1 for none).
-  * Pallas kernel (this file): everything touching the 25 field arrays — one
+  * Pallas kernel (this file): everything touching the 16 field arrays — one
     HBM read + one write per field.  RNG via the on-core PRNG
     (`pltpu.prng_random_bits`), free compared to streaming threefry draws.
-  * XLA epilogue: alive counts, AABB reduction, finished flag.
+    AABB/count reductions happen in-kernel as per-tile partials.
+  * XLA epilogue: reduce the [grid, 128] stats rows; finished flag.
+
+Colors and scale are NOT part of pool state (see pool.PoolState docstring) —
+they are recomputed from age at instance-pack time, so this kernel only
+evaluates the scale curve (needed for the AABB partials).
 
 Curve evaluation inside the kernel uses K-unrolled compare-selects on scalar
 table entries instead of gathers (K = 8, T <= a few): pure VPU work.
@@ -66,7 +71,7 @@ from ..compiled import (
 from ..curve import K_MAX
 from ..pool import FrameInput, PoolState
 from ..step import StepOutputs, _active_flag
-from ..utils.f32 import rem_euclid
+from ..utils.f32 import F32_MIN, rem_euclid
 from ..utils.quat import quat_from_scaled_axis_comp, quat_mul_comp, quat_rotate_comp
 
 LANES = 128
@@ -75,9 +80,9 @@ BLOCK_ROWS = 64  # 64 x 128 = 8192 lanes per tile
 _F32_FIELDS = (
     "px", "py", "pz", "vx", "vy", "vz",
     "qx", "qy", "qz", "qw", "wx", "wy", "wz",
-    "initial_scale", "scale", "age", "lifetime",
-    "col_r", "col_g", "col_b", "col_a", "em_r", "em_g", "em_b", "em_a",
+    "initial_scale", "age", "lifetime",
 )
+N_SMALL = 16  # count of small leading inputs (see kernel unpack)
 TWO_PI = np.float32(2.0 * np.pi)
 PI = np.float32(np.pi)
 
@@ -92,6 +97,29 @@ def _u01(bits):
     (mosaic has no uint32->f32 cast; after the shift the value fits in int32,
     which does cast)."""
     return pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+
+
+def _prefix_exclusive(di):
+    """Exclusive prefix sum over a tile in row-major lane order, via
+    Hillis-Steele masked rolls (mosaic has no cumsum primitive).
+    di: [R, 128] int32. Returns (exclusive, total_scalar)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, di.shape, 1)
+    s = di
+    sh = 1
+    while sh < di.shape[1]:
+        rolled = pltpu.roll(s, sh, 1)
+        s = s + jnp.where(lane >= sh, rolled, 0)
+        sh *= 2
+    row_tot = jax.lax.broadcast_in_dim(s[:, di.shape[1] - 1], di.shape, (0,))
+    row = jax.lax.broadcasted_iota(jnp.int32, di.shape, 0)
+    r = row_tot
+    sh = 1
+    while sh < di.shape[0]:
+        rolled = pltpu.roll(r, sh, 0)
+        r = r + jnp.where(row >= sh, rolled, 0)
+        sh *= 2
+    incl = s + (r - row_tot)
+    return incl - di, incl[di.shape[0] - 1, di.shape[1] - 1]
 
 
 def _randvec3_row(row, u_mag, u_dev, u_azim):
@@ -124,6 +152,42 @@ def _shape_row(row, u0, u1, u2):
     return ox, oy, oz
 
 
+def _eval_curve_static(ts, vs, kind, n, t):
+    """sample_clamped specialized on the curve's compile-time (kind, n):
+    a constant curve is one scalar broadcast, an n-knot curve unrolls exactly
+    n-1 segments. Matches curve.curve_index_frac semantics exactly."""
+    if kind == 0:  # CURVE_CONSTANT
+        return jnp.full(t.shape, vs[0])
+    if kind == 1:  # CURVE_EVEN: implicit knots at i/(n-1)
+        x = jnp.clip(t, 0.0, 1.0) * np.float32(n - 1)
+        i = jnp.clip(jnp.floor(x), 0.0, np.float32(n - 2))
+        frac = x - i
+        v0 = jnp.full(t.shape, vs[0])
+        v1 = jnp.full(t.shape, vs[1])
+        for k in range(1, n - 1):
+            sel = i == k
+            v0 = jnp.where(sel, vs[k], v0)
+            v1 = jnp.where(sel, vs[k + 1], v1)
+        return v0 + (v1 - v0) * frac
+    # CURVE_UNEVEN: explicit knots ts[0..n-1]
+    tun = jnp.clip(t, ts[0], ts[n - 1])
+    i = jnp.zeros_like(t)
+    for k in range(1, n - 1):
+        i = i + (tun >= ts[k]).astype(jnp.float32)
+    t0 = jnp.full(t.shape, ts[0])
+    t1 = jnp.full(t.shape, ts[1])
+    v0 = jnp.full(t.shape, vs[0])
+    v1 = jnp.full(t.shape, vs[1])
+    for k in range(1, n - 1):
+        sel = i == k
+        t0 = jnp.where(sel, ts[k], t0)
+        t1 = jnp.where(sel, ts[k + 1], t1)
+        v0 = jnp.where(sel, vs[k], v0)
+        v1 = jnp.where(sel, vs[k + 1], v1)
+    frac = (tun - t0) / (t1 - t0)
+    return v0 + (v1 - v0) * frac
+
+
 def _eval_curve_unrolled(ts, vs, n, kind, t):
     """sample_clamped with K-unrolled selects; ts/vs are loaded [K] arrays
     (scalar entries), n/kind int32 scalars, t a tile. Matches
@@ -146,7 +210,6 @@ def _eval_curve_unrolled(ts, vs, n, kind, t):
     is_even = kind == 1
     is_const = kind == 0
     i = jnp.where(is_even, i_even, i_un)
-    frac = frac_even  # overwritten below for uneven/const via t0/t1 select
     t0 = jnp.zeros_like(t)
     t1 = jnp.ones_like(t)
     v0 = jnp.zeros_like(t)
@@ -168,7 +231,7 @@ def _collide_tile(kinds, cpos, crot, cpar, clay, px, py, pz, vx, vy, vz, dt,
                   restitution, friction, destroy_flag, lane_mask):
     """particle_collision (core.rs:744-800) on one tile, colliders unrolled;
     mirrors collision.particle_collision lane-for-lane."""
-    BIG = jnp.float32(1e30)
+    BIG = np.float32(1e30)
     orig_delta = dt
     delta = jnp.full(px.shape, dt, jnp.float32)
     destroyed = jnp.zeros(px.shape, bool)
@@ -272,7 +335,6 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, dump: bool):
     E = static.num_emitters
     T = static.num_types
     C = len(collider_kinds)
-    n_small = 16  # number of small (non-blocked) leading inputs
 
     def kernel(*refs):
         (
@@ -282,21 +344,27 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, dump: bool):
             iang_ref,  # [E, 7]
             emisc_ref,  # [E, 8]: radial_lo, radial_hi, inherit, init_rot xyzw
             trand_ref,  # [T, 8]: iscale_lo, iscale_hi, life_lo, life_hi
-            tcol0_ref,  # [T, 8]: base0 rgba, emis0 rgba
             tphys_ref,  # [T, 8]: accel xyz, lin_drag, ang_accel xyz, ang_drag
             tcoll_ref,  # [T, 4]: restitution, friction, destroy, unused
             tmask_ref,  # [T, 1] int32 collision layer mask
-            cmeta_ref,  # curve tables f32 [T, 12, K]: scale ts, scale vs,
-            #             base ts, base r/g/b/a vs, emis ts, emis r/g/b/a vs
-            cnum_ref,  # [T, 8] int32: scale n, kind, base n, kind, emis n, kind
+            cmeta_ref,  # [T, 2, K] f32: scale ts, scale vs
+            cnum_ref,  # [T, 8] int32: scale n, kind
             cpos_ref,  # [C', 3]
             crot_ref,  # [C', 4]
             cpar_ref,  # [C', 3]
             clay_ref,  # [C', 1] int32
-        ) = refs[:n_small]
-        claim_ref, alive_ref, ptype_ref = refs[n_small : n_small + 3]
-        out_refs = refs[n_small + 3 :]
+            sbounds_ref,  # [1, E+1] int32: cumulative spawn-count bounds
+        ) = refs[:N_SMALL]
+        alive_ref, ptype_ref = refs[N_SMALL : N_SMALL + 2]
+        field_in = refs[N_SMALL + 2 : N_SMALL + 2 + len(_F32_FIELDS)]
+        dead_carry = refs[-1]  # SMEM scratch: dead slots seen in prior tiles
+        outs = refs[N_SMALL + 2 + len(_F32_FIELDS) : -1]
+        out_alive_ref = outs[0]
+        out_ptype_ref = outs[1]
+        out_dump_ref = outs[2] if dump else None
+        out_field = outs[3 if dump else 2 :]
 
+        f = {name: field_in[i][:, :] for i, name in enumerate(_F32_FIELDS)}
         fs = fscal_ref[0]
         dt = fs[0]
         mod_scale, mod_speed = fs[1], fs[2]
@@ -307,57 +375,77 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, dump: bool):
         tid = pl.program_id(0)
         pltpu.prng_seed(fs[13].astype(jnp.int32) + tid * 1000003)
 
-        # field inputs come AFTER claim/alive/ptype in the same refs list:
-        field_in = refs[n_small + 3 : n_small + 3 + len(_F32_FIELDS)]
-        f = {name: field_in[i][:, :] for i, name in enumerate(_F32_FIELDS)}
-        outs = refs[n_small + 3 + len(_F32_FIELDS) :]
-        out_alive_ref = outs[0]
-        out_ptype_ref = outs[1]
-        out_dump_ref = outs[2] if dump else None
-        out_field = outs[3 if dump else 2 :]
+        @pl.when(tid == 0)
+        def _():
+            dead_carry[0] = 0
 
         alive0 = alive_ref[:, :] != 0
         ptype = ptype_ref[:, :]
-        claim = claim_ref[:, :]
+
+        # ---------------- in-kernel dead-slot claim --------------------------
+        # The sequential-emitter Vec::push order (core.rs:386-469) is exactly:
+        # the r-th dead slot (slot order) is claimed by emitter e iff
+        # S_{e-1} <= r < S_e, with S the cumulative spawn counts. The rank is
+        # a cross-tile prefix sum: tile-local scan + an SMEM carry (the TPU
+        # grid executes sequentially on one core).
+        dead = ~alive0
+        rank_local, dead_in_tile = _prefix_exclusive(dead.astype(jnp.int32))
+        carry_before = dead_carry[0]
+        rank = rank_local + carry_before
+        dead_carry[0] = carry_before + dead_in_tile
+        total_spawn = sbounds_ref[0, E]
+        spawned_any = dead & (rank < total_spawn)
 
         # ---------------- spawn init for claimed lanes -----------------------
-        spawned_any = claim >= 0
-        bits = pltpu.bitcast(pltpu.prng_random_bits((12,) + claim.shape), jnp.uint32)
-        u = _u01(bits)
-        for e in range(E):
-            m = claim == e
-            srow = shape_ref[e]
-            ivrow = ivel_ref[e]
-            iarow = iang_ref[e]
-            em = emisc_ref[e]
-            offx, offy, offz = _shape_row(srow, u[0], u[1], u[2])
-            ivx, ivy, ivz = _randvec3_row(ivrow, u[3], u[4], u[5])
-            radial = em[0] + (em[1] - em[0]) * u[6]
-            l2 = offx * offx + offy * offy + offz * offz
-            inv = jnp.where(l2 > 0, 1.0 / jnp.sqrt(jnp.where(l2 > 0, l2, 1.0)), 0.0)
-            wvx, wvy, wvz = quat_rotate_comp(*orot, ivx, ivy, ivz)
-            velx = mod_speed * (wvx + offx * inv * radial) + em[2] * pvel[0]
-            vely = mod_speed * (wvy + offy * inv * radial) + em[2] * pvel[1]
-            velz = mod_speed * (wvz + offz * inv * radial) + em[2] * pvel[2]
-            ti = static.particle_indices[e]
-            tr = trand_ref[ti]
-            tc = tcol0_ref[ti]
-            iscale = (tr[0] + (tr[1] - tr[0]) * u[7]) * mod_scale
-            life = tr[2] + (tr[3] - tr[2]) * u[8]
-            avx, avy, avz = _randvec3_row(iarow, u[9], u[10], u[11])
+        # The RNG + samplers cost ~half the kernel but only tiles containing
+        # the first `total_spawn` dead ranks have claimed lanes — skip the
+        # whole block elsewhere (steady state: ~1 tile in 16).
+        tile_has_spawn = (carry_before < total_spawn) & (dead_in_tile > 0)
 
-            def W(name, val):
-                f[name] = jnp.where(m, val, f[name])
+        def spawn_block(args):
+            fvals, ptype = args
+            fd = dict(zip(_F32_FIELDS, fvals))
+            bits = pltpu.bitcast(pltpu.prng_random_bits((12,) + dead.shape), jnp.uint32)
+            u = _u01(bits)
+            for e in range(E):
+                m = dead & (rank >= sbounds_ref[0, e]) & (rank < sbounds_ref[0, e + 1])
+                srow = shape_ref[e]
+                em = emisc_ref[e]
+                offx, offy, offz = _shape_row(srow, u[0], u[1], u[2])
+                ivx, ivy, ivz = _randvec3_row(ivel_ref[e], u[3], u[4], u[5])
+                radial = em[0] + (em[1] - em[0]) * u[6]
+                l2 = offx * offx + offy * offy + offz * offz
+                inv = jnp.where(l2 > 0, 1.0 / jnp.sqrt(jnp.where(l2 > 0, l2, 1.0)), 0.0)
+                wvx, wvy, wvz = quat_rotate_comp(*orot, ivx, ivy, ivz)
+                velx = mod_speed * (wvx + offx * inv * radial) + em[2] * pvel[0]
+                vely = mod_speed * (wvy + offy * inv * radial) + em[2] * pvel[1]
+                velz = mod_speed * (wvz + offz * inv * radial) + em[2] * pvel[2]
+                ti = static.particle_indices[e]
+                tr = trand_ref[ti]
+                iscale = (tr[0] + (tr[1] - tr[0]) * u[7]) * mod_scale
+                life = tr[2] + (tr[3] - tr[2]) * u[8]
+                avx, avy, avz = _randvec3_row(iang_ref[e], u[9], u[10], u[11])
 
-            W("px", trans[0] + offx); W("py", trans[1] + offy); W("pz", trans[2] + offz)
-            W("vx", velx); W("vy", vely); W("vz", velz)
-            W("qx", em[3]); W("qy", em[4]); W("qz", em[5]); W("qw", em[6])
-            W("wx", avx); W("wy", avy); W("wz", avz)
-            W("initial_scale", iscale); W("scale", iscale)
-            W("age", jnp.float32(0.0)); W("lifetime", life)
-            W("col_r", tc[0]); W("col_g", tc[1]); W("col_b", tc[2]); W("col_a", tc[3])
-            W("em_r", tc[4]); W("em_g", tc[5]); W("em_b", tc[6]); W("em_a", tc[7])
-            ptype = jnp.where(m, ti, ptype)
+                def W(name, val):
+                    fd[name] = jnp.where(m, val, fd[name])
+
+                W("px", trans[0] + offx); W("py", trans[1] + offy); W("pz", trans[2] + offz)
+                W("vx", velx); W("vy", vely); W("vz", velz)
+                W("qx", em[3]); W("qy", em[4]); W("qz", em[5]); W("qw", em[6])
+                W("wx", avx); W("wy", avy); W("wz", avz)
+                W("initial_scale", iscale)
+                W("age", jnp.float32(0.0)); W("lifetime", life)
+                ptype = jnp.where(m, ti, ptype)
+            return tuple(fd[name] for name in _F32_FIELDS), ptype
+
+        if E > 0:
+            fvals, ptype = jax.lax.cond(
+                tile_has_spawn,
+                spawn_block,
+                lambda args: args,
+                (tuple(f[name] for name in _F32_FIELDS), ptype),
+            )
+            f = dict(zip(_F32_FIELDS, fvals))
         alive_sp = alive0 | spawned_any
 
         # ---------------- integrate ------------------------------------------
@@ -365,23 +453,18 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, dump: bool):
         dead_by_age = age_new >= f["lifetime"]
         age_pct = age_new / f["lifetime"]
 
-        def eval_type_curve(ti, ts_idx, vs_idx, n_col, k_col, t):
-            return _eval_curve_unrolled(cmeta_ref[ti, ts_idx], cmeta_ref[ti, vs_idx], cnum_ref[ti, n_col], cnum_ref[ti, k_col], t)
-
-        def by_type_curve(ts_idx, vs_idx, n_col, k_col, t):
-            out = eval_type_curve(0, ts_idx, vs_idx, n_col, k_col, t)
-            for ti in range(1, T):
-                v = eval_type_curve(ti, ts_idx, vs_idx, n_col, k_col, t)
-                out = jnp.where(ptype == ti, v, out)
-            return out
-
         def by_type(ref, col):
             out = jnp.full(ptype.shape, ref[0, col])
             for t in range(1, T):
                 out = jnp.where(ptype == t, ref[t, col], out)
             return out
 
-        sf = by_type_curve(0, 1, 0, 1, age_pct)
+        k0, n0 = static.scale_curve_meta[0]
+        sf = _eval_curve_static(cmeta_ref[0, 0], cmeta_ref[0, 1], k0, n0, age_pct)
+        for t in range(1, T):
+            kt, nt = static.scale_curve_meta[t]
+            sft = _eval_curve_static(cmeta_ref[t, 0], cmeta_ref[t, 1], kt, nt, age_pct)
+            sf = jnp.where(ptype == t, sft, sf)
         scale_new = f["initial_scale"] * sf
 
         px, py, pz = f["px"], f["py"], f["pz"]
@@ -429,17 +512,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, dump: bool):
         wy2 = f["wy"] + (aay - ang_drag * f["wy"]) * dt
         wz2 = f["wz"] + (aaz - ang_drag * f["wz"]) * dt
 
-        br = by_type_curve(2, 3, 2, 3, age_pct)
-        bg = by_type_curve(2, 4, 2, 3, age_pct)
-        bb = by_type_curve(2, 5, 2, 3, age_pct)
-        ba = by_type_curve(2, 6, 2, 3, age_pct)
-        er = by_type_curve(7, 8, 4, 5, age_pct)
-        eg = by_type_curve(7, 9, 4, 5, age_pct)
-        eb = by_type_curve(7, 10, 4, 5, age_pct)
-        ea = by_type_curve(7, 11, 4, 5, age_pct)
-
         f["age"] = jnp.where(alive_sp, age_new, f["age"])
-        f["scale"] = jnp.where(moved, scale_new, f["scale"])
         f["px"] = jnp.where(moved, npx, f["px"])
         f["py"] = jnp.where(moved, npy, f["py"])
         f["pz"] = jnp.where(moved, npz, f["pz"])
@@ -453,14 +526,6 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, dump: bool):
         f["wx"] = jnp.where(survivor, wx2, f["wx"])
         f["wy"] = jnp.where(survivor, wy2, f["wy"])
         f["wz"] = jnp.where(survivor, wz2, f["wz"])
-        f["col_r"] = jnp.where(survivor, br, f["col_r"])
-        f["col_g"] = jnp.where(survivor, bg, f["col_g"])
-        f["col_b"] = jnp.where(survivor, bb, f["col_b"])
-        f["col_a"] = jnp.where(survivor, ba, f["col_a"])
-        f["em_r"] = jnp.where(survivor, er, f["em_r"])
-        f["em_g"] = jnp.where(survivor, eg, f["em_g"])
-        f["em_b"] = jnp.where(survivor, eb, f["em_b"])
-        f["em_a"] = jnp.where(survivor, ea, f["em_a"])
 
         out_alive_ref[:, :] = survivor.astype(jnp.int32)
         out_ptype_ref[:, :] = ptype
@@ -477,40 +542,69 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, dump: bool):
     return kernel
 
 
-def _pack_curves(params: SpawnerParams) -> jax.Array:
-    """[T, 12, K] f32 table: 0 scale ts, 1 scale vs, 2 base ts, 3..6 base
-    r/g/b/a vs, 7 emis ts, 8..11 emis r/g/b/a vs."""
-    T = params.scale_ts.shape[0]
-    rows = [
-        params.scale_ts, params.scale_vs,
-        params.base_ts,
-        params.base_vs[..., 0], params.base_vs[..., 1], params.base_vs[..., 2], params.base_vs[..., 3],
-        params.emis_ts,
-        params.emis_vs[..., 0], params.emis_vs[..., 1], params.emis_vs[..., 2], params.emis_vs[..., 3],
-    ]
-    return jnp.stack(rows, axis=1)  # [T, 12, K]
+def _pack_fused_smalls(static: SpawnerStatic, params: SpawnerParams, colliders, frame: FrameInput, seed):
+    """Assemble the kernel's small VMEM inputs. Param-derived packs are
+    loop-invariant; XLA hoists them out of scan loops."""
+    E = static.num_emitters
+    T = static.num_types
+
+    fscal = jnp.zeros((1, 16), jnp.float32)
+    fscal = fscal.at[0, 0].set(frame.dt)
+    fscal = fscal.at[0, 1].set(frame.modifier_scale)
+    fscal = fscal.at[0, 2].set(frame.modifier_speed)
+    fscal = fscal.at[0, 3:6].set(frame.parent_velocity)
+    fscal = fscal.at[0, 6:9].set(frame.transform_translation)
+    fscal = fscal.at[0, 9:13].set(frame.transform_rotation)
+    fscal = fscal.at[0, 13].set(seed.astype(jnp.float32))
+
+    emisc = jnp.zeros((E, 8), jnp.float32)
+    emisc = emisc.at[:, 0].set(params.radial_lo)
+    emisc = emisc.at[:, 1].set(params.radial_hi)
+    emisc = emisc.at[:, 2].set(params.inherit)
+    emisc = emisc.at[:, 3:7].set(params.init_rot)
+
+    trand = jnp.zeros((T, 8), jnp.float32)
+    trand = trand.at[:, 0].set(params.initial_scale_lo)
+    trand = trand.at[:, 1].set(params.initial_scale_hi)
+    trand = trand.at[:, 2].set(params.lifetime_lo)
+    trand = trand.at[:, 3].set(params.lifetime_hi)
+
+    tphys = jnp.zeros((T, 8), jnp.float32)
+    tphys = tphys.at[:, 0:3].set(params.acceleration)
+    tphys = tphys.at[:, 3].set(params.linear_drag)
+    tphys = tphys.at[:, 4:7].set(params.angular_acceleration)
+    tphys = tphys.at[:, 7].set(params.angular_drag)
+
+    tcoll = jnp.zeros((T, 4), jnp.float32)
+    tcoll = tcoll.at[:, 0].set(params.restitution)
+    tcoll = tcoll.at[:, 1].set(params.friction)
+    tcoll = tcoll.at[:, 2].set(params.destroy_on_collision)
+    tmask = params.collision_mask.astype(jnp.int32).reshape(T, 1)
+
+    cmeta = jnp.stack([params.scale_ts, params.scale_vs], axis=1)  # [T, 2, K]
+    cnum = jnp.zeros((T, 8), jnp.int32)
+    cnum = cnum.at[:, 0].set(params.scale_n)
+    cnum = cnum.at[:, 1].set(params.scale_kind)
+
+    if colliders is not None and len(colliders.kinds) > 0 and static.any_collision:
+        cpos, crot, cpar = colliders.position, colliders.rotation, colliders.params
+        clay = colliders.layers.astype(jnp.int32).reshape(-1, 1)
+    else:
+        cpos = jnp.zeros((1, 3), jnp.float32)
+        crot = jnp.zeros((1, 4), jnp.float32)
+        cpar = jnp.zeros((1, 3), jnp.float32)
+        clay = jnp.zeros((1, 1), jnp.int32)
+
+    return [fscal, params.shape_params, params.ivel_params, params.iangvel_params, emisc,
+            trand, tphys, tcoll, tmask, cmeta, cnum, cpos, crot, cpar, clay]
+    # sbounds is appended by the caller (per-frame, not param-derived)
 
 
-def _pack_cnum(params: SpawnerParams) -> jax.Array:
-    """[T, 8] int32: scale n/kind, base n/kind, emis n/kind, pad."""
-    T = params.scale_n.shape[0]
-    out = jnp.zeros((T, 8), jnp.int32)
-    out = out.at[:, 0].set(params.scale_n)
-    out = out.at[:, 1].set(params.scale_kind)
-    out = out.at[:, 2].set(params.base_n)
-    out = out.at[:, 3].set(params.base_kind)
-    out = out.at[:, 4].set(params.emis_n)
-    out = out.at[:, 5].set(params.emis_kind)
-    return out
-
-
-def _compute_claim(static: SpawnerStatic, params, state, frame, active):
-    """XLA prelude: per-emitter cadence + dead-slot claim.
-
-    Returns (claim [N] int32 lane->emitter map (-1 none), updated emitter
-    state scalars). Exactly mirrors the sequential-emitters semantics of
-    step.py's spawn loop for global emitters."""
-    N = state.capacity
+def _compute_spawn_bounds(static: SpawnerStatic, params, state, frame, active):
+    """XLA prelude — SCALAR work only: per-emitter cadence and the cumulative
+    spawn-count bounds S (sbounds[e] = first dead-slot rank emitter e claims,
+    sbounds[E] = total). The [N]-sized rank/claim computation lives inside
+    the kernel. Mirrors step.py's sequential spawn loop for global emitters."""
     E = static.num_emitters
     enabled = state.enabled
     time_in_cycle = state.time_in_cycle
@@ -518,8 +612,7 @@ def _compute_claim(static: SpawnerStatic, params, state, frame, active):
     manual_queued = state.manual_queued
     dt = frame.dt
 
-    claim = jnp.full((N,), -1, jnp.int32)
-    alive = state.alive
+    bounds = [jnp.zeros((), jnp.int32)]
     for e in range(E):
         gate = active & enabled[e]
         pk = static.pacing_kinds[e]
@@ -538,13 +631,9 @@ def _compute_claim(static: SpawnerStatic, params, state, frame, active):
             n_spawn = jnp.where(gate, cnt, 0)
             time_in_cycle = time_in_cycle.at[e].set(jnp.where(gate, tic, time_in_cycle[e]))
             last_emission = last_emission.at[e].set(jnp.where(gate, next_last, last_emission[e]))
-        dead = ~alive & (claim < 0)
-        di = dead.astype(jnp.int32)
-        rank = jnp.cumsum(di) - di
-        spawn = dead & (rank < n_spawn)
-        claim = jnp.where(spawn, e, claim)
-        alive = alive | spawn
-    return claim, enabled, time_in_cycle, last_emission, manual_queued
+        bounds.append(bounds[-1] + n_spawn)
+    sbounds = jnp.stack(bounds).reshape(1, E + 1)
+    return sbounds, enabled, time_in_cycle, last_emission, manual_queued
 
 
 def fused_step(
@@ -562,12 +651,13 @@ def fused_step(
         f"pool capacity {N} must be a multiple of {BLOCK_ROWS * LANES} for the fused kernel"
     )
     T = static.num_types
+    E = static.num_emitters
     rows = N // LANES
     grid = rows // BLOCK_ROWS
 
     active = _active_flag(static, state)
     new_key, frame_key = jax.random.split(state.rng_key)
-    claim, enabled, time_in_cycle, last_emission, manual_queued = _compute_claim(
+    sbounds, enabled, time_in_cycle, last_emission, manual_queued = _compute_spawn_bounds(
         static, params, state, frame, active
     )
 
@@ -575,82 +665,34 @@ def fused_step(
     dump = static.any_destroyed_dump
     kernel = _make_kernel(static, kinds, dump)
 
-    fscal = jnp.zeros((1, 16), jnp.float32)
-    fscal = fscal.at[0, 0].set(frame.dt)
-    fscal = fscal.at[0, 1].set(frame.modifier_scale)
-    fscal = fscal.at[0, 2].set(frame.modifier_speed)
-    fscal = fscal.at[0, 3:6].set(frame.parent_velocity)
-    fscal = fscal.at[0, 6:9].set(frame.transform_translation)
-    fscal = fscal.at[0, 9:13].set(frame.transform_rotation)
     # seed must round-trip through f32 exactly: keep it under 2^24
     seed = jax.random.randint(frame_key, (), 0, 1 << 24)
-    fscal = fscal.at[0, 13].set(seed.astype(jnp.float32))
+    smalls = _pack_fused_smalls(static, params, colliders, frame, seed) + [sbounds]
 
-    E = static.num_emitters
-    emisc = jnp.zeros((E, 8), jnp.float32)
-    emisc = emisc.at[:, 0].set(params.radial_lo)
-    emisc = emisc.at[:, 1].set(params.radial_hi)
-    emisc = emisc.at[:, 2].set(params.inherit)
-    emisc = emisc.at[:, 3:7].set(params.init_rot)
-
-    trand = jnp.zeros((T, 8), jnp.float32)
-    trand = trand.at[:, 0].set(params.initial_scale_lo)
-    trand = trand.at[:, 1].set(params.initial_scale_hi)
-    trand = trand.at[:, 2].set(params.lifetime_lo)
-    trand = trand.at[:, 3].set(params.lifetime_hi)
-
-    tcol0 = jnp.concatenate([params.base_color0, params.emis_color0], axis=1)  # [T, 8]
-
-    tphys = jnp.zeros((T, 8), jnp.float32)
-    tphys = tphys.at[:, 0:3].set(params.acceleration)
-    tphys = tphys.at[:, 3].set(params.linear_drag)
-    tphys = tphys.at[:, 4:7].set(params.angular_acceleration)
-    tphys = tphys.at[:, 7].set(params.angular_drag)
-
-    tcoll = jnp.zeros((T, 4), jnp.float32)
-    tcoll = tcoll.at[:, 0].set(params.restitution)
-    tcoll = tcoll.at[:, 1].set(params.friction)
-    tcoll = tcoll.at[:, 2].set(params.destroy_on_collision)
-    tmask = params.collision_mask.astype(jnp.int32).reshape(T, 1)
-
-    cmeta = _pack_curves(params)
-    cnum = _pack_cnum(params)
-
-    if len(kinds) > 0:
-        cpos, crot, cpar = colliders.position, colliders.rotation, colliders.params
-        clay = colliders.layers.astype(jnp.int32).reshape(-1, 1)
-    else:
-        cpos = jnp.zeros((1, 3), jnp.float32)
-        crot = jnp.zeros((1, 4), jnp.float32)
-        cpar = jnp.zeros((1, 3), jnp.float32)
-        clay = jnp.zeros((1, 1), jnp.int32)
-
-    def blocked(i):
+    def blocked():
         return pl.BlockSpec((BLOCK_ROWS, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM)
 
-    small = pl.BlockSpec(memory_space=pltpu.VMEM)
+    small_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     nf = len(_F32_FIELDS)
 
-    in_specs = [small] * 16 + [blocked(0)] * 3 + [blocked(0)] * nf
-    n_extra = 3 if dump else 2
-    out_specs = [blocked(0)] * (n_extra + nf)
-
+    n_extra = 3 if dump else 2  # alive, ptype, [dump]
+    in_specs = [small_spec] * N_SMALL + [blocked()] * (2 + nf)
+    out_specs = [blocked()] * (n_extra + nf)
     out_shape = (
         [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] * n_extra
         + [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * nf
     )
 
     field_arrays = [getattr(state, name).reshape(rows, LANES) for name in _F32_FIELDS]
-    inputs = [
-        fscal, params.shape_params, params.ivel_params, params.iangvel_params, emisc,
-        trand, tcol0, tphys, tcoll, tmask, cmeta, cnum, cpos, crot, cpar, clay,
-        claim.reshape(rows, LANES),
+    inputs = smalls + [
         state.alive.astype(jnp.int32).reshape(rows, LANES),
         state.ptype.reshape(rows, LANES),
     ] + field_arrays
 
-    # alias field inputs (indices 19..) onto field outputs (n_extra..)
-    aliases = {19 + i: n_extra + i for i in range(nf)}
+    # alias field inputs onto field outputs (in-place update)
+    first_field_in = N_SMALL + 2
+    first_field_out = n_extra
+    aliases = {first_field_in + i: first_field_out + i for i in range(nf)}
 
     results = pl.pallas_call(
         kernel,
@@ -658,6 +700,7 @@ def fused_step(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         input_output_aliases=aliases,
     )(*inputs)
 
@@ -666,26 +709,35 @@ def fused_step(
     dump_mask = (results[2].reshape(N) != 0) if dump else jnp.zeros((N,), bool)
     new_fields = {name: results[n_extra + i].reshape(N) for i, name in enumerate(_F32_FIELDS)}
 
-    # last_emitted: freshly spawned lanes reset to f32::MIN (core.rs:467);
-    # no nested emitters exist on this path, so no per-frame updates.
-    from ..utils.f32 import F32_MIN
+    # last_emitted is only consumed by nested emitters, which never take this
+    # path — leave it untouched (dead lanes' values are meaningless anyway).
+    last_emitted = state.last_emitted
 
-    last_emitted = jnp.where((claim >= 0)[None, :], F32_MIN, state.last_emitted)
+    # ---------------- epilogue: stats + finished (XLA; dead-code-eliminated
+    # when the caller only consumes the state, e.g. under multi-frame scan) --
+    from ..step import _eval_scalar_curve_by_type
 
-    # ---------------- epilogue: stats + finished -----------------------------
-    all_empty = ~jnp.any(alive_new)
+    age_pct = new_fields["age"] / new_fields["lifetime"]
+    scale = new_fields["initial_scale"] * _eval_scalar_curve_by_type(
+        params.scale_ts, params.scale_vs, params.scale_n, params.scale_kind, ptype_new, age_pct, T
+    )
+    inf = jnp.float32(jnp.inf)
+    aabb_min = jnp.stack(
+        [jnp.min(jnp.where(alive_new, new_fields[c] - scale, inf)) for c in ("px", "py", "pz")]
+    )
+    aabb_max = jnp.stack(
+        [jnp.max(jnp.where(alive_new, new_fields[c] + scale, -inf)) for c in ("px", "py", "pz")]
+    )
+    alive_count = jnp.sum(alive_new.astype(jnp.int32))
+    per_type = jnp.stack([jnp.sum((alive_new & (ptype_new == t)).astype(jnp.int32)) for t in range(T)])
+
+    all_empty = alive_count == 0
     any_particles = ~all_empty
     active_now = jnp.zeros((), bool)
     for e in range(E):
         active_now = active_now | enabled[e]
     finished = all_empty & ~active_now & ~state.finished_notified
     finished_notified = state.finished_notified | finished
-
-    s = new_fields["scale"]
-    inf = jnp.float32(jnp.inf)
-    aabb_min = jnp.stack([jnp.min(jnp.where(alive_new, new_fields[c] - s, inf)) for c in ("px", "py", "pz")])
-    aabb_max = jnp.stack([jnp.max(jnp.where(alive_new, new_fields[c] + s, -inf)) for c in ("px", "py", "pz")])
-    per_type = jnp.stack([jnp.sum((alive_new & (ptype_new == t)).astype(jnp.int32)) for t in range(T)])
 
     new_state = PoolState(
         **new_fields,
@@ -700,7 +752,7 @@ def fused_step(
         rng_key=new_key,
     )
     outputs = StepOutputs(
-        alive_count=jnp.sum(alive_new.astype(jnp.int32)),
+        alive_count=alive_count,
         alive_count_per_type=per_type,
         finished_event=finished,
         aabb_valid=any_particles,

@@ -32,6 +32,13 @@ from .utils.f32 import F32_MIN
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PoolState:
+    """Physics state only. The reference also stores derived render fields
+    (scale, base/emissive color — `core.rs:311-317`); here they are pure
+    functions of (initial_scale, age, lifetime, ptype) through the curve
+    tables, so they are recomputed at instance-pack / event time instead of
+    burning 9 extra HBM arrays of read+write bandwidth every step (~35% of
+    the state)."""
+
     # per-slot fields, all shape [N] f32 unless noted
     px: jax.Array
     py: jax.Array
@@ -47,17 +54,8 @@ class PoolState:
     wy: jax.Array
     wz: jax.Array
     initial_scale: jax.Array
-    scale: jax.Array
     age: jax.Array
     lifetime: jax.Array
-    col_r: jax.Array
-    col_g: jax.Array
-    col_b: jax.Array
-    col_a: jax.Array
-    em_r: jax.Array
-    em_g: jax.Array
-    em_b: jax.Array
-    em_a: jax.Array
     ptype: jax.Array  # [N] int32
     alive: jax.Array  # [N] bool
     last_emitted: jax.Array  # [E, N] f32
@@ -92,10 +90,8 @@ def init_pool(capacity: int, num_emitters: int, starts_enabled: bool = True, see
         vx=z, vy=z, vz=z,
         qx=z, qy=z, qz=z, qw=jnp.ones((n,), jnp.float32),
         wx=z, wy=z, wz=z,
-        initial_scale=z, scale=z, age=z,
+        initial_scale=z, age=z,
         lifetime=jnp.ones((n,), jnp.float32),
-        col_r=z, col_g=z, col_b=z, col_a=z,
-        em_r=z, em_g=z, em_b=z, em_a=z,
         ptype=jnp.zeros((n,), jnp.int32),
         alive=jnp.zeros((n,), bool),
         last_emitted=jnp.full((num_emitters, n), F32_MIN, jnp.float32),

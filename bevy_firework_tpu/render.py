@@ -77,8 +77,31 @@ def make_uniform(compiled: CompiledSpawner, type_index: int) -> FireworkUniform:
     )
 
 
-@partial(jax.jit, static_argnums=(1,))
-def pack_instances(state: PoolState, type_index: int) -> Tuple[jax.Array, jax.Array]:
+def compute_render_fields(params, state: PoolState, type_index: int):
+    """Recompute the derived render fields for one particle type: scale and
+    base/emissive colors are pure functions of (initial_scale, age, lifetime)
+    through the type's curve tables (the reference stores them per particle,
+    `core.rs:311-317`; we trade that HBM traffic for a little VPU work here).
+    Returns (scale, (br, bg, bb, ba), (er, eg, eb, ea)) matching the values
+    the integrator wrote for live lanes this frame."""
+    from .curve import eval_curve_table, eval_curve_table_channels
+
+    t = type_index
+    age_pct = state.age / state.lifetime
+    scale = state.initial_scale * eval_curve_table(
+        params.scale_ts[t], params.scale_vs[t], params.scale_n[t], params.scale_kind[t], age_pct
+    )
+    base = eval_curve_table_channels(
+        params.base_ts[t], params.base_vs[t], params.base_n[t], params.base_kind[t], age_pct
+    )
+    emis = eval_curve_table_channels(
+        params.emis_ts[t], params.emis_vs[t], params.emis_n[t], params.emis_kind[t], age_pct
+    )
+    return scale, base, emis
+
+
+@partial(jax.jit, static_argnums=(2,))
+def pack_instances(params, state: PoolState, type_index: int) -> Tuple[jax.Array, jax.Array]:
     """Compact live lanes of one particle type into a dense [N, 16] f32
     instance buffer (render contract rows). Returns (buffer, count); rows
     beyond `count` are zero. Slot order is preserved.
@@ -88,17 +111,41 @@ def pack_instances(state: PoolState, type_index: int) -> Tuple[jax.Array, jax.Ar
     seli = sel.astype(jnp.int32)
     idx = jnp.cumsum(seli) - seli  # exclusive rank among selected
     out_idx = jnp.where(sel, idx, n)  # dropped lanes scatter out of range
+    scale, base, emis = compute_render_fields(params, state, type_index)
     rows = jnp.stack(
         [
-            state.px, state.py, state.pz, state.scale,
+            state.px, state.py, state.pz, scale,
             state.qx, state.qy, state.qz, state.qw,
-            state.col_r, state.col_g, state.col_b, state.col_a,
-            state.em_r, state.em_g, state.em_b, state.em_a,
+            base[0], base[1], base[2], base[3],
+            emis[0], emis[1], emis[2], emis[3],
         ],
         axis=-1,
     )
     buf = jnp.zeros((n, 16), jnp.float32).at[out_idx].set(rows, mode="drop")
     return buf, jnp.sum(seli)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def pack_instances_planar(params, state: PoolState, type_index: int) -> Tuple[jax.Array, jax.Array]:
+    """Compaction in component-planar layout: [16, N] f32 planes (the TPU's
+    fast layout — each plane is a dense lane-dim array; an interleaved [N,16]
+    output would pad its 16-wide minor dim to the 128-lane tile). The native
+    C++ ring (`native/`) interleaves planes into the 64 B/particle contract
+    records on the host. Returns (planes, count)."""
+    n = state.capacity
+    sel = state.alive & (state.ptype == type_index)
+    seli = sel.astype(jnp.int32)
+    idx = jnp.cumsum(seli) - seli
+    out_idx = jnp.where(sel, idx, n)
+    scale, base, emis = compute_render_fields(params, state, type_index)
+    vals = (
+        state.px, state.py, state.pz, scale,
+        state.qx, state.qy, state.qz, state.qw,
+        base[0], base[1], base[2], base[3],
+        emis[0], emis[1], emis[2], emis[3],
+    )
+    planes = jnp.stack([jnp.zeros((n,), jnp.float32).at[out_idx].set(v, mode="drop") for v in vals])
+    return planes, jnp.sum(seli)
 
 
 def instances_to_bytes(buffer: np.ndarray) -> bytes:

@@ -173,6 +173,7 @@ class Scene:
     def step(self, dt: float):
         """Advance every spawner one frame (spawn -> integrate -> notify)."""
         self.time += float(dt)
+        self._last_dt = float(dt)
         for sid, slot in list(self._spawners.items()):
             tf = (
                 slot.transform
@@ -208,32 +209,52 @@ class Scene:
         idx = np.nonzero(mask)[0]
         f = {k: np.asarray(getattr(st, k))[idx] for k in (
             "px", "py", "pz", "vx", "vy", "vz", "qx", "qy", "qz", "qw",
-            "wx", "wy", "wz", "initial_scale", "scale", "age", "lifetime",
-            "col_r", "col_g", "col_b", "col_a", "em_r", "em_g", "em_b", "em_a", "ptype",
+            "wx", "wy", "wz", "initial_scale", "age", "lifetime", "ptype",
         )}
         pbr = np.asarray(slot.compiled.params.pbr)
+        dt = np.float32(getattr(self, "_last_dt", 0.0))
         for t, handler in enumerate(slot.compiled.destroyed_handlers):
             if handler is None:
                 continue
             tsel = f["ptype"] == t
             if not tsel.any():
                 continue
-            records = [
-                DestroyedParticle(
-                    position=(f["px"][i], f["py"][i], f["pz"][i]),
-                    velocity=(f["vx"][i], f["vy"][i], f["vz"][i]),
-                    rotation=(f["qx"][i], f["qy"][i], f["qz"][i], f["qw"][i]),
-                    angular_velocity=(f["wx"][i], f["wy"][i], f["wz"][i]),
-                    initial_scale=float(f["initial_scale"][i]),
-                    scale=float(f["scale"][i]),
-                    age=float(f["age"][i]),
-                    lifetime=float(f["lifetime"][i]),
-                    base_color=(f["col_r"][i], f["col_g"][i], f["col_b"][i], f["col_a"][i]),
-                    emissive_color=(f["em_r"][i], f["em_g"][i], f["em_b"][i], f["em_a"][i]),
-                    pbr=bool(pbr[t] != 0.0),
+            ps = slot.spawner.particle_settings[t]
+            records = []
+            for i in np.nonzero(tsel)[0]:
+                age = np.float32(f["age"][i])
+                lifetime = np.float32(f["lifetime"][i])
+                iscale = np.float32(f["initial_scale"][i])
+                # Reconstruct the derived fields the reference stores on the
+                # destroyed clone (pool state no longer carries them):
+                #  - colors: never updated on the death frame -> gradient at
+                #    last frame's age percent (spawn color == gradient(0)).
+                #  - scale: lifetime-death skips the scale update (A.4 step 2
+                #    runs after the cull); collision-death includes it.
+                pct_prev = np.float32(max(age - dt, np.float32(0.0)) / lifetime)
+                died_of_age = age >= lifetime
+                first_frame = age == dt
+                if died_of_age:
+                    scale = iscale if first_frame else np.float32(iscale * ps.scale_curve.sample_clamped(pct_prev))
+                else:
+                    scale = np.float32(iscale * ps.scale_curve.sample_clamped(np.float32(age / lifetime)))
+                base = np.asarray(ps.base_color.sample_clamped(pct_prev), dtype=np.float32)
+                emis = np.asarray(ps.emissive_color.sample_clamped(pct_prev), dtype=np.float32)
+                records.append(
+                    DestroyedParticle(
+                        position=(f["px"][i], f["py"][i], f["pz"][i]),
+                        velocity=(f["vx"][i], f["vy"][i], f["vz"][i]),
+                        rotation=(f["qx"][i], f["qy"][i], f["qz"][i], f["qw"][i]),
+                        angular_velocity=(f["wx"][i], f["wy"][i], f["wz"][i]),
+                        initial_scale=float(iscale),
+                        scale=float(scale),
+                        age=float(age),
+                        lifetime=float(lifetime),
+                        base_color=tuple(float(c) for c in base),
+                        emissive_color=tuple(float(c) for c in emis),
+                        pbr=bool(pbr[t] != 0.0),
+                    )
                 )
-                for i in np.nonzero(tsel)[0]
-            ]
             handler(records)
 
     # ----------------------------------------------------------------- query
@@ -259,7 +280,7 @@ class Scene:
         items = []
         for sid, slot in self._spawners.items():
             for t in range(slot.compiled.num_types):
-                buf, count = pack_instances(slot.state, t)
+                buf, count = pack_instances(slot.compiled.params, slot.state, t)
                 count = int(count)
                 if count == 0:
                     continue

@@ -1,0 +1,218 @@
+// Billboard particle shader — the render-contract consumer.
+//
+// Original implementation of the semantics documented in SURVEY.md §A.6 and
+// docs/RENDER_CONTRACT.md (reference behaviour: camera-facing quads whose
+// world rotation contributes only its twist about the view axis; fragment
+// does flag-gated texturing, radial edge fade, depth-prepass scene fade,
+// then an unlit or PBR-lit output).
+//
+// Instance layout (64 bytes, locations 3-6):
+//   loc3 = vec4(position.xyz, scale)
+//   loc4 = vec4(rotation quaternion, xyzw)
+//   loc5 = base color rgba (linear)
+//   loc6 = emissive color rgba (linear)
+//
+// Host engines provide group(0)/group(1) view + lighting bindings in their
+// own idiom; group(2) is this system's uniform + textures.
+
+struct ViewLike {
+    view_proj: mat4x4<f32>,
+    inverse_view: mat4x4<f32>,
+    world_position: vec3<f32>,
+};
+
+struct SystemUniform {
+    alpha_mode: u32,      // 0 opaque, 2 blend, 3 premultiplied, 4 add, 5 multiply
+    pbr: u32,             // 0 unlit, 1 lit
+    fade_edge: f32,       // 0..1: radial soft-edge width
+    fade_scene: f32,      // soft scene-intersection range (world units)
+    flags: u32,           // bit0 base tex, bit1 normal map, bit2 orm tex
+    _pad: vec3<f32>,
+};
+
+const FLAG_BASE_COLOR_TEXTURE: u32 = 1u;
+const FLAG_NORMAL_MAP_TEXTURE: u32 = 2u;
+const FLAG_ORM_TEXTURE: u32 = 4u;
+
+@group(0) @binding(0) var<uniform> view: ViewLike;
+
+@group(2) @binding(0) var<uniform> system: SystemUniform;
+@group(2) @binding(1) var depth_prepass: texture_depth_2d;
+@group(2) @binding(2) var base_tex: texture_2d<f32>;
+@group(2) @binding(3) var base_samp: sampler;
+@group(2) @binding(4) var normal_tex: texture_2d<f32>;
+@group(2) @binding(5) var normal_samp: sampler;
+@group(2) @binding(6) var orm_tex: texture_2d<f32>;
+@group(2) @binding(7) var orm_samp: sampler;
+
+// ---------------------------------------------------------------------------
+// quaternion helpers
+// ---------------------------------------------------------------------------
+
+fn quat_mul(a: vec4<f32>, b: vec4<f32>) -> vec4<f32> {
+    return vec4<f32>(
+        a.w * b.xyz + b.w * a.xyz + cross(a.xyz, b.xyz),
+        a.w * b.w - dot(a.xyz, b.xyz),
+    );
+}
+
+fn quat_rotate(q: vec4<f32>, v: vec3<f32>) -> vec3<f32> {
+    let t = 2.0 * cross(q.xyz, v);
+    return v + q.w * t + cross(q.xyz, t);
+}
+
+fn quat_normalize(q: vec4<f32>) -> vec4<f32> {
+    let n = length(q);
+    if (n < 1e-8) {
+        return vec4<f32>(0.0, 0.0, 0.0, 1.0);
+    }
+    return q / n;
+}
+
+// Swing-twist decomposition: extract the component of rotation q about unit
+// axis `dir` (the twist). The billboard keeps only this twist so particles
+// can spin in-plane while always facing the camera.
+fn twist_about(q: vec4<f32>, dir: vec3<f32>) -> vec4<f32> {
+    let proj = dot(q.xyz, dir) * dir;      // rotation-axis projection
+    let twist = vec4<f32>(proj, q.w);
+    let len2 = dot(twist, twist);
+    if (len2 < 1e-12) {
+        // 180-degree swing: no twist component recoverable
+        return vec4<f32>(0.0, 0.0, 0.0, 1.0);
+    }
+    return twist / sqrt(len2);
+}
+
+// ---------------------------------------------------------------------------
+// vertex: one camera-facing quad per instance (two triangles, 6 verts)
+// ---------------------------------------------------------------------------
+
+struct VsIn {
+    @builtin(vertex_index) vertex_index: u32,
+    @location(3) pos_scale: vec4<f32>,
+    @location(4) rotation: vec4<f32>,
+    @location(5) base_color: vec4<f32>,
+    @location(6) emissive: vec4<f32>,
+};
+
+struct VsOut {
+    @builtin(position) clip_position: vec4<f32>,
+    @location(0) world_position: vec3<f32>,
+    @location(1) world_normal: vec3<f32>,
+    @location(2) world_tangent: vec4<f32>,
+    @location(3) uv: vec2<f32>,
+    @location(4) base_color: vec4<f32>,
+    @location(5) emissive: vec4<f32>,
+};
+
+@vertex
+fn vertex(in: VsIn) -> VsOut {
+    // quad corners in [-0.5, 0.5], CCW triangles
+    var corners = array<vec2<f32>, 6>(
+        vec2<f32>(-0.5, -0.5), vec2<f32>(0.5, -0.5), vec2<f32>(0.5, 0.5),
+        vec2<f32>(-0.5, -0.5), vec2<f32>(0.5, 0.5), vec2<f32>(-0.5, 0.5),
+    );
+    let corner = corners[in.vertex_index];
+    let center = in.pos_scale.xyz;
+    let scale = in.pos_scale.w;
+
+    // camera basis in world space (inverse_view columns)
+    let cam_right = view.inverse_view[0].xyz;
+    let cam_up = view.inverse_view[1].xyz;
+    let cam_fwd = -view.inverse_view[2].xyz;   // looking direction
+    let to_camera = normalize(view.world_position - center);
+
+    // keep only the twist of the particle rotation about the view axis
+    let twist = twist_about(quat_normalize(in.rotation), to_camera);
+    let offset_cam = corner.x * cam_right + corner.y * cam_up;
+    let offset = quat_rotate(twist, offset_cam) * scale;
+
+    var out: VsOut;
+    out.world_position = center + offset;
+    out.clip_position = view.view_proj * vec4<f32>(out.world_position, 1.0);
+    out.world_normal = to_camera;
+    out.world_tangent = vec4<f32>(quat_rotate(twist, cam_right), 1.0);
+    out.uv = corner + vec2<f32>(0.5, 0.5);
+    out.base_color = in.base_color;
+    out.emissive = in.emissive;
+    return out;
+}
+
+// ---------------------------------------------------------------------------
+// fragment
+// ---------------------------------------------------------------------------
+
+fn prepass_depth_at(frag_coord: vec4<f32>) -> f32 {
+    let coords = vec2<i32>(frag_coord.xy);
+    return textureLoad(depth_prepass, coords, 0);
+}
+
+// reverse-Z clip depth -> linear view-space distance
+fn linearize_depth(ndc_depth: f32, proj_22: f32, proj_32: f32) -> f32 {
+    return proj_32 / max(ndc_depth, 1e-7);
+}
+
+@fragment
+fn fragment(in: VsOut, @builtin(position) frag_coord: vec4<f32>) -> @location(0) vec4<f32> {
+    var color = in.base_color;
+    var emissive = in.emissive;
+
+    if ((system.flags & FLAG_BASE_COLOR_TEXTURE) != 0u) {
+        color = color * textureSample(base_tex, base_samp, in.uv);
+    }
+
+    // radial edge fade: smooth falloff from (1 - fade_edge)..1 of the UV
+    // radius, rounding the quad into a soft disc
+    if (system.fade_edge > 0.0) {
+        let r = length(in.uv - vec2<f32>(0.5, 0.5)) * 2.0;
+        let fade_start = 1.0 - system.fade_edge;
+        let t = clamp((r - fade_start) / max(system.fade_edge, 1e-5), 0.0, 1.0);
+        color.a = color.a * (1.0 - t * t * (3.0 - 2.0 * t));  // smoothstep
+    }
+
+    // scene-depth fade: soften intersections against the depth prepass
+    if (system.fade_scene > 0.0) {
+        let scene_ndc = prepass_depth_at(frag_coord);
+        // reverse-Z: larger ndc = closer. Fragment behind-distance in ndc
+        // approximates world distance near the surface; scale by fade range.
+        let delta = frag_coord.z - scene_ndc;
+        let t = clamp(delta * system.fade_scene * 1e3, 0.0, 1.0);
+        color.a = color.a * t;
+    }
+
+    if (color.a <= 0.0) {
+        discard;
+    }
+
+    if (system.pbr == 0u) {
+        // unlit: emissive added over base (HDR-friendly)
+        return vec4<f32>(color.rgb + emissive.rgb, color.a);
+    }
+    return pbr_shade(in, color, emissive);
+}
+
+// Host-engine hook: a real integration substitutes its PBR pipeline here
+// (normal mapping via world_tangent + normal_tex when bit1 set, roughness/
+// metallic from orm_tex.gb when bit2 set, then the engine's light loop).
+fn pbr_shade(in: VsOut, base: vec4<f32>, emissive: vec4<f32>) -> vec4<f32> {
+    var n = normalize(in.world_normal);
+    if ((system.flags & FLAG_NORMAL_MAP_TEXTURE) != 0u) {
+        let t = normalize(in.world_tangent.xyz);
+        let b = cross(n, t) * in.world_tangent.w;
+        let nm = textureSample(normal_tex, normal_samp, in.uv).rgb * 2.0 - 1.0;
+        n = normalize(nm.x * t + nm.y * b + nm.z * n);
+    }
+    var perceptual_roughness = 0.5;
+    var metallic = 0.0;
+    if ((system.flags & FLAG_ORM_TEXTURE) != 0u) {
+        let orm = textureSample(orm_tex, orm_samp, in.uv).rgb;
+        perceptual_roughness = orm.g;
+        metallic = orm.b;
+    }
+    // minimal single-directional-light lambert+ambient stand-in; engines
+    // replace this body with their clustered light loop.
+    let light_dir = normalize(vec3<f32>(0.4, 0.8, 0.3));
+    let ndotl = max(dot(n, light_dir), 0.0);
+    let diffuse = base.rgb * (0.15 + 0.85 * ndotl) * (1.0 - metallic * 0.5);
+    return vec4<f32>(diffuse + emissive.rgb, base.a);
+}

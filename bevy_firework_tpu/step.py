@@ -176,13 +176,8 @@ def _claim_and_init(
     w("qz", params.init_rot[e, 2]); w("qw", params.init_rot[e, 3])
     w("wx", avx); w("wy", avy); w("wz", avz)
     w("initial_scale", init_scale)
-    w("scale", init_scale)
     w("age", 0.0)
     w("lifetime", lifetime)
-    w("col_r", params.base_color0[ti, 0]); w("col_g", params.base_color0[ti, 1])
-    w("col_b", params.base_color0[ti, 2]); w("col_a", params.base_color0[ti, 3])
-    w("em_r", params.emis_color0[ti, 0]); w("em_g", params.emis_color0[ti, 1])
-    w("em_b", params.emis_color0[ti, 2]); w("em_a", params.emis_color0[ti, 3])
     fields["ptype"] = jnp.where(spawn, ti, fields["ptype"])
     # last_emitted_age = f32::MIN for every emitter (core.rs:467)
     fields["last_emitted"] = jnp.where(spawn[None, :], F32_MIN, fields["last_emitted"])
@@ -212,10 +207,8 @@ def step(
         "vx": state.vx, "vy": state.vy, "vz": state.vz,
         "qx": state.qx, "qy": state.qy, "qz": state.qz, "qw": state.qw,
         "wx": state.wx, "wy": state.wy, "wz": state.wz,
-        "initial_scale": state.initial_scale, "scale": state.scale,
+        "initial_scale": state.initial_scale,
         "age": state.age, "lifetime": state.lifetime,
-        "col_r": state.col_r, "col_g": state.col_g, "col_b": state.col_b, "col_a": state.col_a,
-        "em_r": state.em_r, "em_g": state.em_g, "em_b": state.em_b, "em_a": state.em_a,
         "ptype": state.ptype, "alive": state.alive,
         "last_emitted": state.last_emitted,
     }
@@ -349,12 +342,9 @@ def step(
     wy2 = wy + (aay - ang_drag * wy) * dt
     wz2 = wz + (aaz - ang_drag * wz) * dt
 
-    br, bg, bb, ba = _eval_gradient_by_type(params.base_ts, params.base_vs, params.base_n, params.base_kind, ptype, age_pct, T)
-    er, eg, eb, ea = _eval_gradient_by_type(params.emis_ts, params.emis_vs, params.emis_n, params.emis_kind, ptype, age_pct, T)
-
     # --- commit, matching exactly what the reference's per-particle clone sees
+    # (scale and colors are recomputed from age at pack/event time, render.py)
     fields["age"] = jnp.where(alive0, age_new, fields["age"])
-    fields["scale"] = jnp.where(moved, scale_new, fields["scale"])
     fields["px"] = jnp.where(moved, npx, fields["px"])
     fields["py"] = jnp.where(moved, npy, fields["py"])
     fields["pz"] = jnp.where(moved, npz, fields["pz"])
@@ -368,14 +358,6 @@ def step(
     fields["wx"] = jnp.where(survivor, wx2, fields["wx"])
     fields["wy"] = jnp.where(survivor, wy2, fields["wy"])
     fields["wz"] = jnp.where(survivor, wz2, fields["wz"])
-    fields["col_r"] = jnp.where(survivor, br, fields["col_r"])
-    fields["col_g"] = jnp.where(survivor, bg, fields["col_g"])
-    fields["col_b"] = jnp.where(survivor, bb, fields["col_b"])
-    fields["col_a"] = jnp.where(survivor, ba, fields["col_a"])
-    fields["em_r"] = jnp.where(survivor, er, fields["em_r"])
-    fields["em_g"] = jnp.where(survivor, eg, fields["em_g"])
-    fields["em_b"] = jnp.where(survivor, eb, fields["em_b"])
-    fields["em_a"] = jnp.where(survivor, ea, fields["em_a"])
     fields["alive"] = survivor
 
     destroyed = alive0 & ~survivor
@@ -402,8 +384,9 @@ def step(
     finished = all_empty & ~active_now & ~state.finished_notified
     finished_notified = state.finished_notified | finished
 
-    # AABB over live particles: pos +- scale (render.rs:677-703)
-    s = fields["scale"]
+    # AABB over live particles: pos +- scale (render.rs:677-703). All
+    # survivors received the scale update this frame, so scale == scale_new.
+    s = scale_new
     inf = jnp.float32(jnp.inf)
     mins = []
     maxs = []
@@ -421,10 +404,8 @@ def step(
         vx=fields["vx"], vy=fields["vy"], vz=fields["vz"],
         qx=fields["qx"], qy=fields["qy"], qz=fields["qz"], qw=fields["qw"],
         wx=fields["wx"], wy=fields["wy"], wz=fields["wz"],
-        initial_scale=fields["initial_scale"], scale=fields["scale"],
+        initial_scale=fields["initial_scale"],
         age=fields["age"], lifetime=fields["lifetime"],
-        col_r=fields["col_r"], col_g=fields["col_g"], col_b=fields["col_b"], col_a=fields["col_a"],
-        em_r=fields["em_r"], em_g=fields["em_g"], em_b=fields["em_b"], em_a=fields["em_a"],
         ptype=fields["ptype"], alive=alive_new,
         last_emitted=fields["last_emitted"],
         time_in_cycle=time_in_cycle, last_emission=last_emission, enabled=enabled,

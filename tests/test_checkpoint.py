@@ -1,0 +1,59 @@
+"""Checkpoint/resume: bit-exact trajectory continuation after save+load."""
+
+import os
+
+import numpy as np
+
+from bevy_firework_tpu import (
+    EmissionPacing,
+    EmissionSettings,
+    ParticleSettings,
+    ParticleSpawner,
+    RandF32,
+    RandVec3,
+    Scene,
+    Transform,
+)
+from bevy_firework_tpu.checkpoint import load_pool, load_scene, save_pool, save_scene
+
+
+def spawner():
+    return ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32(0.2, 0.6))],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.rate(400.0),
+            initial_velocity=RandVec3(RandF32(1.0, 3.0), (0, 1, 0), 0.3))],
+    )
+
+
+def test_pool_round_trip(tmp_path):
+    scene = Scene()
+    sid = scene.add_spawner(spawner(), capacity=512)
+    for _ in range(20):
+        scene.step(1 / 60)
+    st = scene._spawners[sid].state
+    p = os.path.join(tmp_path, "pool.npz")
+    save_pool(p, st)
+    st2 = load_pool(p)
+    for name in ("px", "age", "alive", "rng_key", "time_in_cycle", "last_emission"):
+        np.testing.assert_array_equal(np.asarray(getattr(st, name)), np.asarray(getattr(st2, name)))
+
+
+def test_scene_resume_continues_exact_trajectory(tmp_path):
+    path = os.path.join(tmp_path, "scene.ckpt")
+    a = Scene()
+    a.add_spawner(spawner(), capacity=512, transform=Transform(translation=(1, 2, 3)))
+    for _ in range(15):
+        a.step(1 / 60)
+    save_scene(path, a)
+    b = load_scene(path)
+    assert b.time == a.time
+    for _ in range(15):
+        a.step(1 / 60)
+        b.step(1 / 60)
+    sa = next(iter(a._spawners.values())).state
+    sb = next(iter(b._spawners.values())).state
+    np.testing.assert_array_equal(np.asarray(sa.alive), np.asarray(sb.alive))
+    np.testing.assert_array_equal(np.asarray(sa.px), np.asarray(sb.px))
+    np.testing.assert_array_equal(np.asarray(sa.vy), np.asarray(sb.vy))
+    np.testing.assert_array_equal(np.asarray(sa.rng_key), np.asarray(sb.rng_key))

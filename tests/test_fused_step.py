@@ -69,8 +69,8 @@ def assert_state_match(sA, sB, atol=2e-5):
     a_alive = np.asarray(sA.alive)
     b_alive = np.asarray(sB.alive)
     assert a_alive.sum() == b_alive.sum()
-    for f in ("px", "py", "pz", "vx", "vy", "vz", "age", "scale", "lifetime",
-              "col_r", "col_g", "col_a", "em_r", "qx", "qy", "qw", "wx", "wy"):
+    for f in ("px", "py", "pz", "vx", "vy", "vz", "age", "lifetime",
+              "initial_scale", "qx", "qy", "qw", "wx", "wy"):
         xa = np.sort(np.asarray(getattr(sA, f))[a_alive])
         xb = np.sort(np.asarray(getattr(sB, f))[b_alive])
         np.testing.assert_allclose(xa, xb, atol=atol, err_msg=f)

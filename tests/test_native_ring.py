@@ -1,0 +1,86 @@
+"""Native (C++) instance ring: build, transpose correctness, producer/consumer
+hand-off, frame-drop semantics."""
+
+import numpy as np
+
+from bevy_firework_tpu.native import InstanceRing, get_lib, transpose_planes
+
+
+def test_native_lib_builds():
+    assert get_lib() is not None, "g++ toolchain expected on this image"
+
+
+def test_transpose_matches_numpy():
+    rng = np.random.RandomState(0)
+    planes = rng.rand(16, 1000).astype(np.float32)
+    out = transpose_planes(planes)
+    np.testing.assert_array_equal(out, planes.T)
+
+
+def test_ring_round_trip():
+    ring = InstanceRing(capacity=4096, n_slots=3)
+    planes = np.random.RandomState(1).rand(16, 500).astype(np.float32)
+    ring.publish(planes, count=500, frame_id=7)
+    got = ring.acquire()
+    assert got is not None
+    buf, fid = got
+    assert fid == 7 and buf.shape == (500, 16)
+    np.testing.assert_array_equal(buf, planes.T)
+    ring.release()
+    ring.close()
+
+
+def test_ring_latest_frame_wins():
+    ring = InstanceRing(capacity=64, n_slots=2)
+    for fid in range(5):  # consumer never drains: producer steals old slots
+        planes = np.full((16, 8), float(fid), np.float32)
+        ring.publish(planes, count=8, frame_id=fid)
+    buf, fid = ring.acquire()
+    assert fid == 4  # newest ready frame
+    np.testing.assert_array_equal(buf, 4.0)
+    ring.release()
+    ring.close()
+
+
+def test_ring_count_clamped_to_capacity():
+    ring = InstanceRing(capacity=16, n_slots=2)
+    planes = np.ones((16, 100), np.float32)
+    ring.publish(planes, count=100, frame_id=0)
+    buf, _ = ring.acquire()
+    assert buf.shape[0] == 16
+    ring.release()
+    ring.close()
+
+
+def test_end_to_end_with_engine_planes():
+    """Device pack -> planar copy -> native interleave == pack_instances."""
+    from bevy_firework_tpu import (
+        EmissionPacing,
+        EmissionSettings,
+        ParticleSettings,
+        ParticleSpawner,
+        RandF32,
+        compile_spawner,
+        init_pool,
+        make_frame_input,
+        pack_instances,
+    )
+    from bevy_firework_tpu.render import pack_instances_planar
+    from bevy_firework_tpu.step import step_jit
+
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(5.0))],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.one_shot(37))],
+    )
+    c = compile_spawner(sp)
+    state = init_pool(256, 1, True, 0)
+    state, _ = step_jit(c.static, c.params, None, state, make_frame_input(1 / 60))
+    planes, count = pack_instances_planar(c.params, state, 0)
+    rows_ref, count_ref = pack_instances(c.params, state, 0)
+    assert int(count) == int(count_ref) == 37
+    ring = InstanceRing(capacity=256)
+    ring.publish(np.asarray(planes), int(count), frame_id=1)
+    buf, _ = ring.acquire()
+    np.testing.assert_allclose(buf, np.asarray(rows_ref)[:37], atol=0)
+    ring.release()
+    ring.close()

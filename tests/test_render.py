@@ -38,7 +38,7 @@ def test_instance_row_layout():
     compiled = compile_spawner(sp)
     state = init_pool(64, 1, True, 0)
     state, _ = step_jit(compiled.static, compiled.params, None, state, make_frame_input(0.0))
-    buf, count = pack_instances(state, 0)
+    buf, count = pack_instances(compiled.params, state, 0)
     assert int(count) == 1
     row = np.asarray(buf)[0]
     np.testing.assert_allclose(row[3], 0.25, atol=1e-6)  # scale
@@ -57,7 +57,7 @@ def test_compaction_dense_and_ordered():
     state = init_pool(1024, 1, True, 0)
     for _ in range(60):
         state, _ = step_jit(compiled.static, compiled.params, None, state, make_frame_input(1 / 60))
-    buf, count = pack_instances(state, 0)
+    buf, count = pack_instances(compiled.params, state, 0)
     buf = np.asarray(buf)
     count = int(count)
     alive = np.asarray(state.alive)

@@ -47,20 +47,25 @@ def deterministic_spawner(**overrides):
 
 
 def run_engine(spawner, n_frames, dt, capacity=256):
+    from bevy_firework_tpu import pack_instances
+
     compiled = compile_spawner(spawner)
     state = init_pool(capacity, compiled.num_emitters, spawner.starts_enabled, seed=0)
     frames = []
     for _ in range(n_frames):
         state, out = step_jit(compiled.static, compiled.params, None, state, make_frame_input(dt))
         alive = np.asarray(state.alive)
+        # derived render fields (scale/colors) come from the pack path now
+        buf, count = pack_instances(compiled.params, state, 0)
+        rows = np.asarray(buf)[: int(count)]
         snap = {
             "count": int(alive.sum()),
-            "pos": np.stack([np.asarray(state.px)[alive], np.asarray(state.py)[alive], np.asarray(state.pz)[alive]], -1),
+            "pos": rows[:, 0:3],
             "vel": np.stack([np.asarray(state.vx)[alive], np.asarray(state.vy)[alive], np.asarray(state.vz)[alive]], -1),
             "age": np.asarray(state.age)[alive],
-            "scale": np.asarray(state.scale)[alive],
-            "color": np.stack([np.asarray(state.col_r)[alive], np.asarray(state.col_g)[alive], np.asarray(state.col_b)[alive], np.asarray(state.col_a)[alive]], -1),
-            "rot": np.stack([np.asarray(state.qx)[alive], np.asarray(state.qy)[alive], np.asarray(state.qz)[alive], np.asarray(state.qw)[alive]], -1),
+            "scale": rows[:, 3],
+            "color": rows[:, 8:12],
+            "rot": rows[:, 4:8],
             "finished": bool(out.finished_event),
         }
         frames.append(snap)
