@@ -152,10 +152,18 @@ def compile_spawner(spawner: ParticleSpawner) -> CompiledSpawner:
     pacing_kinds = tuple(pacing_map[e.emission_pacing.kind] for e in emitters)
     mode_kinds = tuple(MODE_NESTED if e.emission_mode.kind == EmissionModeKind.NESTED else MODE_GLOBAL for e in emitters)
     # Nested emission requires CountOverDuration pacing; others are skipped
-    # with a warning (`/root/reference/src/core.rs:474-485`).
+    # with a warning (`/root/reference/src/core.rs:474-485` warn_once!).
     nested_valid = tuple(
         not (m == MODE_NESTED and p != PACING_RATE) for m, p in zip(mode_kinds, pacing_kinds)
     )
+    if not all(nested_valid):
+        import warnings
+
+        warnings.warn(
+            "Only CountOverDuration emission pacing is allowed with Nested "
+            "emission mode; the offending emitter(s) will never emit",
+            stacklevel=2,
+        )
 
     static = SpawnerStatic(
         num_types=T,

@@ -188,45 +188,6 @@ def _eval_curve_static(ts, vs, kind, n, t):
     return v0 + (v1 - v0) * frac
 
 
-def _eval_curve_unrolled(ts, vs, n, kind, t):
-    """sample_clamped with K-unrolled selects; ts/vs are loaded [K] arrays
-    (scalar entries), n/kind int32 scalars, t a tile. Matches
-    curve.curve_index_frac semantics exactly."""
-    nf = n.astype(jnp.float32)
-    t01 = jnp.clip(t, 0.0, 1.0)
-    x = t01 * (nf - 1.0)
-    i_even = jnp.clip(jnp.floor(x), 0.0, nf - 2.0)
-    frac_even = x - i_even
-
-    t_end = ts[0]
-    for k in range(1, K_MAX):
-        t_end = jnp.where(n - 1 == k, ts[k], t_end)
-    tun = jnp.clip(t, ts[0], t_end)
-    i_un = jnp.zeros_like(t)
-    for k in range(1, K_MAX):
-        i_un = i_un + (tun >= ts[k]).astype(jnp.float32)
-    i_un = jnp.clip(i_un, 0.0, nf - 2.0)
-
-    is_even = kind == 1
-    is_const = kind == 0
-    i = jnp.where(is_even, i_even, i_un)
-    t0 = jnp.zeros_like(t)
-    t1 = jnp.ones_like(t)
-    v0 = jnp.zeros_like(t)
-    v1 = jnp.zeros_like(t)
-    for k in range(K_MAX):
-        sel = i == k
-        t0 = jnp.where(sel, ts[k], t0)
-        v0 = jnp.where(sel, vs[k], v0)
-        if k + 1 < K_MAX:
-            t1 = jnp.where(sel, ts[k + 1], t1)
-            v1 = jnp.where(sel, vs[k + 1], v1)
-    frac_un = (tun - t0) / (t1 - t0)
-    frac = jnp.where(is_even, frac_even, frac_un)
-    frac = jnp.where(is_const, 0.0, frac)
-    return v0 + (v1 - v0) * frac
-
-
 def _collide_tile(kinds, cpos, crot, cpar, clay, px, py, pz, vx, vy, vz, dt,
                   restitution, friction, destroy_flag, lane_mask):
     """particle_collision (core.rs:744-800) on one tile, colliders unrolled;

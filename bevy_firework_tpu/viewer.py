@@ -1,0 +1,137 @@
+"""Headless software viewer: rasterizes render items for visual QA.
+
+The reference's examples are judged by eye in a Bevy window (SURVEY.md §4:
+"visual correctness ... human-in-the-loop").  This module gives the TPU
+engine an equivalent: a small numpy rasterizer that consumes the exact render
+contract (docs/RENDER_CONTRACT.md) — camera-facing discs with radial edge
+fade, alpha/additive blending, distance sorting — and writes PNGs, so every
+example can produce an inspectable frame without a GPU.  Not on the
+benchmark path.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def write_png(path: str, rgb: np.ndarray):
+    """Minimal zlib PNG writer (8-bit RGB, no deps). rgb: [H, W, 3] float
+    (values tonemapped/clipped to [0,1]) or uint8."""
+    if rgb.dtype != np.uint8:
+        rgb = (np.clip(rgb, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    h, w, _ = rgb.shape
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+class Camera:
+    def __init__(self, position=(0.0, 3.0, 8.0), look_at=(0.0, 1.0, 0.0), up=(0, 1, 0), fov_deg=50.0):
+        self.position = np.asarray(position, np.float32)
+        fwd = np.asarray(look_at, np.float32) - self.position
+        self.forward = fwd / np.linalg.norm(fwd)
+        right = np.cross(self.forward, np.asarray(up, np.float32))
+        self.right = right / np.linalg.norm(right)
+        self.up = np.cross(self.right, self.forward)
+        self.fov = np.deg2rad(fov_deg)
+
+
+def render_frame(
+    items: Sequence,
+    camera: Optional[Camera] = None,
+    width: int = 640,
+    height: int = 480,
+    background: Tuple[float, float, float] = (0.02, 0.02, 0.03),
+    exposure: float = 1.0,
+) -> np.ndarray:
+    """Rasterize RenderItems to an [H, W, 3] float image (simple Reinhard
+    tonemap for the HDR gradients). Implements the contract's billboard +
+    edge-fade + blend semantics in screen space (no PBR/shadows)."""
+    cam = camera or Camera()
+    img = np.zeros((height, width, 3), np.float32)
+    img[:] = background
+
+    focal = 0.5 * width / np.tan(0.5 * cam.fov)
+
+    # gather all particles with per-item uniform params
+    batches = []
+    for item in items:
+        inst = np.asarray(item.instances, np.float32).reshape(-1, 16)
+        if len(inst) == 0:
+            continue
+        rel = inst[:, 0:3] - cam.position
+        depth = rel @ cam.forward
+        x = rel @ cam.right
+        y = rel @ cam.up
+        batches.append((inst, depth, x, y, item.uniform))
+
+    # global back-to-front ordering across items (transparent phase sort)
+    order = []
+    for bi, (inst, depth, x, y, uni) in enumerate(batches):
+        for pi in range(len(inst)):
+            order.append((depth[pi], bi, pi))
+    order.sort(key=lambda t: -t[0])
+
+    for depth, bi, pi in order:
+        inst, depths, xs, ys, uni = batches[bi]
+        if depth <= 0.05:
+            continue
+        px = focal * xs[pi] / depth + width * 0.5
+        py = -focal * ys[pi] / depth + height * 0.5
+        pr = focal * inst[pi, 3] / depth  # screen-space radius
+        if pr < 0.3:
+            pr = 0.3
+        x0, x1 = int(px - pr), int(px + pr) + 1
+        y0, y1 = int(py - pr), int(py + pr) + 1
+        if x1 < 0 or y1 < 0 or x0 >= width or y0 >= height:
+            continue
+        x0c, x1c = max(x0, 0), min(x1, width)
+        y0c, y1c = max(y0, 0), min(y1, height)
+        yy, xx = np.mgrid[y0c:y1c, x0c:x1c]
+        r = np.sqrt((xx - px) ** 2 + (yy - py) ** 2) / pr
+        base = inst[pi, 8:12]
+        emis = inst[pi, 12:16]
+        alpha = np.full(r.shape, base[3], np.float32)
+        fade = uni.fade_edge
+        if fade > 0:
+            t = np.clip((r - (1.0 - fade)) / max(fade, 1e-5), 0.0, 1.0)
+            alpha = alpha * (1.0 - t * t * (3.0 - 2.0 * t))
+        alpha = np.where(r <= 1.0, alpha, 0.0)
+        color = base[0:3] + emis[0:3]
+        tile = img[y0c:y1c, x0c:x1c]
+        if uni.alpha_mode == 4:  # additive
+            tile += color * alpha[..., None]
+        else:  # alpha blend (2/3/...)
+            tile *= (1.0 - alpha)[..., None]
+            tile += color * alpha[..., None]
+        img[y0c:y1c, x0c:x1c] = tile
+
+    # Reinhard tonemap for HDR colors
+    img = img * exposure
+    return img / (1.0 + img)
+
+
+def render_scene_png(scene, path: str, camera: Optional[Camera] = None, width: int = 640, height: int = 480, **kw):
+    img = render_frame(scene.render_items(), camera, width, height, **kw)
+    write_png(path, img)
+    return path
