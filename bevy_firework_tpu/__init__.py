@@ -13,6 +13,7 @@ from .colliders import Collider, ColliderTable, compile_colliders
 from .compiled import CompiledSpawner, compile_spawner
 from .curve import FireworkCurve, FireworkGradient, gradient_constant, gradient_even_samples, gradient_uneven_samples
 from .emission_shape import EmissionShape
+from .fleet import Fleet
 from .pool import FrameInput, PoolState, init_pool, make_frame_input
 from .rand import RandF32, RandVec3
 from .render import FireworkUniform, RenderItem, instances_to_bytes, make_uniform, pack_instances
@@ -50,6 +51,7 @@ __all__ = [
     "EmissionShape",
     "FireworkCurve",
     "FireworkGradient",
+    "Fleet",
     "FireworkUniform",
     "FrameInput",
     "ParticleCollisionSettings",

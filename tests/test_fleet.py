@@ -1,0 +1,68 @@
+"""Fleet: vmapped same-archetype spawner batching (SURVEY.md §2a DP)."""
+
+import numpy as np
+
+from bevy_firework_tpu import (
+    EmissionPacing,
+    EmissionSettings,
+    ParticleSettings,
+    ParticleSpawner,
+    RandF32,
+    RandVec3,
+    Transform,
+)
+from bevy_firework_tpu.fleet import Fleet
+
+
+def burst(n=10, lifetime=0.2):
+    return ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(lifetime),
+                                            initial_scale=RandF32.constant(0.1),
+                                            acceleration=(0, 0, 0), linear_drag=0.0)],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.one_shot(n),
+                                            initial_velocity=RandVec3.constant((0, 1, 0)))],
+    )
+
+
+def test_fleet_one_shot_lifecycle():
+    fleet = Fleet(burst(), capacity=32, max_spawners=8)
+    a = fleet.activate(Transform(translation=(1, 0, 0)))
+    b = fleet.activate(Transform(translation=(5, 0, 0)))
+    fleet.step(1 / 60)
+    assert fleet.alive_count() == 20  # 10 each
+    items = fleet.render_items()
+    assert len(items) == 2
+    xs = sorted(i.instances[:, 0].mean() for i in items)
+    assert abs(xs[0] - 1.0) < 0.1 and abs(xs[1] - 5.0) < 0.1
+    # run out the lifetimes -> finished events fire, slots recycle
+    finished = []
+    for _ in range(20):
+        fleet.step(1 / 60)
+        finished += fleet.drain_finished()
+    assert sorted(finished) == [a, b]
+    assert fleet.active_slots() == []
+    # slot reuse
+    c = fleet.activate(Transform(translation=(-3, 0, 0)))
+    assert c == 0
+    fleet.step(1 / 60)
+    assert fleet.alive_count() == 10
+
+
+def test_inactive_slots_do_nothing():
+    fleet = Fleet(burst(), capacity=32, max_spawners=4)
+    fleet.step(1 / 60)
+    assert fleet.alive_count() == 0
+    fleet.activate()
+    fleet.step(1 / 60)
+    assert fleet.alive_count() == 10  # only the active slot emits
+
+
+def test_fleet_full_raises():
+    fleet = Fleet(burst(lifetime=10.0), capacity=32, max_spawners=2)
+    fleet.activate()
+    fleet.activate()
+    try:
+        fleet.activate()
+        assert False
+    except RuntimeError:
+        pass
