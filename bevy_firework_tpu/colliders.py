@@ -65,12 +65,16 @@ class Collider:
 class ColliderTable:
     """Compiled collider set: [C] rows.
 
-    `kinds` is a static Python tuple so the narrow-phase kernel unrolls one
-    analytic raycast per collider at trace time (C is small); the geometric
-    parameters are traced arrays so moving a collider does not recompile.
+    `kinds` and `identity_rot` are static Python tuples so the narrow-phase
+    kernel unrolls one analytic raycast per collider at trace time (C is
+    small) and elides the world<->local quaternion rotations for
+    axis-aligned colliders (floors etc. — two rotations per collider per
+    substep); the geometric parameters are traced arrays so moving a
+    collider does not recompile.
     """
 
     kinds: Tuple[int, ...]  # static, per collider
+    identity_rot: Tuple[bool, ...]  # static, per collider: unrotated?
     position: jax.Array  # [C, 3]
     rotation: jax.Array  # [C, 4] xyzw
     params: jax.Array  # [C, 3] (pad unused with 0)
@@ -84,7 +88,7 @@ class ColliderTable:
 jax.tree_util.register_dataclass(
     ColliderTable,
     data_fields=["position", "rotation", "params", "layers"],
-    meta_fields=["kinds"],
+    meta_fields=["kinds", "identity_rot"],
 )
 
 
@@ -95,6 +99,7 @@ def compile_colliders(colliders: List[Collider]) -> ColliderTable:
         params[i, : len(col.params)] = col.params
     return ColliderTable(
         kinds=tuple(int(col.kind) for col in colliders),
+        identity_rot=tuple(tuple(col.rotation) == (0.0, 0.0, 0.0, 1.0) for col in colliders),
         position=jnp.asarray(np.array([col.position for col in colliders], dtype=np.float32).reshape(c, 3)),
         rotation=jnp.asarray(np.array([col.rotation for col in colliders], dtype=np.float32).reshape(c, 4)),
         params=jnp.asarray(params[:c]),

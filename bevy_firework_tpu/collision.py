@@ -262,8 +262,12 @@ def raycast_scene(table: ColliderTable, lane_mask_u32, px, py, pz, dx, dy, dz, m
     for ci, k in enumerate(table.kinds):
         q = table.rotation[ci]
         cp = table.position[ci]
-        ox, oy, oz = _quat_conj_rotate(q, px - cp[0], py - cp[1], pz - cp[2])
-        rdx, rdy, rdz = _quat_conj_rotate(q, dx, dy, dz)
+        if table.identity_rot[ci]:
+            ox, oy, oz = px - cp[0], py - cp[1], pz - cp[2]
+            rdx, rdy, rdz = dx, dy, dz
+        else:
+            ox, oy, oz = _quat_conj_rotate(q, px - cp[0], py - cp[1], pz - cp[2])
+            rdx, rdy, rdz = _quat_conj_rotate(q, dx, dy, dz)
         p = table.params[ci]
         if k == COLLIDER_HALFSPACE:
             dist, nx, ny, nz = _ray_halfspace(ox, oy, oz, rdx, rdy, rdz)
@@ -282,7 +286,10 @@ def raycast_scene(table: ColliderTable, lane_mask_u32, px, py, pz, dx, dy, dz, m
         layer_ok = (lane_mask_u32 & table.layers[ci]) != 0
         dist = jnp.where(layer_ok, dist, BIG)
         closer = (dist <= max_dist) & (dist < best)
-        wnx, wny, wnz = _quat_rotate_c(q, nx, ny, nz)
+        if table.identity_rot[ci]:
+            wnx, wny, wnz = nx, ny, nz
+        else:
+            wnx, wny, wnz = _quat_rotate_c(q, nx, ny, nz)
         bnx = jnp.where(closer, wnx, bnx)
         bny = jnp.where(closer, wny, bny)
         bnz = jnp.where(closer, wnz, bnz)

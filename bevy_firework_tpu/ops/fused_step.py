@@ -188,7 +188,7 @@ def _eval_curve_static(ts, vs, kind, n, t):
     return v0 + (v1 - v0) * frac
 
 
-def _collide_tile(kinds, cpos, crot, cpar, clay, px, py, pz, vx, vy, vz, dt,
+def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, vy, vz, dt,
                   restitution, friction, destroy_flag, lane_mask):
     """particle_collision (core.rs:744-800) on one tile, colliders unrolled;
     mirrors collision.particle_collision lane-for-lane."""
@@ -218,8 +218,12 @@ def _collide_tile(kinds, cpos, crot, cpar, clay, px, py, pz, vx, vy, vz, dt,
         bnz = jnp.zeros_like(px)
         for ci, k in enumerate(kinds):
             qx, qy, qz, qw = crot[ci, 0], crot[ci, 1], crot[ci, 2], crot[ci, 3]
-            ox, oy, oz = conj_rot(qx, qy, qz, qw, px - cpos[ci, 0], py - cpos[ci, 1], pz - cpos[ci, 2])
-            rdx, rdy, rdz = conj_rot(qx, qy, qz, qw, dx, dy, dz)
+            if identity_rot[ci]:
+                ox, oy, oz = px - cpos[ci, 0], py - cpos[ci, 1], pz - cpos[ci, 2]
+                rdx, rdy, rdz = dx, dy, dz
+            else:
+                ox, oy, oz = conj_rot(qx, qy, qz, qw, px - cpos[ci, 0], py - cpos[ci, 1], pz - cpos[ci, 2])
+                rdx, rdy, rdz = conj_rot(qx, qy, qz, qw, dx, dy, dz)
             p0, p1, p2 = cpar[ci, 0], cpar[ci, 1], cpar[ci, 2]
             if k == 0:
                 dist, nx, ny, nz = _ray_halfspace(ox, oy, oz, rdx, rdy, rdz)
@@ -236,7 +240,10 @@ def _collide_tile(kinds, cpos, crot, cpar, clay, px, py, pz, vx, vy, vz, dt,
             layer_ok = (lane_mask & clay[ci, 0]) != 0
             dist = jnp.where(layer_ok, dist, BIG)
             closer = (dist <= max_dist) & (dist < best)
-            wnx, wny, wnz = quat_rotate_comp(qx, qy, qz, qw, nx, ny, nz)
+            if identity_rot[ci]:
+                wnx, wny, wnz = nx, ny, nz
+            else:
+                wnx, wny, wnz = quat_rotate_comp(qx, qy, qz, qw, nx, ny, nz)
             bnx = jnp.where(closer, wnx, bnx)
             bny = jnp.where(closer, wny, bny)
             bnz = jnp.where(closer, wnz, bnz)
@@ -292,7 +299,7 @@ def _collide_tile(kinds, cpos, crot, cpar, clay, px, py, pz, vx, vy, vz, dt,
     return px, py, pz, vx, vy, vz, destroyed
 
 
-def _make_kernel(static: SpawnerStatic, collider_kinds, dump: bool):
+def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump: bool):
     E = static.num_emitters
     T = static.num_types
     C = len(collider_kinds)
@@ -436,7 +443,8 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, dump: bool):
             destroy_flag = by_type(tcoll_ref, 2)
             lane_mask = by_type(tmask_ref, 0)
             cpx, cpy, cpz, cvx, cvy, cvz, cdes = _collide_tile(
-                collider_kinds, cpos_ref[:, :], crot_ref[:, :], cpar_ref[:, :], clay_ref[:, :],
+                collider_kinds, collider_identity, cpos_ref[:, :], crot_ref[:, :],
+                cpar_ref[:, :], clay_ref[:, :],
                 px, py, pz, vx, vy, vz, dt, restitution, friction, destroy_flag, lane_mask,
             )
             has_col = jnp.zeros(ptype.shape, bool)
@@ -623,8 +631,9 @@ def fused_step(
     )
 
     kinds = colliders.kinds if (colliders is not None and static.any_collision) else ()
+    identity = colliders.identity_rot if (colliders is not None and static.any_collision) else ()
     dump = static.any_destroyed_dump
-    kernel = _make_kernel(static, kinds, dump)
+    kernel = _make_kernel(static, kinds, identity, dump)
 
     # seed must round-trip through f32 exactly: keep it under 2^24
     seed = jax.random.randint(frame_key, (), 0, 1 << 24)
@@ -742,3 +751,16 @@ def step_auto(static, params, colliders, state, frame):
 @partial(jax.jit, static_argnums=(0,))
 def step_auto_jit(static, params, colliders, state, frame):
     return step_auto(static, params, colliders, state, frame)
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def multi_step_auto(static, params, colliders, state, frame, n_frames: int):
+    """n frames in one dispatch (lax.scan over step_auto; per-frame outputs
+    are dead-code-eliminated except the last). See step.multi_step."""
+
+    def body(s, _):
+        s2, _o = step_auto(static, params, colliders, s, frame)
+        return s2, None
+
+    final, _ = jax.lax.scan(body, state, None, length=n_frames - 1)
+    return step_auto(static, params, colliders, final, frame)

@@ -201,6 +201,45 @@ class Scene:
             if slot.compiled.static.any_destroyed_dump:
                 self._dispatch_destroyed(sid, slot)
 
+    def step_n(self, dt: float, n_frames: int):
+        """Fast-forward n frames in ONE device dispatch per spawner (the
+        driver-loop analog of the reference's pipelined headless stepping).
+        Finished events are still delivered (latched via finished_notified);
+        destroyed-particle dumps of intermediate frames are skipped — use
+        step() when per-frame death events matter."""
+        from .ops.fused_step import multi_step_auto
+
+        if n_frames <= 0:
+            return
+        self.time += float(dt) * n_frames
+        self._last_dt = float(dt)
+        for sid, slot in list(self._spawners.items()):
+            tf = (
+                slot.transform
+                if slot.spawner.spawn_transform_mode == SpawnTransformMode.LOCAL
+                else slot.global_transform
+            )
+            frame = make_frame_input(
+                dt,
+                translation=tf.translation,
+                rotation=tf.rotation,
+                parent_velocity=slot.parent_velocity,
+                modifier_scale=slot.modifier.scale,
+                modifier_speed=slot.modifier.speed,
+            )
+            colliders = self._colliders if slot.compiled.static.any_collision else None
+            notified_before = bool(slot.state.finished_notified)
+            slot.state, slot.outputs = multi_step_auto(
+                slot.compiled.static, slot.compiled.params, colliders, slot.state, frame, n_frames
+            )
+            if slot.finished_observers and not slot.finished_fired:
+                if bool(slot.state.finished_notified) and not notified_before:
+                    slot.finished_fired = True
+                    for cb in slot.finished_observers:
+                        cb(sid)
+            if slot.compiled.static.any_destroyed_dump:
+                self._dispatch_destroyed(sid, slot)
+
     def _dispatch_destroyed(self, sid: int, slot: _SpawnerSlot):
         mask = np.asarray(slot.outputs.destroyed_mask)
         if not mask.any():
