@@ -1,0 +1,86 @@
+"""Asynchronous device->host render readback pipeline.
+
+Bevy runs simulation and rendering in pipelined worlds: the render world
+draws frame N-1 while the main world simulates frame N, with the extract copy
+as the hand-off (`/root/reference/src/render.rs:52-54`).  The TPU analog
+(SURVEY.md §7 hard part 6):
+
+  sim thread:    step(N) -> pack(N) dispatched async -> submit(N)
+  reader thread: transfers pack(N-1) planes to host, interleaves them into
+                 64 B instance records inside the native C++ ring
+  render thread: ring.acquire() -> newest ready frame -> draw
+
+Because jax dispatch is asynchronous, `submit` never blocks the simulation
+loop; the blocking device->host transfer happens on the reader thread and
+overlaps the next frame's device compute. If the renderer falls behind, the
+ring drops stale frames (latest-wins), exactly like pipelined extract.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .native import InstanceRing
+from .render import pack_instances_planar
+
+
+class AsyncRenderReader:
+    """Per-spawner-type async readback into native instance rings."""
+
+    def __init__(self, capacity: int, num_types: int, n_slots: int = 3):
+        self.capacity = int(capacity)
+        self.num_types = int(num_types)
+        self.rings: Dict[int, InstanceRing] = {
+            t: InstanceRing(capacity, n_slots) for t in range(num_types)
+        }
+        self._q: "queue.Queue" = queue.Queue(maxsize=4)
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._stop = False
+        self._worker.start()
+
+    # ----------------------------------------------------------------- sim
+    def submit(self, params, state, frame_id: int):
+        """Dispatch packing for every type and enqueue the (still on-device)
+        results. Non-blocking: jax returns futures-like arrays immediately."""
+        payload = []
+        for t in range(self.num_types):
+            planes, count = pack_instances_planar(params, state, t)
+            payload.append((t, planes, count))
+        try:
+            self._q.put_nowait((frame_id, payload))
+        except queue.Full:
+            # simulation far ahead of readback: drop this frame (latest-wins)
+            pass
+
+    # -------------------------------------------------------------- reader
+    def _run(self):
+        while not self._stop:
+            try:
+                frame_id, payload = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            for t, planes, count in payload:
+                c = int(count)  # blocks until the device finished this frame
+                if c == 0:
+                    continue
+                host_planes = np.asarray(planes)  # device->host transfer
+                self.rings[t].publish(host_planes[:, :c], c, frame_id)
+
+    # -------------------------------------------------------------- render
+    def acquire(self, type_index: int) -> Optional[Tuple[np.ndarray, int]]:
+        """Newest ready instance buffer for one type, or None. Call
+        `release(type_index)` after uploading/drawing."""
+        return self.rings[type_index].acquire()
+
+    def release(self, type_index: int):
+        self.rings[type_index].release()
+
+    def close(self):
+        self._stop = True
+        self._worker.join(timeout=1.0)
+        for r in self.rings.values():
+            r.close()

@@ -1,0 +1,110 @@
+"""Property-based parity fuzz: random (deterministic-draw) spawner configs,
+engine vs the NumPy oracle, covering multi-emitter/multi-type combinations,
+pacing kinds, emission offset windows, and physics constants that the
+hand-written golden tests don't enumerate."""
+
+import numpy as np
+import pytest
+
+from bevy_firework_tpu import (
+    EmissionMode,
+    EmissionPacing,
+    EmissionSettings,
+    FireworkCurve,
+    ParticleSettings,
+    ParticleSpawner,
+    RandF32,
+    RandVec3,
+    compile_spawner,
+    gradient_uneven_samples,
+    init_pool,
+    make_frame_input,
+    step_jit,
+)
+from tests.oracle import oracle_init, oracle_step
+
+
+def random_spawner(rng: np.random.RandomState) -> ParticleSpawner:
+    T = rng.randint(1, 3)
+    types = []
+    for _ in range(T):
+        n_knots = rng.randint(1, 5)
+        if n_knots == 1:
+            curve = FireworkCurve.constant(float(rng.uniform(0.5, 2.0)))
+        else:
+            ts = np.sort(rng.uniform(0, 1, n_knots))
+            ts[0], ts[-1] = 0.0, 1.0
+            if len(set(ts)) < n_knots:
+                curve = FireworkCurve.constant(1.0)
+            else:
+                curve = FireworkCurve.uneven_samples([(float(t), float(rng.uniform(0.2, 3.0))) for t in ts])
+        types.append(
+            ParticleSettings(
+                lifetime=RandF32.constant(float(rng.uniform(0.1, 0.8))),
+                initial_scale=RandF32.constant(float(rng.uniform(0.05, 0.5))),
+                scale_curve=curve,
+                acceleration=tuple(rng.uniform(-10, 10, 3).astype(float)),
+                angular_acceleration=tuple(rng.uniform(-2, 2, 3).astype(float)),
+                linear_drag=float(rng.uniform(0, 1.0)),
+                angular_drag=float(rng.uniform(0, 1.0)),
+                base_color=gradient_uneven_samples(
+                    [(0.0, tuple(rng.uniform(0, 2, 4).astype(float))), (1.0, tuple(rng.uniform(0, 1, 4).astype(float)))]
+                ),
+            )
+        )
+    E = rng.randint(1, 4)
+    emitters = []
+    for _ in range(E):
+        kind = rng.choice(["one_shot", "rate", "windowed"])
+        if kind == "one_shot":
+            pacing = EmissionPacing.one_shot(int(rng.randint(1, 8)))
+        elif kind == "rate":
+            pacing = EmissionPacing.rate(float(rng.uniform(20, 300)))
+        else:
+            a = float(rng.uniform(0.0, 0.4))
+            b = float(rng.uniform(0.6, 1.0))
+            pacing = EmissionPacing.count_over_duration(float(rng.uniform(3, 40)), float(rng.uniform(0.3, 1.5)), a, b)
+        emitters.append(
+            EmissionSettings(
+                particle_index=int(rng.randint(0, T)),
+                emission_pacing=pacing,
+                initial_velocity=RandVec3.constant(tuple(rng.uniform(-3, 3, 3).astype(float))),
+                initial_angular_velocity=RandVec3.constant(tuple(rng.uniform(-3, 3, 3).astype(float))),
+                inherit_parent_velocity=bool(rng.randint(0, 2)),
+                initial_rotation=tuple((lambda q: q / np.linalg.norm(q))(rng.normal(size=4)).astype(float)),
+            )
+        )
+    return ParticleSpawner(particle_settings=tuple(types), emission_settings=tuple(emitters))
+
+
+def run_pair(spawner, n_frames, dt, capacity=512):
+    compiled = compile_spawner(spawner)
+    state = init_pool(capacity, compiled.num_emitters, True, 0)
+    ost = oracle_init(spawner)
+    for fi in range(n_frames):
+        state, out = step_jit(compiled.static, compiled.params, None, state, make_frame_input(dt))
+        oracle_step(spawner, ost, dt)
+        alive = np.asarray(state.alive)
+        tys = np.asarray(state.ptype)[alive]
+        o_parts = [(p, ti) for ti, pl_ in enumerate(ost.particles) for p in pl_]
+        assert alive.sum() == len(o_parts), f"frame {fi}: {alive.sum()} vs {len(o_parts)}"
+        for ti in range(len(spawner.particle_settings)):
+            assert (tys == ti).sum() == sum(1 for _, t in o_parts if t == ti), f"frame {fi} type {ti}"
+        for field, oget in (
+            ("px", lambda p: p.position[0]),
+            ("py", lambda p: p.position[1]),
+            ("vz", lambda p: p.velocity[2]),
+            ("age", lambda p: p.age),
+            ("wx", lambda p: p.angular_velocity[0]),
+            ("qw", lambda p: p.rotation[3]),
+        ):
+            a = np.sort(np.asarray(getattr(state, field))[alive])
+            b = np.sort(np.array([oget(p) for p, _ in o_parts], dtype=np.float64)) if o_parts else np.array([])
+            np.testing.assert_allclose(a, b, atol=5e-4, err_msg=f"frame {fi} {field}")
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_config_parity(seed):
+    rng = np.random.RandomState(100 + seed)
+    spawner = random_spawner(rng)
+    run_pair(spawner, n_frames=35, dt=1.0 / 50.0)

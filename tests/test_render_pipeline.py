@@ -1,0 +1,51 @@
+"""Async readback pipeline: overlapped transfers, latest-wins, contract
+equality with the synchronous pack path."""
+
+import time
+
+import numpy as np
+
+from bevy_firework_tpu import (
+    EmissionPacing,
+    EmissionSettings,
+    ParticleSettings,
+    ParticleSpawner,
+    RandF32,
+    compile_spawner,
+    init_pool,
+    make_frame_input,
+    pack_instances,
+)
+from bevy_firework_tpu.render_pipeline import AsyncRenderReader
+from bevy_firework_tpu.step import step_jit
+
+
+def test_async_reader_matches_sync_pack():
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(5.0))],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.rate(600.0))],
+    )
+    c = compile_spawner(sp)
+    state = init_pool(2048, 1, True, 0)
+    reader = AsyncRenderReader(capacity=2048, num_types=1)
+    last_state = None
+    for f in range(30):
+        state, _ = step_jit(c.static, c.params, None, state, make_frame_input(1 / 60))
+        reader.submit(c.params, state, frame_id=f)
+        last_state = state
+    # wait for the reader thread to drain
+    deadline = time.time() + 10
+    got = None
+    while time.time() < deadline:
+        got = reader.acquire(0)
+        if got is not None and got[1] == 29:
+            break
+        if got is not None:
+            reader.release(0)
+        time.sleep(0.01)
+    assert got is not None and got[1] == 29, "final frame never arrived"
+    buf, fid = got
+    rows_ref, count_ref = pack_instances(c.params, last_state, 0)
+    np.testing.assert_allclose(buf, np.asarray(rows_ref)[: int(count_ref)], atol=0)
+    reader.release(0)
+    reader.close()
