@@ -9,6 +9,7 @@ sharding the pool/emitter axes over a `jax.sharding.Mesh`.
 """
 
 from .cadence import compute_emission_count, np_compute_emission_count
+from .checkpoint import load_pool, load_scene, save_pool, save_scene
 from .colliders import Collider, ColliderTable, compile_colliders
 from .compiled import CompiledSpawner, compile_spawner
 from .curve import FireworkCurve, FireworkGradient, gradient_constant, gradient_even_samples, gradient_uneven_samples
@@ -34,11 +35,14 @@ from .settings import (
     spawner_to_dict,
     spawner_to_json,
 )
-from .step import StepOutputs, step, step_jit
+from .physics_sync import RigidBodyState, linear_velocity_at_point, propagate_modifiers, sync_parent_velocity
+from .render_pipeline import AsyncRenderReader
+from .step import StepOutputs, multi_step, step, step_jit
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "AsyncRenderReader",
     "BlendMode",
     "Collider",
     "ColliderTable",
@@ -62,6 +66,7 @@ __all__ = [
     "RandF32",
     "RandVec3",
     "RenderItem",
+    "RigidBodyState",
     "Scene",
     "SpawnTransformMode",
     "StepOutputs",
@@ -74,14 +79,22 @@ __all__ = [
     "gradient_uneven_samples",
     "init_pool",
     "instances_to_bytes",
+    "linear_velocity_at_point",
+    "load_pool",
+    "load_scene",
     "make_frame_input",
     "make_uniform",
+    "multi_step",
     "np_compute_emission_count",
     "pack_instances",
+    "propagate_modifiers",
+    "save_pool",
+    "save_scene",
     "spawner_from_dict",
     "spawner_from_json",
     "spawner_to_dict",
     "spawner_to_json",
     "step",
     "step_jit",
+    "sync_parent_velocity",
 ]

@@ -320,3 +320,59 @@ def one_shot_walls() -> List[Collider]:
         wall((0.0, 0.0, -4.0), (8.0, 6.0, 1.0)),
         wall((0.0, 0.0, 4.0), (8.0, 6.0, 1.0)),
     ]
+
+
+def fireworks() -> Tuple[ParticleSpawner, Transform]:
+    """Showcase (no reference counterpart): a real two-stage firework using
+    the same primitives the reference exposes. Type 0 rockets rise with low
+    drag; a nested emitter with an END-of-life window (offset 0.85..1.0)
+    bursts ~80 sparkles from each rocket at its apex — nested emission as a
+    timed secondary explosion rather than a continuous trail."""
+    rocket = ParticleSettings(
+        lifetime=RandF32(1.1, 1.5),
+        initial_scale=RandF32.constant(0.06),
+        acceleration=(0.0, 2.0, 0.0),  # thrust overcoming gravity is pre-applied in initial velocity
+        linear_drag=0.4,
+        base_color=gradient_uneven_samples(
+            [(0.0, (8.0, 6.0, 3.0, 1.0)), (0.9, (4.0, 2.0, 1.0, 1.0)), (1.0, (0.0, 0.0, 0.0, 0.0))]
+        ),
+        blend_mode=BlendMode.BLEND,
+    )
+    sparkle = ParticleSettings(
+        lifetime=RandF32(0.6, 1.2),
+        initial_scale=RandF32(0.02, 0.05),
+        acceleration=(0.0, -4.0, 0.0),
+        linear_drag=0.9,
+        scale_curve=FireworkCurve.uneven_samples([(0.0, 1.0), (0.8, 0.8), (1.0, 0.0)]),
+        base_color=gradient_uneven_samples(
+            [
+                (0.0, (20.0, 14.0, 4.0, 1.0)),
+                (0.5, (6.0, 1.5, 4.0, 1.0)),
+                (0.8, (1.0, 0.3, 1.2, 1.0)),
+                (1.0, (0.1, 0.05, 0.1, 0.0)),
+            ]
+        ),
+        blend_mode=BlendMode.BLEND,
+    )
+    launcher = EmissionSettings(
+        particle_index=0,
+        emission_pacing=EmissionPacing.rate(3.0),
+        emission_shape=EmissionShape.circle((0, 1, 0), 1.5),
+        initial_velocity=RandVec3(magnitude=RandF32(7.0, 9.5), direction=(0, 1, 0), spread=0.12),
+        inherit_parent_velocity=False,
+    )
+    burst = EmissionSettings(
+        particle_index=1,
+        emission_mode=EmissionMode.nested(0),
+        # all 80 sparkles in the last 15% of the rocket's life = apex burst
+        emission_pacing=EmissionPacing.count_over_duration(80.0, 0.0, 0.85, 1.0),
+        emission_shape=EmissionShape.sphere(0.05),
+        initial_velocity=RandVec3(magnitude=RandF32(0.0, 4.5), direction=(0, 1, 0), spread=PI),
+        initial_velocity_radial=RandF32(0.5, 3.0),
+        inherit_parent_velocity=False,
+    )
+    spawner = ParticleSpawner(
+        particle_settings=(rocket, sparkle),
+        emission_settings=(launcher, burst),
+    )
+    return spawner, Transform(translation=(0.0, 0.0, 0.0))
