@@ -12,69 +12,70 @@ driver). The timing loop chains jitted steps with no host sync until the end.
 import dataclasses
 import json
 import time
-from functools import partial
 
 import jax
-import numpy as np
 
 from bevy_firework_tpu import compile_spawner, init_pool, make_frame_input
 from bevy_firework_tpu.models import effects
-from bevy_firework_tpu.ops.fused_step import step_auto, step_auto_jit
+from bevy_firework_tpu.ops.fused_step import step_auto_jit
 from bevy_firework_tpu.settings import EmissionPacing
 
 BASELINE_STEPS_PER_SEC = 9.6e6  # BASELINE.md frame-rate-parity estimate
 TARGET_LIVE = 100_000
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def _multi(static, params, n, state, frame):
-    def body(s, _):
-        s2, _o = step_auto(static, params, None, s, frame)
-        return s2, None
+def _measure(spawner, rate, capacity, colliders=None, warmup=140, n_frames=200):
+    """Steady-state device throughput (frames chained on-device — the
+    deployment shape, simulation running ahead of readback like the
+    reference's pipelined main/render worlds). Returns (alive, ms/frame)."""
+    from bevy_firework_tpu import compile_colliders
+    from bevy_firework_tpu.ops.fused_step import multi_step_auto
 
-    out, _ = jax.lax.scan(body, state, None, length=n)
-    return out
+    es = dataclasses.replace(spawner.emission_settings[0], emission_pacing=EmissionPacing.rate(float(rate)))
+    spawner = dataclasses.replace(spawner, emission_settings=(es,))
+    compiled = compile_spawner(spawner)
+    table = compile_colliders(colliders) if colliders else None
+    state = init_pool(capacity, compiled.num_emitters, True, seed=0)
+    frame = make_frame_input(1.0 / 60.0)
+    state, out = multi_step_auto(compiled.static, compiled.params, table, state, frame, warmup)
+    jax.block_until_ready(state.px)
+    alive = int(out.alive_count)
+    state2, _o = multi_step_auto(compiled.static, compiled.params, table, state, frame, n_frames)
+    jax.block_until_ready(state2.px)
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        state2, _o = multi_step_auto(compiled.static, compiled.params, table, state, frame, n_frames)
+        jax.block_until_ready(state2.px)
+        best = min(best, (time.perf_counter() - t0) / n_frames * 1e3)
+    return compiled, state, frame, alive, best
 
 
 def main():
+    # headline: driver metric — 100k live, stress_test
     spawner, _tf = effects.stress_test()
-    # stress_test is 160k/s x 1 s => scale the rate so steady state is 100k
-    es = dataclasses.replace(
-        spawner.emission_settings[0], emission_pacing=EmissionPacing.rate(float(TARGET_LIVE))
-    )
-    spawner = dataclasses.replace(spawner, emission_settings=(es,))
-    compiled = compile_spawner(spawner)
+    compiled, state, frame, alive, ms = _measure(spawner, TARGET_LIVE, 1 << 17)
 
-    capacity = 1 << 17  # 131072 slots for 100k steady-state
-    state = init_pool(capacity, compiled.num_emitters, True, seed=0)
-    frame = make_frame_input(1.0 / 60.0)
-
-    # warm-up: compile + fill to steady state (1 s lifetime => 90 frames)
-    for _ in range(90):
-        state, out = step_auto_jit(compiled.static, compiled.params, None, state, frame)
+    # per-dispatch latency (one host round-trip per frame)
+    state, out = step_auto_jit(compiled.static, compiled.params, None, state, frame)  # compile
     jax.block_until_ready(state.px)
-    alive = int(out.alive_count)
-
-    # (a) device throughput: frames chained on-device (the deployment shape —
-    # simulation runs ahead of readback, like the reference's pipelined
-    # main/render worlds)
-    n_frames = 200
-    s = _multi(compiled.static, compiled.params, n_frames, state, frame)
-    jax.block_until_ready(s.px)
-    t0 = time.perf_counter()
-    s = _multi(compiled.static, compiled.params, n_frames, state, frame)
-    jax.block_until_ready(s.px)
-    wall_device = time.perf_counter() - t0
-
-    # (b) per-dispatch latency (one host round-trip per frame)
     t0 = time.perf_counter()
     for _ in range(50):
         state, out = step_auto_jit(compiled.static, compiled.params, None, state, frame)
     jax.block_until_ready(state.px)
     wall_call = (time.perf_counter() - t0) / 50
 
-    ms_per_frame = wall_device / n_frames * 1e3
-    steps_per_sec = alive * n_frames / wall_device
+    extras = {}
+    try:
+        _c, _s, _f, alive_1m, ms_1m = _measure(spawner, 1_000_000, 160 * 8192, n_frames=100)
+        extras["1M"] = {"live": alive_1m, "ms_per_frame": round(ms_1m, 4)}
+        spc, _t2, cols = effects.stress_test_collision()
+        _c, _s, _f, alive_c, ms_c = _measure(spc, 500_000, 160 * 8192, colliders=cols, n_frames=100)
+        extras["1M_collision"] = {"live": alive_c, "ms_per_frame": round(ms_c, 4)}
+    except Exception as e:  # extras must never sink the headline metric
+        extras["error"] = str(e)[:200]
+
+    steps_per_sec = alive / (ms * 1e-3)
     print(
         json.dumps(
             {
@@ -82,9 +83,10 @@ def main():
                 "value": round(steps_per_sec),
                 "unit": "particle-steps/s",
                 "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
-                "ms_per_frame": round(ms_per_frame, 4),
+                "ms_per_frame": round(ms, 4),
                 "ms_per_frame_with_dispatch": round(wall_call * 1e3, 4),
                 "live_particles": alive,
+                "extras": extras,
                 "device": str(jax.devices()[0]),
             }
         )

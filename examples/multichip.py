@@ -1,0 +1,61 @@
+"""Multi-chip scaling demo (SURVEY.md §2a): runs on a virtual 8-device CPU
+mesh anywhere, or a real pod if one is attached.
+
+  sp: one pool's particle axis sharded across the mesh (GSPMD inserts the
+      spawn-prefix-sum / reduction collectives over ICI)
+  dp: a fleet of independent spawners, zero cross-chip communication
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if "--real" not in sys.argv:
+    os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+from bevy_firework_tpu import compile_spawner, init_pool, make_frame_input
+from bevy_firework_tpu.models import effects
+from bevy_firework_tpu.parallel.sharding import (
+    make_fleet_step,
+    make_mesh,
+    make_sharded_step,
+    shard_pool,
+    stack_frames,
+    stack_params,
+    stack_pools,
+)
+
+n = len(jax.devices())
+print(f"devices: {n} x {jax.devices()[0].platform}")
+mesh = make_mesh(n)
+
+# --- sp: one big pool sharded over the mesh
+spawner, _ = effects.sparks(rate=3000.0)
+c = compile_spawner(spawner)
+state = shard_pool(init_pool(n * 8192, c.num_emitters, True, 0), mesh)
+sharded = make_sharded_step(c.static, mesh)
+frame = make_frame_input(1 / 60)
+for _ in range(90):
+    state, out = sharded(c.params, None, state, frame)
+print(f"sp: {int(out.alive_count)} live particles sharded over {n} devices "
+      f"(shard spec: {state.px.sharding.spec})")
+
+# --- dp: fleet of independent spawners, one per device
+S = n * 2
+states = stack_pools([init_pool(4096, c.num_emitters, True, i) for i in range(S)])
+params = stack_params([c.params] * S)
+frames = stack_frames([make_frame_input(1 / 60, translation=(float(i), 0, 0)) for i in range(S)])
+fleet = make_fleet_step(c.static, mesh)
+for _ in range(90):
+    states, outs = fleet(params, states, frames)
+import numpy as np
+
+print(f"dp: {S} spawners x {int(np.asarray(outs.alive_count)[0])} live each, "
+      f"sharded {n}-way with zero cross-chip communication")

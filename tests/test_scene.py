@@ -175,6 +175,34 @@ def test_serde_full_round_trip():
     assert spawner_from_json(spawner_to_json(sp)) == sp
 
 
+def test_step_n_matches_step_loop():
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(0.75))],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.rate(500.0))],
+    )
+    a = Scene()
+    a.add_spawner(sp, capacity=1024)
+    b = Scene()
+    b.add_spawner(sp, capacity=1024)
+    for _ in range(90):
+        a.step(1 / 60)
+    b.step_n(1 / 60, 90)
+    assert a.alive_count() == b.alive_count()
+    sa = next(iter(a._spawners.values())).state
+    sb = next(iter(b._spawners.values())).state
+    np.testing.assert_array_equal(np.asarray(sa.alive), np.asarray(sb.alive))
+    np.testing.assert_array_equal(np.asarray(sa.px), np.asarray(sb.px))
+
+
+def test_step_n_delivers_finished_event():
+    scene = Scene()
+    sid = scene.add_spawner(burst(lifetime=0.1), capacity=32)
+    fired = []
+    scene.on_finished(sid, fired.append)
+    scene.step_n(1 / 60, 30)
+    assert fired == [sid]
+
+
 def test_capacity_overflow_drops_gracefully():
     sp = ParticleSpawner(
         particle_settings=[ParticleSettings(lifetime=RandF32.constant(10.0))],
