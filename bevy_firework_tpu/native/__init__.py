@@ -64,6 +64,11 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.ring_publish_dense.restype = ctypes.c_int64
+        lib.ring_publish_dense.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
         lib.ring_acquire.restype = ctypes.c_int
         lib.ring_acquire.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -126,6 +131,24 @@ class InstanceRing:
         slot = self._state.index(0) if 0 in self._state else self._state.index(2)
         self._bufs[slot][:count] = planes[:, :count].T
         self._meta[slot] = (count, frame_id)
+        self._state[slot] = 2
+        return slot
+
+    def publish_dense(self, planes: np.ndarray, frame_id: int) -> int:
+        """planes: [16, N] covering every pool lane with dead lanes at
+        scale == 0 (the `pack_instances_dense` output): compacts live lanes
+        while interleaving. Returns the slot index (live count is carried to
+        the consumer via acquire)."""
+        planes = np.ascontiguousarray(planes, dtype=np.float32)
+        if self._lib is not None:
+            slot = self._lib.ring_begin_write(self._h)
+            self._lib.ring_publish_dense(self._h, slot, _fptr(planes), planes.shape[1], planes.shape[1], frame_id)
+            return slot
+        live = planes[3] != 0.0
+        rows = planes[:, live].T[: self.capacity]
+        slot = self._state.index(0) if 0 in self._state else self._state.index(2)
+        self._bufs[slot][: len(rows)] = rows
+        self._meta[slot] = (len(rows), frame_id)
         self._state[slot] = 2
         return slot
 

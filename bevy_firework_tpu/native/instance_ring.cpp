@@ -160,4 +160,32 @@ void transpose_planes(float* dst, const float* planes, int64_t plane_stride, int
   }
 }
 
+// Producer: fill `slot` from DENSE planes (every pool lane, dead lanes have
+// scale == 0 in plane 3), compacting live lanes while interleaving.  This is
+// the production extract path: the device emits dense planes for free (the
+// pack fuses into the step kernel); the host-side compaction happens here,
+// overlapped with the next frame's device compute. Returns the live count.
+int64_t ring_publish_dense(void* handle, int slot, const float* planes,
+                           int64_t plane_stride, int64_t n_lanes, int64_t frame_id) {
+  Ring* r = static_cast<Ring*>(handle);
+  Slot& s = r->slots[slot];
+  const float* scale = planes + 3 * plane_stride;
+  float* dst = s.data;
+  int64_t count = 0;
+  for (int64_t i = 0; i < n_lanes; ++i) {
+    if (scale[i] == 0.0f) continue;
+    if (count >= r->capacity) break;
+    float* d = dst + count * kFloatsPerInstance;
+    for (int p = 0; p < kFloatsPerInstance; ++p) {
+      d[p] = planes[p * plane_stride + i];
+    }
+    ++count;
+  }
+  s.count = count;
+  s.frame_id = frame_id;
+  s.state.store(2, std::memory_order_release);
+  r->latest_frame.store(frame_id, std::memory_order_release);
+  return count;
+}
+
 }  // extern "C"

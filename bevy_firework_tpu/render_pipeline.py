@@ -25,15 +25,25 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from .native import InstanceRing
-from .render import pack_instances_planar
+from .render import pack_instances_dense, pack_instances_planar
 
 
 class AsyncRenderReader:
-    """Per-spawner-type async readback into native instance rings."""
+    """Per-spawner-type async readback into native instance rings.
 
-    def __init__(self, capacity: int, num_types: int, n_slots: int = 3):
+    mode="dense" (default): the device emits full-pool planes with dead lanes
+    at scale 0 — that pack fuses into the step kernel for FREE (measured: the
+    scatter-based compaction costs 6+ ms at 1M lanes, the dense pack ~0) —
+    and the C++ ring compacts live lanes while interleaving on the host.
+    mode="compact": device-side prefix-sum compaction; smaller transfers,
+    better for sparse pools.
+    """
+
+    def __init__(self, capacity: int, num_types: int, n_slots: int = 3, mode: str = "dense"):
+        assert mode in ("dense", "compact")
         self.capacity = int(capacity)
         self.num_types = int(num_types)
+        self.mode = mode
         self.rings: Dict[int, InstanceRing] = {
             t: InstanceRing(capacity, n_slots) for t in range(num_types)
         }
@@ -48,7 +58,10 @@ class AsyncRenderReader:
         results. Non-blocking: jax returns futures-like arrays immediately."""
         payload = []
         for t in range(self.num_types):
-            planes, count = pack_instances_planar(params, state, t)
+            if self.mode == "dense":
+                planes, count = pack_instances_dense(params, state, t)
+            else:
+                planes, count = pack_instances_planar(params, state, t)
             payload.append((t, planes, count))
         try:
             self._q.put_nowait((frame_id, payload))
@@ -68,7 +81,10 @@ class AsyncRenderReader:
                 if c == 0:
                     continue
                 host_planes = np.asarray(planes)  # device->host transfer
-                self.rings[t].publish(host_planes[:, :c], c, frame_id)
+                if self.mode == "dense":
+                    self.rings[t].publish_dense(host_planes, frame_id)
+                else:
+                    self.rings[t].publish(host_planes[:, :c], c, frame_id)
 
     # -------------------------------------------------------------- render
     def acquire(self, type_index: int) -> Optional[Tuple[np.ndarray, int]]:
