@@ -69,6 +69,11 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.ring_publish_dense_f16.restype = ctypes.c_int64
+        lib.ring_publish_dense_f16.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
         lib.ring_acquire.restype = ctypes.c_int
         lib.ring_acquire.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -151,6 +156,36 @@ class InstanceRing:
         self._meta[slot] = (len(rows), frame_id)
         self._state[slot] = 2
         return slot
+
+    def publish_dense_f16(self, planes: np.ndarray, frame_id: int) -> int:
+        """f16 variant of publish_dense: planes [16, N] float16. The slot
+        buffer then holds float16 rows (acquire_f16 to view them)."""
+        planes = np.ascontiguousarray(planes, dtype=np.float16)
+        u16 = planes.view(np.uint16)
+        if self._lib is not None:
+            slot = self._lib.ring_begin_write(self._h)
+            ptr = u16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+            self._lib.ring_publish_dense_f16(self._h, slot, ptr, planes.shape[1], planes.shape[1], frame_id)
+            return slot
+        live = (planes[3].view(np.uint16) & 0x7FFF) != 0
+        rows = planes[:, live].T[: self.capacity]
+        slot = self._state.index(0) if 0 in self._state else self._state.index(2)
+        raw16 = self._bufs[slot].reshape(-1).view(np.float16)
+        raw16[: rows.size] = rows.reshape(-1)
+        self._meta[slot] = (rows.shape[0], frame_id)
+        self._state[slot] = 2
+        return slot
+
+    def acquire_f16(self):
+        """Like acquire() but returns a float16 [count, 16] view (after a
+        publish_dense_f16: the slot holds f16 rows packed at its start)."""
+        got = self.acquire()
+        if got is None:
+            return None
+        buf, fid = got
+        count = buf.shape[0]
+        raw = buf.reshape(-1).view(np.float16)
+        return raw[: count * 16].reshape(count, 16), fid
 
     def publish_rows(self, rows: np.ndarray, frame_id: int) -> int:
         rows = np.ascontiguousarray(rows, dtype=np.float32)

@@ -188,4 +188,32 @@ int64_t ring_publish_dense(void* handle, int slot, const float* planes,
   return count;
 }
 
+// f16 variant of ring_publish_dense: planes are uint16-encoded IEEE float16
+// (32 B/particle after interleave — halves device->host render bandwidth).
+// The slot buffer is reinterpreted as uint16; scale==0 (bits 0x0000/0x8000)
+// marks dead lanes.
+int64_t ring_publish_dense_f16(void* handle, int slot, const uint16_t* planes,
+                               int64_t plane_stride, int64_t n_lanes, int64_t frame_id) {
+  Ring* r = static_cast<Ring*>(handle);
+  Slot& s = r->slots[slot];
+  const uint16_t* scale = planes + 3 * plane_stride;
+  uint16_t* dst = reinterpret_cast<uint16_t*>(s.data);
+  int64_t count = 0;
+  for (int64_t i = 0; i < n_lanes; ++i) {
+    uint16_t sc = scale[i];
+    if (sc == 0 || sc == 0x8000) continue;  // +-0.0 in f16
+    if (count >= r->capacity) break;
+    uint16_t* d = dst + count * kFloatsPerInstance;
+    for (int p = 0; p < kFloatsPerInstance; ++p) {
+      d[p] = planes[p * plane_stride + i];
+    }
+    ++count;
+  }
+  s.count = count;
+  s.frame_id = frame_id;
+  s.state.store(2, std::memory_order_release);
+  r->latest_frame.store(frame_id, std::memory_order_release);
+  return count;
+}
+
 }  // extern "C"

@@ -84,3 +84,46 @@ def test_end_to_end_with_engine_planes():
     np.testing.assert_allclose(buf, np.asarray(rows_ref)[:37], atol=0)
     ring.release()
     ring.close()
+
+
+def test_dense_and_f16_paths_match_compacted():
+    from bevy_firework_tpu import (
+        EmissionPacing,
+        EmissionSettings,
+        ParticleSettings,
+        ParticleSpawner,
+        RandF32,
+        compile_spawner,
+        init_pool,
+        make_frame_input,
+        pack_instances,
+    )
+    from bevy_firework_tpu.render import pack_instances_dense, pack_instances_dense_f16
+    from bevy_firework_tpu.step import step_jit
+
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32(0.05, 0.4))],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.rate(300.0))],
+    )
+    c = compile_spawner(sp)
+    state = init_pool(512, 1, True, 0)
+    for _ in range(25):  # mix of live and dead lanes
+        state, _ = step_jit(c.static, c.params, None, state, make_frame_input(1 / 60))
+    rows_ref, cnt = pack_instances(c.params, state, 0)
+    rows_ref = np.asarray(rows_ref)[: int(cnt)]
+    assert len(rows_ref) > 5
+
+    ring = InstanceRing(512)
+    planes, _ = pack_instances_dense(c.params, state, 0)
+    ring.publish_dense(np.asarray(planes), 1)
+    buf, _ = ring.acquire()
+    np.testing.assert_allclose(buf, rows_ref, atol=0)
+    ring.release()
+
+    planes16, _ = pack_instances_dense_f16(c.params, state, 0)
+    ring.publish_dense_f16(np.asarray(planes16), 2)
+    buf16, _ = ring.acquire_f16()
+    assert buf16.dtype == np.float16 and buf16.shape == rows_ref.shape
+    np.testing.assert_allclose(buf16.astype(np.float32), rows_ref, atol=5e-2, rtol=1e-2)
+    ring.release()
+    ring.close()
