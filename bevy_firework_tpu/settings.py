@@ -192,6 +192,8 @@ class ParticleSpawner:
     def __post_init__(self):
         object.__setattr__(self, "particle_settings", tuple(self.particle_settings))
         object.__setattr__(self, "emission_settings", tuple(self.emission_settings))
+        if not self.particle_settings:
+            raise ValueError("ParticleSpawner needs at least one ParticleSettings")
         for e in self.emission_settings:
             if e.particle_index >= len(self.particle_settings):
                 raise ValueError("emission_settings.particle_index out of range")

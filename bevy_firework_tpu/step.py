@@ -268,12 +268,22 @@ def step(
             )
             cum = jnp.cumsum(counts)
             total = cum[-1]
-            # child rank r -> parent slot: first parent whose inclusive cumsum
-            # exceeds r (two-stage spawn pass, SURVEY.md #9)
+            # child rank r -> parent slot p with starts_p <= r < starts_p+c_p
+            # (two-stage spawn pass, SURVEY.md #9). searchsorted is pathological
+            # on TPU (~99 ms at 131k lanes); instead scatter each emitting
+            # parent's slot index at its first child rank and forward-fill with
+            # a log-depth cummax — one gather per lane total.
             dead = ~fields["alive"]
             di = dead.astype(jnp.int32)
             rank = jnp.cumsum(di) - di
-            parent = jnp.clip(jnp.searchsorted(cum, rank, side="right"), 0, N - 1)
+            starts = cum - counts  # exclusive prefix
+            slot_ids = jnp.arange(N, dtype=jnp.int32)
+            scatter_pos = jnp.where(counts > 0, starts, N)  # empties dropped
+            rank_owner = (
+                jnp.full((N,), -1, jnp.int32).at[scatter_pos].max(slot_ids, mode="drop")
+            )
+            parent_for_rank = jax.lax.cummax(rank_owner)
+            parent = jnp.clip(parent_for_rank[jnp.clip(rank, 0, N - 1)], 0, N - 1)
             ppos = (fields["px"][parent], fields["py"][parent], fields["pz"][parent])
             prot = (fields["qx"][parent], fields["qy"][parent], fields["qz"][parent], fields["qw"][parent])
             pvel = (fields["vx"][parent], fields["vy"][parent], fields["vz"][parent])

@@ -212,3 +212,30 @@ def test_capacity_overflow_drops_gracefully():
     sid = scene.add_spawner(sp, capacity=32)
     scene.step(1 / 60)
     assert scene.alive_count(sid) == 32  # clamped to capacity, no crash
+
+
+def test_no_emitters_spawner_is_inert_and_finishes():
+    sp = ParticleSpawner(particle_settings=[ParticleSettings()], emission_settings=[])
+    scene = Scene()
+    sid = scene.add_spawner(sp, capacity=32)
+    fired = []
+    scene.on_finished(sid, fired.append)
+    scene.step(1 / 60)
+    assert scene.alive_count() == 0 and fired == [sid]
+
+
+def test_empty_particle_settings_rejected():
+    try:
+        ParticleSpawner(particle_settings=[], emission_settings=[])
+        assert False
+    except ValueError:
+        pass
+
+
+def test_giant_dt_kills_everything_one_frame():
+    scene = Scene()
+    sid = scene.add_spawner(burst(n=5, lifetime=0.5), capacity=32)
+    scene.step(0.0)
+    assert scene.alive_count(sid) == 5
+    scene.step(100.0)
+    assert scene.alive_count(sid) == 0
