@@ -90,6 +90,9 @@ def load_scene(path: str, colliders=None):
         for sid_s, m in meta["spawners"].items():
             sid = int(sid_s)
             spawner = spawner_from_dict(m["settings"])
+            # preserve the saved spawner id exactly (ids may be
+            # non-contiguous after removals; host code holds them)
+            scene._next_id = sid
             new_sid = scene.add_spawner(
                 spawner,
                 capacity=m["capacity"],
@@ -97,8 +100,8 @@ def load_scene(path: str, colliders=None):
                 global_transform=Transform(tuple(m["global_transform"]["translation"]), tuple(m["global_transform"]["rotation"])),
                 modifier=EffectModifier(**m["modifier"]),
             )
-            assert new_sid == sid or True  # ids may renumber; remap below
-            slot = scene._spawners[new_sid]
+            assert new_sid == sid
+            slot = scene._spawners[sid]
             slot.parent_velocity = tuple(m["parent_velocity"])
             slot.finished_fired = m["finished_fired"]
             slot.seed = m["seed"]

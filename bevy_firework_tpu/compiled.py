@@ -125,6 +125,7 @@ class CompiledSpawner:
     starts_enabled: bool
     # host-side render/metadata (not on the hot path): per type
     blend_modes: Tuple[int, ...]
+    pbr_flags: Tuple[bool, ...]
     fade_edges: Tuple[float, ...]
     fade_scenes: Tuple[float, ...]
     textures: Tuple[Tuple[object, object, object], ...]
@@ -237,6 +238,7 @@ def compile_spawner(spawner: ParticleSpawner) -> CompiledSpawner:
         params=params,
         starts_enabled=spawner.starts_enabled,
         blend_modes=tuple(t.blend_mode.as_u32() for t in types),
+        pbr_flags=tuple(bool(t.pbr) for t in types),
         fade_edges=tuple(t.fade_edge for t in types),
         fade_scenes=tuple(t.fade_scene for t in types),
         textures=tuple((t.base_color_texture, t.normal_map_texture, t.orm_texture) for t in types),

@@ -47,15 +47,21 @@ def _fleet_step_jit(static, params, colliders, states, frames):
 
 @partial(jax.jit, static_argnums=(3,))
 def _reset_slot(states, template, slot, enabled: bool):
-    """Overwrite slot `slot` of the stacked pools with a fresh pool."""
-    def put(stacked, fresh):
-        return stacked.at[slot].set(fresh)
-
+    """Overwrite slot `slot` of the stacked pools with a fresh pool — except
+    its PRNG key, which keeps the slot's current (per-slot, advancing) stream
+    so re-activated and sibling spawners draw distinct randomness."""
     fresh = dataclasses.replace(
         template,
         enabled=jnp.full_like(template.enabled, enabled),
     )
-    return jax.tree_util.tree_map(put, states, fresh)
+    kw = {}
+    for f in dataclasses.fields(PoolState):
+        stacked = getattr(states, f.name)
+        if f.name == "rng_key":
+            kw[f.name] = stacked  # preserve the slot's own stream
+        else:
+            kw[f.name] = stacked.at[slot].set(getattr(fresh, f.name))
+    return PoolState(**kw)
 
 
 @partial(jax.jit, static_argnums=(2,))

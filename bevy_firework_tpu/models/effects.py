@@ -119,7 +119,7 @@ def pbr() -> Tuple[ParticleSpawner, Transform]:
                 base_color=gradient_uneven_samples(
                     [(0.0, (0.6, 0.3, 0.0, 0.0)), (0.1, (0.6, 0.3, 0.0, 0.35)), (1.0, (0.6, 0.3, 0.0, 0.0))]
                 ),
-                emissive_color=gradient_constant((0, 0, 0, 0)),
+                emissive_color=gradient_constant((0, 0, 0, 1)),
                 fade_scene=3.5,
                 blend_mode=BlendMode.BLEND,
                 pbr=True,
@@ -219,7 +219,7 @@ def stress_test_collision() -> Tuple[ParticleSpawner, Transform, List[Collider]]
         lifetime=RandF32.constant(2.0),
         scale_curve=FireworkCurve.constant(1.0),
         base_color=_ember_gradient((100.0, 70.0, 10.0, 1.0)),
-        emissive_color=gradient_constant((0, 0, 0, 0)),
+        emissive_color=gradient_constant((0, 0, 0, 1)),
         pbr=False,
     )
     es = spawner.emission_settings[0]
@@ -251,7 +251,7 @@ def textures() -> Tuple[ParticleSpawner, Transform, List[Collider]]:
         base_color_texture="textures/bullet_case/diffuse.png",
         normal_map_texture="textures/bullet_case/normal.png",
         orm_texture="textures/bullet_case/orm.png",
-        emissive_color=gradient_constant((0, 0, 0, 0)),
+        emissive_color=gradient_constant((0, 0, 0, 1)),
         fade_scene=0.0,
         fade_edge=0.0,
         blend_mode=BlendMode.BLEND,
@@ -267,7 +267,7 @@ def textures() -> Tuple[ParticleSpawner, Transform, List[Collider]]:
         base_color=gradient_uneven_samples(
             [(0.0, (0.1, 0.1, 0.1, 0.0)), (0.1, (0.1, 0.1, 0.1, 0.15)), (1.0, (0.1, 0.1, 0.1, 0.0))]
         ),
-        emissive_color=gradient_constant((0, 0, 0, 0)),
+        emissive_color=gradient_constant((0, 0, 0, 1)),
         fade_scene=3.5,
         blend_mode=BlendMode.BLEND,
         pbr=True,

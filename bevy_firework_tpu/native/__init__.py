@@ -112,11 +112,27 @@ class InstanceRing:
         self._acquired = None
         if self._lib is not None:
             self._h = self._lib.ring_create(self.capacity, self.n_slots)
-        else:  # numpy fallback
+        else:  # numpy fallback (single lock guards slot state transitions)
+            import threading
+
             self._h = None
+            self._lock = threading.Lock()
             self._bufs = [np.zeros((self.capacity, 16), np.float32) for _ in range(n_slots)]
             self._state = [0] * n_slots
             self._meta = [(0, -1)] * n_slots
+
+    def _fallback_claim_slot(self):
+        """Free slot, else steal the oldest ready one (latest-wins), else -1."""
+        with self._lock:
+            if 0 in self._state:
+                slot = self._state.index(0)
+            else:
+                ready = [(self._meta[i][1], i) for i in range(self.n_slots) if self._state[i] == 2]
+                if not ready:
+                    return -1
+                slot = min(ready)[1]
+            self._state[slot] = 1
+            return slot
 
     def close(self):
         if self._lib is not None and self._h:
@@ -133,10 +149,13 @@ class InstanceRing:
             slot = self._lib.ring_begin_write(self._h)
             self._lib.ring_publish_planar(self._h, slot, _fptr(planes), planes.shape[1], count, frame_id)
             return slot
-        slot = self._state.index(0) if 0 in self._state else self._state.index(2)
+        slot = self._fallback_claim_slot()
+        if slot < 0:
+            return -1
         self._bufs[slot][:count] = planes[:, :count].T
-        self._meta[slot] = (count, frame_id)
-        self._state[slot] = 2
+        with self._lock:
+            self._meta[slot] = (count, frame_id)
+            self._state[slot] = 2
         return slot
 
     def publish_dense(self, planes: np.ndarray, frame_id: int) -> int:
@@ -151,10 +170,13 @@ class InstanceRing:
             return slot
         live = planes[3] != 0.0
         rows = planes[:, live].T[: self.capacity]
-        slot = self._state.index(0) if 0 in self._state else self._state.index(2)
+        slot = self._fallback_claim_slot()
+        if slot < 0:
+            return -1
         self._bufs[slot][: len(rows)] = rows
-        self._meta[slot] = (len(rows), frame_id)
-        self._state[slot] = 2
+        with self._lock:
+            self._meta[slot] = (len(rows), frame_id)
+            self._state[slot] = 2
         return slot
 
     def publish_dense_f16(self, planes: np.ndarray, frame_id: int) -> int:
@@ -169,11 +191,14 @@ class InstanceRing:
             return slot
         live = (planes[3].view(np.uint16) & 0x7FFF) != 0
         rows = planes[:, live].T[: self.capacity]
-        slot = self._state.index(0) if 0 in self._state else self._state.index(2)
+        slot = self._fallback_claim_slot()
+        if slot < 0:
+            return -1
         raw16 = self._bufs[slot].reshape(-1).view(np.float16)
         raw16[: rows.size] = rows.reshape(-1)
-        self._meta[slot] = (rows.shape[0], frame_id)
-        self._state[slot] = 2
+        with self._lock:
+            self._meta[slot] = (rows.shape[0], frame_id)
+            self._state[slot] = 2
         return slot
 
     def acquire_f16(self):
@@ -194,10 +219,13 @@ class InstanceRing:
             slot = self._lib.ring_begin_write(self._h)
             self._lib.ring_publish_rows(self._h, slot, _fptr(rows), count, frame_id)
             return slot
-        slot = self._state.index(0) if 0 in self._state else self._state.index(2)
+        slot = self._fallback_claim_slot()
+        if slot < 0:
+            return -1
         self._bufs[slot][:count] = rows[:count]
-        self._meta[slot] = (count, frame_id)
-        self._state[slot] = 2
+        with self._lock:
+            self._meta[slot] = (count, frame_id)
+            self._state[slot] = 2
         return slot
 
     # ------------------------------------------------------------- consumer
@@ -213,13 +241,14 @@ class InstanceRing:
             buf = np.ctypeslib.as_array(ptr, shape=(self.capacity, 16))
             self._acquired = slot
             return buf[: cnt.value], fid.value
-        ready = [(self._meta[i][1], i) for i in range(self.n_slots) if self._state[i] == 2]
-        if not ready:
-            return None
-        _, slot = max(ready)
-        self._state[slot] = 3
-        self._acquired = slot
-        cnt, fid = self._meta[slot]
+        with self._lock:
+            ready = [(self._meta[i][1], i) for i in range(self.n_slots) if self._state[i] == 2]
+            if not ready:
+                return None
+            _, slot = max(ready)
+            self._state[slot] = 3
+            self._acquired = slot
+            cnt, fid = self._meta[slot]
         return self._bufs[slot][:cnt], fid
 
     def release(self):
@@ -228,7 +257,8 @@ class InstanceRing:
         if self._lib is not None:
             self._lib.ring_release(self._h, self._acquired)
         else:
-            self._state[self._acquired] = 0
+            with self._lock:
+                self._state[self._acquired] = 0
         self._acquired = None
 
 

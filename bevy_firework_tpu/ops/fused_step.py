@@ -82,7 +82,7 @@ _F32_FIELDS = (
     "qx", "qy", "qz", "qw", "wx", "wy", "wz",
     "initial_scale", "age", "lifetime",
 )
-N_SMALL = 16  # count of small leading inputs (see kernel unpack)
+N_SMALL = 15  # count of small leading inputs (see kernel unpack)
 TWO_PI = np.float32(2.0 * np.pi)
 PI = np.float32(np.pi)
 
@@ -316,7 +316,6 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             tcoll_ref,  # [T, 4]: restitution, friction, destroy, unused
             tmask_ref,  # [T, 1] int32 collision layer mask
             cmeta_ref,  # [T, 2, K] f32: scale ts, scale vs
-            cnum_ref,  # [T, 8] int32: scale n, kind
             cpos_ref,  # [C', 3]
             crot_ref,  # [C', 4]
             cpar_ref,  # [C', 3]
@@ -551,9 +550,6 @@ def _pack_fused_smalls(static: SpawnerStatic, params: SpawnerParams, colliders, 
     tmask = params.collision_mask.astype(jnp.int32).reshape(T, 1)
 
     cmeta = jnp.stack([params.scale_ts, params.scale_vs], axis=1)  # [T, 2, K]
-    cnum = jnp.zeros((T, 8), jnp.int32)
-    cnum = cnum.at[:, 0].set(params.scale_n)
-    cnum = cnum.at[:, 1].set(params.scale_kind)
 
     if colliders is not None and len(colliders.kinds) > 0 and static.any_collision:
         cpos, crot, cpar = colliders.position, colliders.rotation, colliders.params
@@ -565,7 +561,7 @@ def _pack_fused_smalls(static: SpawnerStatic, params: SpawnerParams, colliders, 
         clay = jnp.zeros((1, 1), jnp.int32)
 
     return [fscal, params.shape_params, params.ivel_params, params.iangvel_params, emisc,
-            trand, tphys, tcoll, tmask, cmeta, cnum, cpos, crot, cpar, clay]
+            trand, tphys, tcoll, tmask, cmeta, cpos, crot, cpar, clay]
     # sbounds is appended by the caller (per-frame, not param-derived)
 
 
@@ -757,6 +753,8 @@ def step_auto_jit(static, params, colliders, state, frame):
 def multi_step_auto(static, params, colliders, state, frame, n_frames: int):
     """n frames in one dispatch (lax.scan over step_auto; per-frame outputs
     are dead-code-eliminated except the last). See step.multi_step."""
+    if n_frames < 1:
+        raise ValueError("multi_step_auto needs n_frames >= 1")
 
     def body(s, _):
         s2, _o = step_auto(static, params, colliders, s, frame)

@@ -67,7 +67,7 @@ def make_uniform(compiled: CompiledSpawner, type_index: int) -> FireworkUniform:
         flags |= FIREWORK_NORMAL_MAP_TEXTURE_BIT
     if orm_tex is not None:
         flags |= FIREWORK_ORM_TEXTURE_BIT
-    pbr = 1 if float(np.asarray(compiled.params.pbr)[type_index]) != 0.0 else 0
+    pbr = 1 if compiled.pbr_flags[type_index] else 0
     return FireworkUniform(
         alpha_mode=compiled.blend_modes[type_index],
         pbr=pbr,

@@ -63,11 +63,17 @@ class AsyncRenderReader:
             else:
                 planes, count = pack_instances_planar(params, state, t)
             payload.append((t, planes, count))
-        try:
-            self._q.put_nowait((frame_id, payload))
-        except queue.Full:
-            # simulation far ahead of readback: drop this frame (latest-wins)
-            pass
+        while True:
+            try:
+                self._q.put_nowait((frame_id, payload))
+                break
+            except queue.Full:
+                # simulation ahead of readback: evict the OLDEST queued frame
+                # so the newest always gets through (true latest-wins)
+                try:
+                    self._q.get_nowait()
+                except queue.Empty:
+                    pass
 
     # -------------------------------------------------------------- reader
     def _run(self):

@@ -228,11 +228,13 @@ class Scene:
                 modifier_speed=slot.modifier.speed,
             )
             colliders = self._colliders if slot.compiled.static.any_collision else None
-            notified_before = bool(slot.state.finished_notified)
+            watch_finished = bool(slot.finished_observers) and not slot.finished_fired
+            # host syncs only when someone is actually observing
+            notified_before = bool(slot.state.finished_notified) if watch_finished else False
             slot.state, slot.outputs = multi_step_auto(
                 slot.compiled.static, slot.compiled.params, colliders, slot.state, frame, n_frames
             )
-            if slot.finished_observers and not slot.finished_fired:
+            if watch_finished:
                 if bool(slot.state.finished_notified) and not notified_before:
                     slot.finished_fired = True
                     for cb in slot.finished_observers:
@@ -250,7 +252,7 @@ class Scene:
             "px", "py", "pz", "vx", "vy", "vz", "qx", "qy", "qz", "qw",
             "wx", "wy", "wz", "initial_scale", "age", "lifetime", "ptype",
         )}
-        pbr = np.asarray(slot.compiled.params.pbr)
+        pbr_flags = slot.compiled.pbr_flags
         dt = np.float32(getattr(self, "_last_dt", 0.0))
         for t, handler in enumerate(slot.compiled.destroyed_handlers):
             if handler is None:
@@ -291,7 +293,7 @@ class Scene:
                         lifetime=float(lifetime),
                         base_color=tuple(float(c) for c in base),
                         emissive_color=tuple(float(c) for c in emis),
-                        pbr=bool(pbr[t] != 0.0),
+                        pbr=bool(pbr_flags[t]),
                     )
                 )
             handler(records)

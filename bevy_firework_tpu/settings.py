@@ -25,7 +25,7 @@ Vec3 = Tuple[float, float, float]
 Quat = Tuple[float, float, float, float]  # xyzw
 
 WHITE = (1.0, 1.0, 1.0, 1.0)
-BLACK = (0.0, 0.0, 0.0, 0.0)
+BLACK = (0.0, 0.0, 0.0, 1.0)  # bevy LinearRgba::BLACK has alpha 1
 GRAVITY = (0.0, -9.81, 0.0)
 QUAT_IDENTITY = (0.0, 0.0, 0.0, 1.0)
 

@@ -94,18 +94,6 @@ def _eval_scalar_curve_by_type(ts, vs, n, kind, ptype, t_query, num_types):
     return out
 
 
-def _eval_gradient_by_type(ts, vs, n, kind, ptype, t_query, num_types):
-    """Evaluate per-type gradient tables ([T, K, 4]) at per-lane t; returns
-    4 channel arrays (component-split hot path)."""
-    out = list(eval_curve_table_channels(ts[0], vs[0], n[0], kind[0], t_query))
-    for ti in range(1, num_types):
-        ch = eval_curve_table_channels(ts[ti], vs[ti], n[ti], kind[ti], t_query)
-        m = ptype == ti
-        for c in range(4):
-            out[c] = jnp.where(m, ch[c], out[c])
-    return out
-
-
 def _active_flag(static: SpawnerStatic, state: PoolState):
     """`ParticleSpawnerData::active` (`core.rs:288-302`): a global emitter
     counts if enabled; a nested emitter counts only if any particle (of any
@@ -452,6 +440,9 @@ def multi_step(
     step). Amortizes host->device dispatch latency — the TPU analog of the
     reference's pipelined simulate-while-rendering (`src/render.rs:52-54`).
     Returns (final_state, outputs_of_last_frame)."""
+
+    if n_frames < 1:
+        raise ValueError("multi_step needs n_frames >= 1")
 
     def body(s, _):
         s2, out = step(static, params, colliders, s, frame)

@@ -66,3 +66,34 @@ def test_fleet_full_raises():
         assert False
     except RuntimeError:
         pass
+
+
+def test_fleet_slots_draw_distinct_random_streams():
+    """Regression: activation must not clone the template PRNG key — sibling
+    spawners with randomized settings should differ."""
+    from bevy_firework_tpu import RandVec3 as RV, RandF32 as RF
+
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(5.0))],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.one_shot(8),
+            initial_velocity=RV(RF(1.0, 5.0), (0, 1, 0), 1.0))],
+    )
+    fleet = Fleet(sp, capacity=32, max_spawners=4)
+    a = fleet.activate()
+    b = fleet.activate()
+    fleet.step(1 / 60)
+    vy = np.asarray(fleet.states.vy)
+    alive = np.asarray(fleet.states.alive)
+    va = np.sort(vy[a][alive[a]])
+    vb = np.sort(vy[b][alive[b]])
+    assert not np.allclose(va, vb), "sibling slots emitted identical random draws"
+    # re-activation also gets a fresh stream
+    fleet.deactivate(a)
+    a2 = fleet.activate()
+    assert a2 == a
+    fleet.step(1 / 60)
+    vy2 = np.asarray(fleet.states.vy)
+    alive2 = np.asarray(fleet.states.alive)
+    va2 = np.sort(vy2[a][alive2[a]][:8])
+    assert not np.allclose(va, va2), "re-activated slot replayed its stream"

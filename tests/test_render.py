@@ -44,7 +44,7 @@ def test_instance_row_layout():
     np.testing.assert_allclose(row[3], 0.25, atol=1e-6)  # scale
     np.testing.assert_allclose(row[4:8], [0.1, 0.2, 0.3, 0.9273618], atol=1e-6)  # quat xyzw
     np.testing.assert_allclose(row[8:12], [1, 1, 1, 1], atol=1e-6)  # base WHITE
-    np.testing.assert_allclose(row[12:16], [0, 0, 0, 0], atol=1e-6)  # emissive BLACK
+    np.testing.assert_allclose(row[12:16], [0, 0, 0, 1], atol=1e-6)  # emissive BLACK (bevy alpha=1)
     assert len(instances_to_bytes(np.asarray(buf)[: int(count)])) == 64
 
 
