@@ -173,6 +173,102 @@ def _claim_and_init(
     return spawn, rank
 
 
+# Static cap on nested children spawned per emitter per frame: the two-stage
+# spawn works in a compact [M] child buffer (gathers/scatters sized by M, not
+# the pool), so M bounds the gather work, not the feature. 4096/emitter/frame
+# = ~245k children/s at 60 FPS, far beyond any reference scene; overflow
+# children are dropped for the frame (their parents' carry still advances).
+MAX_NESTED_SPAWN_PER_FRAME = 4096
+
+
+def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_key):
+    """Nested emission, two-stage (SURVEY.md #9), gather-light.
+
+    Stage 1 (rank space): scatter each emitting parent's slot index at its
+    first child rank and forward-fill with a log-depth cummax (searchsorted
+    lowers pathologically on TPU) -> parent_for_rank.
+    Stage 2 (compact [M] child buffer): gather all parent state with ONE
+    stacked gather sized by M, initialize children there, and write back with
+    ONE stacked scatter — full-pool-sized gathers (~1.2 ms each at 131k on
+    TPU) never happen.
+    """
+    N = fields["alive"].shape[0]
+    M = min(MAX_NESTED_SPAWN_PER_FRAME, N)
+    ti = static.particle_indices[e]
+
+    # --- rank space ---------------------------------------------------------
+    dead = ~fields["alive"]
+    di = dead.astype(jnp.int32)
+    rank = jnp.cumsum(di) - di  # exclusive rank among dead slots
+    starts = cum - counts
+    slot_ids = jnp.arange(N, dtype=jnp.int32)
+    scatter_pos = jnp.where(counts > 0, starts, N)  # empties dropped
+    rank_owner = jnp.full((N,), -1, jnp.int32).at[scatter_pos].max(slot_ids, mode="drop")
+    parent_for_rank = jax.lax.cummax(rank_owner)
+
+    n_spawn = jnp.minimum(total, M)
+    child_parent = jnp.clip(parent_for_rank[:M], 0, N - 1)  # static slice
+    child_valid = jnp.arange(M, dtype=jnp.int32) < n_spawn
+
+    # child rank -> claimed pool slot (invalid children target index N = drop)
+    slot_for_rank = (
+        jnp.full((M,), N, jnp.int32)
+        .at[jnp.where(dead & (rank < M), rank, M)]
+        .set(slot_ids, mode="drop")
+    )
+    slot_for_rank = jnp.where(child_valid, slot_for_rank, N)
+
+    # --- gather parent state: one stacked gather sized by M ------------------
+    pstack = jnp.stack(
+        [fields[k] for k in ("px", "py", "pz", "qx", "qy", "qz", "qw", "vx", "vy", "vz")]
+    )  # [10, N]
+    pg = pstack[:, child_parent]  # [10, M]
+    ppos = (pg[0], pg[1], pg[2])
+    prot = (pg[3], pg[4], pg[5], pg[6])
+    pvel = (pg[7], pg[8], pg[9])
+
+    # --- initialize children in the [M] buffer (core.rs:506-544 semantics) ---
+    uni = jax.random.uniform(jax.random.fold_in(frame_key, 1000 + e), (12, M), jnp.float32)
+    offx, offy, offz = sample_shape_comp(params.shape_params[e], uni[0], uni[1], uni[2])
+    ivx, ivy, ivz = sample_randvec3_comp(params.ivel_params[e], uni[3], uni[4], uni[5])
+    radial = sample_randf32(uni[6], params.radial_lo[e], params.radial_hi[e])
+    l2 = offx * offx + offy * offy + offz * offz
+    inv = jnp.where(l2 > 0, 1.0 / jnp.sqrt(l2), 0.0)
+    wvx, wvy, wvz = quat_rotate_comp(*prot, ivx, ivy, ivz)
+    spd = frame.modifier_speed
+    inh = params.inherit[e]
+    velx = spd * (wvx + offx * inv * radial) + inh * pvel[0]
+    vely = spd * (wvy + offy * inv * radial) + inh * pvel[1]
+    velz = spd * (wvz + offz * inv * radial) + inh * pvel[2]
+    init_scale = sample_randf32(uni[7], params.initial_scale_lo[ti], params.initial_scale_hi[ti]) * frame.modifier_scale
+    lifetime = sample_randf32(uni[8], params.lifetime_lo[ti], params.lifetime_hi[ti])
+    avx, avy, avz = sample_randvec3_comp(params.iangvel_params[e], uni[9], uni[10], uni[11])
+    zeros = jnp.zeros((M,), jnp.float32)
+    rot = params.init_rot[e]
+    child_vals = jnp.stack(
+        [
+            ppos[0] + offx, ppos[1] + offy, ppos[2] + offz,
+            velx, vely, velz,
+            jnp.full((M,), rot[0]), jnp.full((M,), rot[1]),
+            jnp.full((M,), rot[2]), jnp.full((M,), rot[3]),
+            avx, avy, avz,
+            init_scale, zeros, lifetime,
+        ]
+    )  # [16, M] in _WRITE_FIELDS order
+
+    # --- write back: one stacked scatter + small companions ------------------
+    names = ("px", "py", "pz", "vx", "vy", "vz", "qx", "qy", "qz", "qw",
+             "wx", "wy", "wz", "initial_scale", "age", "lifetime")
+    pool_stack = jnp.stack([fields[k] for k in names])  # [16, N]
+    pool_stack = pool_stack.at[:, slot_for_rank].set(child_vals, mode="drop")
+    for i, k in enumerate(names):
+        fields[k] = pool_stack[i]
+    fields["ptype"] = fields["ptype"].at[slot_for_rank].set(ti, mode="drop")
+    fields["alive"] = fields["alive"].at[slot_for_rank].set(True, mode="drop")
+    # last_emitted_age = f32::MIN for every emitter (core.rs:539-542)
+    fields["last_emitted"] = fields["last_emitted"].at[:, slot_for_rank].set(F32_MIN, mode="drop")
+
+
 def step(
     static: SpawnerStatic,
     params: SpawnerParams,
@@ -214,9 +310,9 @@ def step(
     # ------------------------------------------------------------------ spawn
     for e in range(E):
         gate = active & enabled[e]
-        uni = jax.random.uniform(jax.random.fold_in(frame_key, e), (12, N), jnp.float32)
 
         if static.mode_kinds[e] == MODE_GLOBAL:
+            uni = jax.random.uniform(jax.random.fold_in(frame_key, e), (12, N), jnp.float32)
             pk = static.pacing_kinds[e]
             if pk == PACING_ONE_SHOT:
                 n_spawn = jnp.where(gate, params.count[e].astype(jnp.int32), 0)
@@ -256,29 +352,7 @@ def step(
             )
             cum = jnp.cumsum(counts)
             total = cum[-1]
-            # child rank r -> parent slot p with starts_p <= r < starts_p+c_p
-            # (two-stage spawn pass, SURVEY.md #9). searchsorted is pathological
-            # on TPU (~99 ms at 131k lanes); instead scatter each emitting
-            # parent's slot index at its first child rank and forward-fill with
-            # a log-depth cummax — one gather per lane total.
-            dead = ~fields["alive"]
-            di = dead.astype(jnp.int32)
-            rank = jnp.cumsum(di) - di
-            starts = cum - counts  # exclusive prefix
-            slot_ids = jnp.arange(N, dtype=jnp.int32)
-            scatter_pos = jnp.where(counts > 0, starts, N)  # empties dropped
-            rank_owner = (
-                jnp.full((N,), -1, jnp.int32).at[scatter_pos].max(slot_ids, mode="drop")
-            )
-            parent_for_rank = jax.lax.cummax(rank_owner)
-            parent = jnp.clip(parent_for_rank[jnp.clip(rank, 0, N - 1)], 0, N - 1)
-            ppos = (fields["px"][parent], fields["py"][parent], fields["pz"][parent])
-            prot = (fields["qx"][parent], fields["qy"][parent], fields["qz"][parent], fields["qw"][parent])
-            pvel = (fields["vx"][parent], fields["vy"][parent], fields["vz"][parent])
-            _claim_and_init(
-                static, params, frame, fields, e, total, uni,
-                origin_pos=ppos, origin_rot=prot, base_vel=pvel,
-            )
+            _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_key)
 
     # -------------------------------------------------------------- integrate
     alive0 = fields["alive"]
