@@ -18,7 +18,7 @@ from .fleet import Fleet
 from .pool import FrameInput, PoolState, init_pool, make_frame_input
 from .rand import RandF32, RandVec3
 from .render import FireworkUniform, RenderItem, instances_to_bytes, make_uniform, pack_instances
-from .scene import DestroyedParticle, Scene, Transform
+from .scene import DestroyedParticle, Scene, Transform, estimate_capacity
 from .settings import (
     BlendMode,
     EffectModifier,
@@ -74,6 +74,7 @@ __all__ = [
     "compile_colliders",
     "compile_spawner",
     "compute_emission_count",
+    "estimate_capacity",
     "gradient_constant",
     "gradient_even_samples",
     "gradient_uneven_samples",

@@ -39,12 +39,50 @@ from .settings import EffectModifier, ParticleSpawner, SpawnTransformMode
 from .step import StepOutputs
 
 DEFAULT_CAPACITY = 16384
+_FUSED_TILE = 8192  # fused-kernel alignment (ops.fused_step BLOCK_ROWS*LANES)
 
 
 @dataclasses.dataclass
 class Transform:
     translation: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     rotation: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)  # xyzw
+
+
+def estimate_capacity(spawner: ParticleSpawner, headroom: float = 1.5) -> int:
+    """Steady-state live-particle estimate for a spawner, with headroom,
+    rounded up to the fused kernel's tile (8192) when large.
+
+    rate emitters contribute count/duration x max-lifetime; one-shots their
+    burst size; nested emitters count-per-parent x parents (bounded by the
+    child/parent lifetime ratio). On-demand is unbounded — caller should size
+    explicitly for heavy on-demand use.
+    """
+    from .settings import EmissionModeKind, EmissionPacingKind
+
+    per_type = [0.0] * len(spawner.particle_settings)
+    for es in spawner.emission_settings:
+        ps = spawner.particle_settings[es.particle_index]
+        life = max(ps.lifetime.min, ps.lifetime.max)
+        p = es.emission_pacing
+        if p.kind == EmissionPacingKind.ONE_SHOT:
+            per_type[es.particle_index] += p.count
+        elif p.kind == EmissionPacingKind.COUNT_OVER_DURATION:
+            if es.emission_mode.kind == EmissionModeKind.NESTED:
+                parents = per_type[es.emission_mode.target_particle_type]
+                # each parent emits p.count over its life; children live `life`
+                tps = spawner.particle_settings[es.emission_mode.target_particle_type]
+                plife = max(max(tps.lifetime.min, tps.lifetime.max), 1e-6)
+                per_type[es.particle_index] += parents * p.count * min(life / plife, 1.0) + p.count
+            else:
+                per_type[es.particle_index] += p.count / max(p.duration, 1e-6) * life
+        else:  # on-demand: a modest default burst allowance
+            per_type[es.particle_index] += 256
+    total = int(sum(per_type) * headroom) + 64
+    if total > _FUSED_TILE // 2:
+        total = -(-total // _FUSED_TILE) * _FUSED_TILE  # round up to tile
+    else:
+        total = max(256, 1 << (total - 1).bit_length())
+    return total
 
 
 @dataclasses.dataclass
@@ -95,11 +133,16 @@ class Scene:
     def add_spawner(
         self,
         spawner: ParticleSpawner,
-        capacity: int = DEFAULT_CAPACITY,
+        capacity: Optional[int] = None,
         transform: Optional[Transform] = None,
         global_transform: Optional[Transform] = None,
         modifier: Optional[EffectModifier] = None,
     ) -> int:
+        """capacity=None auto-sizes the pool from the spawner's steady-state
+        estimate (see estimate_capacity); pass an explicit capacity for
+        heavy on-demand use or EffectModifier-scaled emission."""
+        if capacity is None:
+            capacity = estimate_capacity(spawner)
         sid = self._next_id
         self._next_id += 1
         compiled = compile_spawner(spawner)

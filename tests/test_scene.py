@@ -239,3 +239,39 @@ def test_giant_dt_kills_everything_one_frame():
     assert scene.alive_count(sid) == 5
     scene.step(100.0)
     assert scene.alive_count(sid) == 0
+
+
+def test_estimate_capacity_one_shot():
+    from bevy_firework_tpu import estimate_capacity
+
+    cap = estimate_capacity(burst(n=100, lifetime=1.0))
+    assert cap >= 150  # 100 * 1.5 headroom
+    assert cap & (cap - 1) == 0 or cap % 8192 == 0  # pow2 or tile-aligned
+
+
+def test_estimate_capacity_rate_never_overflows():
+    from bevy_firework_tpu import estimate_capacity
+
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(2.0))],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.rate(300.0))],
+    )
+    cap = estimate_capacity(sp)
+    assert cap >= 2.0 * 300.0  # steady state = rate * lifetime
+    scene = Scene()
+    sid = scene.add_spawner(sp)  # capacity=None -> auto
+    for _ in range(180):  # 3 s: past steady state
+        scene.step(1 / 60)
+    live = scene.alive_count(sid)
+    assert 0 < live < cap  # never clamped at capacity
+
+
+def test_estimate_capacity_large_is_tile_aligned():
+    from bevy_firework_tpu import estimate_capacity
+
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(10.0))],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.rate(5000.0))],
+    )
+    cap = estimate_capacity(sp)
+    assert cap % 8192 == 0 and cap >= 50000 * 1.5
