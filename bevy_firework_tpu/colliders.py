@@ -79,6 +79,8 @@ class ColliderTable:
     rotation: jax.Array  # [C, 4] xyzw
     params: jax.Array  # [C, 3] (pad unused with 0)
     layers: jax.Array  # [C] uint32
+    active: jax.Array  # [C] f32 — 1.0 live, 0.0 disabled (traced: toggling a
+    # collider on/off never recompiles; see Scene.add_collider/remove_collider)
 
     @property
     def count(self) -> int:
@@ -87,7 +89,7 @@ class ColliderTable:
 
 jax.tree_util.register_dataclass(
     ColliderTable,
-    data_fields=["position", "rotation", "params", "layers"],
+    data_fields=["position", "rotation", "params", "layers", "active"],
     meta_fields=["kinds", "identity_rot"],
 )
 
@@ -104,7 +106,14 @@ def compile_colliders(colliders: List[Collider]) -> ColliderTable:
         rotation=jnp.asarray(np.array([col.rotation for col in colliders], dtype=np.float32).reshape(c, 4)),
         params=jnp.asarray(params[:c]),
         layers=jnp.asarray(np.array([col.layers for col in colliders], dtype=np.uint32).reshape(c)),
+        active=jnp.ones((c,), jnp.float32),
     )
+
+
+def masked_layers(table: ColliderTable) -> jax.Array:
+    """Effective layer masks: disabled colliders get layers=0, which every
+    narrow-phase consumer already skips ((lane_mask & 0) != 0 is false)."""
+    return jnp.where(table.active > 0, table.layers, jnp.uint32(0))
 
 
 def empty_collider_table() -> ColliderTable:

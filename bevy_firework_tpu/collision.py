@@ -255,10 +255,13 @@ def raycast_scene(table: ColliderTable, lane_mask_u32, px, py, pz, dx, dy, dz, m
     Colliders whose `layers` doesn't intersect the lane's filter mask are
     skipped (avian SpatialQueryFilter semantics).
     """
+    from .colliders import masked_layers
+
     best = jnp.full_like(px, BIG)
     bnx = jnp.zeros_like(px)
     bny = jnp.zeros_like(px)
     bnz = jnp.zeros_like(px)
+    eff_layers = masked_layers(table)  # disabled colliders -> layers 0
     for ci, k in enumerate(table.kinds):
         q = table.rotation[ci]
         cp = table.position[ci]
@@ -283,7 +286,7 @@ def raycast_scene(table: ColliderTable, lane_mask_u32, px, py, pz, dx, dy, dz, m
             dist, nx, ny, nz = _ray_cone(ox, oy, oz, rdx, rdy, rdz, p[0], p[1])
         else:
             continue
-        layer_ok = (lane_mask_u32 & table.layers[ci]) != 0
+        layer_ok = (lane_mask_u32 & eff_layers[ci]) != 0
         dist = jnp.where(layer_ok, dist, BIG)
         closer = (dist <= max_dist) & (dist < best)
         if table.identity_rot[ci]:

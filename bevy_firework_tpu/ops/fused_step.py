@@ -553,7 +553,9 @@ def _pack_fused_smalls(static: SpawnerStatic, params: SpawnerParams, colliders, 
 
     if colliders is not None and len(colliders.kinds) > 0 and static.any_collision:
         cpos, crot, cpar = colliders.position, colliders.rotation, colliders.params
-        clay = colliders.layers.astype(jnp.int32).reshape(-1, 1)
+        from ..colliders import masked_layers
+
+        clay = masked_layers(colliders).astype(jnp.int32).reshape(-1, 1)
     else:
         cpos = jnp.zeros((1, 3), jnp.float32)
         crot = jnp.zeros((1, 4), jnp.float32)

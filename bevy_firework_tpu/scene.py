@@ -30,7 +30,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 import jax
 import numpy as np
 
-from .colliders import Collider, ColliderTable, compile_colliders, empty_collider_table
+from .colliders import Collider, ColliderTable, empty_collider_table
 from .compiled import CompiledSpawner, compile_spawner
 from .pool import PoolState, init_pool, make_frame_input
 from .render import RenderItem, make_uniform, pack_instances
@@ -119,15 +119,39 @@ class DestroyedParticle:
     pbr: bool
 
 
+@dataclasses.dataclass
+class _ColliderSlot:
+    """Host-side master copy of one collider-table row.
+
+    `kind` and `identity_rot` are the row's static (retrace-keying)
+    properties; everything else is traced, so moving/toggling a collider
+    edits this record and re-uploads small arrays without recompiling."""
+
+    kind: int
+    identity_rot: bool
+    position: Tuple[float, float, float]
+    rotation: Tuple[float, float, float, float]
+    params: Tuple[float, ...]
+    layers: int
+    active: bool
+
+
+def _is_identity_rot(rotation) -> bool:
+    return tuple(float(r) for r in rotation) == (0.0, 0.0, 0.0, 1.0)
+
+
 class Scene:
     def __init__(self, colliders: Optional[List[Collider]] = None, seed: int = 0):
-        self._colliders: ColliderTable = (
-            compile_colliders(colliders) if colliders else empty_collider_table()
-        )
+        self._collider_slots: List[_ColliderSlot] = []
+        self._collider_ids: Dict[int, int] = {}  # cid -> slot index
+        self._next_collider_id = 0
+        self._collider_table: Optional[ColliderTable] = None  # cache; None = dirty
         self._spawners: Dict[int, _SpawnerSlot] = {}
         self._next_id = 0
         self._seed = seed
         self.time = 0.0
+        for col in colliders or []:
+            self.add_collider(col)
 
     # ------------------------------------------------------------- authoring
     def add_spawner(
@@ -178,7 +202,103 @@ class Scene:
         slot.finished_fired = False
 
     def set_colliders(self, colliders: List[Collider]):
-        self._colliders = compile_colliders(colliders) if colliders else empty_collider_table()
+        """Replace the whole collider set. Changes the table's static layout,
+        so the next step recompiles; prefer add/remove/set_collider for
+        incremental edits (those reuse slots and stay compile-free)."""
+        self._collider_slots = []
+        self._collider_ids = {}
+        self._collider_table = None
+        for col in colliders or []:
+            self.add_collider(col)
+
+    def add_collider(self, collider: Collider) -> int:
+        """Add a collider; returns a handle for remove/set_collider.
+
+        Reuses a previously removed slot of the same kind when possible, so
+        remove + re-add cycles (the common despawn/respawn pattern) keep the
+        collider table's static layout — and therefore the compiled step —
+        unchanged. Appending a genuinely new slot retraces once."""
+        col_identity = _is_identity_rot(collider.rotation)
+        idx = None
+        for i, slot in enumerate(self._collider_slots):
+            if (
+                not slot.active
+                and i not in self._collider_ids.values()
+                and slot.kind == collider.kind
+                and (not slot.identity_rot or col_identity)
+            ):
+                idx = i
+                break
+        new_slot = _ColliderSlot(
+            kind=int(collider.kind),
+            identity_rot=col_identity if idx is None else self._collider_slots[idx].identity_rot,
+            position=tuple(float(v) for v in collider.position),
+            rotation=tuple(float(v) for v in collider.rotation),
+            params=tuple(float(v) for v in collider.params),
+            layers=int(collider.layers),
+            active=True,
+        )
+        if idx is None:
+            idx = len(self._collider_slots)
+            self._collider_slots.append(new_slot)
+        else:
+            self._collider_slots[idx] = new_slot
+        cid = self._next_collider_id
+        self._next_collider_id += 1
+        self._collider_ids[cid] = idx
+        self._collider_table = None
+        return cid
+
+    def remove_collider(self, cid: int):
+        """Disable a collider (traced active mask -> no recompile). The slot
+        is retained and reused by a later add_collider of the same kind."""
+        idx = self._collider_ids.pop(cid)
+        self._collider_slots[idx].active = False
+        self._collider_table = None
+
+    def set_collider(self, cid: int, position=None, rotation=None, params=None, layers=None):
+        """Move/re-shape a collider in place — traced fields only, so no
+        recompile. Exception: giving a rotation to a collider that was added
+        axis-aligned flips its slot to the rotated code path (one retrace;
+        it stays rotation-capable afterwards)."""
+        slot = self._collider_slots[self._collider_ids[cid]]
+        if position is not None:
+            slot.position = tuple(float(v) for v in position)
+        if rotation is not None:
+            slot.rotation = tuple(float(v) for v in rotation)
+            if slot.identity_rot and not _is_identity_rot(rotation):
+                slot.identity_rot = False
+        if params is not None:
+            slot.params = tuple(float(v) for v in params)
+        if layers is not None:
+            slot.layers = int(layers)
+        self._collider_table = None
+
+    @property
+    def _colliders(self) -> ColliderTable:
+        if self._collider_table is None:
+            self._collider_table = self._build_collider_table()
+        return self._collider_table
+
+    def _build_collider_table(self) -> ColliderTable:
+        import jax.numpy as jnp
+
+        slots = self._collider_slots
+        c = len(slots)
+        if c == 0:
+            return empty_collider_table()
+        params = np.zeros((c, 3), dtype=np.float32)
+        for i, s in enumerate(slots):
+            params[i, : len(s.params)] = s.params
+        return ColliderTable(
+            kinds=tuple(s.kind for s in slots),
+            identity_rot=tuple(s.identity_rot for s in slots),
+            position=jnp.asarray(np.array([s.position for s in slots], dtype=np.float32)),
+            rotation=jnp.asarray(np.array([s.rotation for s in slots], dtype=np.float32)),
+            params=jnp.asarray(params),
+            layers=jnp.asarray(np.array([s.layers for s in slots], dtype=np.uint32)),
+            active=jnp.asarray(np.array([s.active for s in slots], dtype=np.float32)),
+        )
 
     def set_transform(self, sid: int, transform: Transform, global_transform: Optional[Transform] = None):
         slot = self._spawners[sid]
