@@ -108,3 +108,62 @@ def test_random_config_parity(seed):
     rng = np.random.RandomState(100 + seed)
     spawner = random_spawner(rng)
     run_pair(spawner, n_frames=35, dt=1.0 / 50.0)
+
+
+def _ks_uniform(x):
+    """KS statistic of samples x against U[0,1)."""
+    x = np.sort(np.clip(x, 0.0, 1.0))
+    n = len(x)
+    ecdf_hi = np.arange(1, n + 1) / n
+    ecdf_lo = np.arange(0, n) / n
+    return max(np.abs(ecdf_hi - x).max(), np.abs(x - ecdf_lo).max())
+
+
+def test_random_draw_distribution_through_step():
+    """Randomized (non-constant) draws through the FULL engine step: burst 5000
+    particles with cone-spread velocity + ranged lifetime/scale, then check the
+    live pool realizes the reference distributions (SURVEY.md A.3 / hard part
+    2: distribution parity, not bitstream parity). Deviation angle/spread,
+    azimuth, magnitude, lifetime, and initial scale must each be uniform."""
+    spread = np.pi / 5
+    lo_m, hi_m = 2.0, 7.0
+    sp = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(
+                lifetime=RandF32(1.0, 3.0),
+                initial_scale=RandF32(0.1, 0.4),
+                acceleration=(0.0, 0.0, 0.0),
+                linear_drag=0.0,
+            )
+        ],
+        emission_settings=[
+            EmissionSettings(
+                emission_pacing=EmissionPacing.one_shot(5000),
+                initial_velocity=RandVec3(
+                    magnitude=RandF32(lo_m, hi_m), direction=(0.0, 1.0, 0.0), spread=spread
+                ),
+            )
+        ],
+    )
+    compiled = compile_spawner(sp)
+    state = init_pool(8192, compiled.num_emitters, True, 0)
+    state, _ = step_jit(compiled.static, compiled.params, None, state, make_frame_input(0.0))
+    alive = np.asarray(state.alive)
+    assert alive.sum() == 5000
+    v = np.stack([np.asarray(state.vx)[alive], np.asarray(state.vy)[alive], np.asarray(state.vz)[alive]], -1)
+    mags = np.linalg.norm(v, axis=-1)
+    # magnitude ~ U[lo, hi)
+    assert mags.min() >= lo_m and mags.max() < hi_m
+    assert _ks_uniform((mags - lo_m) / (hi_m - lo_m)) < 0.03
+    # deviation angle ~ U[0, spread)  (a = u * spread in the sampler)
+    ang = np.arccos(np.clip(v[:, 1] / mags, -1, 1))
+    assert ang.max() <= spread + 1e-5
+    assert _ks_uniform(ang / spread) < 0.03
+    # azimuth ~ U[0, 2pi)
+    azim = np.mod(np.arctan2(-v[:, 2], v[:, 0]), 2 * np.pi)
+    assert _ks_uniform(azim / (2 * np.pi)) < 0.03
+    # lifetime ~ U[1, 3), initial scale ~ U[0.1, 0.4)
+    life = np.asarray(state.lifetime)[alive]
+    assert _ks_uniform((life - 1.0) / 2.0) < 0.03
+    iscale = np.asarray(state.initial_scale)[alive]
+    assert _ks_uniform((iscale - 0.1) / 0.3) < 0.03
