@@ -189,19 +189,35 @@ def _eval_curve_static(ts, vs, kind, n, t):
 
 
 def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, vy, vz, dt,
-                  restitution, friction, destroy_flag, lane_mask):
+                  restitution, friction, destroy_flag, lane_mask, participating,
+                  scratch=None):
     """particle_collision (core.rs:744-800) on one tile, colliders unrolled;
-    mirrors collision.particle_collision lane-for-lane."""
+    mirrors collision.particle_collision lane-for-lane for `participating`
+    lanes (alive + collision-enabled type; other lanes' outputs are ignored
+    by the caller, so they start with delta=0 and are never touched).
+
+    Substep 1 always runs; substep 2 only executes when some lane in the
+    tile still has travel budget after its first hit (a bounce continuing
+    within the frame, or a lane inside a collider being pushed out), and
+    substeps 3+4 only when a lane hit something AGAIN in substep 2. Skipped
+    substeps are exact no-ops for every lane (delta==0 => miss/hit/inside all
+    false), so the gating preserves bit-exact parity with the XLA path.
+
+    `scratch` is 8 VMEM refs (px,py,pz,vx,vy,vz,delta f32 + flags i32) used
+    to carry state across the gated regions: mosaic fails to legalize an
+    scf.if yielding this many vectors (a lax.cond here died in
+    tpu.vpad layout inference), so the branches are side-effecting pl.when
+    blocks instead. scratch=None runs all 4 substeps straight-line."""
     BIG = np.float32(1e30)
     orig_delta = dt
-    delta = jnp.full(px.shape, dt, jnp.float32)
+    delta = jnp.where(participating, dt, 0.0).astype(jnp.float32)
     destroyed = jnp.zeros(px.shape, bool)
     done = jnp.zeros(px.shape, bool)
 
     def conj_rot(qx, qy, qz, qw, x, y, z):
         return quat_rotate_comp(-qx, -qy, -qz, qw, x, y, z)
 
-    for _ in range(4):
+    def substep(px, py, pz, vx, vy, vz, delta, done, destroyed):
         lane_active = (~done) & (delta > 0.0)
         speed2 = vx * vx + vy * vy + vz * vz
         speed = jnp.sqrt(speed2)
@@ -296,7 +312,44 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
         py = jnp.where(miss, py + vy * delta, py)
         pz = jnp.where(miss, pz + vz * delta, pz)
         delta = jnp.where(miss, 0.0, delta)
-    return px, py, pz, vx, vy, vz, destroyed
+        return px, py, pz, vx, vy, vz, delta, done, destroyed
+
+    def still_active(s):
+        return jnp.any((~s[7]) & (s[6] > 0.0))
+
+    state = substep(px, py, pz, vx, vy, vz, delta, done, destroyed)
+    if scratch is None:  # straight-line fallback (no gating)
+        for _ in range(3):
+            state = substep(*state)
+        px, py, pz, vx, vy, vz, _delta, _done, destroyed = state
+        return px, py, pz, vx, vy, vz, destroyed
+
+    svec = scratch[:7]  # px,py,pz,vx,vy,vz,delta
+    sflags = scratch[7]
+
+    def store(s):
+        for ref, val in zip(svec, s[:7]):
+            ref[:, :] = val
+        sflags[:, :] = s[7].astype(jnp.int32) + 2 * s[8].astype(jnp.int32)
+
+    def load():
+        flags = sflags[:, :]
+        return tuple(ref[:, :] for ref in svec) + ((flags & 1) != 0, (flags & 2) != 0)
+
+    store(state)
+
+    @pl.when(still_active(state))
+    def _():
+        store(substep(*load()))
+
+    s2 = load()
+
+    @pl.when(still_active(s2))
+    def _():
+        store(substep(*substep(*load())))
+
+    out = load()
+    return out[0], out[1], out[2], out[3], out[4], out[5], out[8]
 
 
 def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump: bool):
@@ -324,8 +377,11 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         ) = refs[:N_SMALL]
         alive_ref, ptype_ref = refs[N_SMALL : N_SMALL + 2]
         field_in = refs[N_SMALL + 2 : N_SMALL + 2 + len(_F32_FIELDS)]
-        dead_carry = refs[-1]  # SMEM scratch: dead slots seen in prior tiles
-        outs = refs[N_SMALL + 2 + len(_F32_FIELDS) : -1]
+        has_coll = C > 0 and static.any_collision
+        n_scratch = 1 + (8 if has_coll else 0)
+        dead_carry = refs[-n_scratch]  # SMEM scratch: dead slots seen in prior tiles
+        coll_scratch = refs[-8:] if has_coll else None  # VMEM substep carries
+        outs = refs[N_SMALL + 2 + len(_F32_FIELDS) : -n_scratch]
         out_alive_ref = outs[0]
         out_ptype_ref = outs[1]
         out_dump_ref = outs[2] if dump else None
@@ -441,15 +497,16 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             friction = by_type(tcoll_ref, 1)
             destroy_flag = by_type(tcoll_ref, 2)
             lane_mask = by_type(tmask_ref, 0)
-            cpx, cpy, cpz, cvx, cvy, cvz, cdes = _collide_tile(
-                collider_kinds, collider_identity, cpos_ref[:, :], crot_ref[:, :],
-                cpar_ref[:, :], clay_ref[:, :],
-                px, py, pz, vx, vy, vz, dt, restitution, friction, destroy_flag, lane_mask,
-            )
             has_col = jnp.zeros(ptype.shape, bool)
             for t in range(T):
                 if static.collision_types[t]:
                     has_col = has_col | (ptype == t)
+            cpx, cpy, cpz, cvx, cvy, cvz, cdes = _collide_tile(
+                collider_kinds, collider_identity, cpos_ref[:, :], crot_ref[:, :],
+                cpar_ref[:, :], clay_ref[:, :],
+                px, py, pz, vx, vy, vz, dt, restitution, friction, destroy_flag, lane_mask,
+                alive_sp & ~dead_by_age & has_col, coll_scratch,
+            )
             npx = jnp.where(has_col, cpx, px + vx * dt)
             npy = jnp.where(has_col, cpy, py + vy * dt)
             npz = jnp.where(has_col, cpz, pz + vz * dt)
@@ -668,7 +725,13 @@ def fused_step(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)]
+        + (
+            [pltpu.VMEM((BLOCK_ROWS, LANES), jnp.float32)] * 7
+            + [pltpu.VMEM((BLOCK_ROWS, LANES), jnp.int32)]
+            if (len(kinds) > 0 and static.any_collision)
+            else []
+        ),
         input_output_aliases=aliases,
     )(*inputs)
 
