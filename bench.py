@@ -24,10 +24,19 @@ BASELINE_STEPS_PER_SEC = 9.6e6  # BASELINE.md frame-rate-parity estimate
 TARGET_LIVE = 100_000
 
 
-def _measure(spawner, rate, capacity, colliders=None, warmup=140, n_frames=200):
+def _measure(spawner, rate, capacity, colliders=None, warmup=140, n_frames=100):
     """Steady-state device throughput (frames chained on-device — the
     deployment shape, simulation running ahead of readback like the
-    reference's pipelined main/render worlds). Returns (alive, ms/frame)."""
+    reference's pipelined main/render worlds). Returns (alive, ms/frame).
+
+    Timing is DIFFERENTIAL and readback-forced: run n and 2n frame chains,
+    each followed by a full np.asarray readback of one field (on this
+    environment's axon attach, jax.block_until_ready can return without
+    waiting, so only a value fetch is a reliable fence), and report
+    (t_2n - t_n) / n — per-call constants (dispatch, readback, fences)
+    cancel, leaving the marginal per-frame device time."""
+    import numpy as np
+
     from bevy_firework_tpu import compile_colliders
     from bevy_firework_tpu.ops.fused_step import multi_step_auto
 
@@ -38,16 +47,23 @@ def _measure(spawner, rate, capacity, colliders=None, warmup=140, n_frames=200):
     state = init_pool(capacity, compiled.num_emitters, True, seed=0)
     frame = make_frame_input(1.0 / 60.0)
     state, out = multi_step_auto(compiled.static, compiled.params, table, state, frame, warmup)
-    jax.block_until_ready(state.px)
+    np.asarray(state.px)
     alive = int(out.alive_count)
-    state2, _o = multi_step_auto(compiled.static, compiled.params, table, state, frame, n_frames)
-    jax.block_until_ready(state2.px)
+
+    def run(n):
+        s, _o = multi_step_auto(compiled.static, compiled.params, table, state, frame, n)
+        np.asarray(s.px)  # forced device fence (see docstring)
+
+    run(n_frames)
+    run(2 * n_frames)  # compile both chain lengths
     best = 1e9
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.perf_counter()
-        state2, _o = multi_step_auto(compiled.static, compiled.params, table, state, frame, n_frames)
-        jax.block_until_ready(state2.px)
-        best = min(best, (time.perf_counter() - t0) / n_frames * 1e3)
+        run(n_frames)
+        t1 = time.perf_counter()
+        run(2 * n_frames)
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / n_frames * 1e3)
     return compiled, state, frame, alive, best
 
 
@@ -57,20 +73,22 @@ def main():
     compiled, state, frame, alive, ms = _measure(spawner, TARGET_LIVE, 1 << 17)
 
     # per-dispatch latency (one host round-trip per frame)
+    import numpy as np
+
     state, out = step_auto_jit(compiled.static, compiled.params, None, state, frame)  # compile
-    jax.block_until_ready(state.px)
+    np.asarray(state.px)
     t0 = time.perf_counter()
     for _ in range(50):
         state, out = step_auto_jit(compiled.static, compiled.params, None, state, frame)
-    jax.block_until_ready(state.px)
+    np.asarray(state.px)  # forced fence (block_until_ready can return early here)
     wall_call = (time.perf_counter() - t0) / 50
 
     extras = {}
     try:
-        _c, _s, _f, alive_1m, ms_1m = _measure(spawner, 1_000_000, 160 * 8192, n_frames=100)
+        _c, _s, _f, alive_1m, ms_1m = _measure(spawner, 1_000_000, 160 * 8192)
         extras["1M"] = {"live": alive_1m, "ms_per_frame": round(ms_1m, 4)}
         spc, _t2, cols = effects.stress_test_collision()
-        _c, _s, _f, alive_c, ms_c = _measure(spc, 500_000, 160 * 8192, colliders=cols, n_frames=100)
+        _c, _s, _f, alive_c, ms_c = _measure(spc, 500_000, 160 * 8192, colliders=cols)
         extras["1M_collision"] = {"live": alive_c, "ms_per_frame": round(ms_c, 4)}
     except Exception as e:  # extras must never sink the headline metric
         extras["error"] = str(e)[:200]

@@ -660,38 +660,26 @@ def _compute_spawn_bounds(static: SpawnerStatic, params, state, frame, active):
     return sbounds, enabled, time_in_cycle, last_emission, manual_queued
 
 
-def fused_step(
-    static: SpawnerStatic,
-    params: SpawnerParams,
-    colliders: Optional[ColliderTable],
-    state: PoolState,
-    frame: FrameInput,
-):
-    """Drop-in replacement for step() on global-only archetypes, with the
-    per-lane pipeline in one Pallas kernel. Same state/outputs contract."""
-    assert can_fuse(static)
-    N = state.capacity
+def _run_fused_kernel(static, params, colliders, frame, seed, sbounds, alive, ptype, f32_fields):
+    """Invoke the fused Pallas kernel on one pool pass.
+
+    alive: [N] bool, ptype: [N] i32, f32_fields: name -> [N] f32 (the 16
+    `_F32_FIELDS`). With sbounds all-zero the in-kernel spawn block is inert
+    (no dead rank is below the bound) and the kernel is a pure integrator —
+    that's the hybrid path. Returns (alive_new, ptype_new, dump_mask,
+    new_fields)."""
+    N = alive.shape[0]
     assert N % (BLOCK_ROWS * LANES) == 0, (
         f"pool capacity {N} must be a multiple of {BLOCK_ROWS * LANES} for the fused kernel"
     )
-    T = static.num_types
-    E = static.num_emitters
     rows = N // LANES
     grid = rows // BLOCK_ROWS
-
-    active = _active_flag(static, state)
-    new_key, frame_key = jax.random.split(state.rng_key)
-    sbounds, enabled, time_in_cycle, last_emission, manual_queued = _compute_spawn_bounds(
-        static, params, state, frame, active
-    )
 
     kinds = colliders.kinds if (colliders is not None and static.any_collision) else ()
     identity = colliders.identity_rot if (colliders is not None and static.any_collision) else ()
     dump = static.any_destroyed_dump
     kernel = _make_kernel(static, kinds, identity, dump)
 
-    # seed must round-trip through f32 exactly: keep it under 2^24
-    seed = jax.random.randint(frame_key, (), 0, 1 << 24)
     smalls = _pack_fused_smalls(static, params, colliders, frame, seed) + [sbounds]
 
     def blocked():
@@ -708,10 +696,10 @@ def fused_step(
         + [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * nf
     )
 
-    field_arrays = [getattr(state, name).reshape(rows, LANES) for name in _F32_FIELDS]
+    field_arrays = [f32_fields[name].reshape(rows, LANES) for name in _F32_FIELDS]
     inputs = smalls + [
-        state.alive.astype(jnp.int32).reshape(rows, LANES),
-        state.ptype.reshape(rows, LANES),
+        alive.astype(jnp.int32).reshape(rows, LANES),
+        ptype.reshape(rows, LANES),
     ] + field_arrays
 
     # alias field inputs onto field outputs (in-place update)
@@ -739,15 +727,55 @@ def fused_step(
     ptype_new = results[1].reshape(N)
     dump_mask = (results[2].reshape(N) != 0) if dump else jnp.zeros((N,), bool)
     new_fields = {name: results[n_extra + i].reshape(N) for i, name in enumerate(_F32_FIELDS)}
+    return alive_new, ptype_new, dump_mask, new_fields
+
+
+def fused_step(
+    static: SpawnerStatic,
+    params: SpawnerParams,
+    colliders: Optional[ColliderTable],
+    state: PoolState,
+    frame: FrameInput,
+):
+    """Drop-in replacement for step() on global-only archetypes, with the
+    per-lane pipeline in one Pallas kernel. Same state/outputs contract."""
+    assert can_fuse(static)
+    N = state.capacity
+    T = static.num_types
+    E = static.num_emitters
+
+    active = _active_flag(static, state)
+    new_key, frame_key = jax.random.split(state.rng_key)
+    sbounds, enabled, time_in_cycle, last_emission, manual_queued = _compute_spawn_bounds(
+        static, params, state, frame, active
+    )
+
+    # seed must round-trip through f32 exactly: keep it under 2^24
+    seed = jax.random.randint(frame_key, (), 0, 1 << 24)
+    f32_fields = {name: getattr(state, name) for name in _F32_FIELDS}
+    alive_new, ptype_new, dump_mask, new_fields = _run_fused_kernel(
+        static, params, colliders, frame, seed, sbounds, state.alive, state.ptype, f32_fields
+    )
 
     # last_emitted is only consumed by nested emitters, which never take this
     # path — leave it untouched (dead lanes' values are meaningless anyway).
-    last_emitted = state.last_emitted
+    return _fused_epilogue(
+        static, params, state, alive_new, ptype_new, new_fields, dump_mask,
+        state.last_emitted, enabled, time_in_cycle, last_emission, manual_queued, new_key,
+    )
 
-    # ---------------- epilogue: stats + finished (XLA; dead-code-eliminated
-    # when the caller only consumes the state, e.g. under multi-frame scan) --
+
+def _fused_epilogue(
+    static, params, state, alive_new, ptype_new, new_fields, dump_mask,
+    last_emitted, enabled, time_in_cycle, last_emission, manual_queued, new_key,
+):
+    """Stats + finished flag (XLA; dead-code-eliminated when the caller only
+    consumes the state, e.g. under a multi-frame scan). active() is
+    nested-aware (core.rs:288-302): a nested emitter counts only while
+    particles exist."""
     from ..step import _eval_scalar_curve_by_type
 
+    T = static.num_types
     age_pct = new_fields["age"] / new_fields["lifetime"]
     scale = new_fields["initial_scale"] * _eval_scalar_curve_by_type(
         params.scale_ts, params.scale_vs, params.scale_n, params.scale_kind, ptype_new, age_pct, T
@@ -765,8 +793,11 @@ def fused_step(
     all_empty = alive_count == 0
     any_particles = ~all_empty
     active_now = jnp.zeros((), bool)
-    for e in range(E):
-        active_now = active_now | enabled[e]
+    for e in range(static.num_emitters):
+        if static.mode_kinds[e] == MODE_GLOBAL:
+            active_now = active_now | enabled[e]
+        else:
+            active_now = active_now | (enabled[e] & any_particles)
     finished = all_empty & ~active_now & ~state.finished_notified
     finished_notified = state.finished_notified | finished
 
@@ -794,18 +825,51 @@ def fused_step(
     return new_state, outputs
 
 
+def fused_step_hybrid(
+    static: SpawnerStatic,
+    params: SpawnerParams,
+    colliders: Optional[ColliderTable],
+    state: PoolState,
+    frame: FrameInput,
+):
+    """Nested/mixed archetypes: the XLA spawn phase (`step._spawn_phase` —
+    global claim-and-init + nested two-stage, threefry draws), then the Pallas
+    kernel as a pure integrator (sbounds all-zero keeps its spawn block
+    inert). Produces bit-identical trajectories to step(): the spawn phase IS
+    step()'s, and the kernel integrate is frame-exact against step()'s
+    integrate (tools/fused_parity_tpu.py)."""
+    from ..step import _spawn_phase
+
+    E = static.num_emitters
+
+    fields, enabled, time_in_cycle, last_emission, manual_queued, new_key = _spawn_phase(
+        static, params, state, frame
+    )
+
+    sbounds = jnp.zeros((1, E + 1), jnp.int32)
+    seed = jnp.zeros((), jnp.int32)  # in-kernel PRNG never drawn (no spawn)
+    f32_fields = {name: fields[name] for name in _F32_FIELDS}
+    alive_new, ptype_new, dump_mask, new_fields = _run_fused_kernel(
+        static, params, colliders, frame, seed, sbounds, fields["alive"], fields["ptype"], f32_fields
+    )
+
+    return _fused_epilogue(
+        static, params, state, alive_new, ptype_new, new_fields, dump_mask,
+        fields["last_emitted"], enabled, time_in_cycle, last_emission, manual_queued, new_key,
+    )
+
+
 def step_auto(static, params, colliders, state, frame):
-    """Dispatch: fused pallas path when on TPU, the archetype allows it, and
-    the pool is tile-aligned; else the XLA path (CPU backend, nested
-    emission, odd capacities)."""
+    """Dispatch: on TPU with a tile-aligned pool, global-only archetypes take
+    the all-in-kernel fused path and nested/mixed archetypes the hybrid path
+    (XLA spawn + kernel integrate); else the XLA path (CPU backend, odd
+    capacities)."""
     from ..step import step
 
-    if (
-        jax.default_backend() == "tpu"
-        and can_fuse(static)
-        and state.capacity % (BLOCK_ROWS * LANES) == 0
-    ):
-        return fused_step(static, params, colliders, state, frame)
+    if jax.default_backend() == "tpu" and state.capacity % (BLOCK_ROWS * LANES) == 0:
+        if can_fuse(static):
+            return fused_step(static, params, colliders, state, frame)
+        return fused_step_hybrid(static, params, colliders, state, frame)
     return step(static, params, colliders, state, frame)
 
 

@@ -181,16 +181,42 @@ def _claim_and_init(
 MAX_NESTED_SPAWN_PER_FRAME = 4096
 
 
-def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_key):
-    """Nested emission, two-stage (SURVEY.md #9), gather-light.
+def _monotone_inverse(cum, m: int):
+    """Scatter-free inverse of a non-decreasing int array: for each query
+    r = 0..m-1, the index of the first lane with cum > r, i.e.
+    p(r) = #(cum[i] <= r).
 
-    Stage 1 (rank space): scatter each emitting parent's slot index at its
-    first child rank and forward-fill with a log-depth cummax (searchsorted
-    lowers pathologically on TPU) -> parent_for_rank.
+    XLA TPU scatters serialize over their updates (~1 ms for pool-sized
+    update vectors, measured in tools/nested_ablation_tpu.py — the sorted /
+    unique hints change nothing), so the rank→parent and rank→dead-slot maps
+    are computed as block two-level COUNTS instead: a coarse count over the
+    128-lane block maxima plus a fine count inside the one straddled block
+    (one [m, 128] row gather). Pure compares/reduces/gathers — no scatter."""
+    n = cum.shape[0]
+    B = 128
+    if n % B != 0:  # small/odd pools: pad with +inf sentinels (never counted)
+        pad = B - n % B
+        cum = jnp.concatenate([cum, jnp.full((pad,), jnp.iinfo(cum.dtype).max, cum.dtype)])
+        n += pad
+    nb = n // B
+    blocks = cum.reshape(nb, B)
+    block_max = blocks[:, -1]  # non-decreasing
+    r = jnp.arange(m, dtype=cum.dtype)
+    nfull = jnp.sum((block_max[None, :] <= r[:, None]).astype(jnp.int32), axis=1)
+    blk = jnp.take(blocks, jnp.minimum(nfull, nb - 1), axis=0)  # [m, B]
+    fine = jnp.sum((blk <= r[:, None]).astype(jnp.int32), axis=1)
+    return nfull * B + jnp.where(nfull < nb, fine, 0)
+
+
+def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_key):
+    """Nested emission, two-stage (SURVEY.md #9), gather-light & scatter-light.
+
+    Stage 1 (rank space): map each child rank to its parent slot and to the
+    dead slot it claims, both via the scatter-free monotone inverse.
     Stage 2 (compact [M] child buffer): gather all parent state with ONE
     stacked gather sized by M, initialize children there, and write back with
-    ONE stacked scatter — full-pool-sized gathers (~1.2 ms each at 131k on
-    TPU) never happen.
+    ONE stacked M-update scatter — no pool-sized gathers or scatter-update
+    vectors anywhere.
     """
     N = fields["alive"].shape[0]
     M = min(MAX_NESTED_SPAWN_PER_FRAME, N)
@@ -199,24 +225,23 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     # --- rank space ---------------------------------------------------------
     dead = ~fields["alive"]
     di = dead.astype(jnp.int32)
-    rank = jnp.cumsum(di) - di  # exclusive rank among dead slots
-    starts = cum - counts
-    slot_ids = jnp.arange(N, dtype=jnp.int32)
-    scatter_pos = jnp.where(counts > 0, starts, N)  # empties dropped
-    rank_owner = jnp.full((N,), -1, jnp.int32).at[scatter_pos].max(slot_ids, mode="drop")
-    parent_for_rank = jax.lax.cummax(rank_owner)
+
+    # child rank -> parent slot: first lane whose inclusive count-cumsum
+    # exceeds the rank (zero-count lanes never win: their cum equals their
+    # predecessor's, which is <= r whenever they'd be considered)
+    parent_for_rank = _monotone_inverse(cum, M)
 
     n_spawn = jnp.minimum(total, M)
-    child_parent = jnp.clip(parent_for_rank[:M], 0, N - 1)  # static slice
+    child_parent = jnp.clip(parent_for_rank, 0, N - 1)
     child_valid = jnp.arange(M, dtype=jnp.int32) < n_spawn
 
-    # child rank -> claimed pool slot (invalid children target index N = drop)
-    slot_for_rank = (
-        jnp.full((M,), N, jnp.int32)
-        .at[jnp.where(dead & (rank < M), rank, M)]
-        .set(slot_ids, mode="drop")
-    )
-    slot_for_rank = jnp.where(child_valid, slot_for_rank, N)
+    # child rank -> claimed pool slot: first lane whose inclusive dead-cumsum
+    # exceeds the rank = the (r+1)-th dead slot
+    dead_cum = jnp.cumsum(di)
+    slot_for_rank = _monotone_inverse(dead_cum, M)
+    total_dead = dead_cum[-1]
+    valid = child_valid & (jnp.arange(M, dtype=jnp.int32) < total_dead)
+    slot_for_rank = jnp.where(valid, slot_for_rank, N)  # N = drop marker
 
     # --- gather parent state: one stacked gather sized by M ------------------
     pstack = jnp.stack(
@@ -269,18 +294,19 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     fields["last_emitted"] = fields["last_emitted"].at[:, slot_for_rank].set(F32_MIN, mode="drop")
 
 
-def step(
+def _spawn_phase(
     static: SpawnerStatic,
     params: SpawnerParams,
-    colliders: Optional[ColliderTable],
     state: PoolState,
     frame: FrameInput,
 ):
-    """Advance one spawner's pool by one frame. Pure function; jit over
-    (static, collider kinds) as the compile key."""
+    """spawn_particles (`core.rs:367-551`) on the SoA pool: all emitters in
+    order (global claim-and-init + nested two-stage). Returns the post-spawn
+    field dict plus the advanced cadence/bookkeeping scalars; shared by the
+    XLA `step` and the hybrid fused path (`ops.fused_step.fused_step_hybrid`,
+    which runs this prelude then integrates in the Pallas kernel)."""
     N = state.capacity
     E = static.num_emitters
-    T = static.num_types
     dt = frame.dt
 
     active = _active_flag(static, state)
@@ -353,6 +379,26 @@ def step(
             cum = jnp.cumsum(counts)
             total = cum[-1]
             _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_key)
+
+    return fields, enabled, time_in_cycle, last_emission, manual_queued, new_key
+
+
+def step(
+    static: SpawnerStatic,
+    params: SpawnerParams,
+    colliders: Optional[ColliderTable],
+    state: PoolState,
+    frame: FrameInput,
+):
+    """Advance one spawner's pool by one frame. Pure function; jit over
+    (static, collider kinds) as the compile key."""
+    E = static.num_emitters
+    T = static.num_types
+    dt = frame.dt
+
+    fields, enabled, time_in_cycle, last_emission, manual_queued, new_key = _spawn_phase(
+        static, params, state, frame
+    )
 
     # -------------------------------------------------------------- integrate
     alive0 = fields["alive"]

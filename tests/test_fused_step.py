@@ -103,3 +103,53 @@ def test_fused_collision_parity():
     sA, oA, sB, oB = run_both(sp, n_frames=12, colliders=colliders)
     assert int(oA.alive_count) == int(oB.alive_count) > 0
     assert_state_match(sA, sB, atol=1e-4)
+
+
+def test_hybrid_matches_xla_nested_random_draws():
+    """fused_step_hybrid = step's spawn phase + kernel integrate: with the
+    draws happening in the SHARED spawn phase, parity is lane-for-lane (not
+    just distributional) even for randomized configs."""
+    from bevy_firework_tpu import EmissionMode
+    from bevy_firework_tpu.ops.fused_step import fused_step_hybrid
+
+    sp = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32(0.2, 0.5), initial_scale=RandF32(0.05, 0.2)),
+            ParticleSettings(lifetime=RandF32(0.1, 0.3), linear_drag=0.5),
+        ],
+        emission_settings=[
+            EmissionSettings(
+                particle_index=0,
+                emission_pacing=EmissionPacing.rate(900.0),
+                initial_velocity=RandVec3(magnitude=RandF32(1.0, 4.0), direction=(0, 1, 0), spread=0.6),
+            ),
+            EmissionSettings(
+                particle_index=1,
+                emission_mode=EmissionMode.nested(0),
+                emission_pacing=EmissionPacing.count_over_duration(6.0, 1.0, 0.0, 1.0),
+                initial_velocity=RandVec3(magnitude=RandF32(0.1, 0.8), direction=(0, 1, 0), spread=3.0),
+                inherit_parent_velocity=True,
+            ),
+        ],
+    )
+    c = compile_spawner(sp)
+    assert not can_fuse(c.static)  # nested => hybrid territory
+    sA = init_pool(N, c.num_emitters, True, 0)
+    sB = init_pool(N, c.num_emitters, True, 0)
+    frame = make_frame_input(1 / 50)
+    hybrid = jax.jit(fused_step_hybrid, static_argnums=(0,))
+    for _ in range(20):
+        sA, oA = step_jit(c.static, c.params, None, sA, frame)
+        with pltpu.force_tpu_interpret_mode():
+            sB, oB = hybrid(c.static, c.params, None, sB, frame)
+    a_alive = np.asarray(sA.alive)
+    b_alive = np.asarray(sB.alive)
+    np.testing.assert_array_equal(a_alive, b_alive)
+    assert a_alive.sum() > 100
+    assert int(np.asarray(oA.alive_count_per_type)[1]) > 50  # children exist
+    for f in ("px", "py", "pz", "vx", "vy", "vz", "age", "lifetime",
+              "initial_scale", "qx", "qw", "wx"):
+        xa = np.asarray(getattr(sA, f))[a_alive]
+        xb = np.asarray(getattr(sB, f))[b_alive]
+        np.testing.assert_allclose(xa, xb, atol=2e-6, err_msg=f)
+    np.testing.assert_allclose(np.asarray(sA.last_emitted), np.asarray(sB.last_emitted))
