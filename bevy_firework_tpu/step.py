@@ -233,15 +233,16 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
 
     n_spawn = jnp.minimum(total, M)
     child_parent = jnp.clip(parent_for_rank, 0, N - 1)
-    child_valid = jnp.arange(M, dtype=jnp.int32) < n_spawn
 
-    # child rank -> claimed pool slot: first lane whose inclusive dead-cumsum
-    # exceeds the rank = the (r+1)-th dead slot
+    # pool slot -> child rank: each dead slot claims the child whose rank is
+    # the slot's own dead-rank. This orientation lets the write-back be a
+    # GATHER (each lane pulls its child row) + where — XLA TPU scatters
+    # serialize over their update count and cost ~2 ms here (measured,
+    # tools/nested_stage_ablation_tpu.py), while the gather fuses away.
     dead_cum = jnp.cumsum(di)
-    slot_for_rank = _monotone_inverse(dead_cum, M)
-    total_dead = dead_cum[-1]
-    valid = child_valid & (jnp.arange(M, dtype=jnp.int32) < total_dead)
-    slot_for_rank = jnp.where(valid, slot_for_rank, N)  # N = drop marker
+    dead_rank = dead_cum - di  # exclusive
+    claimed = dead & (dead_rank < n_spawn)
+    child_of_slot = jnp.minimum(dead_rank, M - 1)  # clamp; only claimed lanes read
 
     # --- gather parent state: one stacked gather sized by M ------------------
     pstack = jnp.stack(
@@ -281,17 +282,16 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
         ]
     )  # [16, M] in _WRITE_FIELDS order
 
-    # --- write back: one stacked scatter + small companions ------------------
+    # --- write back: one stacked [16, M]->[N] gather + fusable wheres ---------
     names = ("px", "py", "pz", "vx", "vy", "vz", "qx", "qy", "qz", "qw",
              "wx", "wy", "wz", "initial_scale", "age", "lifetime")
-    pool_stack = jnp.stack([fields[k] for k in names])  # [16, N]
-    pool_stack = pool_stack.at[:, slot_for_rank].set(child_vals, mode="drop")
+    gathered = child_vals[:, child_of_slot]  # [16, N]
     for i, k in enumerate(names):
-        fields[k] = pool_stack[i]
-    fields["ptype"] = fields["ptype"].at[slot_for_rank].set(ti, mode="drop")
-    fields["alive"] = fields["alive"].at[slot_for_rank].set(True, mode="drop")
+        fields[k] = jnp.where(claimed, gathered[i], fields[k])
+    fields["ptype"] = jnp.where(claimed, ti, fields["ptype"])
+    fields["alive"] = fields["alive"] | claimed
     # last_emitted_age = f32::MIN for every emitter (core.rs:539-542)
-    fields["last_emitted"] = fields["last_emitted"].at[:, slot_for_rank].set(F32_MIN, mode="drop")
+    fields["last_emitted"] = jnp.where(claimed[None, :], F32_MIN, fields["last_emitted"])
 
 
 def _spawn_phase(

@@ -52,6 +52,8 @@ def make_variant(level):
 
 
 def measure(level, warmup=150, n=100):
+    import numpy as np
+
     stepmod._nested_spawn = make_variant(level)
     try:
         from bevy_firework_tpu.step import multi_step
@@ -60,17 +62,31 @@ def measure(level, warmup=150, n=100):
         c = compile_spawner(sp)
         state = init_pool(CAPACITY, c.num_emitters, True, 0)
         frame = make_frame_input(1 / 60)
-        ms = jax.jit(multi_step.__wrapped__, static_argnums=(0, 5))
+        raw = multi_step.__wrapped__
+
+        # fresh function identity per level — jax's jit cache would otherwise
+        # reuse the first level's executable across all monkeypatched variants
+        def fresh(static, params, colliders, st, fr, nf):
+            return raw(static, params, colliders, st, fr, nf)
+
+        ms = jax.jit(fresh, static_argnums=(0, 5))
         state, out = ms(c.static, c.params, None, state, frame, warmup)
-        jax.block_until_ready(state.px)
-        s2, _ = ms(c.static, c.params, None, state, frame, n)
-        jax.block_until_ready(s2.px)
+        np.asarray(state.px)
+
+        def run(k):
+            s, _ = ms(c.static, c.params, None, state, frame, k)
+            np.asarray(s.px)  # forced fence; block_until_ready can return early
+
+        run(n)
+        run(2 * n)
         best = 1e9
-        for _ in range(2):
+        for _ in range(4):
             t0 = time.perf_counter()
-            s2, _ = ms(c.static, c.params, None, state, frame, n)
-            jax.block_until_ready(s2.px)
-            best = min(best, (time.perf_counter() - t0) / n * 1e3)
+            run(n)
+            t1 = time.perf_counter()
+            run(2 * n)
+            t2 = time.perf_counter()
+            best = min(best, ((t2 - t1) - (t1 - t0)) / n * 1e3)
         return int(out.alive_count), best
     finally:
         stepmod._nested_spawn = ORIG
