@@ -56,15 +56,16 @@ def _measure(spawner, rate, capacity, colliders=None, warmup=140, n_frames=100):
 
     run(n_frames)
     run(2 * n_frames)  # compile both chain lengths
-    best = 1e9
-    for _ in range(4):
+    diffs = []
+    for _ in range(5):
         t0 = time.perf_counter()
         run(n_frames)
         t1 = time.perf_counter()
         run(2 * n_frames)
         t2 = time.perf_counter()
-        best = min(best, ((t2 - t1) - (t1 - t0)) / n_frames * 1e3)
-    return compiled, state, frame, alive, best
+        diffs.append(((t2 - t1) - (t1 - t0)) / n_frames * 1e3)
+    diffs.sort()
+    return compiled, state, frame, alive, diffs[len(diffs) // 2]  # median
 
 
 def main():
