@@ -68,6 +68,66 @@ def _measure(spawner, rate, capacity, colliders=None, warmup=140, n_frames=100):
     return compiled, state, frame, alive, diffs[len(diffs) // 2]  # median
 
 
+def _measure_nested(warmup=150, n_frames=100):
+    """Nested-emission stress (~60k live: 8k parents x 10 children each over
+    the parent's life): exercises the XLA spawn path's per-parent cadence +
+    monotone-inverse rank maps + gather write-back."""
+    import numpy as np
+
+    from bevy_firework_tpu.ops.fused_step import multi_step_auto
+    from bevy_firework_tpu.settings import (
+        EmissionMode,
+        EmissionSettings,
+        ParticleSettings,
+        ParticleSpawner,
+        RandF32,
+        RandVec3,
+    )
+
+    spawner = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(2.0), linear_drag=0.1),
+            ParticleSettings(lifetime=RandF32.constant(2.0), linear_drag=0.3),
+        ],
+        emission_settings=[
+            EmissionSettings(
+                particle_index=0,
+                emission_pacing=EmissionPacing.rate(4000.0),
+                initial_velocity=RandVec3(magnitude=RandF32(2.0, 6.0), direction=(0, 1, 0), spread=0.5),
+            ),
+            EmissionSettings(
+                particle_index=1,
+                emission_mode=EmissionMode.nested(0),
+                emission_pacing=EmissionPacing.count_over_duration(10.0, 1.0, 0.0, 1.0),
+                initial_velocity=RandVec3(magnitude=RandF32(0.2, 1.0), direction=(0, 1, 0), spread=3.14),
+                inherit_parent_velocity=True,
+            ),
+        ],
+    )
+    compiled = compile_spawner(spawner)
+    state = init_pool(16 * 8192, compiled.num_emitters, True, seed=0)
+    frame = make_frame_input(1.0 / 60.0)
+    state, out = multi_step_auto(compiled.static, compiled.params, None, state, frame, warmup)
+    np.asarray(state.px)
+
+    def run(n):
+        s, _o = multi_step_auto(compiled.static, compiled.params, None, state, frame, n)
+        np.asarray(s.px)
+
+    run(n_frames)
+    run(2 * n_frames)
+    diffs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run(n_frames)
+        t1 = time.perf_counter()
+        run(2 * n_frames)
+        t2 = time.perf_counter()
+        diffs.append(((t2 - t1) - (t1 - t0)) / n_frames * 1e3)
+    diffs.sort()
+    return int(out.alive_count), diffs[len(diffs) // 2]
+
+
 def main():
     # headline: driver metric — 100k live, stress_test
     spawner, _tf = effects.stress_test()
@@ -91,6 +151,8 @@ def main():
         spc, _t2, cols = effects.stress_test_collision()
         _c, _s, _f, alive_c, ms_c = _measure(spc, 500_000, 160 * 8192, colliders=cols)
         extras["1M_collision"] = {"live": alive_c, "ms_per_frame": round(ms_c, 4)}
+        alive_n, ms_n = _measure_nested()
+        extras["nested_60k"] = {"live": alive_n, "ms_per_frame": round(ms_n, 4)}
     except Exception as e:  # extras must never sink the headline metric
         extras["error"] = str(e)[:200]
 
