@@ -15,7 +15,7 @@ import time
 
 import jax
 
-from bevy_firework_tpu import compile_spawner, init_pool, make_frame_input
+from bevy_firework_tpu import compile_spawner, init_pool_for, make_frame_input
 from bevy_firework_tpu.models import effects
 from bevy_firework_tpu.ops.fused_step import step_auto_jit
 from bevy_firework_tpu.settings import EmissionPacing
@@ -44,7 +44,7 @@ def _measure(spawner, rate, capacity, colliders=None, warmup=140, n_frames=100):
     spawner = dataclasses.replace(spawner, emission_settings=(es,))
     compiled = compile_spawner(spawner)
     table = compile_colliders(colliders) if colliders else None
-    state = init_pool(capacity, compiled.num_emitters, True, seed=0)
+    state = init_pool_for(compiled, capacity, seed=0)
     frame = make_frame_input(1.0 / 60.0)
     state, out = multi_step_auto(compiled.static, compiled.params, table, state, frame, warmup)
     np.asarray(state.px)
@@ -105,7 +105,7 @@ def _measure_nested(warmup=150, n_frames=100):
         ],
     )
     compiled = compile_spawner(spawner)
-    state = init_pool(16 * 8192, compiled.num_emitters, True, seed=0)
+    state = init_pool_for(compiled, 16 * 8192, seed=0)
     frame = make_frame_input(1.0 / 60.0)
     state, out = multi_step_auto(compiled.static, compiled.params, None, state, frame, warmup)
     np.asarray(state.px)

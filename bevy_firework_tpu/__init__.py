@@ -15,7 +15,7 @@ from .compiled import CompiledSpawner, compile_spawner
 from .curve import FireworkCurve, FireworkGradient, gradient_constant, gradient_even_samples, gradient_uneven_samples
 from .emission_shape import EmissionShape
 from .fleet import Fleet
-from .pool import FrameInput, PoolState, init_pool, make_frame_input
+from .pool import FrameInput, PoolState, init_pool, init_pool_for, make_frame_input
 from .rand import RandF32, RandVec3
 from .render import FireworkUniform, RenderItem, instances_to_bytes, make_uniform, pack_instances
 from .scene import DestroyedParticle, Scene, Transform, estimate_capacity
@@ -79,6 +79,7 @@ __all__ = [
     "gradient_even_samples",
     "gradient_uneven_samples",
     "init_pool",
+    "init_pool_for",
     "instances_to_bytes",
     "linear_velocity_at_point",
     "load_pool",

@@ -61,6 +61,20 @@ class SpawnerStatic:
     # per type (kind, knot count) of the scale curve — compile-time shape so
     # kernels specialize the interpolation (constant curves cost zero ops)
     scale_curve_meta: Tuple[Tuple[int, int], ...]
+    # --- field-elision flags (fused-kernel HBM traffic reduction) -----------
+    # elide_rotation: every particle this spawner can ever create has
+    # q = identity and w = 0 forever (all emitters spawn with identity
+    # initial_rotation and zero initial_angular_velocity, and no type has
+    # angular acceleration), so the 7 rotation arrays are invariant and the
+    # fused kernel skips reading/writing them entirely.
+    elide_rotation: bool = False
+    # const_lifetime: every type draws the same compile-time-constant
+    # lifetime, so the lifetime array is invariant once filled with that
+    # constant. CONTRACT: pools for such spawners must be created with
+    # `init_pool_for(compiled, ...)` (or init_pool(lifetime_fill=const)) so
+    # reads outside the fused kernel (render pack, event payloads) see the
+    # right value.
+    const_lifetime: object = None  # Optional[float]
 
     @property
     def any_collision(self) -> bool:
@@ -69,6 +83,11 @@ class SpawnerStatic:
     @property
     def any_destroyed_dump(self) -> bool:
         return any(self.destroyed_dump_types)
+
+    @property
+    def single_type(self) -> bool:
+        """T == 1: the ptype array is identically zero, elided from kernels."""
+        return self.num_types == 1
 
 
 @jax.tree_util.register_dataclass
@@ -166,6 +185,24 @@ def compile_spawner(spawner: ParticleSpawner) -> CompiledSpawner:
             stacklevel=2,
         )
 
+    # Field-elision detection (see SpawnerStatic docstrings). All inputs are
+    # authoring-level constants, so this is decidable at compile time.
+    elide_rotation = (
+        all(tuple(e.initial_rotation) == (0.0, 0.0, 0.0, 1.0) for e in emitters)
+        and all(
+            e.initial_angular_velocity.magnitude.min == 0.0
+            and e.initial_angular_velocity.magnitude.max == 0.0
+            for e in emitters
+        )
+        and all(tuple(t.angular_acceleration) == (0.0, 0.0, 0.0) for t in types)
+    )
+    lifetime_ranges = {(t.lifetime.min, t.lifetime.max) for t in types}
+    const_lifetime = None
+    if len(lifetime_ranges) == 1:
+        lo, hi = next(iter(lifetime_ranges))
+        if lo == hi:
+            const_lifetime = float(lo)
+
     static = SpawnerStatic(
         num_types=T,
         num_emitters=E,
@@ -178,6 +215,8 @@ def compile_spawner(spawner: ParticleSpawner) -> CompiledSpawner:
         spawn_transform_local=spawner.spawn_transform_mode == SpawnTransformMode.LOCAL,
         nested_valid=nested_valid,
         scale_curve_meta=tuple((t.scale_curve.kind, t.scale_curve.n) for t in types),
+        elide_rotation=elide_rotation,
+        const_lifetime=const_lifetime,
     )
 
     def farr(vals):

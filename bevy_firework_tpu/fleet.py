@@ -85,13 +85,17 @@ class Fleet:
         self.capacity = int(capacity)
         self.max_spawners = int(max_spawners)
         self.colliders = colliders if (colliders is not None and self.compiled.static.any_collision) else None
+        cl = self.compiled.static.const_lifetime
+        self._lifetime_fill = 1.0 if cl is None else cl  # elision contract (pool.init_pool_for)
         # all slots allocated up-front, disabled (inactive)
         pools = [
-            init_pool(capacity, self.compiled.num_emitters, False, seed + i)
+            init_pool(capacity, self.compiled.num_emitters, False, seed + i,
+                      lifetime_fill=self._lifetime_fill)
             for i in range(max_spawners)
         ]
         self.states: PoolState = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pools)
-        self._template = init_pool(capacity, self.compiled.num_emitters, True, seed)
+        self._template = init_pool(capacity, self.compiled.num_emitters, True, seed,
+                                   lifetime_fill=self._lifetime_fill)
         self._active = [False] * max_spawners
         self._transforms: List[Transform] = [Transform() for _ in range(max_spawners)]
         self._modifiers: List[EffectModifier] = [EffectModifier() for _ in range(max_spawners)]

@@ -83,6 +83,23 @@ _F32_FIELDS = (
     "initial_scale", "age", "lifetime",
 )
 N_SMALL = 15  # count of small leading inputs (see kernel unpack)
+
+
+def active_f32_fields(static: SpawnerStatic):
+    """The f32 pool fields the fused kernel actually streams for this
+    archetype. Elided fields are invariant arrays (see SpawnerStatic
+    elide_rotation / const_lifetime): the kernel substitutes their
+    compile-time constants and passes the arrays through untouched, saving
+    one HBM read + one write per field per frame — for the common
+    no-rotation single-type constant-lifetime archetype (sparks/stress_test)
+    that halves the step's memory traffic."""
+    names = ["px", "py", "pz", "vx", "vy", "vz"]
+    if not static.elide_rotation:
+        names += ["qx", "qy", "qz", "qw", "wx", "wy", "wz"]
+    names += ["initial_scale", "age"]
+    if static.const_lifetime is None:
+        names.append("lifetime")
+    return tuple(names)
 TWO_PI = np.float32(2.0 * np.pi)
 PI = np.float32(np.pi)
 
@@ -356,6 +373,14 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
     E = static.num_emitters
     T = static.num_types
     C = len(collider_kinds)
+    fields = active_f32_fields(static)
+    nf = len(fields)
+    single = static.single_type  # ptype array elided (identically 0)
+    elide_rot = static.elide_rotation  # q = identity, w = 0 invariants
+    const_life = static.const_lifetime  # lifetime array invariant
+    # RNG draw budget: 3 shape + 3 velocity + 1 radial + 1 scale, then
+    # lifetime and angular-velocity draws only if those fields are live.
+    n_draws = 8 + (0 if const_life is not None else 1) + (0 if elide_rot else 3)
 
     def kernel(*refs):
         (
@@ -375,19 +400,32 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             clay_ref,  # [C', 1] int32
             sbounds_ref,  # [1, E+1] int32: cumulative spawn-count bounds
         ) = refs[:N_SMALL]
-        alive_ref, ptype_ref = refs[N_SMALL : N_SMALL + 2]
-        field_in = refs[N_SMALL + 2 : N_SMALL + 2 + len(_F32_FIELDS)]
+        pos = N_SMALL
+        alive_ref = refs[pos]
+        pos += 1
+        ptype_ref = None
+        if not single:
+            ptype_ref = refs[pos]
+            pos += 1
+        field_in = refs[pos : pos + nf]
         has_coll = C > 0 and static.any_collision
         n_scratch = 1 + (8 if has_coll else 0)
         dead_carry = refs[-n_scratch]  # SMEM scratch: dead slots seen in prior tiles
         coll_scratch = refs[-8:] if has_coll else None  # VMEM substep carries
-        outs = refs[N_SMALL + 2 + len(_F32_FIELDS) : -n_scratch]
+        outs = refs[pos + nf : -n_scratch]
         out_alive_ref = outs[0]
-        out_ptype_ref = outs[1]
-        out_dump_ref = outs[2] if dump else None
-        out_field = outs[3 if dump else 2 :]
+        oi = 1
+        out_ptype_ref = None
+        if not single:
+            out_ptype_ref = outs[oi]
+            oi += 1
+        out_dump_ref = None
+        if dump:
+            out_dump_ref = outs[oi]
+            oi += 1
+        out_field = outs[oi:]
 
-        f = {name: field_in[i][:, :] for i, name in enumerate(_F32_FIELDS)}
+        f = {name: field_in[i][:, :] for i, name in enumerate(fields)}
         fs = fscal_ref[0]
         dt = fs[0]
         mod_scale, mod_speed = fs[1], fs[2]
@@ -403,7 +441,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             dead_carry[0] = 0
 
         alive0 = alive_ref[:, :] != 0
-        ptype = ptype_ref[:, :]
+        ptype = None if single else ptype_ref[:, :]
 
         # ---------------- in-kernel dead-slot claim --------------------------
         # The sequential-emitter Vec::push order (core.rs:386-469) is exactly:
@@ -426,9 +464,13 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         tile_has_spawn = (carry_before < total_spawn) & (dead_in_tile > 0)
 
         def spawn_block(args):
-            fvals, ptype = args
-            fd = dict(zip(_F32_FIELDS, fvals))
-            bits = pltpu.bitcast(pltpu.prng_random_bits((12,) + dead.shape), jnp.uint32)
+            if single:
+                fvals = args
+                ptype_l = None
+            else:
+                fvals, ptype_l = args
+            fd = dict(zip(fields, fvals))
+            bits = pltpu.bitcast(pltpu.prng_random_bits((n_draws,) + dead.shape), jnp.uint32)
             u = _u01(bits)
             for e in range(E):
                 m = dead & (rank >= sbounds_ref[0, e]) & (rank < sbounds_ref[0, e + 1])
@@ -446,38 +488,49 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
                 ti = static.particle_indices[e]
                 tr = trand_ref[ti]
                 iscale = (tr[0] + (tr[1] - tr[0]) * u[7]) * mod_scale
-                life = tr[2] + (tr[3] - tr[2]) * u[8]
-                avx, avy, avz = _randvec3_row(iang_ref[e], u[9], u[10], u[11])
+                ui = 8
+                if const_life is None:
+                    life = tr[2] + (tr[3] - tr[2]) * u[ui]
+                    ui += 1
+                if not elide_rot:
+                    avx, avy, avz = _randvec3_row(iang_ref[e], u[ui], u[ui + 1], u[ui + 2])
 
                 def W(name, val):
                     fd[name] = jnp.where(m, val, fd[name])
 
                 W("px", trans[0] + offx); W("py", trans[1] + offy); W("pz", trans[2] + offz)
                 W("vx", velx); W("vy", vely); W("vz", velz)
-                W("qx", em[3]); W("qy", em[4]); W("qz", em[5]); W("qw", em[6])
-                W("wx", avx); W("wy", avy); W("wz", avz)
+                if not elide_rot:
+                    W("qx", em[3]); W("qy", em[4]); W("qz", em[5]); W("qw", em[6])
+                    W("wx", avx); W("wy", avy); W("wz", avz)
                 W("initial_scale", iscale)
-                W("age", jnp.float32(0.0)); W("lifetime", life)
-                ptype = jnp.where(m, ti, ptype)
-            return tuple(fd[name] for name in _F32_FIELDS), ptype
+                W("age", jnp.float32(0.0))
+                if const_life is None:
+                    W("lifetime", life)
+                if not single:
+                    ptype_l = jnp.where(m, ti, ptype_l)
+            fvals = tuple(fd[name] for name in fields)
+            return fvals if single else (fvals, ptype_l)
 
         if E > 0:
-            fvals, ptype = jax.lax.cond(
-                tile_has_spawn,
-                spawn_block,
-                lambda args: args,
-                (tuple(f[name] for name in _F32_FIELDS), ptype),
-            )
-            f = dict(zip(_F32_FIELDS, fvals))
+            init_args = tuple(f[name] for name in fields)
+            if single:
+                fvals = jax.lax.cond(tile_has_spawn, spawn_block, lambda a: a, init_args)
+            else:
+                fvals, ptype = jax.lax.cond(
+                    tile_has_spawn, spawn_block, lambda a: a, (init_args, ptype)
+                )
+            f = dict(zip(fields, fvals))
         alive_sp = alive0 | spawned_any
 
         # ---------------- integrate ------------------------------------------
         age_new = f["age"] + dt
-        dead_by_age = age_new >= f["lifetime"]
-        age_pct = age_new / f["lifetime"]
+        lifetime = np.float32(const_life) if const_life is not None else f["lifetime"]
+        dead_by_age = age_new >= lifetime
+        age_pct = age_new / lifetime
 
         def by_type(ref, col):
-            out = jnp.full(ptype.shape, ref[0, col])
+            out = jnp.full(alive0.shape, ref[0, col])
             for t in range(1, T):
                 out = jnp.where(ptype == t, ref[t, col], out)
             return out
@@ -497,10 +550,13 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             friction = by_type(tcoll_ref, 1)
             destroy_flag = by_type(tcoll_ref, 2)
             lane_mask = by_type(tmask_ref, 0)
-            has_col = jnp.zeros(ptype.shape, bool)
-            for t in range(T):
-                if static.collision_types[t]:
-                    has_col = has_col | (ptype == t)
+            if single:
+                has_col = jnp.full(alive0.shape, static.collision_types[0])
+            else:
+                has_col = jnp.zeros(alive0.shape, bool)
+                for t in range(T):
+                    if static.collision_types[t]:
+                        has_col = has_col | (ptype == t)
             cpx, cpy, cpz, cvx, cvy, cvz, cdes = _collide_tile(
                 collider_kinds, collider_identity, cpos_ref[:, :], crot_ref[:, :],
                 cpar_ref[:, :], clay_ref[:, :],
@@ -517,7 +573,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         else:
             npx, npy, npz = px + vx * dt, py + vy * dt, pz + vz * dt
             nvx, nvy, nvz = vx, vy, vz
-            should_destroy = jnp.zeros(ptype.shape, bool)
+            should_destroy = jnp.zeros(alive0.shape, bool)
 
         moved = alive_sp & ~dead_by_age
         survivor = moved & ~should_destroy
@@ -531,12 +587,6 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         dvy = nvy + (ay - nvy * lin_drag) * dt
         dvz = nvz + (az - nvz * lin_drag) * dt
 
-        sqx, sqy, sqz, sqw = quat_from_scaled_axis_comp(f["wx"] * dt, f["wy"] * dt, f["wz"] * dt)
-        rqx, rqy, rqz, rqw = quat_mul_comp(sqx, sqy, sqz, sqw, f["qx"], f["qy"], f["qz"], f["qw"])
-        wx2 = f["wx"] + (aax - ang_drag * f["wx"]) * dt
-        wy2 = f["wy"] + (aay - ang_drag * f["wy"]) * dt
-        wz2 = f["wz"] + (aaz - ang_drag * f["wz"]) * dt
-
         f["age"] = jnp.where(alive_sp, age_new, f["age"])
         f["px"] = jnp.where(moved, npx, f["px"])
         f["py"] = jnp.where(moved, npy, f["py"])
@@ -544,24 +594,36 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         f["vx"] = jnp.where(survivor, dvx, jnp.where(moved, nvx, f["vx"]))
         f["vy"] = jnp.where(survivor, dvy, jnp.where(moved, nvy, f["vy"]))
         f["vz"] = jnp.where(survivor, dvz, jnp.where(moved, nvz, f["vz"]))
-        f["qx"] = jnp.where(survivor, rqx, f["qx"])
-        f["qy"] = jnp.where(survivor, rqy, f["qy"])
-        f["qz"] = jnp.where(survivor, rqz, f["qz"])
-        f["qw"] = jnp.where(survivor, rqw, f["qw"])
-        f["wx"] = jnp.where(survivor, wx2, f["wx"])
-        f["wy"] = jnp.where(survivor, wy2, f["wy"])
-        f["wz"] = jnp.where(survivor, wz2, f["wz"])
+        if not elide_rot:
+            # quaternion rotation + angular drag (core.rs:645-650); with
+            # rotation elided these are compile-time no-ops (q=id, w=0)
+            sqx, sqy, sqz, sqw = quat_from_scaled_axis_comp(f["wx"] * dt, f["wy"] * dt, f["wz"] * dt)
+            rqx, rqy, rqz, rqw = quat_mul_comp(sqx, sqy, sqz, sqw, f["qx"], f["qy"], f["qz"], f["qw"])
+            wx2 = f["wx"] + (aax - ang_drag * f["wx"]) * dt
+            wy2 = f["wy"] + (aay - ang_drag * f["wy"]) * dt
+            wz2 = f["wz"] + (aaz - ang_drag * f["wz"]) * dt
+            f["qx"] = jnp.where(survivor, rqx, f["qx"])
+            f["qy"] = jnp.where(survivor, rqy, f["qy"])
+            f["qz"] = jnp.where(survivor, rqz, f["qz"])
+            f["qw"] = jnp.where(survivor, rqw, f["qw"])
+            f["wx"] = jnp.where(survivor, wx2, f["wx"])
+            f["wy"] = jnp.where(survivor, wy2, f["wy"])
+            f["wz"] = jnp.where(survivor, wz2, f["wz"])
 
         out_alive_ref[:, :] = survivor.astype(jnp.int32)
-        out_ptype_ref[:, :] = ptype
+        if not single:
+            out_ptype_ref[:, :] = ptype
         if dump:
             destroyed = alive_sp & ~survivor
-            dmask = jnp.zeros(ptype.shape, bool)
-            for t in range(T):
-                if static.destroyed_dump_types[t]:
-                    dmask = dmask | (destroyed & (ptype == t))
+            if single:
+                dmask = destroyed if static.destroyed_dump_types[0] else jnp.zeros(alive0.shape, bool)
+            else:
+                dmask = jnp.zeros(alive0.shape, bool)
+                for t in range(T):
+                    if static.destroyed_dump_types[t]:
+                        dmask = dmask | (destroyed & (ptype == t))
             out_dump_ref[:, :] = dmask.astype(jnp.int32)
-        for i, name in enumerate(_F32_FIELDS):
+        for i, name in enumerate(fields):
             out_field[i][:, :] = f[name]
 
     return kernel
@@ -663,11 +725,12 @@ def _compute_spawn_bounds(static: SpawnerStatic, params, state, frame, active):
 def _run_fused_kernel(static, params, colliders, frame, seed, sbounds, alive, ptype, f32_fields):
     """Invoke the fused Pallas kernel on one pool pass.
 
-    alive: [N] bool, ptype: [N] i32, f32_fields: name -> [N] f32 (the 16
-    `_F32_FIELDS`). With sbounds all-zero the in-kernel spawn block is inert
+    alive: [N] bool, ptype: [N] i32, f32_fields: name -> [N] f32 covering
+    `active_f32_fields(static)` (elided fields are invariant and never enter
+    the kernel). With sbounds all-zero the in-kernel spawn block is inert
     (no dead rank is below the bound) and the kernel is a pure integrator —
-    that's the hybrid path. Returns (alive_new, ptype_new, dump_mask,
-    new_fields)."""
+    that's the hybrid path. Returns (alive_new, ptype_new_or_None, dump_mask,
+    new_fields) where new_fields covers the active fields only."""
     N = alive.shape[0]
     assert N % (BLOCK_ROWS * LANES) == 0, (
         f"pool capacity {N} must be a multiple of {BLOCK_ROWS * LANES} for the fused kernel"
@@ -678,6 +741,7 @@ def _run_fused_kernel(static, params, colliders, frame, seed, sbounds, alive, pt
     kinds = colliders.kinds if (colliders is not None and static.any_collision) else ()
     identity = colliders.identity_rot if (colliders is not None and static.any_collision) else ()
     dump = static.any_destroyed_dump
+    single = static.single_type
     kernel = _make_kernel(static, kinds, identity, dump)
 
     smalls = _pack_fused_smalls(static, params, colliders, frame, seed) + [sbounds]
@@ -686,24 +750,26 @@ def _run_fused_kernel(static, params, colliders, frame, seed, sbounds, alive, pt
         return pl.BlockSpec((BLOCK_ROWS, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM)
 
     small_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    nf = len(_F32_FIELDS)
+    fields = active_f32_fields(static)
+    nf = len(fields)
 
-    n_extra = 3 if dump else 2  # alive, ptype, [dump]
-    in_specs = [small_spec] * N_SMALL + [blocked()] * (2 + nf)
+    n_big_in = (1 if single else 2) + nf  # alive, [ptype], fields
+    n_extra = 1 + (0 if single else 1) + (1 if dump else 0)  # alive, [ptype], [dump]
+    in_specs = [small_spec] * N_SMALL + [blocked()] * n_big_in
     out_specs = [blocked()] * (n_extra + nf)
     out_shape = (
         [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] * n_extra
         + [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * nf
     )
 
-    field_arrays = [f32_fields[name].reshape(rows, LANES) for name in _F32_FIELDS]
-    inputs = smalls + [
-        alive.astype(jnp.int32).reshape(rows, LANES),
-        ptype.reshape(rows, LANES),
-    ] + field_arrays
+    field_arrays = [f32_fields[name].reshape(rows, LANES) for name in fields]
+    inputs = smalls + [alive.astype(jnp.int32).reshape(rows, LANES)]
+    if not single:
+        inputs = inputs + [ptype.reshape(rows, LANES)]
+    inputs = inputs + field_arrays
 
     # alias field inputs onto field outputs (in-place update)
-    first_field_in = N_SMALL + 2
+    first_field_in = N_SMALL + (1 if single else 2)
     first_field_out = n_extra
     aliases = {first_field_in + i: first_field_out + i for i in range(nf)}
 
@@ -724,9 +790,13 @@ def _run_fused_kernel(static, params, colliders, frame, seed, sbounds, alive, pt
     )(*inputs)
 
     alive_new = results[0].reshape(N) != 0
-    ptype_new = results[1].reshape(N)
-    dump_mask = (results[2].reshape(N) != 0) if dump else jnp.zeros((N,), bool)
-    new_fields = {name: results[n_extra + i].reshape(N) for i, name in enumerate(_F32_FIELDS)}
+    ri = 1
+    ptype_new = None
+    if not single:
+        ptype_new = results[ri].reshape(N)
+        ri += 1
+    dump_mask = (results[ri].reshape(N) != 0) if dump else jnp.zeros((N,), bool)
+    new_fields = {name: results[n_extra + i].reshape(N) for i, name in enumerate(fields)}
     return alive_new, ptype_new, dump_mask, new_fields
 
 
@@ -752,15 +822,21 @@ def fused_step(
 
     # seed must round-trip through f32 exactly: keep it under 2^24
     seed = jax.random.randint(frame_key, (), 0, 1 << 24)
-    f32_fields = {name: getattr(state, name) for name in _F32_FIELDS}
+    f32_fields = {name: getattr(state, name) for name in active_f32_fields(static)}
     alive_new, ptype_new, dump_mask, new_fields = _run_fused_kernel(
         static, params, colliders, frame, seed, sbounds, state.alive, state.ptype, f32_fields
     )
+    # Elided fields pass through untouched (they are pool-wide invariants:
+    # q=identity / w=0 / lifetime=const — see active_f32_fields).
+    full_fields = {name: getattr(state, name) for name in _F32_FIELDS}
+    full_fields.update(new_fields)
+    if ptype_new is None:
+        ptype_new = state.ptype
 
     # last_emitted is only consumed by nested emitters, which never take this
     # path — leave it untouched (dead lanes' values are meaningless anyway).
     return _fused_epilogue(
-        static, params, state, alive_new, ptype_new, new_fields, dump_mask,
+        static, params, state, alive_new, ptype_new, full_fields, dump_mask,
         state.last_emitted, enabled, time_in_cycle, last_emission, manual_queued, new_key,
     )
 
@@ -776,7 +852,10 @@ def _fused_epilogue(
     from ..step import _eval_scalar_curve_by_type
 
     T = static.num_types
-    age_pct = new_fields["age"] / new_fields["lifetime"]
+    if static.const_lifetime is not None:
+        age_pct = new_fields["age"] / np.float32(static.const_lifetime)
+    else:
+        age_pct = new_fields["age"] / new_fields["lifetime"]
     scale = new_fields["initial_scale"] * _eval_scalar_curve_by_type(
         params.scale_ts, params.scale_vs, params.scale_n, params.scale_kind, ptype_new, age_pct, T
     )
@@ -848,13 +927,20 @@ def fused_step_hybrid(
 
     sbounds = jnp.zeros((1, E + 1), jnp.int32)
     seed = jnp.zeros((), jnp.int32)  # in-kernel PRNG never drawn (no spawn)
-    f32_fields = {name: fields[name] for name in _F32_FIELDS}
+    f32_fields = {name: fields[name] for name in active_f32_fields(static)}
     alive_new, ptype_new, dump_mask, new_fields = _run_fused_kernel(
         static, params, colliders, frame, seed, sbounds, fields["alive"], fields["ptype"], f32_fields
     )
+    # Elided fields pass through from the spawn phase (which already wrote
+    # any spawn-time values; under the elision invariants those writes are
+    # the constants the kernel assumed).
+    full_fields = {name: fields[name] for name in _F32_FIELDS}
+    full_fields.update(new_fields)
+    if ptype_new is None:
+        ptype_new = fields["ptype"]
 
     return _fused_epilogue(
-        static, params, state, alive_new, ptype_new, new_fields, dump_mask,
+        static, params, state, alive_new, ptype_new, full_fields, dump_mask,
         fields["last_emitted"], enabled, time_in_cycle, last_emission, manual_queued, new_key,
     )
 
@@ -881,13 +967,48 @@ def step_auto_jit(static, params, colliders, state, frame):
 @partial(jax.jit, static_argnums=(0, 5))
 def multi_step_auto(static, params, colliders, state, frame, n_frames: int):
     """n frames in one dispatch (lax.scan over step_auto; per-frame outputs
-    are dead-code-eliminated except the last). See step.multi_step."""
+    are dead-code-eliminated except the last). See step.multi_step.
+
+    Pool arrays that are invariant under this archetype (elided rotation /
+    lifetime / ptype — see active_f32_fields — and, for global-only
+    archetypes, last_emitted) are hoisted OUT of the scan carry: a scan
+    carries (copies) every leaf each iteration even if the body returns it
+    untouched, which would silently pay back the elided HBM traffic."""
+    import dataclasses as _dc
+
     if n_frames < 1:
         raise ValueError("multi_step_auto needs n_frames >= 1")
 
-    def body(s, _):
-        s2, _o = step_auto(static, params, colliders, s, frame)
-        return s2, None
+    invariant = {}
+    if jax.default_backend() == "tpu" and state.capacity % (BLOCK_ROWS * LANES) == 0:
+        af = set(active_f32_fields(static))
+        names = [n for n in _F32_FIELDS if n not in af]
+        if static.single_type:
+            names.append("ptype")
+        if can_fuse(static):
+            names.append("last_emitted")  # only nested emitters mutate it
+        invariant = {n: getattr(state, n) for n in names}
 
-    final, _ = jax.lax.scan(body, state, None, length=n_frames - 1)
-    return step_auto(static, params, colliders, final, frame)
+    if not invariant:
+
+        def body(s, _):
+            s2, _o = step_auto(static, params, colliders, s, frame)
+            return s2, None
+
+        final, _ = jax.lax.scan(body, state, None, length=n_frames - 1)
+        return step_auto(static, params, colliders, final, frame)
+
+    pool_names = [f.name for f in _dc.fields(PoolState)]
+
+    def to_carry(s):
+        return {n: getattr(s, n) for n in pool_names if n not in invariant}
+
+    def from_carry(c):
+        return PoolState(**c, **invariant)
+
+    def body(c, _):
+        s2, _o = step_auto(static, params, colliders, from_carry(c), frame)
+        return to_carry(s2), None
+
+    carry, _ = jax.lax.scan(body, to_carry(state), None, length=n_frames - 1)
+    return step_auto(static, params, colliders, from_carry(carry), frame)

@@ -80,9 +80,22 @@ class PoolState:
         return jnp.sum(self.alive.astype(jnp.int32), axis=-1)
 
 
-def init_pool(capacity: int, num_emitters: int, starts_enabled: bool = True, seed: int = 0) -> PoolState:
+def init_pool(
+    capacity: int,
+    num_emitters: int,
+    starts_enabled: bool = True,
+    seed: int = 0,
+    lifetime_fill: float = 1.0,
+) -> PoolState:
     """Fresh pool, everything dead — the state produced by `sync_spawner_data`
-    (`/root/reference/src/core.rs:343-365`)."""
+    (`/root/reference/src/core.rs:343-365`).
+
+    lifetime_fill: initial value of the (dead-lane) lifetime array. For
+    spawners whose types all share one constant lifetime the fused kernel
+    elides the lifetime array (`SpawnerStatic.const_lifetime`) and relies on
+    it already holding that constant — use `init_pool_for`, which wires this
+    automatically.
+    """
     n = int(capacity)
     z = jnp.zeros((n,), jnp.float32)
     return PoolState(
@@ -91,7 +104,7 @@ def init_pool(capacity: int, num_emitters: int, starts_enabled: bool = True, see
         qx=z, qy=z, qz=z, qw=jnp.ones((n,), jnp.float32),
         wx=z, wy=z, wz=z,
         initial_scale=z, age=z,
-        lifetime=jnp.ones((n,), jnp.float32),
+        lifetime=jnp.full((n,), float(lifetime_fill), jnp.float32),
         ptype=jnp.zeros((n,), jnp.int32),
         alive=jnp.zeros((n,), bool),
         last_emitted=jnp.full((num_emitters, n), F32_MIN, jnp.float32),
@@ -101,6 +114,20 @@ def init_pool(capacity: int, num_emitters: int, starts_enabled: bool = True, see
         manual_queued=jnp.zeros((), jnp.int32),
         finished_notified=jnp.zeros((), bool),
         rng_key=jax.random.PRNGKey(seed),
+    )
+
+
+def init_pool_for(compiled, capacity: int, seed: int = 0) -> PoolState:
+    """`init_pool` wired to a `CompiledSpawner`: honours starts_enabled and
+    satisfies the const-lifetime elision contract (lifetime array pre-filled
+    with the archetype's constant, see SpawnerStatic.const_lifetime)."""
+    cl = compiled.static.const_lifetime
+    return init_pool(
+        capacity,
+        compiled.num_emitters,
+        compiled.starts_enabled,
+        seed,
+        lifetime_fill=1.0 if cl is None else cl,
     )
 
 

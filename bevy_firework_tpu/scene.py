@@ -32,7 +32,7 @@ import numpy as np
 
 from .colliders import Collider, ColliderTable, empty_collider_table
 from .compiled import CompiledSpawner, compile_spawner
-from .pool import PoolState, init_pool, make_frame_input
+from .pool import PoolState, init_pool_for, make_frame_input
 from .render import RenderItem, make_uniform, pack_instances
 from .ops.fused_step import step_auto_jit
 from .settings import EffectModifier, ParticleSpawner, SpawnTransformMode
@@ -175,7 +175,7 @@ class Scene:
         self._spawners[sid] = _SpawnerSlot(
             spawner=spawner,
             compiled=compiled,
-            state=init_pool(capacity, compiled.num_emitters, spawner.starts_enabled, seed),
+            state=init_pool_for(compiled, capacity, seed),
             outputs=None,
             capacity=capacity,
             transform=t,
@@ -197,7 +197,7 @@ class Scene:
         slot = self._spawners[sid]
         slot.spawner = spawner
         slot.compiled = compile_spawner(spawner)
-        slot.state = init_pool(slot.capacity, slot.compiled.num_emitters, spawner.starts_enabled, slot.seed)
+        slot.state = init_pool_for(slot.compiled, slot.capacity, slot.seed)
         slot.outputs = None
         slot.finished_fired = False
 

@@ -20,7 +20,7 @@ from bevy_firework_tpu import (
     compile_colliders,
     compile_spawner,
     gradient_uneven_samples,
-    init_pool,
+    init_pool_for,
     make_frame_input,
 )
 from bevy_firework_tpu.ops.fused_step import can_fuse, fused_step
@@ -54,8 +54,8 @@ def run_both(sp, n_frames=25, colliders=None):
     c = compile_spawner(sp)
     assert can_fuse(c.static)
     table = compile_colliders(colliders) if colliders else None
-    sA = init_pool(N, c.num_emitters, True, 0)
-    sB = init_pool(N, c.num_emitters, True, 0)
+    sA = init_pool_for(c, N, 0)
+    sB = init_pool_for(c, N, 0)
     frame = make_frame_input(1 / 50)
     fused = jax.jit(fused_step, static_argnums=(0,))
     for _ in range(n_frames):
@@ -134,8 +134,8 @@ def test_hybrid_matches_xla_nested_random_draws():
     )
     c = compile_spawner(sp)
     assert not can_fuse(c.static)  # nested => hybrid territory
-    sA = init_pool(N, c.num_emitters, True, 0)
-    sB = init_pool(N, c.num_emitters, True, 0)
+    sA = init_pool_for(c, N, 0)
+    sB = init_pool_for(c, N, 0)
     frame = make_frame_input(1 / 50)
     hybrid = jax.jit(fused_step_hybrid, static_argnums=(0,))
     for _ in range(20):
@@ -153,3 +153,43 @@ def test_hybrid_matches_xla_nested_random_draws():
         xb = np.asarray(getattr(sB, f))[b_alive]
         np.testing.assert_allclose(xa, xb, atol=2e-6, err_msg=f)
     np.testing.assert_allclose(np.asarray(sA.last_emitted), np.asarray(sB.last_emitted))
+
+
+def test_fused_field_elision_parity():
+    """The no-rotation / single-type / const-lifetime archetype (sparks,
+    stress_test) elides 8 of 16 f32 arrays + ptype from the kernel
+    (active_f32_fields); trajectories must still match the XLA step exactly
+    and the pass-through arrays must hold the invariants."""
+    from bevy_firework_tpu.ops.fused_step import active_f32_fields
+
+    sp = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(
+                lifetime=RandF32.constant(0.25),
+                initial_scale=RandF32.constant(0.07),
+                scale_curve=FireworkCurve.uneven_samples([(0.0, 1.0), (1.0, 2.0)]),
+                linear_drag=0.15,
+            )
+        ],
+        emission_settings=[
+            EmissionSettings(
+                emission_pacing=EmissionPacing.rate(1500.0),
+                initial_velocity=RandVec3.constant((0.5, 4.0, -0.3)),
+            )
+        ],
+    )
+    c = compile_spawner(sp)
+    assert c.static.elide_rotation
+    assert c.static.const_lifetime == 0.25
+    assert c.static.single_type
+    af = active_f32_fields(c.static)
+    assert "qx" not in af and "wx" not in af and "lifetime" not in af
+    assert len(af) == 8
+
+    sA, oA, sB, oB = run_both(sp, n_frames=18)
+    assert int(oA.alive_count) == int(oB.alive_count) > 0
+    assert_state_match(sA, sB)
+    # pass-through invariants: identity quat, zero angular velocity,
+    # lifetime array pinned at the constant (init_pool_for fill)
+    for f, want in [("qx", 0.0), ("qw", 1.0), ("wx", 0.0), ("lifetime", 0.25)]:
+        np.testing.assert_array_equal(np.asarray(getattr(sB, f)), np.float32(want), err_msg=f)

@@ -14,7 +14,7 @@ sys.path.insert(0, ".")
 import jax
 import numpy as np
 
-from bevy_firework_tpu import compile_spawner, init_pool, make_frame_input
+from bevy_firework_tpu import compile_spawner, init_pool_for, make_frame_input
 from bevy_firework_tpu.models import effects
 from bevy_firework_tpu.settings import EmissionPacing
 
@@ -29,7 +29,7 @@ def measure(block_rows, capacity, rate, n=200):
     es = dataclasses.replace(sp.emission_settings[0], emission_pacing=EmissionPacing.rate(float(rate)))
     sp = dataclasses.replace(sp, emission_settings=(es,))
     c = compile_spawner(sp)
-    state = init_pool(capacity, c.num_emitters, True, 0)
+    state = init_pool_for(c, capacity, 0)
     frame = make_frame_input(1 / 60)
 
     def fresh(static, params, colliders, st, fr, nf):

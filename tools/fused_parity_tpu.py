@@ -29,7 +29,7 @@ from bevy_firework_tpu import (
     compile_colliders,
     compile_spawner,
     gradient_uneven_samples,
-    init_pool,
+    init_pool_for,
     make_frame_input,
 )
 from bevy_firework_tpu.ops.fused_step import can_fuse, fused_step
@@ -107,8 +107,8 @@ def main(n_configs=8):
                 Collider.cuboid((1, 1, 1), position=tuple(rng.uniform(-2, 2, 3).astype(float)),
                                 rotation=tuple((lambda q: q / np.linalg.norm(q))(rng.normal(size=4)).astype(float))),
             ])
-        sA = init_pool(8192, c.num_emitters, True, 0)
-        sB = init_pool(8192, c.num_emitters, True, 0)
+        sA = init_pool_for(c, 8192, 0)
+        sB = init_pool_for(c, 8192, 0)
         frame = make_frame_input(1 / 50)
         ok = True
         for fi in range(30):
