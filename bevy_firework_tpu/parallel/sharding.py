@@ -92,6 +92,79 @@ def make_fleet_step(static: SpawnerStatic, mesh: Mesh, axis_name: str = "d"):
     return jax.jit(batched, in_shardings=(dp, dp, dp), out_shardings=(dp, dp))
 
 
+# --------------------------------------------------------------------------
+# Multi-host (DCN) scale-out
+#
+# The reference is single-process (SURVEY.md §2a: no NCCL/MPI anywhere); the
+# TPU-native scale-out story beyond one host is fleets-of-scenes: the fleet
+# axis is embarrassingly parallel (zero cross-spawner communication), so it
+# is the axis to place on DCN, while any single pool's particle axis stays
+# on ICI where the spawn prefix-sum / AABB collectives are cheap.
+# --------------------------------------------------------------------------
+
+
+def init_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Multi-host entry point: call once per host process BEFORE building
+    meshes (wraps `jax.distributed.initialize`; with no arguments it
+    auto-detects the TPU pod runtime). After this, `jax.devices()` is the
+    global device list, ordered by process, and `make_mesh_2d` lays hosts
+    along the DCN axis."""
+    jax.distributed.initialize(coordinator_address, num_processes, process_id)
+
+
+def make_mesh_2d(n_hosts: Optional[int] = None, chips_per_host: Optional[int] = None,
+                 axis_names=("host", "d")) -> Mesh:
+    """A (hosts x chips) mesh. On a real multi-host run, `jax.devices()` is
+    ordered by process, so rows of the reshape are per-host groups: axis 0
+    ("host") crosses DCN, axis 1 ("d") stays on each host's ICI domain.
+    Single-process (tests): pass explicit shape to carve virtual devices."""
+    devs = jax.devices()
+    if n_hosts is None:
+        n_hosts = max(jax.process_count(), 1)
+    if chips_per_host is None:
+        chips_per_host = len(devs) // n_hosts
+    grid = np.array(devs[: n_hosts * chips_per_host]).reshape(n_hosts, chips_per_host)
+    return Mesh(grid, axis_names)
+
+
+def fleet_pool_shardings(mesh: Mesh, fleet_axis: str = "host", particle_axis: str = "d") -> PoolState:
+    """Shardings for a fleet-of-pools pytree (leading [S] axis on every leaf):
+    fleet axis over hosts (DCN, zero traffic), particle axis over intra-host
+    chips (ICI)."""
+    import dataclasses
+
+    kw = {}
+    for f in dataclasses.fields(PoolState):
+        if f.name == "last_emitted":  # [S, E, N]
+            kw[f.name] = NamedSharding(mesh, P(fleet_axis, None, particle_axis))
+        elif f.name in ("time_in_cycle", "last_emission", "enabled"):  # [S, E]
+            kw[f.name] = NamedSharding(mesh, P(fleet_axis))
+        elif f.name in ("manual_queued", "finished_notified"):  # [S]
+            kw[f.name] = NamedSharding(mesh, P(fleet_axis))
+        elif f.name == "rng_key":  # [S, 2]
+            kw[f.name] = NamedSharding(mesh, P(fleet_axis))
+        else:  # [S, N]
+            kw[f.name] = NamedSharding(mesh, P(fleet_axis, particle_axis))
+    return PoolState(**kw)
+
+
+def make_fleet_step_2d(static: SpawnerStatic, mesh: Mesh,
+                       fleet_axis: str = "host", particle_axis: str = "d"):
+    """Fleet step on a 2D (hosts x chips) mesh: spawners data-parallel across
+    hosts, each pool's particle axis sharded across that host's chips. GSPMD
+    inserts collectives only along the particle axis (spawn prefix-sum, AABB
+    reduce) — they ride ICI; nothing crosses DCN after placement."""
+    sh = fleet_pool_shardings(mesh, fleet_axis, particle_axis)
+    dp = NamedSharding(mesh, P(fleet_axis))
+
+    def one(params, state, frame):
+        return step(static, params, None, state, frame)
+
+    batched = jax.vmap(one, in_axes=(0, 0, 0))
+    out_sh = NamedSharding(mesh, P(fleet_axis))
+    return jax.jit(batched, in_shardings=(dp, sh, dp), out_shardings=(sh, out_sh))
+
+
 def stack_pools(states):
     """Stack S single-spawner pools into one fleet pytree with leading [S]."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)

@@ -152,21 +152,28 @@ def _claim_and_init(
     velz = spd * (wvz + rvz) + inh * base_vel[2]
 
     init_scale = sample_randf32(uni[7], params.initial_scale_lo[ti], params.initial_scale_hi[ti]) * frame.modifier_scale
-    lifetime = sample_randf32(uni[8], params.lifetime_lo[ti], params.lifetime_hi[ti])
-    avx, avy, avz = sample_randvec3_comp(params.iangvel_params[e], uni[9], uni[10], uni[11])
 
     def w(name, new):
         fields[name] = jnp.where(spawn, new, fields[name])
 
     w("px", origin_pos[0] + offx); w("py", origin_pos[1] + offy); w("pz", origin_pos[2] + offz)
     w("vx", velx); w("vy", vely); w("vz", velz)
-    w("qx", params.init_rot[e, 0]); w("qy", params.init_rot[e, 1])
-    w("qz", params.init_rot[e, 2]); w("qw", params.init_rot[e, 3])
-    w("wx", avx); w("wy", avy); w("wz", avz)
+    # Elided fields are pool-wide invariants (identity quat / zero angvel /
+    # constant lifetime, see compiled.SpawnerStatic): the values these writes
+    # would store are already in the arrays, so skip the (XLA-kernel-costly)
+    # masked writes. Draw shapes stay (12, N) so the threefry stream — and
+    # with it trajectory parity vs the oracle — is unchanged.
+    if not static.elide_rotation:
+        avx, avy, avz = sample_randvec3_comp(params.iangvel_params[e], uni[9], uni[10], uni[11])
+        w("qx", params.init_rot[e, 0]); w("qy", params.init_rot[e, 1])
+        w("qz", params.init_rot[e, 2]); w("qw", params.init_rot[e, 3])
+        w("wx", avx); w("wy", avy); w("wz", avz)
     w("initial_scale", init_scale)
     w("age", 0.0)
-    w("lifetime", lifetime)
-    fields["ptype"] = jnp.where(spawn, ti, fields["ptype"])
+    if static.const_lifetime is None:
+        w("lifetime", sample_randf32(uni[8], params.lifetime_lo[ti], params.lifetime_hi[ti]))
+    if not static.single_type:
+        fields["ptype"] = jnp.where(spawn, ti, fields["ptype"])
     # last_emitted_age = f32::MIN for every emitter (core.rs:467)
     fields["last_emitted"] = jnp.where(spawn[None, :], F32_MIN, fields["last_emitted"])
     fields["alive"] = alive | spawn
@@ -234,24 +241,33 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     n_spawn = jnp.minimum(total, M)
     child_parent = jnp.clip(parent_for_rank, 0, N - 1)
 
-    # pool slot -> child rank: each dead slot claims the child whose rank is
-    # the slot's own dead-rank. This orientation lets the write-back be a
-    # GATHER (each lane pulls its child row) + where — XLA TPU scatters
-    # serialize over their update count and cost ~2 ms here (measured,
-    # tools/nested_stage_ablation_tpu.py), while the gather fuses away.
+    # child rank -> pool slot: the r-th child claims the r-th dead slot
+    # (slot order), i.e. the scatter-free monotone inverse of the dead-rank
+    # cumsum. The f32 write-back is a scatter with only M (=4096) updates —
+    # XLA TPU scatters serialize over their UPDATE count, so M-sized updates
+    # are cheap while pool-sized ones cost ~1 ms. Ranks beyond n_spawn (or
+    # beyond the available dead slots — the inverse returns N there) are
+    # routed out of range and dropped. The bool/int/2D side (alive, ptype,
+    # last_emitted) stays as claimed-mask wheres: measured on v5e, non-f32
+    # scatters are ~4x slower than the masked form (f32-scatter+mask-rest
+    # 0.62 ms vs all-scatter 1.38 vs all-gather 1.09 on the nested stress).
     dead_cum = jnp.cumsum(di)
-    dead_rank = dead_cum - di  # exclusive
+    dead_rank = dead_cum - di  # exclusive, for the mask side
     claimed = dead & (dead_rank < n_spawn)
-    child_of_slot = jnp.minimum(dead_rank, M - 1)  # clamp; only claimed lanes read
+    slot_for_rank = _monotone_inverse(dead_cum, M)  # r-th dead slot, or N
+    rank_ids = jnp.arange(M, dtype=jnp.int32)
+    slot = jnp.where(rank_ids < n_spawn, slot_for_rank, N)  # N => dropped
 
     # --- gather parent state: one stacked gather sized by M ------------------
-    pstack = jnp.stack(
-        [fields[k] for k in ("px", "py", "pz", "qx", "qy", "qz", "qw", "vx", "vy", "vz")]
-    )  # [10, N]
-    pg = pstack[:, child_parent]  # [10, M]
+    # With rotation elided, parent rotation is identity pool-wide — skip its
+    # 4 rows in the gather and the child-frame rotation below.
+    pnames = ("px", "py", "pz", "vx", "vy", "vz") if static.elide_rotation else (
+        "px", "py", "pz", "qx", "qy", "qz", "qw", "vx", "vy", "vz")
+    pstack = jnp.stack([fields[k] for k in pnames])
+    pg = pstack[:, child_parent]  # [len(pnames), M]
     ppos = (pg[0], pg[1], pg[2])
-    prot = (pg[3], pg[4], pg[5], pg[6])
-    pvel = (pg[7], pg[8], pg[9])
+    prot = None if static.elide_rotation else (pg[3], pg[4], pg[5], pg[6])
+    pvel = (pg[-3], pg[-2], pg[-1])
 
     # --- initialize children in the [M] buffer (core.rs:506-544 semantics) ---
     uni = jax.random.uniform(jax.random.fold_in(frame_key, 1000 + e), (12, M), jnp.float32)
@@ -260,35 +276,41 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     radial = sample_randf32(uni[6], params.radial_lo[e], params.radial_hi[e])
     l2 = offx * offx + offy * offy + offz * offz
     inv = jnp.where(l2 > 0, 1.0 / jnp.sqrt(l2), 0.0)
-    wvx, wvy, wvz = quat_rotate_comp(*prot, ivx, ivy, ivz)
+    if prot is None:  # parent rotation identity (elide_rotation)
+        wvx, wvy, wvz = ivx, ivy, ivz
+    else:
+        wvx, wvy, wvz = quat_rotate_comp(*prot, ivx, ivy, ivz)
     spd = frame.modifier_speed
     inh = params.inherit[e]
     velx = spd * (wvx + offx * inv * radial) + inh * pvel[0]
     vely = spd * (wvy + offy * inv * radial) + inh * pvel[1]
     velz = spd * (wvz + offz * inv * radial) + inh * pvel[2]
     init_scale = sample_randf32(uni[7], params.initial_scale_lo[ti], params.initial_scale_hi[ti]) * frame.modifier_scale
-    lifetime = sample_randf32(uni[8], params.lifetime_lo[ti], params.lifetime_hi[ti])
-    avx, avy, avz = sample_randvec3_comp(params.iangvel_params[e], uni[9], uni[10], uni[11])
     zeros = jnp.zeros((M,), jnp.float32)
-    rot = params.init_rot[e]
-    child_vals = jnp.stack(
-        [
-            ppos[0] + offx, ppos[1] + offy, ppos[2] + offz,
-            velx, vely, velz,
-            jnp.full((M,), rot[0]), jnp.full((M,), rot[1]),
-            jnp.full((M,), rot[2]), jnp.full((M,), rot[3]),
-            avx, avy, avz,
-            init_scale, zeros, lifetime,
+    rows = [
+        ("px", ppos[0] + offx), ("py", ppos[1] + offy), ("pz", ppos[2] + offz),
+        ("vx", velx), ("vy", vely), ("vz", velz),
+    ]
+    # Elided fields (identity quat / zero angvel / const lifetime) hold their
+    # invariant values already — skip their rows in the gather AND the masked
+    # write-back (each [N] where costs an XLA kernel; measured ~0.07 ms each
+    # in the nested stress chain).
+    if not static.elide_rotation:
+        rot = params.init_rot[e]
+        avx, avy, avz = sample_randvec3_comp(params.iangvel_params[e], uni[9], uni[10], uni[11])
+        rows += [
+            ("qx", jnp.full((M,), rot[0])), ("qy", jnp.full((M,), rot[1])),
+            ("qz", jnp.full((M,), rot[2])), ("qw", jnp.full((M,), rot[3])),
+            ("wx", avx), ("wy", avy), ("wz", avz),
         ]
-    )  # [16, M] in _WRITE_FIELDS order
-
-    # --- write back: one stacked [16, M]->[N] gather + fusable wheres ---------
-    names = ("px", "py", "pz", "vx", "vy", "vz", "qx", "qy", "qz", "qw",
-             "wx", "wy", "wz", "initial_scale", "age", "lifetime")
-    gathered = child_vals[:, child_of_slot]  # [16, N]
-    for i, k in enumerate(names):
-        fields[k] = jnp.where(claimed, gathered[i], fields[k])
-    fields["ptype"] = jnp.where(claimed, ti, fields["ptype"])
+    rows += [("initial_scale", init_scale), ("age", zeros)]
+    if static.const_lifetime is None:
+        rows.append(("lifetime", sample_randf32(uni[8], params.lifetime_lo[ti], params.lifetime_hi[ti])))
+    # --- write back: M-update scatters (f32) + claimed-mask wheres (rest) ----
+    for k, v in rows:
+        fields[k] = fields[k].at[slot].set(v, mode="drop")
+    if not static.single_type:
+        fields["ptype"] = jnp.where(claimed, ti, fields["ptype"])
     fields["alive"] = fields["alive"] | claimed
     # last_emitted_age = f32::MIN for every emitter (core.rs:539-542)
     fields["last_emitted"] = jnp.where(claimed[None, :], F32_MIN, fields["last_emitted"])

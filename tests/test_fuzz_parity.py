@@ -18,6 +18,7 @@ from bevy_firework_tpu import (
     compile_spawner,
     gradient_uneven_samples,
     init_pool,
+    init_pool_for,
     make_frame_input,
     step_jit,
 )
@@ -79,7 +80,7 @@ def random_spawner(rng: np.random.RandomState) -> ParticleSpawner:
 
 def run_pair(spawner, n_frames, dt, capacity=512):
     compiled = compile_spawner(spawner)
-    state = init_pool(capacity, compiled.num_emitters, True, 0)
+    state = init_pool_for(compiled, capacity, 0)
     ost = oracle_init(spawner)
     for fi in range(n_frames):
         state, out = step_jit(compiled.static, compiled.params, None, state, make_frame_input(dt))
@@ -146,7 +147,7 @@ def test_random_draw_distribution_through_step():
         ],
     )
     compiled = compile_spawner(sp)
-    state = init_pool(8192, compiled.num_emitters, True, 0)
+    state = init_pool_for(compiled, 8192, 0)
     state, _ = step_jit(compiled.static, compiled.params, None, state, make_frame_input(0.0))
     alive = np.asarray(state.alive)
     assert alive.sum() == 5000

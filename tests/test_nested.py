@@ -15,6 +15,7 @@ from bevy_firework_tpu import (
     Scene,
     compile_spawner,
     init_pool,
+    init_pool_for,
     make_frame_input,
     step_jit,
 )
@@ -47,7 +48,7 @@ def nested_spawner(parent_rate=12.0, children_per_parent=6.0, parent_life=5.0, c
 
 def run_engine(sp, n_frames, dt, capacity=4096):
     compiled = compile_spawner(sp)
-    state = init_pool(capacity, compiled.num_emitters, True, 0)
+    state = init_pool_for(compiled, capacity, 0)
     per_type = []
     snaps = []
     for _ in range(n_frames):

@@ -113,3 +113,40 @@ def test_nested_spawner_shards():
         state_b, out_b = sharded(compiled.params, None, state_b, frame)
     np.testing.assert_array_equal(np.asarray(out_a.alive_count_per_type), np.asarray(out_b.alive_count_per_type))
     np.testing.assert_array_equal(np.asarray(state_a.alive), np.asarray(state_b.alive))
+
+
+def test_2d_dcn_fleet_step_matches_unsharded():
+    """Hybrid 2D mesh (2 'hosts' x 4 chips): fleet axis over the host (DCN)
+    dimension, particle axis over the chip (ICI) dimension. Must match the
+    unsharded vmapped step exactly — no communication is ever needed across
+    the fleet axis (SURVEY.md §2a: spawners are independent)."""
+    from bevy_firework_tpu.parallel.sharding import (
+        fleet_pool_shardings,
+        make_fleet_step_2d,
+        make_mesh_2d,
+    )
+
+    sp = spawner()
+    compiled = compile_spawner(sp)
+    mesh = make_mesh_2d(2, 4)
+    S = 2
+    n = 4 * 256  # particle axis divisible by chips_per_host
+    pools = [init_pool(n, 1, True, seed=i) for i in range(S)]
+    states_ref = stack_pools(pools)
+    params = stack_params([compiled.params] * S)
+    frames = stack_frames([make_frame_input(1 / 60, translation=(float(i), 0, 0)) for i in range(S)])
+
+    sh = fleet_pool_shardings(mesh)
+    states_2d = jax.tree_util.tree_map(jax.device_put, stack_pools(pools), sh)
+    fleet2d = make_fleet_step_2d(compiled.static, mesh)
+
+    ref = jax.jit(jax.vmap(lambda p, s, f: step_jit(compiled.static, p, None, s, f), in_axes=(0, 0, 0)))
+    for _ in range(25):
+        states_ref, out_ref = ref(params, states_ref, frames)
+        states_2d, out_2d = fleet2d(params, states_2d, frames)
+    np.testing.assert_array_equal(np.asarray(out_ref.alive_count), np.asarray(out_2d.alive_count))
+    np.testing.assert_allclose(np.asarray(states_ref.px), np.asarray(states_2d.px), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(states_ref.alive), np.asarray(states_2d.alive))
+    # really distributed on both axes
+    assert not states_2d.px.sharding.is_fully_replicated
+    assert states_2d.px.sharding.spec == ("host", "d")

@@ -15,6 +15,7 @@ from bevy_firework_tpu import (
     compile_spawner,
     gradient_uneven_samples,
     init_pool,
+    init_pool_for,
     make_frame_input,
     step_jit,
 )
@@ -50,7 +51,7 @@ def run_engine(spawner, n_frames, dt, capacity=256):
     from bevy_firework_tpu import pack_instances
 
     compiled = compile_spawner(spawner)
-    state = init_pool(capacity, compiled.num_emitters, spawner.starts_enabled, seed=0)
+    state = init_pool_for(compiled, capacity, seed=0)
     frames = []
     for _ in range(n_frames):
         state, out = step_jit(compiled.static, compiled.params, None, state, make_frame_input(dt))
