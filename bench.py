@@ -57,7 +57,7 @@ def _measure(spawner, rate, capacity, colliders=None, warmup=140, n_frames=100):
     run(n_frames)
     run(2 * n_frames)  # compile both chain lengths
     diffs = []
-    for _ in range(5):
+    for _ in range(9):  # median of 9: the tunneled attach drifts +-2x between runs
         t0 = time.perf_counter()
         run(n_frames)
         t1 = time.perf_counter()
@@ -117,7 +117,7 @@ def _measure_nested(warmup=150, n_frames=100):
     run(n_frames)
     run(2 * n_frames)
     diffs = []
-    for _ in range(5):
+    for _ in range(9):
         t0 = time.perf_counter()
         run(n_frames)
         t1 = time.perf_counter()

@@ -89,6 +89,17 @@ class SpawnerStatic:
         """T == 1: the ptype array is identically zero, elided from kernels."""
         return self.num_types == 1
 
+    @property
+    def ring_claim(self) -> bool:
+        """Constant lifetime => particles die in FIFO spawn order => the n
+        oldest slots are always the dead ones, so spawn claims the contiguous
+        ring window [cursor, cursor+n) mod N instead of ranking dead slots
+        with a prefix sum. Claims are still masked by the dead flag, so an
+        under-provisioned pool drops overflow (reference semantics) rather
+        than trampling live lanes; early destruction (destroy_on_collision)
+        only makes window lanes MORE dead, never less."""
+        return self.const_lifetime is not None
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)

@@ -398,7 +398,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             crot_ref,  # [C', 4]
             cpar_ref,  # [C', 3]
             clay_ref,  # [C', 1] int32
-            sbounds_ref,  # [1, E+1] int32: cumulative spawn-count bounds
+            sbounds_ref,  # [1, E+2] int32: cumulative spawn bounds + ring cursor
         ) = refs[:N_SMALL]
         pos = N_SMALL
         alive_ref = refs[pos]
@@ -436,32 +436,54 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         tid = pl.program_id(0)
         pltpu.prng_seed(fs[13].astype(jnp.int32) + tid * 1000003)
 
-        @pl.when(tid == 0)
-        def _():
-            dead_carry[0] = 0
+        if not static.ring_claim:  # SMEM rank carry only used by prefix claim
+
+            @pl.when(tid == 0)
+            def _():
+                dead_carry[0] = 0
 
         alive0 = alive_ref[:, :] != 0
         ptype = None if single else ptype_ref[:, :]
 
-        # ---------------- in-kernel dead-slot claim --------------------------
+        # ---------------- in-kernel slot claim --------------------------------
         # The sequential-emitter Vec::push order (core.rs:386-469) is exactly:
-        # the r-th dead slot (slot order) is claimed by emitter e iff
-        # S_{e-1} <= r < S_e, with S the cumulative spawn counts. The rank is
-        # a cross-tile prefix sum: tile-local scan + an SMEM carry (the TPU
-        # grid executes sequentially on one core).
+        # the r-th claimable slot is claimed by emitter e iff S_{e-1} <= r <
+        # S_e, with S the cumulative spawn counts.
+        #   * ring archetypes (const lifetime, FIFO deaths): r is the ring
+        #     distance (lane - cursor) mod N — pure iota math, no prefix scan
+        #     (the Hillis-Steele scan costs ~25% of the 1M step).
+        #   * otherwise: r is the dead-slot rank, a cross-tile prefix sum
+        #     (tile-local scan + SMEM carry; the grid runs sequentially on
+        #     one core, so the carry is exact).
         dead = ~alive0
-        rank_local, dead_in_tile = _prefix_exclusive(dead.astype(jnp.int32))
-        carry_before = dead_carry[0]
-        rank = rank_local + carry_before
-        dead_carry[0] = carry_before + dead_in_tile
         total_spawn = sbounds_ref[0, E]
-        spawned_any = dead & (rank < total_spawn)
+        if static.ring_claim:
+            npool = pl.num_programs(0) * BLOCK_ROWS * LANES
+            cursor = sbounds_ref[0, E + 1]
+            base = tid * (BLOCK_ROWS * LANES)
+            row = jax.lax.broadcasted_iota(jnp.int32, dead.shape, 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, dead.shape, 1)
+            gidx = base + row * LANES + lane
+            rank = jnp.mod(gidx - cursor, npool)
+            spawned_any = dead & (rank < total_spawn)
+            # spawn-block gate: does the ring window [cursor, cursor+total)
+            # (possibly wrapped) overlap this tile? scalar interval tests.
+            t0, t1 = base, base + BLOCK_ROWS * LANES
+            b = cursor + total_spawn
+            overlap_nowrap = (t1 > cursor) & (t0 < b)
+            overlap_wrap = (t0 < (b - npool)) | (t1 > cursor)
+            tile_has_spawn = (total_spawn > 0) & jnp.where(b > npool, overlap_wrap, overlap_nowrap)
+        else:
+            rank_local, dead_in_tile = _prefix_exclusive(dead.astype(jnp.int32))
+            carry_before = dead_carry[0]
+            rank = rank_local + carry_before
+            dead_carry[0] = carry_before + dead_in_tile
+            spawned_any = dead & (rank < total_spawn)
 
-        # ---------------- spawn init for claimed lanes -----------------------
-        # The RNG + samplers cost ~half the kernel but only tiles containing
-        # the first `total_spawn` dead ranks have claimed lanes — skip the
-        # whole block elsewhere (steady state: ~1 tile in 16).
-        tile_has_spawn = (carry_before < total_spawn) & (dead_in_tile > 0)
+            # The RNG + samplers cost ~half the kernel but only tiles
+            # containing the first `total_spawn` dead ranks have claimed
+            # lanes — skip the whole block elsewhere (~1 tile in 16).
+            tile_has_spawn = (carry_before < total_spawn) & (dead_in_tile > 0)
 
         def spawn_block(args):
             if single:
@@ -718,8 +740,11 @@ def _compute_spawn_bounds(static: SpawnerStatic, params, state, frame, active):
             time_in_cycle = time_in_cycle.at[e].set(jnp.where(gate, tic, time_in_cycle[e]))
             last_emission = last_emission.at[e].set(jnp.where(gate, next_last, last_emission[e]))
         bounds.append(bounds[-1] + n_spawn)
-    sbounds = jnp.stack(bounds).reshape(1, E + 1)
-    return sbounds, enabled, time_in_cycle, last_emission, manual_queued
+    # slot [E+1] carries the ring cursor (always present; 0 / unused for
+    # non-ring archetypes) so the kernel reads one i32 row for both.
+    sbounds = jnp.stack(bounds + [state.ring_cursor]).reshape(1, E + 2)
+    new_cursor = jnp.mod(state.ring_cursor + bounds[-1], state.capacity) if static.ring_claim else state.ring_cursor
+    return sbounds, new_cursor, enabled, time_in_cycle, last_emission, manual_queued
 
 
 def _run_fused_kernel(static, params, colliders, frame, seed, sbounds, alive, ptype, f32_fields):
@@ -816,7 +841,7 @@ def fused_step(
 
     active = _active_flag(static, state)
     new_key, frame_key = jax.random.split(state.rng_key)
-    sbounds, enabled, time_in_cycle, last_emission, manual_queued = _compute_spawn_bounds(
+    sbounds, new_cursor, enabled, time_in_cycle, last_emission, manual_queued = _compute_spawn_bounds(
         static, params, state, frame, active
     )
 
@@ -837,13 +862,15 @@ def fused_step(
     # path — leave it untouched (dead lanes' values are meaningless anyway).
     return _fused_epilogue(
         static, params, state, alive_new, ptype_new, full_fields, dump_mask,
-        state.last_emitted, enabled, time_in_cycle, last_emission, manual_queued, new_key,
+        state.last_emitted, enabled, time_in_cycle, last_emission, manual_queued,
+        new_cursor, new_key,
     )
 
 
 def _fused_epilogue(
     static, params, state, alive_new, ptype_new, new_fields, dump_mask,
-    last_emitted, enabled, time_in_cycle, last_emission, manual_queued, new_key,
+    last_emitted, enabled, time_in_cycle, last_emission, manual_queued,
+    ring_cursor, new_key,
 ):
     """Stats + finished flag (XLA; dead-code-eliminated when the caller only
     consumes the state, e.g. under a multi-frame scan). active() is
@@ -890,6 +917,7 @@ def _fused_epilogue(
         enabled=enabled,
         manual_queued=manual_queued,
         finished_notified=finished_notified,
+        ring_cursor=ring_cursor,
         rng_key=new_key,
     )
     outputs = StepOutputs(
@@ -925,7 +953,7 @@ def fused_step_hybrid(
         static, params, state, frame
     )
 
-    sbounds = jnp.zeros((1, E + 1), jnp.int32)
+    sbounds = jnp.zeros((1, E + 2), jnp.int32)
     seed = jnp.zeros((), jnp.int32)  # in-kernel PRNG never drawn (no spawn)
     f32_fields = {name: fields[name] for name in active_f32_fields(static)}
     alive_new, ptype_new, dump_mask, new_fields = _run_fused_kernel(
@@ -941,7 +969,8 @@ def fused_step_hybrid(
 
     return _fused_epilogue(
         static, params, state, alive_new, ptype_new, full_fields, dump_mask,
-        fields["last_emitted"], enabled, time_in_cycle, last_emission, manual_queued, new_key,
+        fields["last_emitted"], enabled, time_in_cycle, last_emission, manual_queued,
+        fields["ring_cursor"], new_key,
     )
 
 

@@ -48,7 +48,7 @@ def pool_shardings(mesh: Mesh, axis_name: str = "d") -> PoolState:
     for f in dataclasses.fields(PoolState):
         if f.name == "last_emitted":
             kw[f.name] = NamedSharding(mesh, P(None, axis_name))
-        elif f.name in ("time_in_cycle", "last_emission", "enabled", "manual_queued", "finished_notified", "rng_key"):
+        elif f.name in ("time_in_cycle", "last_emission", "enabled", "manual_queued", "finished_notified", "ring_cursor", "rng_key"):
             kw[f.name] = NamedSharding(mesh, P())
         else:
             kw[f.name] = NamedSharding(mesh, P(axis_name))
@@ -139,7 +139,7 @@ def fleet_pool_shardings(mesh: Mesh, fleet_axis: str = "host", particle_axis: st
             kw[f.name] = NamedSharding(mesh, P(fleet_axis, None, particle_axis))
         elif f.name in ("time_in_cycle", "last_emission", "enabled"):  # [S, E]
             kw[f.name] = NamedSharding(mesh, P(fleet_axis))
-        elif f.name in ("manual_queued", "finished_notified"):  # [S]
+        elif f.name in ("manual_queued", "finished_notified", "ring_cursor"):  # [S]
             kw[f.name] = NamedSharding(mesh, P(fleet_axis))
         elif f.name == "rng_key":  # [S, 2]
             kw[f.name] = NamedSharding(mesh, P(fleet_axis))

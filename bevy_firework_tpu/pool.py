@@ -66,6 +66,12 @@ class PoolState:
     # spawner-level scalars
     manual_queued: jax.Array  # int32 scalar
     finished_notified: jax.Array  # bool scalar
+    # Ring-allocation cursor (int32 scalar): const-lifetime archetypes die in
+    # FIFO spawn order, so the n oldest slots are always the dead ones and
+    # spawn claims are the contiguous window [cursor, cursor+n) mod N — no
+    # prefix-sum/rank machinery (see SpawnerStatic.ring_claim). Unused (stays
+    # 0) for variable-lifetime archetypes.
+    ring_cursor: jax.Array
     rng_key: jax.Array  # jax PRNG key data (uint32[2])
 
     @property
@@ -113,6 +119,7 @@ def init_pool(
         enabled=jnp.full((num_emitters,), bool(starts_enabled)),
         manual_queued=jnp.zeros((), jnp.int32),
         finished_notified=jnp.zeros((), bool),
+        ring_cursor=jnp.zeros((), jnp.int32),
         rng_key=jax.random.PRNGKey(seed),
     )
 

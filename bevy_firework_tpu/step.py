@@ -126,12 +126,24 @@ def _claim_and_init(
     origin_* are component tuples: scalars for global emission, gathered
     per-lane arrays for nested emission. Spawn initialization follows
     `core.rs:437-468` / SURVEY.md §A.2.
+
+    Slot claim: const-lifetime archetypes (static.ring_claim) take the ring
+    window [cursor, cursor+n) mod N — an iota compare, no prefix sum — and
+    advance the cursor; otherwise the classic dead-rank prefix claim. Both
+    are masked by `dead`, so overflow drops instead of trampling live lanes.
     """
     alive = fields["alive"]
     dead = ~alive
-    di = dead.astype(jnp.int32)
-    rank = jnp.cumsum(di) - di  # exclusive rank among dead slots
-    spawn = dead & (rank < n_spawn)
+    n = alive.shape[0]
+    if static.ring_claim:
+        idx = jnp.arange(n, dtype=jnp.int32)
+        dist = jnp.mod(idx - fields["ring_cursor"], n)
+        spawn = dead & (dist < n_spawn)
+        fields["ring_cursor"] = jnp.mod(fields["ring_cursor"] + n_spawn, n)
+    else:
+        di = dead.astype(jnp.int32)
+        rank = jnp.cumsum(di) - di  # exclusive rank among dead slots
+        spawn = dead & (rank < n_spawn)
 
     ti = static.particle_indices[e]
 
@@ -177,7 +189,7 @@ def _claim_and_init(
     # last_emitted_age = f32::MIN for every emitter (core.rs:467)
     fields["last_emitted"] = jnp.where(spawn[None, :], F32_MIN, fields["last_emitted"])
     fields["alive"] = alive | spawn
-    return spawn, rank
+    return spawn
 
 
 # Static cap on nested children spawned per emitter per frame: the two-stage
@@ -241,22 +253,33 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     n_spawn = jnp.minimum(total, M)
     child_parent = jnp.clip(parent_for_rank, 0, N - 1)
 
-    # child rank -> pool slot: the r-th child claims the r-th dead slot
-    # (slot order), i.e. the scatter-free monotone inverse of the dead-rank
-    # cumsum. The f32 write-back is a scatter with only M (=4096) updates —
+    # child rank -> pool slot. Ring archetypes (const lifetime): the r-th
+    # child takes slot (cursor + r) mod N — pure index math, no dead-rank
+    # cumsum or inverse; a ring slot that is somehow still alive (overflow)
+    # drops its child via an M-sized dead-check gather. Otherwise: the r-th
+    # child claims the r-th dead slot via the scatter-free monotone inverse.
+    # Either way the f32 write-back is a scatter with only M (=4096) updates —
     # XLA TPU scatters serialize over their UPDATE count, so M-sized updates
-    # are cheap while pool-sized ones cost ~1 ms. Ranks beyond n_spawn (or
-    # beyond the available dead slots — the inverse returns N there) are
-    # routed out of range and dropped. The bool/int/2D side (alive, ptype,
-    # last_emitted) stays as claimed-mask wheres: measured on v5e, non-f32
-    # scatters are ~4x slower than the masked form (f32-scatter+mask-rest
-    # 0.62 ms vs all-scatter 1.38 vs all-gather 1.09 on the nested stress).
-    dead_cum = jnp.cumsum(di)
-    dead_rank = dead_cum - di  # exclusive, for the mask side
-    claimed = dead & (dead_rank < n_spawn)
-    slot_for_rank = _monotone_inverse(dead_cum, M)  # r-th dead slot, or N
+    # are cheap while pool-sized ones cost ~1 ms. The bool/int/2D side
+    # (alive, ptype, last_emitted) stays as claimed-mask wheres: measured on
+    # v5e, non-f32 scatters are ~4x slower than the masked form
+    # (f32-scatter+mask-rest 0.62 ms vs all-scatter 1.38 vs all-gather 1.09
+    # on the nested stress).
     rank_ids = jnp.arange(M, dtype=jnp.int32)
-    slot = jnp.where(rank_ids < n_spawn, slot_for_rank, N)  # N => dropped
+    if static.ring_claim:
+        cursor = fields["ring_cursor"]
+        slot_raw = jnp.mod(cursor + rank_ids, N)
+        target_dead = dead[slot_raw]  # [M] gather, cheap
+        slot = jnp.where((rank_ids < n_spawn) & target_dead, slot_raw, N)
+        idx = jnp.arange(N, dtype=jnp.int32)
+        claimed = dead & (jnp.mod(idx - cursor, N) < n_spawn)
+        fields["ring_cursor"] = jnp.mod(cursor + n_spawn, N)
+    else:
+        dead_cum = jnp.cumsum(di)
+        dead_rank = dead_cum - di  # exclusive, for the mask side
+        claimed = dead & (dead_rank < n_spawn)
+        slot_for_rank = _monotone_inverse(dead_cum, M)  # r-th dead slot, or N
+        slot = jnp.where(rank_ids < n_spawn, slot_for_rank, N)  # N => dropped
 
     # --- gather parent state: one stacked gather sized by M ------------------
     # With rotation elided, parent rotation is identity pool-wide — skip its
@@ -343,6 +366,7 @@ def _spawn_phase(
         "age": state.age, "lifetime": state.lifetime,
         "ptype": state.ptype, "alive": state.alive,
         "last_emitted": state.last_emitted,
+        "ring_cursor": state.ring_cursor,
     }
     time_in_cycle = state.time_in_cycle
     last_emission = state.last_emission
@@ -550,6 +574,7 @@ def step(
         last_emitted=fields["last_emitted"],
         time_in_cycle=time_in_cycle, last_emission=last_emission, enabled=enabled,
         manual_queued=manual_queued, finished_notified=finished_notified,
+        ring_cursor=fields["ring_cursor"],
         rng_key=new_key,
     )
     outputs = StepOutputs(
