@@ -100,6 +100,17 @@ class SpawnerStatic:
         only makes window lanes MORE dead, never less."""
         return self.const_lifetime is not None
 
+    @property
+    def derived_alive(self) -> bool:
+        """Ring archetypes without destroyed-particle dump handlers don't
+        need the alive array in the fused kernel: alive == (age < lifetime)
+        once collision-destroys write age = lifetime (the age fudge is
+        observable only through dump payloads, hence the gate). Saves the
+        array's read+write and its bool<->int32 conversions around the
+        kernel. Requires pools initialized with age = lifetime_fill
+        (init_pool does this)."""
+        return self.ring_claim and not self.any_destroyed_dump
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)

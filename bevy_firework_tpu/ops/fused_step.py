@@ -378,6 +378,9 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
     single = static.single_type  # ptype array elided (identically 0)
     elide_rot = static.elide_rotation  # q = identity, w = 0 invariants
     const_life = static.const_lifetime  # lifetime array invariant
+    # derived alive (ring + no dump + global-only): alive == age < lifetime,
+    # with collision-destroys writing age = lifetime. No alive array I/O.
+    derived = static.derived_alive and can_fuse(static)
     # RNG draw budget: 3 shape + 3 velocity + 1 radial + 1 scale, then
     # lifetime and angular-velocity draws only if those fields are live.
     n_draws = 8 + (0 if const_life is not None else 1) + (0 if elide_rot else 3)
@@ -401,8 +404,10 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             sbounds_ref,  # [1, E+2] int32: cumulative spawn bounds + ring cursor
         ) = refs[:N_SMALL]
         pos = N_SMALL
-        alive_ref = refs[pos]
-        pos += 1
+        alive_ref = None
+        if not derived:
+            alive_ref = refs[pos]
+            pos += 1
         ptype_ref = None
         if not single:
             ptype_ref = refs[pos]
@@ -413,8 +418,11 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         dead_carry = refs[-n_scratch]  # SMEM scratch: dead slots seen in prior tiles
         coll_scratch = refs[-8:] if has_coll else None  # VMEM substep carries
         outs = refs[pos + nf : -n_scratch]
-        out_alive_ref = outs[0]
-        oi = 1
+        oi = 0
+        out_alive_ref = None
+        if not derived:
+            out_alive_ref = outs[oi]
+            oi += 1
         out_ptype_ref = None
         if not single:
             out_ptype_ref = outs[oi]
@@ -442,7 +450,10 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             def _():
                 dead_carry[0] = 0
 
-        alive0 = alive_ref[:, :] != 0
+        if derived:
+            alive0 = f["age"] < np.float32(const_life)
+        else:
+            alive0 = alive_ref[:, :] != 0
         ptype = None if single else ptype_ref[:, :]
 
         # ---------------- in-kernel slot claim --------------------------------
@@ -609,7 +620,14 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         dvy = nvy + (ay - nvy * lin_drag) * dt
         dvz = nvz + (az - nvz * lin_drag) * dt
 
-        f["age"] = jnp.where(alive_sp, age_new, f["age"])
+        if derived:
+            # collision-destroys must read dead next frame: age := lifetime
+            f["age"] = jnp.where(
+                moved & should_destroy, np.float32(const_life),
+                jnp.where(alive_sp, age_new, f["age"]),
+            )
+        else:
+            f["age"] = jnp.where(alive_sp, age_new, f["age"])
         f["px"] = jnp.where(moved, npx, f["px"])
         f["py"] = jnp.where(moved, npy, f["py"])
         f["pz"] = jnp.where(moved, npz, f["pz"])
@@ -632,7 +650,8 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             f["wy"] = jnp.where(survivor, wy2, f["wy"])
             f["wz"] = jnp.where(survivor, wz2, f["wz"])
 
-        out_alive_ref[:, :] = survivor.astype(jnp.int32)
+        if not derived:
+            out_alive_ref[:, :] = survivor.astype(jnp.int32)
         if not single:
             out_ptype_ref[:, :] = ptype
         if dump:
@@ -767,6 +786,7 @@ def _run_fused_kernel(static, params, colliders, frame, seed, sbounds, alive, pt
     identity = colliders.identity_rot if (colliders is not None and static.any_collision) else ()
     dump = static.any_destroyed_dump
     single = static.single_type
+    derived = static.derived_alive and can_fuse(static)
     kernel = _make_kernel(static, kinds, identity, dump)
 
     smalls = _pack_fused_smalls(static, params, colliders, frame, seed) + [sbounds]
@@ -778,8 +798,8 @@ def _run_fused_kernel(static, params, colliders, frame, seed, sbounds, alive, pt
     fields = active_f32_fields(static)
     nf = len(fields)
 
-    n_big_in = (1 if single else 2) + nf  # alive, [ptype], fields
-    n_extra = 1 + (0 if single else 1) + (1 if dump else 0)  # alive, [ptype], [dump]
+    n_big_in = (0 if derived else 1) + (0 if single else 1) + nf  # [alive], [ptype], fields
+    n_extra = (0 if derived else 1) + (0 if single else 1) + (1 if dump else 0)
     in_specs = [small_spec] * N_SMALL + [blocked()] * n_big_in
     out_specs = [blocked()] * (n_extra + nf)
     out_shape = (
@@ -788,13 +808,15 @@ def _run_fused_kernel(static, params, colliders, frame, seed, sbounds, alive, pt
     )
 
     field_arrays = [f32_fields[name].reshape(rows, LANES) for name in fields]
-    inputs = smalls + [alive.astype(jnp.int32).reshape(rows, LANES)]
+    inputs = smalls[:]
+    if not derived:
+        inputs.append(alive.astype(jnp.int32).reshape(rows, LANES))
     if not single:
-        inputs = inputs + [ptype.reshape(rows, LANES)]
+        inputs.append(ptype.reshape(rows, LANES))
     inputs = inputs + field_arrays
 
     # alias field inputs onto field outputs (in-place update)
-    first_field_in = N_SMALL + (1 if single else 2)
+    first_field_in = N_SMALL + n_big_in - nf
     first_field_out = n_extra
     aliases = {first_field_in + i: first_field_out + i for i in range(nf)}
 
@@ -814,14 +836,19 @@ def _run_fused_kernel(static, params, colliders, frame, seed, sbounds, alive, pt
         input_output_aliases=aliases,
     )(*inputs)
 
-    alive_new = results[0].reshape(N) != 0
-    ri = 1
+    ri = 0
+    alive_new = None
+    if not derived:
+        alive_new = results[ri].reshape(N) != 0
+        ri += 1
     ptype_new = None
     if not single:
         ptype_new = results[ri].reshape(N)
         ri += 1
     dump_mask = (results[ri].reshape(N) != 0) if dump else jnp.zeros((N,), bool)
     new_fields = {name: results[n_extra + i].reshape(N) for i, name in enumerate(fields)}
+    if derived:  # alive == age < lifetime (cheap XLA epilogue, DCE-able in scans)
+        alive_new = new_fields["age"] < np.float32(static.const_lifetime)
     return alive_new, ptype_new, dump_mask, new_fields
 
 
@@ -1009,6 +1036,7 @@ def multi_step_auto(static, params, colliders, state, frame, n_frames: int):
         raise ValueError("multi_step_auto needs n_frames >= 1")
 
     invariant = {}
+    derived = False
     if jax.default_backend() == "tpu" and state.capacity % (BLOCK_ROWS * LANES) == 0:
         af = set(active_f32_fields(static))
         names = [n for n in _F32_FIELDS if n not in af]
@@ -1017,6 +1045,7 @@ def multi_step_auto(static, params, colliders, state, frame, n_frames: int):
         if can_fuse(static):
             names.append("last_emitted")  # only nested emitters mutate it
         invariant = {n: getattr(state, n) for n in names}
+        derived = static.derived_alive and can_fuse(static)
 
     if not invariant:
 
@@ -1030,10 +1059,18 @@ def multi_step_auto(static, params, colliders, state, frame, n_frames: int):
     pool_names = [f.name for f in _dc.fields(PoolState)]
 
     def to_carry(s):
-        return {n: getattr(s, n) for n in pool_names if n not in invariant}
+        return {
+            n: getattr(s, n)
+            for n in pool_names
+            if n not in invariant and not (derived and n == "alive")
+        }
 
     def from_carry(c):
-        return PoolState(**c, **invariant)
+        kw = dict(c)
+        kw.update(invariant)
+        if derived:  # alive is derived state (see SpawnerStatic.derived_alive)
+            kw["alive"] = kw["age"] < np.float32(static.const_lifetime)
+        return PoolState(**kw)
 
     def body(c, _):
         s2, _o = step_auto(static, params, colliders, from_carry(c), frame)

@@ -109,7 +109,11 @@ def init_pool(
         vx=z, vy=z, vz=z,
         qx=z, qy=z, qz=z, qw=jnp.ones((n,), jnp.float32),
         wx=z, wy=z, wz=z,
-        initial_scale=z, age=z,
+        initial_scale=z,
+        # dead lanes read as dead under BOTH conventions: the alive array
+        # (False) and the derived form age >= lifetime (see
+        # SpawnerStatic.derived_alive), hence age starts AT the fill.
+        age=jnp.full((n,), float(lifetime_fill), jnp.float32),
         lifetime=jnp.full((n,), float(lifetime_fill), jnp.float32),
         ptype=jnp.zeros((n,), jnp.int32),
         alive=jnp.zeros((n,), bool),

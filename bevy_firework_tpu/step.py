@@ -508,7 +508,15 @@ def step(
 
     # --- commit, matching exactly what the reference's per-particle clone sees
     # (scale and colors are recomputed from age at pack/event time, render.py)
-    fields["age"] = jnp.where(alive0, age_new, fields["age"])
+    if static.derived_alive:
+        # keep the derived-alive invariant (alive == age < lifetime) across
+        # engine paths: collision-destroyed lanes read dead via age
+        fields["age"] = jnp.where(
+            moved & should_destroy, jnp.float32(static.const_lifetime),
+            jnp.where(alive0, age_new, fields["age"]),
+        )
+    else:
+        fields["age"] = jnp.where(alive0, age_new, fields["age"])
     fields["px"] = jnp.where(moved, npx, fields["px"])
     fields["py"] = jnp.where(moved, npy, fields["py"])
     fields["pz"] = jnp.where(moved, npz, fields["pz"])
