@@ -128,6 +128,51 @@ def _measure_nested(warmup=150, n_frames=100):
     return int(out.alive_count), diffs[len(diffs) // 2]
 
 
+def _measure_fleet(n_slots=16, capacity=8 * 8192, rate=55_000.0, warmup=140, n_frames=100):
+    """DP-over-spawners throughput: S independent stress spawners stepped as
+    ONE vmapped fused-kernel dispatch (the reference's par_iter_mut analog,
+    SURVEY.md §2a). ~S x 55k live total."""
+    import numpy as np
+
+    from bevy_firework_tpu.ops.fused_step import multi_step_fleet
+    from bevy_firework_tpu.parallel.sharding import stack_frames, stack_pools
+    from bevy_firework_tpu.pool import init_pool
+
+    spawner, _tf = effects.stress_test()
+    es = dataclasses.replace(spawner.emission_settings[0], emission_pacing=EmissionPacing.rate(float(rate)))
+    spawner = dataclasses.replace(spawner, emission_settings=(es,))
+    compiled = compile_spawner(spawner)
+    cl = compiled.static.const_lifetime
+    states = stack_pools(
+        [init_pool(capacity, compiled.num_emitters, True, i, lifetime_fill=1.0 if cl is None else cl) for i in range(n_slots)]
+    )
+    frames = stack_frames([make_frame_input(1.0 / 60.0, translation=(float(i), 0.0, 0.0)) for i in range(n_slots)])
+
+    def multi(static, params, ss, fr, k):
+        return multi_step_fleet(static, params, None, ss, fr, k)
+
+    states, out = multi(compiled.static, compiled.params, states, frames, warmup)
+    np.asarray(states.px)
+    alive = int(np.asarray(out.alive_count).sum())
+
+    def run(k):
+        s, _ = multi(compiled.static, compiled.params, states, frames, k)
+        np.asarray(s.px)
+
+    run(n_frames)
+    run(2 * n_frames)
+    diffs = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        run(n_frames)
+        t1 = time.perf_counter()
+        run(2 * n_frames)
+        t2 = time.perf_counter()
+        diffs.append(((t2 - t1) - (t1 - t0)) / n_frames * 1e3)
+    diffs.sort()
+    return alive, diffs[len(diffs) // 2]
+
+
 def main():
     # headline: driver metric — 100k live, stress_test
     spawner, _tf = effects.stress_test()
@@ -153,6 +198,8 @@ def main():
         extras["1M_collision"] = {"live": alive_c, "ms_per_frame": round(ms_c, 4)}
         alive_n, ms_n = _measure_nested()
         extras["nested_60k"] = {"live": alive_n, "ms_per_frame": round(ms_n, 4)}
+        alive_f, ms_f = _measure_fleet()
+        extras["fleet_16x55k"] = {"live": alive_f, "ms_per_frame": round(ms_f, 4)}
     except Exception as e:  # extras must never sink the headline metric
         extras["error"] = str(e)[:200]
 

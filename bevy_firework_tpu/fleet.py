@@ -36,12 +36,16 @@ from .pool import FrameInput, PoolState, init_pool, make_frame_input
 from .render import RenderItem, make_uniform
 from .scene import Transform
 from .settings import EffectModifier, ParticleSpawner
-from .step import step
 
 
 @partial(jax.jit, static_argnums=(0,))
 def _fleet_step_jit(static, params, colliders, states, frames):
-    one = lambda s, f: step(static, params, colliders, s, f)
+    """Vmapped step over the slot axis. On TPU with tile-aligned capacities
+    this routes through step_auto, so the whole fleet runs the fused Pallas
+    kernel (vmap adds a grid dimension — still one launch for all slots)."""
+    from .ops.fused_step import step_auto
+
+    one = lambda s, f: step_auto(static, params, colliders, s, f)
     return jax.vmap(one, in_axes=(0, 0))(states, frames)
 
 

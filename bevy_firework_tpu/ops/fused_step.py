@@ -1078,3 +1078,62 @@ def multi_step_auto(static, params, colliders, state, frame, n_frames: int):
 
     carry, _ = jax.lax.scan(body, to_carry(state), None, length=n_frames - 1)
     return step_auto(static, params, colliders, from_carry(carry), frame)
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def multi_step_fleet(static, params, colliders, states, frames, n_frames: int):
+    """n frames of a whole fleet (leading [S] slot axis on states/frames) in
+    one dispatch: lax.scan over the vmapped step_auto — on TPU with
+    tile-aligned capacities every slot runs the fused Pallas kernel in a
+    single launch per frame. Invariant pool arrays are hoisted out of the
+    scan carry exactly as in multi_step_auto."""
+    import dataclasses as _dc
+
+    if n_frames < 1:
+        raise ValueError("multi_step_fleet needs n_frames >= 1")
+
+    vstep = jax.vmap(lambda s, f: step_auto(static, params, colliders, s, f))
+
+    invariant = {}
+    derived = False
+    if jax.default_backend() == "tpu" and states.capacity % (BLOCK_ROWS * LANES) == 0:
+        af = set(active_f32_fields(static))
+        names = [n for n in _F32_FIELDS if n not in af]
+        if static.single_type:
+            names.append("ptype")
+        if can_fuse(static):
+            names.append("last_emitted")
+        invariant = {n: getattr(states, n) for n in names}
+        derived = static.derived_alive and can_fuse(static)
+
+    if not invariant:
+
+        def body(s, _):
+            s2, _o = vstep(s, frames)
+            return s2, None
+
+        final, _ = jax.lax.scan(body, states, None, length=n_frames - 1)
+        return vstep(final, frames)
+
+    pool_names = [f.name for f in _dc.fields(PoolState)]
+
+    def to_carry(s):
+        return {
+            n: getattr(s, n)
+            for n in pool_names
+            if n not in invariant and not (derived and n == "alive")
+        }
+
+    def from_carry(c):
+        kw = dict(c)
+        kw.update(invariant)
+        if derived:
+            kw["alive"] = kw["age"] < np.float32(static.const_lifetime)
+        return PoolState(**kw)
+
+    def body(c, _):
+        s2, _o = vstep(from_carry(c), frames)
+        return to_carry(s2), None
+
+    carry, _ = jax.lax.scan(body, to_carry(states), None, length=n_frames - 1)
+    return vstep(from_carry(carry), frames)

@@ -97,3 +97,37 @@ def test_fleet_slots_draw_distinct_random_streams():
     alive2 = np.asarray(fleet.states.alive)
     va2 = np.sort(vy2[a][alive2[a]][:8])
     assert not np.allclose(va, va2), "re-activated slot replayed its stream"
+
+
+def test_multi_step_fleet_matches_sequential():
+    """multi_step_fleet (scan over vmapped step_auto, invariant hoisting)
+    must equal stepping each slot independently."""
+    import jax
+    import numpy as np
+
+    from bevy_firework_tpu import compile_spawner, init_pool_for, make_frame_input
+    from bevy_firework_tpu.ops.fused_step import multi_step_auto, multi_step_fleet
+    from bevy_firework_tpu.parallel.sharding import stack_frames, stack_pools
+
+    sp = burst_spawner() if "burst_spawner" in dir() else None
+    if sp is None:
+        from bevy_firework_tpu.models import effects
+
+        sp, _tf = effects.sparks(rate=400.0)
+    c = compile_spawner(sp)
+    S, N, F = 3, 1024, 40
+    pools = [init_pool_for(c, N, seed=i) for i in range(S)]
+    frames = [make_frame_input(1 / 60, translation=(float(i), 0.0, 0.0)) for i in range(S)]
+
+    fleet_states, fleet_out = multi_step_fleet(
+        c.static, c.params, None, stack_pools(pools), stack_frames(frames), F
+    )
+    for i in range(S):
+        si, oi = multi_step_auto(c.static, c.params, None, pools[i], frames[i], F)
+        assert int(oi.alive_count) == int(np.asarray(fleet_out.alive_count)[i]) > 0
+        np.testing.assert_allclose(
+            np.asarray(si.px), np.asarray(fleet_states.px)[i], atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(si.alive), np.asarray(fleet_states.alive)[i]
+        )
