@@ -24,7 +24,7 @@ BASELINE_STEPS_PER_SEC = 9.6e6  # BASELINE.md frame-rate-parity estimate
 TARGET_LIVE = 100_000
 
 
-def _measure(spawner, rate, capacity, colliders=None, warmup=140, n_frames=100):
+def _measure(spawner, rate, capacity, colliders=None, warmup=140, n_frames=100, reps=5):
     """Steady-state device throughput (frames chained on-device — the
     deployment shape, simulation running ahead of readback like the
     reference's pipelined main/render worlds). Returns (alive, ms/frame).
@@ -57,7 +57,7 @@ def _measure(spawner, rate, capacity, colliders=None, warmup=140, n_frames=100):
     run(n_frames)
     run(2 * n_frames)  # compile both chain lengths
     diffs = []
-    for _ in range(9):  # median of 9: the tunneled attach drifts +-2x between runs
+    for _ in range(reps):  # median of reps: the tunneled attach drifts +-2x run to run
         t0 = time.perf_counter()
         run(n_frames)
         t1 = time.perf_counter()
@@ -68,7 +68,7 @@ def _measure(spawner, rate, capacity, colliders=None, warmup=140, n_frames=100):
     return compiled, state, frame, alive, diffs[len(diffs) // 2]  # median
 
 
-def _measure_nested(warmup=150, n_frames=100):
+def _measure_nested(warmup=150, n_frames=100, reps=5):
     """Nested-emission stress (~60k live: 8k parents x 10 children each over
     the parent's life): exercises the XLA spawn path's per-parent cadence +
     monotone-inverse rank maps + gather write-back."""
@@ -117,7 +117,7 @@ def _measure_nested(warmup=150, n_frames=100):
     run(n_frames)
     run(2 * n_frames)
     diffs = []
-    for _ in range(9):
+    for _ in range(reps):
         t0 = time.perf_counter()
         run(n_frames)
         t1 = time.perf_counter()
@@ -128,7 +128,7 @@ def _measure_nested(warmup=150, n_frames=100):
     return int(out.alive_count), diffs[len(diffs) // 2]
 
 
-def _measure_fleet(n_slots=16, capacity=8 * 8192, rate=55_000.0, warmup=140, n_frames=100):
+def _measure_fleet(n_slots=16, capacity=8 * 8192, rate=55_000.0, warmup=140, n_frames=100, reps=5):
     """DP-over-spawners throughput: S independent stress spawners stepped as
     ONE vmapped fused-kernel dispatch (the reference's par_iter_mut analog,
     SURVEY.md §2a). ~S x 55k live total."""
@@ -162,7 +162,7 @@ def _measure_fleet(n_slots=16, capacity=8 * 8192, rate=55_000.0, warmup=140, n_f
     run(n_frames)
     run(2 * n_frames)
     diffs = []
-    for _ in range(9):
+    for _ in range(reps):
         t0 = time.perf_counter()
         run(n_frames)
         t1 = time.perf_counter()
@@ -176,7 +176,7 @@ def _measure_fleet(n_slots=16, capacity=8 * 8192, rate=55_000.0, warmup=140, n_f
 def main():
     # headline: driver metric — 100k live, stress_test
     spawner, _tf = effects.stress_test()
-    compiled, state, frame, alive, ms = _measure(spawner, TARGET_LIVE, 1 << 17)
+    compiled, state, frame, alive, ms = _measure(spawner, TARGET_LIVE, 1 << 17, reps=9)
 
     # per-dispatch latency (one host round-trip per frame)
     import numpy as np

@@ -70,7 +70,7 @@ from ..compiled import (
 )
 from ..curve import K_MAX
 from ..pool import FrameInput, PoolState
-from ..step import StepOutputs, _active_flag
+from ..step import StepOutputs
 from ..utils.f32 import F32_MIN, rem_euclid
 from ..utils.quat import quat_from_scaled_axis_comp, quat_mul_comp, quat_rotate_comp
 
@@ -82,7 +82,7 @@ _F32_FIELDS = (
     "qx", "qy", "qz", "qw", "wx", "wy", "wz",
     "initial_scale", "age", "lifetime",
 )
-N_SMALL = 15  # count of small leading inputs (see kernel unpack)
+N_SMALL = 17  # count of small leading inputs (see kernel unpack)
 
 
 def active_f32_fields(static: SpawnerStatic):
@@ -381,13 +381,21 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
     # derived alive (ring + no dump + global-only): alive == age < lifetime,
     # with collision-destroys writing age = lifetime. No alive array I/O.
     derived = static.derived_alive and can_fuse(static)
+    # global-only archetypes run the whole emission pipeline in-kernel:
+    # per-emitter cadence + bookkeeping on SMEM scalars (every tile
+    # recomputes the same scalar math — trivially cheap — and writes the
+    # updated scalars idempotently), claim, RNG, init. The XLA prelude
+    # reduces to assembling two small rows — at 131k lanes the scalar-op
+    # prelude/epilogue was ~45% of the frame. Hybrid (nested) kernels are
+    # pure integrators instead: spawn happened in the XLA spawn phase.
+    cad = can_fuse(static)
     # RNG draw budget: 3 shape + 3 velocity + 1 radial + 1 scale, then
     # lifetime and angular-velocity draws only if those fields are live.
     n_draws = 8 + (0 if const_life is not None else 1) + (0 if elide_rot else 3)
 
     def kernel(*refs):
         (
-            fscal_ref,  # [1, 16] f32: dt, mod_scale, mod_speed, pvel xyz, trans xyz, rot xyzw, seed
+            fscal_ref,  # [1, 16] f32: dt, mod_scale, mod_speed, pvel xyz, trans xyz, rot xyzw
             shape_ref,  # [E, 6]
             ivel_ref,  # [E, 7]
             iang_ref,  # [E, 7]
@@ -401,7 +409,9 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             crot_ref,  # [C', 4]
             cpar_ref,  # [C', 3]
             clay_ref,  # [C', 1] int32
-            sbounds_ref,  # [1, E+2] int32: cumulative spawn bounds + ring cursor
+            cadp_ref,  # [E, 8] f32: count, duration, off_start, off_end (cadence params)
+            dyn_ref,  # SMEM [8] int32: manual_queued, ring_cursor, seed
+            estate_ref,  # SMEM [E, 8] f32: time_in_cycle, last_emission, enabled
         ) = refs[:N_SMALL]
         pos = N_SMALL
         alive_ref = None
@@ -431,7 +441,11 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         if dump:
             out_dump_ref = outs[oi]
             oi += 1
-        out_field = outs[oi:]
+        out_field = outs[oi : oi + nf]
+        out_dyn_ref = out_estate_ref = None
+        if cad:  # SMEM scalar outputs: updated cadence/bookkeeping state
+            out_dyn_ref = outs[oi + nf]
+            out_estate_ref = outs[oi + nf + 1]
 
         f = {name: field_in[i][:, :] for i, name in enumerate(fields)}
         fs = fscal_ref[0]
@@ -442,9 +456,8 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         orot = (fs[9], fs[10], fs[11], fs[12])
 
         tid = pl.program_id(0)
-        pltpu.prng_seed(fs[13].astype(jnp.int32) + tid * 1000003)
 
-        if not static.ring_claim:  # SMEM rank carry only used by prefix claim
+        if cad and not static.ring_claim:  # SMEM rank carry for prefix claim
 
             @pl.when(tid == 0)
             def _():
@@ -455,6 +468,56 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         else:
             alive0 = alive_ref[:, :] != 0
         ptype = None if single else ptype_ref[:, :]
+        dead = ~alive0
+
+        # ---------------- in-kernel cadence (global-only archetypes) ----------
+        # spawn_particles' per-emitter count/bookkeeping (core.rs:395-427) on
+        # SMEM scalars: every tile computes the same values; outputs are
+        # written idempotently. Matches step.py's _spawn_phase math exactly.
+        if cad:
+            pltpu.prng_seed(dyn_ref[2] + tid * 1000003)
+            mq = dyn_ref[0]
+            cursor0 = dyn_ref[1]
+            en_in = [estate_ref[e, 2] != 0.0 for e in range(E)]
+            active = en_in[0] if E > 0 else jnp.zeros((), bool)
+            for e in range(1, E):
+                active = active | en_in[e]
+            bounds = [jnp.zeros((), jnp.int32)]
+            new_tic, new_last, new_en = [], [], []
+            for e in range(E):
+                gate = active & en_in[e]
+                tic0, last0 = estate_ref[e, 0], estate_ref[e, 1]
+                cnt_p, dur = cadp_ref[e, 0], cadp_ref[e, 1]
+                off_s, off_e = cadp_ref[e, 2], cadp_ref[e, 3]
+                pk = static.pacing_kinds[e]
+                if pk == PACING_ONE_SHOT:
+                    n_sp = jnp.where(gate, cnt_p.astype(jnp.int32), 0)
+                    new_en.append(en_in[e] & ~gate)  # disable after burst
+                    new_tic.append(tic0)
+                    new_last.append(last0)
+                elif pk == PACING_ON_DEMAND:
+                    n_sp = jnp.where(gate, mq, 0)
+                    mq = jnp.where(gate, 0, mq)
+                    new_en.append(en_in[e])
+                    new_tic.append(tic0)
+                    new_last.append(last0)
+                else:  # PACING_RATE / CountOverDuration
+                    tic = rem_euclid(tic0 + dt, dur)
+                    cnt, next_last = compute_emission_count(tic, last0, dur, off_s, off_e, cnt_p)
+                    n_sp = jnp.where(gate, cnt, 0)
+                    new_en.append(en_in[e])
+                    new_tic.append(jnp.where(gate, tic, tic0))
+                    new_last.append(jnp.where(gate, next_last, last0))
+                bounds.append(bounds[-1] + n_sp)
+            total_spawn = bounds[-1]
+            npool = pl.num_programs(0) * BLOCK_ROWS * LANES
+            cursor_new = jnp.mod(cursor0 + total_spawn, npool) if static.ring_claim else cursor0
+            out_dyn_ref[0] = mq
+            out_dyn_ref[1] = cursor_new
+            for e in range(E):
+                out_estate_ref[e, 0] = new_tic[e]
+                out_estate_ref[e, 1] = new_last[e]
+                out_estate_ref[e, 2] = new_en[e].astype(jnp.float32)
 
         # ---------------- in-kernel slot claim --------------------------------
         # The sequential-emitter Vec::push order (core.rs:386-469) is exactly:
@@ -466,25 +529,21 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         #   * otherwise: r is the dead-slot rank, a cross-tile prefix sum
         #     (tile-local scan + SMEM carry; the grid runs sequentially on
         #     one core, so the carry is exact).
-        dead = ~alive0
-        total_spawn = sbounds_ref[0, E]
-        if static.ring_claim:
-            npool = pl.num_programs(0) * BLOCK_ROWS * LANES
-            cursor = sbounds_ref[0, E + 1]
+        if cad and static.ring_claim:
             base = tid * (BLOCK_ROWS * LANES)
             row = jax.lax.broadcasted_iota(jnp.int32, dead.shape, 0)
             lane = jax.lax.broadcasted_iota(jnp.int32, dead.shape, 1)
             gidx = base + row * LANES + lane
-            rank = jnp.mod(gidx - cursor, npool)
+            rank = jnp.mod(gidx - cursor0, npool)
             spawned_any = dead & (rank < total_spawn)
             # spawn-block gate: does the ring window [cursor, cursor+total)
             # (possibly wrapped) overlap this tile? scalar interval tests.
             t0, t1 = base, base + BLOCK_ROWS * LANES
-            b = cursor + total_spawn
-            overlap_nowrap = (t1 > cursor) & (t0 < b)
-            overlap_wrap = (t0 < (b - npool)) | (t1 > cursor)
+            b = cursor0 + total_spawn
+            overlap_nowrap = (t1 > cursor0) & (t0 < b)
+            overlap_wrap = (t0 < (b - npool)) | (t1 > cursor0)
             tile_has_spawn = (total_spawn > 0) & jnp.where(b > npool, overlap_wrap, overlap_nowrap)
-        else:
+        elif cad:
             rank_local, dead_in_tile = _prefix_exclusive(dead.astype(jnp.int32))
             carry_before = dead_carry[0]
             rank = rank_local + carry_before
@@ -495,6 +554,8 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             # containing the first `total_spawn` dead ranks have claimed
             # lanes — skip the whole block elsewhere (~1 tile in 16).
             tile_has_spawn = (carry_before < total_spawn) & (dead_in_tile > 0)
+        else:  # hybrid: spawn already happened in the XLA spawn phase
+            spawned_any = jnp.zeros(dead.shape, bool)
 
         def spawn_block(args):
             if single:
@@ -506,7 +567,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             bits = pltpu.bitcast(pltpu.prng_random_bits((n_draws,) + dead.shape), jnp.uint32)
             u = _u01(bits)
             for e in range(E):
-                m = dead & (rank >= sbounds_ref[0, e]) & (rank < sbounds_ref[0, e + 1])
+                m = dead & (rank >= bounds[e]) & (rank < bounds[e + 1])
                 srow = shape_ref[e]
                 em = emisc_ref[e]
                 offx, offy, offz = _shape_row(srow, u[0], u[1], u[2])
@@ -545,7 +606,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             fvals = tuple(fd[name] for name in fields)
             return fvals if single else (fvals, ptype_l)
 
-        if E > 0:
+        if cad and E > 0:
             init_args = tuple(f[name] for name in fields)
             if single:
                 fvals = jax.lax.cond(tile_has_spawn, spawn_block, lambda a: a, init_args)
@@ -670,20 +731,22 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
     return kernel
 
 
-def _pack_fused_smalls(static: SpawnerStatic, params: SpawnerParams, colliders, frame: FrameInput, seed):
+def _pack_fused_smalls(static: SpawnerStatic, params: SpawnerParams, colliders, frame: FrameInput):
     """Assemble the kernel's small VMEM inputs. Param-derived packs are
-    loop-invariant; XLA hoists them out of scan loops."""
+    loop-invariant; XLA hoists them out of scan loops. fscal (the only
+    per-frame pack here) is built as ONE concatenate — an .at[].set chain
+    costs several tiny XLA kernels per frame, which dominate small pools."""
     E = static.num_emitters
     T = static.num_types
 
-    fscal = jnp.zeros((1, 16), jnp.float32)
-    fscal = fscal.at[0, 0].set(frame.dt)
-    fscal = fscal.at[0, 1].set(frame.modifier_scale)
-    fscal = fscal.at[0, 2].set(frame.modifier_speed)
-    fscal = fscal.at[0, 3:6].set(frame.parent_velocity)
-    fscal = fscal.at[0, 6:9].set(frame.transform_translation)
-    fscal = fscal.at[0, 9:13].set(frame.transform_rotation)
-    fscal = fscal.at[0, 13].set(seed.astype(jnp.float32))
+    f1 = lambda x: jnp.asarray(x, jnp.float32).reshape(-1)
+    fscal = jnp.concatenate(
+        [
+            f1(frame.dt), f1(frame.modifier_scale), f1(frame.modifier_speed),
+            f1(frame.parent_velocity), f1(frame.transform_translation),
+            f1(frame.transform_rotation), jnp.zeros((3,), jnp.float32),
+        ]
+    ).reshape(1, 16)
 
     emisc = jnp.zeros((E, 8), jnp.float32)
     emisc = emisc.at[:, 0].set(params.radial_lo)
@@ -722,59 +785,30 @@ def _pack_fused_smalls(static: SpawnerStatic, params: SpawnerParams, colliders, 
         cpar = jnp.zeros((1, 3), jnp.float32)
         clay = jnp.zeros((1, 1), jnp.int32)
 
+    # per-emitter cadence params for the in-kernel cadence (param-derived)
+    cadp = jnp.zeros((E, 8), jnp.float32)
+    cadp = cadp.at[:, 0].set(params.count)
+    cadp = cadp.at[:, 1].set(params.duration)
+    cadp = cadp.at[:, 2].set(params.off_start)
+    cadp = cadp.at[:, 3].set(params.off_end)
+
     return [fscal, params.shape_params, params.ivel_params, params.iangvel_params, emisc,
-            trand, tphys, tcoll, tmask, cmeta, cpos, crot, cpar, clay]
-    # sbounds is appended by the caller (per-frame, not param-derived)
+            trand, tphys, tcoll, tmask, cmeta, cpos, crot, cpar, clay, cadp]
+    # dyn + estate (per-frame SMEM scalars) are appended by the caller
 
 
-def _compute_spawn_bounds(static: SpawnerStatic, params, state, frame, active):
-    """XLA prelude — SCALAR work only: per-emitter cadence and the cumulative
-    spawn-count bounds S (sbounds[e] = first dead-slot rank emitter e claims,
-    sbounds[E] = total). The [N]-sized rank/claim computation lives inside
-    the kernel. Mirrors step.py's sequential spawn loop for global emitters."""
-    E = static.num_emitters
-    enabled = state.enabled
-    time_in_cycle = state.time_in_cycle
-    last_emission = state.last_emission
-    manual_queued = state.manual_queued
-    dt = frame.dt
-
-    bounds = [jnp.zeros((), jnp.int32)]
-    for e in range(E):
-        gate = active & enabled[e]
-        pk = static.pacing_kinds[e]
-        if pk == PACING_ONE_SHOT:
-            n_spawn = jnp.where(gate, params.count[e].astype(jnp.int32), 0)
-            enabled = enabled.at[e].set(enabled[e] & ~gate)
-        elif pk == PACING_ON_DEMAND:
-            n_spawn = jnp.where(gate, manual_queued, 0)
-            manual_queued = jnp.where(gate, 0, manual_queued)
-        else:
-            tic = rem_euclid(time_in_cycle[e] + dt, params.duration[e])
-            cnt, next_last = compute_emission_count(
-                tic, last_emission[e], params.duration[e],
-                params.off_start[e], params.off_end[e], params.count[e],
-            )
-            n_spawn = jnp.where(gate, cnt, 0)
-            time_in_cycle = time_in_cycle.at[e].set(jnp.where(gate, tic, time_in_cycle[e]))
-            last_emission = last_emission.at[e].set(jnp.where(gate, next_last, last_emission[e]))
-        bounds.append(bounds[-1] + n_spawn)
-    # slot [E+1] carries the ring cursor (always present; 0 / unused for
-    # non-ring archetypes) so the kernel reads one i32 row for both.
-    sbounds = jnp.stack(bounds + [state.ring_cursor]).reshape(1, E + 2)
-    new_cursor = jnp.mod(state.ring_cursor + bounds[-1], state.capacity) if static.ring_claim else state.ring_cursor
-    return sbounds, new_cursor, enabled, time_in_cycle, last_emission, manual_queued
-
-
-def _run_fused_kernel(static, params, colliders, frame, seed, sbounds, alive, ptype, f32_fields):
+def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptype, f32_fields):
     """Invoke the fused Pallas kernel on one pool pass.
 
     alive: [N] bool, ptype: [N] i32, f32_fields: name -> [N] f32 covering
     `active_f32_fields(static)` (elided fields are invariant and never enter
-    the kernel). With sbounds all-zero the in-kernel spawn block is inert
-    (no dead rank is below the bound) and the kernel is a pure integrator —
-    that's the hybrid path. Returns (alive_new, ptype_new_or_None, dump_mask,
-    new_fields) where new_fields covers the active fields only."""
+    the kernel). dyn: int32[8] (manual_queued, ring_cursor, seed); estate:
+    f32[E, 8] (time_in_cycle, last_emission, enabled) — the kernel runs the
+    whole emission cadence on these for global-only archetypes and returns
+    the updated rows; for hybrid (nested) archetypes the kernel is a pure
+    integrator and dyn/estate are ignored dummies. Returns (alive_new,
+    ptype_new_or_None, dump_mask, new_fields, dyn_new_or_None,
+    estate_new_or_None)."""
     N = alive.shape[0]
     assert N % (BLOCK_ROWS * LANES) == 0, (
         f"pool capacity {N} must be a multiple of {BLOCK_ROWS * LANES} for the fused kernel"
@@ -787,25 +821,34 @@ def _run_fused_kernel(static, params, colliders, frame, seed, sbounds, alive, pt
     dump = static.any_destroyed_dump
     single = static.single_type
     derived = static.derived_alive and can_fuse(static)
+    cad = can_fuse(static)
+    E = static.num_emitters
     kernel = _make_kernel(static, kinds, identity, dump)
 
-    smalls = _pack_fused_smalls(static, params, colliders, frame, seed) + [sbounds]
+    smalls = _pack_fused_smalls(static, params, colliders, frame) + [dyn, estate]
 
     def blocked():
         return pl.BlockSpec((BLOCK_ROWS, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM)
 
     small_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     fields = active_f32_fields(static)
     nf = len(fields)
 
     n_big_in = (0 if derived else 1) + (0 if single else 1) + nf  # [alive], [ptype], fields
     n_extra = (0 if derived else 1) + (0 if single else 1) + (1 if dump else 0)
-    in_specs = [small_spec] * N_SMALL + [blocked()] * n_big_in
+    in_specs = [small_spec] * (N_SMALL - 2) + [smem_spec] * 2 + [blocked()] * n_big_in
     out_specs = [blocked()] * (n_extra + nf)
     out_shape = (
         [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] * n_extra
         + [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * nf
     )
+    if cad:  # SMEM scalar outputs: updated bookkeeping (dyn', estate')
+        out_specs = out_specs + [smem_spec, smem_spec]
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct((8,), jnp.int32),
+            jax.ShapeDtypeStruct((E, 8), jnp.float32),
+        ]
 
     field_arrays = [f32_fields[name].reshape(rows, LANES) for name in fields]
     inputs = smalls[:]
@@ -849,7 +892,9 @@ def _run_fused_kernel(static, params, colliders, frame, seed, sbounds, alive, pt
     new_fields = {name: results[n_extra + i].reshape(N) for i, name in enumerate(fields)}
     if derived:  # alive == age < lifetime (cheap XLA epilogue, DCE-able in scans)
         alive_new = new_fields["age"] < np.float32(static.const_lifetime)
-    return alive_new, ptype_new, dump_mask, new_fields
+    dyn_new = results[n_extra + nf] if cad else None
+    estate_new = results[n_extra + nf + 1] if cad else None
+    return alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new
 
 
 def fused_step(
@@ -862,22 +907,37 @@ def fused_step(
     """Drop-in replacement for step() on global-only archetypes, with the
     per-lane pipeline in one Pallas kernel. Same state/outputs contract."""
     assert can_fuse(static)
-    N = state.capacity
-    T = static.num_types
     E = static.num_emitters
 
-    active = _active_flag(static, state)
+    # The whole emission pipeline (cadence, bookkeeping, claim, RNG, init)
+    # runs in-kernel; the XLA prelude just assembles two small scalar rows.
     new_key, frame_key = jax.random.split(state.rng_key)
-    sbounds, new_cursor, enabled, time_in_cycle, last_emission, manual_queued = _compute_spawn_bounds(
-        static, params, state, frame, active
+    seed = jax.lax.bitcast_convert_type(frame_key[0], jnp.int32)
+    dyn = jnp.stack(
+        [state.manual_queued, state.ring_cursor, seed,
+         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)]
+    )
+    estate = jnp.concatenate(
+        [
+            state.time_in_cycle.reshape(E, 1),
+            state.last_emission.reshape(E, 1),
+            state.enabled.astype(jnp.float32).reshape(E, 1),
+            jnp.zeros((E, 5), jnp.float32),
+        ],
+        axis=1,
     )
 
-    # seed must round-trip through f32 exactly: keep it under 2^24
-    seed = jax.random.randint(frame_key, (), 0, 1 << 24)
     f32_fields = {name: getattr(state, name) for name in active_f32_fields(static)}
-    alive_new, ptype_new, dump_mask, new_fields = _run_fused_kernel(
-        static, params, colliders, frame, seed, sbounds, state.alive, state.ptype, f32_fields
+    alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new = _run_fused_kernel(
+        static, params, colliders, frame, dyn, estate, state.alive, state.ptype, f32_fields
     )
+    manual_queued = dyn_new[0]
+    new_cursor = dyn_new[1]
+    time_in_cycle = estate_new[:, 0]
+    last_emission = estate_new[:, 1]
+    enabled = estate_new[:, 2] != 0.0
+
     # Elided fields pass through untouched (they are pool-wide invariants:
     # q=identity / w=0 / lifetime=const — see active_f32_fields).
     full_fields = {name: getattr(state, name) for name in _F32_FIELDS}
@@ -968,10 +1028,10 @@ def fused_step_hybrid(
 ):
     """Nested/mixed archetypes: the XLA spawn phase (`step._spawn_phase` —
     global claim-and-init + nested two-stage, threefry draws), then the Pallas
-    kernel as a pure integrator (sbounds all-zero keeps its spawn block
-    inert). Produces bit-identical trajectories to step(): the spawn phase IS
-    step()'s, and the kernel integrate is frame-exact against step()'s
-    integrate (tools/fused_parity_tpu.py)."""
+    kernel as a pure integrator (its in-kernel emission pipeline is compiled
+    out for non-can_fuse statics). Produces bit-identical trajectories to
+    step(): the spawn phase IS step()'s, and the kernel integrate is
+    frame-exact against step()'s integrate (tools/fused_parity_tpu.py)."""
     from ..step import _spawn_phase
 
     E = static.num_emitters
@@ -980,11 +1040,11 @@ def fused_step_hybrid(
         static, params, state, frame
     )
 
-    sbounds = jnp.zeros((1, E + 2), jnp.int32)
-    seed = jnp.zeros((), jnp.int32)  # in-kernel PRNG never drawn (no spawn)
+    dyn = jnp.zeros((8,), jnp.int32)  # ignored: kernel has no spawn pipeline
+    estate = jnp.zeros((E, 8), jnp.float32)
     f32_fields = {name: fields[name] for name in active_f32_fields(static)}
-    alive_new, ptype_new, dump_mask, new_fields = _run_fused_kernel(
-        static, params, colliders, frame, seed, sbounds, fields["alive"], fields["ptype"], f32_fields
+    alive_new, ptype_new, dump_mask, new_fields, _dyn, _estate = _run_fused_kernel(
+        static, params, colliders, frame, dyn, estate, fields["alive"], fields["ptype"], f32_fields
     )
     # Elided fields pass through from the spawn phase (which already wrote
     # any spawn-time values; under the elision invariants those writes are
