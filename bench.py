@@ -176,7 +176,7 @@ def _measure_fleet(n_slots=16, capacity=8 * 8192, rate=55_000.0, warmup=140, n_f
 def main():
     # headline: driver metric — 100k live, stress_test
     spawner, _tf = effects.stress_test()
-    compiled, state, frame, alive, ms = _measure(spawner, TARGET_LIVE, 1 << 17, reps=9)
+    compiled, state, frame, alive, ms = _measure(spawner, TARGET_LIVE, 1 << 17, n_frames=400, reps=7)
 
     # per-dispatch latency (one host round-trip per frame)
     import numpy as np
@@ -191,10 +191,10 @@ def main():
 
     extras = {}
     try:
-        _c, _s, _f, alive_1m, ms_1m = _measure(spawner, 1_000_000, 160 * 8192)
+        _c, _s, _f, alive_1m, ms_1m = _measure(spawner, 1_000_000, 160 * 8192, n_frames=150)
         extras["1M"] = {"live": alive_1m, "ms_per_frame": round(ms_1m, 4)}
         spc, _t2, cols = effects.stress_test_collision()
-        _c, _s, _f, alive_c, ms_c = _measure(spc, 500_000, 160 * 8192, colliders=cols)
+        _c, _s, _f, alive_c, ms_c = _measure(spc, 500_000, 160 * 8192, colliders=cols, n_frames=150)
         extras["1M_collision"] = {"live": alive_c, "ms_per_frame": round(ms_c, 4)}
         alive_n, ms_n = _measure_nested()
         extras["nested_60k"] = {"live": alive_n, "ms_per_frame": round(ms_n, 4)}

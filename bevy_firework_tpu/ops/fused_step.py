@@ -410,7 +410,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             cpar_ref,  # [C', 3]
             clay_ref,  # [C', 1] int32
             cadp_ref,  # [E, 8] f32: count, duration, off_start, off_end (cadence params)
-            dyn_ref,  # SMEM [8] int32: manual_queued, ring_cursor, seed
+            dyn_ref,  # SMEM [1, 8] int32: manual_queued, ring_cursor, seed
             estate_ref,  # SMEM [E, 8] f32: time_in_cycle, last_emission, enabled
         ) = refs[:N_SMALL]
         pos = N_SMALL
@@ -475,9 +475,9 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         # SMEM scalars: every tile computes the same values; outputs are
         # written idempotently. Matches step.py's _spawn_phase math exactly.
         if cad:
-            pltpu.prng_seed(dyn_ref[2] + tid * 1000003)
-            mq = dyn_ref[0]
-            cursor0 = dyn_ref[1]
+            pltpu.prng_seed(dyn_ref[0, 2] + tid * 1000003)
+            mq = dyn_ref[0, 0]
+            cursor0 = dyn_ref[0, 1]
             en_in = [estate_ref[e, 2] != 0.0 for e in range(E)]
             active = en_in[0] if E > 0 else jnp.zeros((), bool)
             for e in range(1, E):
@@ -512,8 +512,8 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             total_spawn = bounds[-1]
             npool = pl.num_programs(0) * BLOCK_ROWS * LANES
             cursor_new = jnp.mod(cursor0 + total_spawn, npool) if static.ring_claim else cursor0
-            out_dyn_ref[0] = mq
-            out_dyn_ref[1] = cursor_new
+            out_dyn_ref[0, 0] = mq
+            out_dyn_ref[0, 1] = cursor_new
             for e in range(E):
                 out_estate_ref[e, 0] = new_tic[e]
                 out_estate_ref[e, 1] = new_last[e]
@@ -846,7 +846,7 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     if cad:  # SMEM scalar outputs: updated bookkeeping (dyn', estate')
         out_specs = out_specs + [smem_spec, smem_spec]
         out_shape = out_shape + [
-            jax.ShapeDtypeStruct((8,), jnp.int32),
+            jax.ShapeDtypeStruct((1, 8), jnp.int32),
             jax.ShapeDtypeStruct((E, 8), jnp.float32),
         ]
 
@@ -917,7 +917,7 @@ def fused_step(
         [state.manual_queued, state.ring_cursor, seed,
          jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
          jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)]
-    )
+    ).reshape(1, 8)
     estate = jnp.concatenate(
         [
             state.time_in_cycle.reshape(E, 1),
@@ -932,8 +932,8 @@ def fused_step(
     alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new = _run_fused_kernel(
         static, params, colliders, frame, dyn, estate, state.alive, state.ptype, f32_fields
     )
-    manual_queued = dyn_new[0]
-    new_cursor = dyn_new[1]
+    manual_queued = dyn_new[0, 0]
+    new_cursor = dyn_new[0, 1]
     time_in_cycle = estate_new[:, 0]
     last_emission = estate_new[:, 1]
     enabled = estate_new[:, 2] != 0.0
@@ -1040,7 +1040,7 @@ def fused_step_hybrid(
         static, params, state, frame
     )
 
-    dyn = jnp.zeros((8,), jnp.int32)  # ignored: kernel has no spawn pipeline
+    dyn = jnp.zeros((1, 8), jnp.int32)  # ignored: kernel has no spawn pipeline
     estate = jnp.zeros((E, 8), jnp.float32)
     f32_fields = {name: fields[name] for name in active_f32_fields(static)}
     alive_new, ptype_new, dump_mask, new_fields, _dyn, _estate = _run_fused_kernel(

@@ -59,3 +59,31 @@ import numpy as np
 
 print(f"dp: {S} spawners x {int(np.asarray(outs.alive_count)[0])} live each, "
       f"sharded {n}-way with zero cross-chip communication")
+
+# --- 2D hosts x chips: fleet axis over DCN, particle axis over ICI
+from bevy_firework_tpu.parallel.sharding import (
+    fleet_pool_shardings,
+    make_fleet_step_2d,
+    make_mesh_2d,
+)
+
+n_hosts, chips = (2, n // 2) if n % 2 == 0 and n >= 4 else (1, n)
+mesh2 = make_mesh_2d(n_hosts, chips)
+S2 = n_hosts * 2
+pool_n = chips * 1024
+sh = fleet_pool_shardings(mesh2)
+states2 = jax.tree_util.tree_map(
+    jax.device_put,
+    stack_pools([init_pool(pool_n, c.num_emitters, True, 100 + i) for i in range(S2)]),
+    sh,
+)
+params2 = stack_params([c.params] * S2)
+frames2 = stack_frames([make_frame_input(1 / 60) for _ in range(S2)])
+fleet2d = make_fleet_step_2d(c.static, mesh2)
+for _ in range(60):
+    states2, outs2 = fleet2d(params2, states2, frames2)
+print(
+    f"2d: {S2} spawners over {n_hosts} host(s) (DCN axis, zero traffic) x "
+    f"{chips} chips (ICI axis), spec {states2.px.sharding.spec}, "
+    f"{int(np.asarray(outs2.alive_count).sum())} live total"
+)
