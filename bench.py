@@ -136,16 +136,12 @@ def _measure_fleet(n_slots=16, capacity=8 * 8192, rate=55_000.0, warmup=140, n_f
 
     from bevy_firework_tpu.ops.fused_step import multi_step_fleet
     from bevy_firework_tpu.parallel.sharding import stack_frames, stack_pools
-    from bevy_firework_tpu.pool import init_pool
 
     spawner, _tf = effects.stress_test()
     es = dataclasses.replace(spawner.emission_settings[0], emission_pacing=EmissionPacing.rate(float(rate)))
     spawner = dataclasses.replace(spawner, emission_settings=(es,))
     compiled = compile_spawner(spawner)
-    cl = compiled.static.const_lifetime
-    states = stack_pools(
-        [init_pool(capacity, compiled.num_emitters, True, i, lifetime_fill=1.0 if cl is None else cl) for i in range(n_slots)]
-    )
+    states = stack_pools([init_pool_for(compiled, capacity, i) for i in range(n_slots)])
     frames = stack_frames([make_frame_input(1.0 / 60.0, translation=(float(i), 0.0, 0.0)) for i in range(n_slots)])
 
     def multi(static, params, ss, fr, k):

@@ -32,8 +32,20 @@ def pool_to_arrays(state: PoolState) -> Dict[str, np.ndarray]:
 def pool_from_arrays(arrays: Dict[str, np.ndarray]) -> PoolState:
     kw = {}
     for f in dataclasses.fields(PoolState):
-        a = arrays[f.name]
-        kw[f.name] = jnp.asarray(a)
+        if f.name not in arrays:
+            # forward-compat: fields added after a checkpoint was written
+            # default to their init value (currently only ring_cursor)
+            if f.name == "ring_cursor":
+                # A legacy ring pool resuming at cursor 0 may claim into the
+                # live window for up to one lifetime (claims are dead-masked,
+                # so overflow drops, never tramples) before self-healing.
+                kw[f.name] = jnp.zeros((), jnp.int32)
+                continue
+            raise KeyError(f"checkpoint missing pool field {f.name!r}")
+        kw[f.name] = jnp.asarray(arrays[f.name])
+    # dead lanes must read dead under the derived-alive convention too
+    # (alive == age < lifetime); legacy checkpoints stored age 0 there
+    kw["age"] = jnp.where(kw["alive"], kw["age"], jnp.maximum(kw["age"], kw["lifetime"]))
     return PoolState(**kw)
 
 

@@ -75,10 +75,16 @@ class SpawnerStatic:
     # reads outside the fused kernel (render pack, event payloads) see the
     # right value.
     const_lifetime: object = None  # Optional[float]
+    # per type: destroy_on_collision set (authoring-level, so static)
+    destroy_types: Tuple[bool, ...] = ()
 
     @property
     def any_collision(self) -> bool:
         return any(self.collision_types)
+
+    @property
+    def any_destroy(self) -> bool:
+        return any(self.destroy_types)
 
     @property
     def any_destroyed_dump(self) -> bool:
@@ -96,9 +102,14 @@ class SpawnerStatic:
         ring window [cursor, cursor+n) mod N instead of ranking dead slots
         with a prefix sum. Claims are still masked by the dead flag, so an
         under-provisioned pool drops overflow (reference semantics) rather
-        than trampling live lanes; early destruction (destroy_on_collision)
-        only makes window lanes MORE dead, never less."""
-        return self.const_lifetime is not None
+        than trampling live lanes.
+
+        Excluded when any type destroys on collision: early destruction
+        punches dead holes BEHIND the cursor that the ring cannot reclaim
+        until it wraps, while the reference (and the prefix claim) reuse
+        freed slots immediately — a destroy-heavy scene would silently
+        under-emit. Those archetypes keep the exact dead-rank claim."""
+        return self.const_lifetime is not None and not self.any_destroy
 
     @property
     def derived_alive(self) -> bool:
@@ -239,6 +250,9 @@ def compile_spawner(spawner: ParticleSpawner) -> CompiledSpawner:
         scale_curve_meta=tuple((t.scale_curve.kind, t.scale_curve.n) for t in types),
         elide_rotation=elide_rotation,
         const_lifetime=const_lifetime,
+        destroy_types=tuple(
+            bool(t.collision_settings and t.collision_settings.destroy_on_collision) for t in types
+        ),
     )
 
     def farr(vals):

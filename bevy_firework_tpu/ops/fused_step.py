@@ -1080,42 +1080,28 @@ def step_auto_jit(static, params, colliders, state, frame):
     return step_auto(static, params, colliders, state, frame)
 
 
-@partial(jax.jit, static_argnums=(0, 5))
-def multi_step_auto(static, params, colliders, state, frame, n_frames: int):
-    """n frames in one dispatch (lax.scan over step_auto; per-frame outputs
-    are dead-code-eliminated except the last). See step.multi_step.
-
-    Pool arrays that are invariant under this archetype (elided rotation /
-    lifetime / ptype — see active_f32_fields — and, for global-only
-    archetypes, last_emitted) are hoisted OUT of the scan carry: a scan
-    carries (copies) every leaf each iteration even if the body returns it
-    untouched, which would silently pay back the elided HBM traffic."""
+def _scan_hoist(static, state):
+    """Scan-carry hoisting for multi-frame chains: pool arrays invariant
+    under this archetype (elided rotation / lifetime / ptype — see
+    active_f32_fields — and, for global-only archetypes, last_emitted) are
+    pulled OUT of the scan carry (a scan copies every carried leaf per
+    iteration even if the body returns it untouched, silently paying back
+    the elided HBM traffic), and derived alive is reconstructed from age.
+    Returns (to_carry, from_carry) or None when no hoisting applies."""
     import dataclasses as _dc
 
-    if n_frames < 1:
-        raise ValueError("multi_step_auto needs n_frames >= 1")
-
-    invariant = {}
-    derived = False
-    if jax.default_backend() == "tpu" and state.capacity % (BLOCK_ROWS * LANES) == 0:
-        af = set(active_f32_fields(static))
-        names = [n for n in _F32_FIELDS if n not in af]
-        if static.single_type:
-            names.append("ptype")
-        if can_fuse(static):
-            names.append("last_emitted")  # only nested emitters mutate it
-        invariant = {n: getattr(state, n) for n in names}
-        derived = static.derived_alive and can_fuse(static)
-
-    if not invariant:
-
-        def body(s, _):
-            s2, _o = step_auto(static, params, colliders, s, frame)
-            return s2, None
-
-        final, _ = jax.lax.scan(body, state, None, length=n_frames - 1)
-        return step_auto(static, params, colliders, final, frame)
-
+    if not (jax.default_backend() == "tpu" and state.capacity % (BLOCK_ROWS * LANES) == 0):
+        return None
+    af = set(active_f32_fields(static))
+    names = [n for n in _F32_FIELDS if n not in af]
+    if static.single_type:
+        names.append("ptype")
+    if can_fuse(static):
+        names.append("last_emitted")  # only nested emitters mutate it
+    if not names:
+        return None
+    invariant = {n: getattr(state, n) for n in names}
+    derived = static.derived_alive and can_fuse(static)
     pool_names = [f.name for f in _dc.fields(PoolState)]
 
     def to_carry(s):
@@ -1132,12 +1118,41 @@ def multi_step_auto(static, params, colliders, state, frame, n_frames: int):
             kw["alive"] = kw["age"] < np.float32(static.const_lifetime)
         return PoolState(**kw)
 
+    return to_carry, from_carry
+
+
+def _chain(step_fn, state, n_frames: int, hoist):
+    """lax.scan over step_fn with optional carry hoisting; returns the final
+    (state, outputs) — intermediate outputs are dead-code-eliminated."""
+    if hoist is None:
+
+        def body(s, _):
+            s2, _o = step_fn(s)
+            return s2, None
+
+        final, _ = jax.lax.scan(body, state, None, length=n_frames - 1)
+        return step_fn(final)
+
+    to_carry, from_carry = hoist
+
     def body(c, _):
-        s2, _o = step_auto(static, params, colliders, from_carry(c), frame)
+        s2, _o = step_fn(from_carry(c))
         return to_carry(s2), None
 
     carry, _ = jax.lax.scan(body, to_carry(state), None, length=n_frames - 1)
-    return step_auto(static, params, colliders, from_carry(carry), frame)
+    return step_fn(from_carry(carry))
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def multi_step_auto(static, params, colliders, state, frame, n_frames: int):
+    """n frames in one dispatch (lax.scan over step_auto with invariant-array
+    carry hoisting — see _scan_hoist). See step.multi_step."""
+    if n_frames < 1:
+        raise ValueError("multi_step_auto needs n_frames >= 1")
+    return _chain(
+        lambda s: step_auto(static, params, colliders, s, frame),
+        state, n_frames, _scan_hoist(static, state),
+    )
 
 
 @partial(jax.jit, static_argnums=(0, 5))
@@ -1145,55 +1160,8 @@ def multi_step_fleet(static, params, colliders, states, frames, n_frames: int):
     """n frames of a whole fleet (leading [S] slot axis on states/frames) in
     one dispatch: lax.scan over the vmapped step_auto — on TPU with
     tile-aligned capacities every slot runs the fused Pallas kernel in a
-    single launch per frame. Invariant pool arrays are hoisted out of the
-    scan carry exactly as in multi_step_auto."""
-    import dataclasses as _dc
-
+    single launch per frame. Same carry hoisting as multi_step_auto."""
     if n_frames < 1:
         raise ValueError("multi_step_fleet needs n_frames >= 1")
-
     vstep = jax.vmap(lambda s, f: step_auto(static, params, colliders, s, f))
-
-    invariant = {}
-    derived = False
-    if jax.default_backend() == "tpu" and states.capacity % (BLOCK_ROWS * LANES) == 0:
-        af = set(active_f32_fields(static))
-        names = [n for n in _F32_FIELDS if n not in af]
-        if static.single_type:
-            names.append("ptype")
-        if can_fuse(static):
-            names.append("last_emitted")
-        invariant = {n: getattr(states, n) for n in names}
-        derived = static.derived_alive and can_fuse(static)
-
-    if not invariant:
-
-        def body(s, _):
-            s2, _o = vstep(s, frames)
-            return s2, None
-
-        final, _ = jax.lax.scan(body, states, None, length=n_frames - 1)
-        return vstep(final, frames)
-
-    pool_names = [f.name for f in _dc.fields(PoolState)]
-
-    def to_carry(s):
-        return {
-            n: getattr(s, n)
-            for n in pool_names
-            if n not in invariant and not (derived and n == "alive")
-        }
-
-    def from_carry(c):
-        kw = dict(c)
-        kw.update(invariant)
-        if derived:
-            kw["alive"] = kw["age"] < np.float32(static.const_lifetime)
-        return PoolState(**kw)
-
-    def body(c, _):
-        s2, _o = vstep(from_carry(c), frames)
-        return to_carry(s2), None
-
-    carry, _ = jax.lax.scan(body, to_carry(states), None, length=n_frames - 1)
-    return vstep(from_carry(carry), frames)
+    return _chain(lambda s: vstep(s, frames), states, n_frames, _scan_hoist(static, states))

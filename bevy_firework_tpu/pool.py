@@ -96,11 +96,15 @@ def init_pool(
     """Fresh pool, everything dead — the state produced by `sync_spawner_data`
     (`/root/reference/src/core.rs:343-365`).
 
-    lifetime_fill: initial value of the (dead-lane) lifetime array. For
-    spawners whose types all share one constant lifetime the fused kernel
-    elides the lifetime array (`SpawnerStatic.const_lifetime`) and relies on
-    it already holding that constant — use `init_pool_for`, which wires this
-    automatically.
+    lifetime_fill: initial value of the dead-lane lifetime AND age arrays.
+    CONTRACT: for spawners whose types share one constant lifetime
+    (`SpawnerStatic.const_lifetime`), the engine elides the lifetime array
+    (and, on the fused ring path, derives alive from age), relying on both
+    arrays holding that constant. Pools for a compiled spawner should
+    therefore be created with `init_pool_for(compiled, ...)` — a raw
+    init_pool with the default fill silently simulates the wrong lifetime
+    for such archetypes. This raw constructor is the low-level escape hatch
+    (tests, custom fills); Scene/Fleet use init_pool_for everywhere.
     """
     n = int(capacity)
     z = jnp.zeros((n,), jnp.float32)

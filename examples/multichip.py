@@ -20,7 +20,7 @@ if "--real" not in sys.argv:
 else:
     import jax
 
-from bevy_firework_tpu import compile_spawner, init_pool, make_frame_input
+from bevy_firework_tpu import compile_spawner, init_pool_for, make_frame_input
 from bevy_firework_tpu.models import effects
 from bevy_firework_tpu.parallel.sharding import (
     make_fleet_step,
@@ -39,7 +39,7 @@ mesh = make_mesh(n)
 # --- sp: one big pool sharded over the mesh
 spawner, _ = effects.sparks(rate=3000.0)
 c = compile_spawner(spawner)
-state = shard_pool(init_pool(n * 8192, c.num_emitters, True, 0), mesh)
+state = shard_pool(init_pool_for(c, n * 8192, 0), mesh)
 sharded = make_sharded_step(c.static, mesh)
 frame = make_frame_input(1 / 60)
 for _ in range(90):
@@ -49,7 +49,7 @@ print(f"sp: {int(out.alive_count)} live particles sharded over {n} devices "
 
 # --- dp: fleet of independent spawners, one per device
 S = n * 2
-states = stack_pools([init_pool(4096, c.num_emitters, True, i) for i in range(S)])
+states = stack_pools([init_pool_for(c, 4096, i) for i in range(S)])
 params = stack_params([c.params] * S)
 frames = stack_frames([make_frame_input(1 / 60, translation=(float(i), 0, 0)) for i in range(S)])
 fleet = make_fleet_step(c.static, mesh)
@@ -74,7 +74,7 @@ pool_n = chips * 1024
 sh = fleet_pool_shardings(mesh2)
 states2 = jax.tree_util.tree_map(
     jax.device_put,
-    stack_pools([init_pool(pool_n, c.num_emitters, True, 100 + i) for i in range(S2)]),
+    stack_pools([init_pool_for(c, pool_n, 100 + i) for i in range(S2)]),
     sh,
 )
 params2 = stack_params([c.params] * S2)

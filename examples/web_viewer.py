@@ -89,7 +89,10 @@ html = r"""<!DOCTYPE html>
 const FRAMES = __FRAMES__;
 const cv = document.getElementById("c");
 const gl = cv.getContext("webgl2", {alpha:false, antialias:true});
-if (!gl) document.getElementById("hud").textContent = "WebGL2 unavailable";
+if (!gl) {
+  document.getElementById("hud").textContent = "WebGL2 unavailable";
+  throw new Error("WebGL2 unavailable");  // stop setup; HUD message stays
+}
 const VS = `#version 300 es
 // Billboard semantics of /root/reference/src/particles.wgsl:86-121 (original
 // implementation): view-space quad corner +-0.5 * scale, plus only the TWIST

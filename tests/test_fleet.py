@@ -109,13 +109,13 @@ def test_multi_step_fleet_matches_sequential():
     from bevy_firework_tpu.ops.fused_step import multi_step_auto, multi_step_fleet
     from bevy_firework_tpu.parallel.sharding import stack_frames, stack_pools
 
-    sp = burst_spawner() if "burst_spawner" in dir() else None
-    if sp is None:
-        from bevy_firework_tpu.models import effects
+    from bevy_firework_tpu.models import effects
 
-        sp, _tf = effects.sparks(rate=400.0)
+    sp, _tf = effects.sparks(rate=400.0)
     c = compile_spawner(sp)
-    S, N, F = 3, 1024, 40
+    # tile-aligned capacity so the fused-fleet path (and its carry hoisting)
+    # is what runs on a TPU backend; CPU CI exercises the fallback scan
+    S, N, F = 3, 8192, 40
     pools = [init_pool_for(c, N, seed=i) for i in range(S)]
     frames = [make_frame_input(1 / 60, translation=(float(i), 0.0, 0.0)) for i in range(S)]
 

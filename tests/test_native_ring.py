@@ -61,7 +61,8 @@ def test_end_to_end_with_engine_planes():
         ParticleSpawner,
         RandF32,
         compile_spawner,
-        init_pool,
+        init_pool_for,
+        init_pool_for,
         make_frame_input,
         pack_instances,
     )
@@ -73,7 +74,7 @@ def test_end_to_end_with_engine_planes():
         emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.one_shot(37))],
     )
     c = compile_spawner(sp)
-    state = init_pool(256, 1, True, 0)
+    state = init_pool_for(c, 256, 0)
     state, _ = step_jit(c.static, c.params, None, state, make_frame_input(1 / 60))
     planes, count = pack_instances_planar(c.params, state, 0)
     rows_ref, count_ref = pack_instances(c.params, state, 0)
@@ -94,7 +95,8 @@ def test_dense_and_f16_paths_match_compacted():
         ParticleSpawner,
         RandF32,
         compile_spawner,
-        init_pool,
+        init_pool_for,
+        init_pool_for,
         make_frame_input,
         pack_instances,
     )
@@ -106,7 +108,7 @@ def test_dense_and_f16_paths_match_compacted():
         emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.rate(300.0))],
     )
     c = compile_spawner(sp)
-    state = init_pool(512, 1, True, 0)
+    state = init_pool_for(c, 512, 0)
     for _ in range(25):  # mix of live and dead lanes
         state, _ = step_jit(c.static, c.params, None, state, make_frame_input(1 / 60))
     rows_ref, cnt = pack_instances(c.params, state, 0)

@@ -160,7 +160,7 @@ def test_children_inherit_parent_velocity_and_position():
         ],
     )
     compiled = compile_spawner(sp)
-    state = init_pool(128, 2, True, 0)
+    state = init_pool_for(compiled, 128, 0)
     # nested pacing ignores the configured duration and uses parent lifetime
     # (5 s) as the cycle (`core.rs:18-23,494`): 10/cycle => a child every 0.5 s
     dt = 0.05

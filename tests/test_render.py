@@ -16,7 +16,7 @@ from bevy_firework_tpu import (
     make_uniform,
     pack_instances,
 )
-from bevy_firework_tpu.pool import init_pool, make_frame_input
+from bevy_firework_tpu.pool import init_pool_for, make_frame_input
 from bevy_firework_tpu.render import (
     FIREWORK_BASE_COLOR_TEXTURE_BIT,
     FIREWORK_NORMAL_MAP_TEXTURE_BIT,
@@ -36,7 +36,7 @@ def test_instance_row_layout():
             initial_rotation=(0.1, 0.2, 0.3, 0.9273618))],
     )
     compiled = compile_spawner(sp)
-    state = init_pool(64, 1, True, 0)
+    state = init_pool_for(compiled, 64, 0)
     state, _ = step_jit(compiled.static, compiled.params, None, state, make_frame_input(0.0))
     buf, count = pack_instances(compiled.params, state, 0)
     assert int(count) == 1
@@ -54,7 +54,7 @@ def test_compaction_dense_and_ordered():
         emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.rate(500.0))],
     )
     compiled = compile_spawner(sp)
-    state = init_pool(1024, 1, True, 0)
+    state = init_pool_for(compiled, 1024, 0)
     for _ in range(60):
         state, _ = step_jit(compiled.static, compiled.params, None, state, make_frame_input(1 / 60))
     buf, count = pack_instances(compiled.params, state, 0)

@@ -12,7 +12,7 @@ from bevy_firework_tpu import (
     ParticleSpawner,
     RandF32,
     compile_spawner,
-    init_pool,
+    init_pool_for,
     make_frame_input,
     pack_instances,
 )
@@ -26,7 +26,7 @@ def test_async_reader_matches_sync_pack():
         emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.rate(600.0))],
     )
     c = compile_spawner(sp)
-    state = init_pool(2048, 1, True, 0)
+    state = init_pool_for(c, 2048, 0)
     reader = AsyncRenderReader(capacity=2048, num_types=1)
     last_state = None
     for f in range(30):

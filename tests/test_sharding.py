@@ -14,7 +14,7 @@ from bevy_firework_tpu import (
     RandF32,
     RandVec3,
     compile_spawner,
-    init_pool,
+    init_pool_for,
     make_frame_input,
     step_jit,
 )
@@ -47,8 +47,8 @@ def test_sp_sharded_step_matches_single_device():
     compiled = compile_spawner(sp)
     mesh = make_mesh(8)
     n = 8 * 256
-    state_a = init_pool(n, 1, True, seed=7)
-    state_b = shard_pool(init_pool(n, 1, True, seed=7), mesh)
+    state_a = init_pool_for(compiled, n, seed=7)
+    state_b = shard_pool(init_pool_for(compiled, n, seed=7), mesh)
     sharded = make_sharded_step(compiled.static, mesh)
     frame = make_frame_input(1 / 60)
     for _ in range(30):
@@ -68,7 +68,7 @@ def test_dp_fleet_step_independent_spawners():
     compiled = compile_spawner(sp)
     mesh = make_mesh(8)
     S = 8
-    states = stack_pools([init_pool(512, 1, True, seed=i) for i in range(S)])
+    states = stack_pools([init_pool_for(compiled, 512, seed=i) for i in range(S)])
     params = stack_params([compiled.params] * S)
     frames = stack_frames([make_frame_input(1 / 60, translation=(float(i), 0, 0)) for i in range(S)])
     fleet = make_fleet_step(compiled.static, mesh)
@@ -104,8 +104,8 @@ def test_nested_spawner_shards():
     compiled = compile_spawner(sp)
     mesh = make_mesh(8)
     n = 8 * 128
-    state_a = init_pool(n, 2, True, seed=3)
-    state_b = shard_pool(init_pool(n, 2, True, seed=3), mesh)
+    state_a = init_pool_for(compiled, n, seed=3)
+    state_b = shard_pool(init_pool_for(compiled, n, seed=3), mesh)
     sharded = make_sharded_step(compiled.static, mesh)
     frame = make_frame_input(1 / 60)
     for _ in range(40):
@@ -131,7 +131,7 @@ def test_2d_dcn_fleet_step_matches_unsharded():
     mesh = make_mesh_2d(2, 4)
     S = 2
     n = 4 * 256  # particle axis divisible by chips_per_host
-    pools = [init_pool(n, 1, True, seed=i) for i in range(S)]
+    pools = [init_pool_for(compiled, n, seed=i) for i in range(S)]
     states_ref = stack_pools(pools)
     params = stack_params([compiled.params] * S)
     frames = stack_frames([make_frame_input(1 / 60, translation=(float(i), 0, 0)) for i in range(S)])

@@ -169,7 +169,7 @@ def test_modifier_scales_speed_and_size():
 
     sp = deterministic_spawner(emission_pacing=EmissionPacing.one_shot(1), linear_drag=0.0)
     compiled = compile_spawner(sp)
-    state = init_pool(64, 1, True, 0)
+    state = init_pool_for(compiled, 64, 0)
     frame = mfi(0.01, modifier_scale=2.0, modifier_speed=3.0)
     state, _ = step_jit(compiled.static, compiled.params, None, state, frame)
     alive = np.asarray(state.alive)
