@@ -193,3 +193,47 @@ def test_fused_field_elision_parity():
     # lifetime array pinned at the constant (init_pool_for fill)
     for f, want in [("qx", 0.0), ("qw", 1.0), ("wx", 0.0), ("lifetime", 0.25)]:
         np.testing.assert_array_equal(np.asarray(getattr(sB, f)), np.float32(want), err_msg=f)
+
+
+def test_fused_on_demand_queue_drain():
+    """On-demand pacing through the IN-KERNEL cadence: the manual queue is
+    drained by the first enabled on-demand emitter and returned via the SMEM
+    bookkeeping row (`core.rs:401-405` semantics)."""
+    import jax.numpy as jnp
+
+    sp = det_spawner(pacing=EmissionPacing.on_demand())
+    c = compile_spawner(sp)
+    state = init_pool_for(c, N, 0)
+    state = dataclasses.replace(state, manual_queued=jnp.int32(17))
+    frame = make_frame_input(1 / 50)
+    fused = jax.jit(fused_step, static_argnums=(0,))
+    with pltpu.force_tpu_interpret_mode():
+        state, out = fused(c.static, c.params, None, state, frame)
+    assert int(out.alive_count) == 17
+    assert int(state.manual_queued) == 0  # drained
+    with pltpu.force_tpu_interpret_mode():
+        state, out = fused(c.static, c.params, None, state, frame)
+    assert int(out.alive_count) == 17  # nothing queued => nothing spawned
+
+
+def test_fused_destroy_on_collision_uses_prefix_claim():
+    """Const-lifetime + destroy_on_collision must NOT take the ring claim
+    (early destroys punch holes a ring cannot reuse until it wraps); the
+    dead-rank prefix path still matches the XLA step exactly."""
+    sp = det_spawner(
+        ps=dict(
+            linear_drag=0.0,
+            collision_settings=ParticleCollisionSettings(
+                restitution=0.0, friction=0.0, destroy_on_collision=True
+            ),
+        ),
+        pacing=EmissionPacing.rate(1500.0),
+    )
+    c = compile_spawner(sp)
+    assert c.static.const_lifetime is not None
+    assert not c.static.ring_claim  # destroy excludes ring
+    assert not c.static.derived_alive
+    colliders = [Collider.halfspace(position=(0.0, -0.3, 0.0))]
+    sA, oA, sB, oB = run_both(sp, n_frames=14, colliders=colliders)
+    assert int(oA.alive_count) == int(oB.alive_count) > 0
+    assert_state_match(sA, sB, atol=1e-4)
