@@ -369,7 +369,8 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
     return out[0], out[1], out[2], out[3], out[4], out[5], out[8]
 
 
-def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump: bool):
+def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump: bool,
+                 kernel_spawn: bool):
     E = static.num_emitters
     T = static.num_types
     C = len(collider_kinds)
@@ -381,14 +382,17 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
     # derived alive (ring + no dump + global-only): alive == age < lifetime,
     # with collision-destroys writing age = lifetime. No alive array I/O.
     derived = static.derived_alive and can_fuse(static)
-    # global-only archetypes run the whole emission pipeline in-kernel:
-    # per-emitter cadence + bookkeeping on SMEM scalars (every tile
-    # recomputes the same scalar math — trivially cheap — and writes the
-    # updated scalars idempotently), claim, RNG, init. The XLA prelude
+    # kernel_spawn: run the GLOBAL emitters' whole emission pipeline
+    # in-kernel — per-emitter cadence + bookkeeping on SMEM scalars (every
+    # tile recomputes the same scalar math — trivially cheap — and writes
+    # the updated rows idempotently), claim, RNG, init. The XLA prelude
     # reduces to assembling two small rows — at 131k lanes the scalar-op
-    # prelude/epilogue was ~45% of the frame. Hybrid (nested) kernels are
-    # pure integrators instead: spawn happened in the XLA spawn phase.
-    cad = can_fuse(static)
+    # prelude/epilogue was ~45% of the frame. On nested archetypes the XLA
+    # spawn phase handles nested emitters FIRST and the kernel then claims
+    # for the global ones (safe order inversion — see step._spawn_phase
+    # skip_global). With kernel_spawn False the kernel is a pure integrator
+    # (the lane-exact-parity testing configuration).
+    cad = kernel_spawn
     # RNG draw budget: 3 shape + 3 velocity + 1 radial + 1 scale, then
     # lifetime and angular-velocity draws only if those fields are live.
     n_draws = 8 + (0 if const_life is not None else 1) + (0 if elide_rot else 3)
@@ -479,12 +483,26 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             mq = dyn_ref[0, 0]
             cursor0 = dyn_ref[0, 1]
             en_in = [estate_ref[e, 2] != 0.0 for e in range(E)]
-            active = en_in[0] if E > 0 else jnp.zeros((), bool)
-            for e in range(1, E):
-                active = active | en_in[e]
+            # active() is nested-aware (core.rs:288-302): a nested emitter
+            # counts only while particles exist (pre-spawn flag in dyn[3])
+            anyp = dyn_ref[0, 3] != 0
+            active = jnp.zeros((), bool)
+            for e in range(E):
+                if static.mode_kinds[e] == MODE_GLOBAL:
+                    active = active | en_in[e]
+                else:
+                    active = active | (en_in[e] & anyp)
             bounds = [jnp.zeros((), jnp.int32)]
             new_tic, new_last, new_en = [], [], []
             for e in range(E):
+                tic0_, last0_ = estate_ref[e, 0], estate_ref[e, 1]
+                if static.mode_kinds[e] != MODE_GLOBAL:
+                    # nested: spawned by the XLA phase; scalars pass through
+                    new_en.append(en_in[e])
+                    new_tic.append(tic0_)
+                    new_last.append(last0_)
+                    bounds.append(bounds[-1])
+                    continue
                 gate = active & en_in[e]
                 tic0, last0 = estate_ref[e, 0], estate_ref[e, 1]
                 cnt_p, dur = cadp_ref[e, 0], cadp_ref[e, 1]
@@ -567,6 +585,8 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             bits = pltpu.bitcast(pltpu.prng_random_bits((n_draws,) + dead.shape), jnp.uint32)
             u = _u01(bits)
             for e in range(E):
+                if static.mode_kinds[e] != MODE_GLOBAL:
+                    continue  # nested children spawned by the XLA phase
                 m = dead & (rank >= bounds[e]) & (rank < bounds[e + 1])
                 srow = shape_ref[e]
                 em = emisc_ref[e]
@@ -797,7 +817,8 @@ def _pack_fused_smalls(static: SpawnerStatic, params: SpawnerParams, colliders, 
     # dyn + estate (per-frame SMEM scalars) are appended by the caller
 
 
-def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptype, f32_fields):
+def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptype, f32_fields,
+                      kernel_spawn: bool = True):
     """Invoke the fused Pallas kernel on one pool pass.
 
     alive: [N] bool, ptype: [N] i32, f32_fields: name -> [N] f32 covering
@@ -821,9 +842,9 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     dump = static.any_destroyed_dump
     single = static.single_type
     derived = static.derived_alive and can_fuse(static)
-    cad = can_fuse(static)
+    cad = kernel_spawn
     E = static.num_emitters
-    kernel = _make_kernel(static, kinds, identity, dump)
+    kernel = _make_kernel(static, kinds, identity, dump, kernel_spawn)
 
     smalls = _pack_fused_smalls(static, params, colliders, frame) + [dyn, estate]
 
@@ -1025,6 +1046,7 @@ def fused_step_hybrid(
     colliders: Optional[ColliderTable],
     state: PoolState,
     frame: FrameInput,
+    kernel_global: bool = True,
 ):
     """Nested/mixed archetypes: the XLA spawn phase (`step._spawn_phase` —
     global claim-and-init + nested two-stage, threefry draws), then the Pallas
@@ -1036,16 +1058,46 @@ def fused_step_hybrid(
 
     E = static.num_emitters
 
+    # pre-spawn liveness for the in-kernel active() flag (core.rs:288-302)
+    any_alive_pre = jnp.any(state.alive)
     fields, enabled, time_in_cycle, last_emission, manual_queued, new_key = _spawn_phase(
-        static, params, state, frame
+        static, params, state, frame, skip_global=kernel_global
     )
 
-    dyn = jnp.zeros((1, 8), jnp.int32)  # ignored: kernel has no spawn pipeline
-    estate = jnp.zeros((E, 8), jnp.float32)
+    if kernel_global:
+        # global emitters run fully in-kernel (cadence + claim + RNG init),
+        # AFTER the XLA nested pass — safe order inversion, see _spawn_phase
+        seed = jax.lax.bitcast_convert_type(new_key[1], jnp.int32)
+        dyn = jnp.stack(
+            [manual_queued, fields["ring_cursor"], seed, any_alive_pre.astype(jnp.int32),
+             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)]
+        ).reshape(1, 8)
+        estate = jnp.concatenate(
+            [
+                time_in_cycle.reshape(E, 1),
+                last_emission.reshape(E, 1),
+                enabled.astype(jnp.float32).reshape(E, 1),
+                jnp.zeros((E, 5), jnp.float32),
+            ],
+            axis=1,
+        )
+    else:
+        dyn = jnp.zeros((1, 8), jnp.int32)  # ignored: kernel has no spawn pipeline
+        estate = jnp.zeros((E, 8), jnp.float32)
     f32_fields = {name: fields[name] for name in active_f32_fields(static)}
-    alive_new, ptype_new, dump_mask, new_fields, _dyn, _estate = _run_fused_kernel(
-        static, params, colliders, frame, dyn, estate, fields["alive"], fields["ptype"], f32_fields
+    alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new = _run_fused_kernel(
+        static, params, colliders, frame, dyn, estate, fields["alive"], fields["ptype"], f32_fields,
+        kernel_spawn=kernel_global,
     )
+    if kernel_global:
+        manual_queued = dyn_new[0, 0]
+        cursor_out = dyn_new[0, 1]
+        time_in_cycle = estate_new[:, 0]
+        last_emission = estate_new[:, 1]
+        enabled = estate_new[:, 2] != 0.0
+    else:
+        cursor_out = fields["ring_cursor"]
     # Elided fields pass through from the spawn phase (which already wrote
     # any spawn-time values; under the elision invariants those writes are
     # the constants the kernel assumed).
@@ -1057,7 +1109,7 @@ def fused_step_hybrid(
     return _fused_epilogue(
         static, params, state, alive_new, ptype_new, full_fields, dump_mask,
         fields["last_emitted"], enabled, time_in_cycle, last_emission, manual_queued,
-        fields["ring_cursor"], new_key,
+        cursor_out, new_key,
     )
 
 

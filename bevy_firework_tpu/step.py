@@ -344,12 +344,20 @@ def _spawn_phase(
     params: SpawnerParams,
     state: PoolState,
     frame: FrameInput,
+    skip_global: bool = False,
 ):
     """spawn_particles (`core.rs:367-551`) on the SoA pool: all emitters in
     order (global claim-and-init + nested two-stage). Returns the post-spawn
     field dict plus the advanced cadence/bookkeeping scalars; shared by the
     XLA `step` and the hybrid fused path (`ops.fused_step.fused_step_hybrid`,
-    which runs this prelude then integrates in the Pallas kernel)."""
+    which runs this prelude then integrates in the Pallas kernel).
+
+    skip_global: leave global emitters entirely to the caller (the hybrid
+    fast path runs them in-kernel AFTER the nested pass). Safe inversion of
+    the reference's emitter order: same-frame parents always get emission
+    count 0 (cadence from age=0 vs last=F32_MIN) and their last_emitted
+    advance from F32_MIN is idempotent, so nested emitters observe nothing
+    from this frame's global spawns either way."""
     N = state.capacity
     E = static.num_emitters
     dt = frame.dt
@@ -384,6 +392,8 @@ def _spawn_phase(
         gate = active & enabled[e]
 
         if static.mode_kinds[e] == MODE_GLOBAL:
+            if skip_global:
+                continue  # handled in-kernel by the hybrid fast path
             uni = jax.random.uniform(jax.random.fold_in(frame_key, e), (12, N), jnp.float32)
             pk = static.pacing_kinds[e]
             if pk == PACING_ONE_SHOT:

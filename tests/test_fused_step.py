@@ -137,7 +137,12 @@ def test_hybrid_matches_xla_nested_random_draws():
     sA = init_pool_for(c, N, 0)
     sB = init_pool_for(c, N, 0)
     frame = make_frame_input(1 / 50)
-    hybrid = jax.jit(fused_step_hybrid, static_argnums=(0,))
+    # kernel_global=False: all draws happen in the SHARED XLA spawn phase,
+    # making parity lane-exact (the production fast path runs global
+    # emitters in-kernel with the hardware PRNG — distribution parity only,
+    # covered by test_hybrid_kernel_global_fast_path)
+    hybrid = jax.jit(lambda st, p, c, s, f: fused_step_hybrid(st, p, c, s, f, kernel_global=False),
+                     static_argnums=(0,))
     for _ in range(20):
         sA, oA = step_jit(c.static, c.params, None, sA, frame)
         with pltpu.force_tpu_interpret_mode():
@@ -237,3 +242,52 @@ def test_fused_destroy_on_collision_uses_prefix_claim():
     sA, oA, sB, oB = run_both(sp, n_frames=14, colliders=colliders)
     assert int(oA.alive_count) == int(oB.alive_count) > 0
     assert_state_match(sA, sB, atol=1e-4)
+
+
+def test_hybrid_kernel_global_fast_path():
+    """Production hybrid (global emitters in-kernel, nested in XLA): spawn
+    COUNTS are draw-independent, so alive counts per type must match the
+    XLA step exactly even though the global draws use the hardware PRNG."""
+    from bevy_firework_tpu import EmissionMode
+    from bevy_firework_tpu.ops.fused_step import fused_step_hybrid
+
+    sp = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(0.5), initial_scale=RandF32(0.05, 0.2)),
+            ParticleSettings(lifetime=RandF32.constant(0.5), linear_drag=0.5),
+        ],
+        emission_settings=[
+            EmissionSettings(
+                particle_index=0,
+                emission_pacing=EmissionPacing.rate(900.0),
+                initial_velocity=RandVec3(magnitude=RandF32(1.0, 4.0), direction=(0, 1, 0), spread=0.6),
+            ),
+            EmissionSettings(
+                particle_index=1,
+                emission_mode=EmissionMode.nested(0),
+                emission_pacing=EmissionPacing.count_over_duration(6.0, 1.0, 0.0, 1.0),
+                initial_velocity=RandVec3(magnitude=RandF32(0.1, 0.8), direction=(0, 1, 0), spread=3.0),
+                inherit_parent_velocity=True,
+            ),
+        ],
+    )
+    c = compile_spawner(sp)
+    assert not can_fuse(c.static)
+    sA = init_pool_for(c, N, 0)
+    sB = init_pool_for(c, N, 0)
+    frame = make_frame_input(1 / 50)
+    hybrid = jax.jit(fused_step_hybrid, static_argnums=(0,))
+    for _ in range(20):
+        sA, oA = step_jit(c.static, c.params, None, sA, frame)
+        with pltpu.force_tpu_interpret_mode():
+            sB, oB = hybrid(c.static, c.params, None, sB, frame)
+    a = np.asarray(oA.alive_count_per_type)
+    b = np.asarray(oB.alive_count_per_type)
+    np.testing.assert_array_equal(a, b)
+    assert a[0] > 100 and a[1] > 50
+    # distributional check on the globally-spawned type's speed
+    va = np.sqrt(np.asarray(sA.vx)**2 + np.asarray(sA.vy)**2 + np.asarray(sA.vz)**2)
+    vb = np.sqrt(np.asarray(sB.vx)**2 + np.asarray(sB.vy)**2 + np.asarray(sB.vz)**2)
+    ma = np.asarray(sA.alive) & (np.asarray(sA.ptype) == 0)
+    mb = np.asarray(sB.alive) & (np.asarray(sB.ptype) == 0)
+    assert abs(va[ma].mean() - vb[mb].mean()) < 0.25 * va[ma].mean()
