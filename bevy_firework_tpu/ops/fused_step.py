@@ -1,26 +1,36 @@
-"""Fused Pallas TPU kernel for the spawn-init + integrate hot path.
+"""Fused Pallas TPU kernel for the emission + integrate hot path.
 
 The XLA-composed `step()` emits ~30 small kernels per frame (one per fused
 where-chain); at 131k lanes that costs ~0.6 ms/frame of device time, ~12x the
 HBM speed-of-light for the state touched.  This module fuses the entire
 per-lane pipeline into ONE Pallas kernel pass over the pool:
 
-  spawn-lane init (RNG draws, shape/velocity sampling)  core.rs:437-468
+  emission cadence + bookkeeping (SMEM scalars)         core.rs:395-427
+  -> slot claim (ring window or dead-rank prefix)       core.rs:386-469
+  -> spawn-lane init (on-core PRNG, shape/vel samplers) core.rs:437-468
   -> age/cull                                           core.rs:594-599
   -> scale curve                                        core.rs:601-605
   -> move or collide (<=4 substeps, unrolled colliders) core.rs:607-631,744-800
   -> drag, quaternion rotation, angular drag            core.rs:641-650
-  -> per-tile stats (alive counts, AABB partials)       render.rs:677-703
 
-Division of labor (SURVEY.md §7 "one fused step kernel"):
-  * XLA prelude (tiny): active flag, emission cadence, per-emitter dead-slot
-    claim (prefix-sum ranks -> a `claim` lane map: which emitter initializes
-    each lane this frame, -1 for none).
-  * Pallas kernel (this file): everything touching the 16 field arrays — one
-    HBM read + one write per field.  RNG via the on-core PRNG
-    (`pltpu.prng_random_bits`), free compared to streaming threefry draws.
-    AABB/count reductions happen in-kernel as per-tile partials.
-  * XLA epilogue: reduce the [grid, 128] stats rows; finished flag.
+Division of labor:
+  * XLA prelude: assemble two small scalar rows (dyn/estate) + one rng
+    split. (The previous scalar-op prelude — ~46 fusions + 40 copies — was
+    ~45% of a 131k-lane frame.)
+  * Pallas kernel (this file): everything else, touching only the ACTIVE
+    field arrays (see active_f32_fields — elided invariants never enter).
+  * XLA epilogue: alive/AABB stats + the finished flag (dead-code-
+    eliminated inside multi-frame scans except the finished latch).
+
+Dispatch (`step_auto`):
+  * global-only archetypes -> `fused_step`: everything in-kernel.
+  * nested archetypes -> `fused_step_hybrid`: the XLA spawn phase handles
+    nested emitters FIRST (cross-tile parent gathers need XLA), then the
+    kernel runs the GLOBAL emitters' pipeline + integrate. The order
+    inversion is exact: same-frame parents always emit 0 children and their
+    last_emitted advance from f32::MIN is idempotent (step._spawn_phase).
+    `kernel_global=False` keeps all spawning in the shared XLA phase for
+    lane-exact parity testing.
 
 Colors and scale are NOT part of pool state (see pool.PoolState docstring) —
 they are recomputed from age at instance-pack time, so this kernel only
@@ -29,11 +39,7 @@ evaluates the scale curve (needed for the AABB partials).
 Curve evaluation inside the kernel uses K-unrolled compare-selects on scalar
 table entries instead of gathers (K = 8, T <= a few): pure VPU work.
 
-Applicability: archetypes whose emitters are all Global (any pacing).  Nested
-emission needs a cross-tile parent gather and stays on the XLA path —
-`step_auto` dispatches per archetype.
-
-RNG note: this path uses the hardware PRNG stream, the XLA path uses
+RNG note: in-kernel spawns use the hardware PRNG stream, the XLA path uses
 threefry; both draw identical distributions (SURVEY.md §7 hard part 2 needs
 distribution parity only), so the paths agree exactly on deterministic
 configs and statistically otherwise.
