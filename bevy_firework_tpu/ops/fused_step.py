@@ -27,10 +27,13 @@ Dispatch (`step_auto`):
   * nested archetypes -> `fused_step_hybrid`: the XLA spawn phase handles
     nested emitters FIRST (cross-tile parent gathers need XLA), then the
     kernel runs the GLOBAL emitters' pipeline + integrate. The order
-    inversion is exact: same-frame parents always emit 0 children and their
-    last_emitted advance from f32::MIN is idempotent (step._spawn_phase).
-    `kernel_global=False` keeps all spawning in the shared XLA phase for
-    lane-exact parity testing.
+    inversion keeps spawn counts exact: same-frame parents always emit 0
+    children, their last_emitted advance from f32::MIN is idempotent, and
+    reclaimed slots get their per-parent cadence anchors lazily reset while
+    dead (step._spawn_phase skip_global). Claim PRIORITY under pool
+    overflow differs (nested children before globals) — both paths drop
+    overflow either way. `kernel_global=False` keeps all spawning in the
+    shared XLA phase for lane-exact parity testing.
 
 Colors and scale are NOT part of pool state (see pool.PoolState docstring) —
 they are recomputed from age at instance-pack time, so this kernel only
@@ -924,6 +927,29 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     return alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new
 
 
+def _pack_scalar_rows(static, manual_queued, ring_cursor, seed, any_alive,
+                      time_in_cycle, last_emission, enabled):
+    """Assemble the kernel's per-frame SMEM scalar rows. SINGLE source of
+    truth for the dyn/estate column layout (matches the kernel unpack:
+    dyn = [manual_queued, ring_cursor, seed, any_alive_pre, pad...];
+    estate rows = [time_in_cycle, last_emission, enabled, pad...])."""
+    E = static.num_emitters
+    z = jnp.zeros((), jnp.int32)
+    dyn = jnp.stack(
+        [manual_queued, ring_cursor, seed, any_alive, z, z, z, z]
+    ).reshape(1, 8)
+    estate = jnp.concatenate(
+        [
+            time_in_cycle.reshape(E, 1),
+            last_emission.reshape(E, 1),
+            enabled.astype(jnp.float32).reshape(E, 1),
+            jnp.zeros((E, 5), jnp.float32),
+        ],
+        axis=1,
+    )
+    return dyn, estate
+
+
 def fused_step(
     static: SpawnerStatic,
     params: SpawnerParams,
@@ -940,19 +966,9 @@ def fused_step(
     # runs in-kernel; the XLA prelude just assembles two small scalar rows.
     new_key, frame_key = jax.random.split(state.rng_key)
     seed = jax.lax.bitcast_convert_type(frame_key[0], jnp.int32)
-    dyn = jnp.stack(
-        [state.manual_queued, state.ring_cursor, seed,
-         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)]
-    ).reshape(1, 8)
-    estate = jnp.concatenate(
-        [
-            state.time_in_cycle.reshape(E, 1),
-            state.last_emission.reshape(E, 1),
-            state.enabled.astype(jnp.float32).reshape(E, 1),
-            jnp.zeros((E, 5), jnp.float32),
-        ],
-        axis=1,
+    dyn, estate = _pack_scalar_rows(
+        static, state.manual_queued, state.ring_cursor, seed, jnp.zeros((), jnp.int32),
+        state.time_in_cycle, state.last_emission, state.enabled,
     )
 
     f32_fields = {name: getattr(state, name) for name in active_f32_fields(static)}
@@ -1054,12 +1070,18 @@ def fused_step_hybrid(
     frame: FrameInput,
     kernel_global: bool = True,
 ):
-    """Nested/mixed archetypes: the XLA spawn phase (`step._spawn_phase` —
-    global claim-and-init + nested two-stage, threefry draws), then the Pallas
-    kernel as a pure integrator (its in-kernel emission pipeline is compiled
-    out for non-can_fuse statics). Produces bit-identical trajectories to
-    step(): the spawn phase IS step()'s, and the kernel integrate is
-    frame-exact against step()'s integrate (tools/fused_parity_tpu.py)."""
+    """Nested/mixed archetypes. Default (kernel_global=True, the production
+    fast path): the XLA spawn phase handles NESTED emitters only (cross-tile
+    parent gathers need XLA), then the kernel runs the global emitters'
+    full pipeline + integrate — exact spawn COUNTS vs step() (cadence is
+    draw-independent) but hardware-PRNG draws, so trajectory parity is
+    distributional for globally-spawned particles. With kernel_global=False
+    all spawning stays in the shared XLA phase and trajectories are
+    bit-identical to step() — the lane-exact parity testing configuration.
+    Overflow note: when dead slots run out, the fast path gives nested
+    children claim priority over global spawns (reverse of step()'s emitter
+    order) — both paths drop overflow either way (the reference's Vec grows
+    unboundedly instead, SURVEY.md §7 hard part 1)."""
     from ..step import _spawn_phase
 
     E = static.num_emitters
@@ -1074,19 +1096,10 @@ def fused_step_hybrid(
         # global emitters run fully in-kernel (cadence + claim + RNG init),
         # AFTER the XLA nested pass — safe order inversion, see _spawn_phase
         seed = jax.lax.bitcast_convert_type(new_key[1], jnp.int32)
-        dyn = jnp.stack(
-            [manual_queued, fields["ring_cursor"], seed, any_alive_pre.astype(jnp.int32),
-             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)]
-        ).reshape(1, 8)
-        estate = jnp.concatenate(
-            [
-                time_in_cycle.reshape(E, 1),
-                last_emission.reshape(E, 1),
-                enabled.astype(jnp.float32).reshape(E, 1),
-                jnp.zeros((E, 5), jnp.float32),
-            ],
-            axis=1,
+        dyn, estate = _pack_scalar_rows(
+            static, manual_queued, fields["ring_cursor"], seed,
+            any_alive_pre.astype(jnp.int32),
+            time_in_cycle, last_emission, enabled,
         )
     else:
         dyn = jnp.zeros((1, 8), jnp.int32)  # ignored: kernel has no spawn pipeline

@@ -424,13 +424,25 @@ def _spawn_phase(
                 continue
             target = static.target_types[e]
             parent_mask = fields["alive"] & (fields["ptype"] == target) & gate
+            base_le = fields["last_emitted"][e]
+            if skip_global:
+                # Fast-path lazy reset (replaces core.rs:467's eager reset
+                # for slots the KERNEL will claim later this frame or next):
+                # dead lanes' per-parent cadence anchor goes back to F32_MIN
+                # here, while the lane is still dead. Every in-kernel global
+                # claim passes through at least one nested pass in the dead
+                # state first (in-kernel claims only touch lanes dead at
+                # kernel entry, and deaths happen after the claim), so a
+                # reclaimed slot never feeds a stale anchor to the cadence.
+                # Fuses into the row write below — no extra memory traffic.
+                base_le = jnp.where(fields["alive"], base_le, F32_MIN)
             counts, next_last = compute_emission_count(
-                fields["age"], fields["last_emitted"][e], fields["lifetime"],
+                fields["age"], base_le, fields["lifetime"],
                 params.off_start[e], params.off_end[e], params.count[e],
             )
             counts = jnp.where(parent_mask, counts, 0)
             fields["last_emitted"] = fields["last_emitted"].at[e].set(
-                jnp.where(parent_mask, next_last, fields["last_emitted"][e])
+                jnp.where(parent_mask, next_last, base_le)
             )
             cum = jnp.cumsum(counts)
             total = cum[-1]

@@ -259,13 +259,13 @@ def test_hybrid_kernel_global_fast_path():
         emission_settings=[
             EmissionSettings(
                 particle_index=0,
-                emission_pacing=EmissionPacing.rate(900.0),
+                emission_pacing=EmissionPacing.rate(2000.0),
                 initial_velocity=RandVec3(magnitude=RandF32(1.0, 4.0), direction=(0, 1, 0), spread=0.6),
             ),
             EmissionSettings(
                 particle_index=1,
                 emission_mode=EmissionMode.nested(0),
-                emission_pacing=EmissionPacing.count_over_duration(6.0, 1.0, 0.0, 1.0),
+                emission_pacing=EmissionPacing.count_over_duration(5.0, 1.0, 0.0, 1.0),
                 initial_velocity=RandVec3(magnitude=RandF32(0.1, 0.8), direction=(0, 1, 0), spread=3.0),
                 inherit_parent_velocity=True,
             ),
@@ -273,18 +273,23 @@ def test_hybrid_kernel_global_fast_path():
     )
     c = compile_spawner(sp)
     assert not can_fuse(c.static)
+    assert c.static.ring_claim  # ring: slot reuse = cursor wrap
     sA = init_pool_for(c, N, 0)
     sB = init_pool_for(c, N, 0)
     frame = make_frame_input(1 / 50)
     hybrid = jax.jit(fused_step_hybrid, static_argnums=(0,))
-    for _ in range(20):
+    # ~12k spawns/s over an 8192-slot ring wraps the cursor around frame ~34;
+    # 60 frames cover post-wrap claims — the regime where in-kernel global
+    # claims must not leak a previous occupant's last_emitted anchor into
+    # the nested cadence (the lazy dead-lane reset in step._spawn_phase)
+    for _ in range(60):
         sA, oA = step_jit(c.static, c.params, None, sA, frame)
         with pltpu.force_tpu_interpret_mode():
             sB, oB = hybrid(c.static, c.params, None, sB, frame)
     a = np.asarray(oA.alive_count_per_type)
     b = np.asarray(oB.alive_count_per_type)
     np.testing.assert_array_equal(a, b)
-    assert a[0] > 100 and a[1] > 50
+    assert a[0] > 500 and a[1] > 500
     # distributional check on the globally-spawned type's speed
     va = np.sqrt(np.asarray(sA.vx)**2 + np.asarray(sA.vy)**2 + np.asarray(sA.vz)**2)
     vb = np.sqrt(np.asarray(sB.vx)**2 + np.asarray(sB.vy)**2 + np.asarray(sB.vz)**2)

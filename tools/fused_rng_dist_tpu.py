@@ -69,7 +69,6 @@ def main():
         ],
     )
     c = compile_spawner(sp)
-    assert not c.static.elide_rotation or True  # elision irrelevant here
     state = init_pool_for(c, N, 0)
     frame = make_frame_input(1e-6)  # tiny dt: state ~= spawn values
     f = jax.jit(fused_step, static_argnums=(0,))
@@ -105,7 +104,7 @@ def main():
     if fails:
         print(f"\nFAILED: {fails}")
         return 1
-    print(f"\nall {5} draw dimensions OK over {n} hardware-PRNG spawns")
+    print(f"\nall 5 draw dimensions OK over {n} hardware-PRNG spawns")
     return 0
 
 
