@@ -84,7 +84,8 @@ from ..utils.f32 import F32_MIN, rem_euclid
 from ..utils.quat import quat_from_scaled_axis_comp, quat_mul_comp, quat_rotate_comp
 
 LANES = 128
-BLOCK_ROWS = 64  # 64 x 128 = 8192 lanes per tile
+BLOCK_ROWS = 64  # minimum tile: 64 x 128 = 8192 lanes (the capacity granule)
+BLOCK_ROWS_WIDE = 128  # preferred tile when capacity allows (measured faster)
 
 _F32_FIELDS = (
     "px", "py", "pz", "vx", "vy", "vz",
@@ -379,7 +380,7 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
 
 
 def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump: bool,
-                 kernel_spawn: bool):
+                 kernel_spawn: bool, block_rows: int):
     E = static.num_emitters
     T = static.num_types
     C = len(collider_kinds)
@@ -537,7 +538,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
                     new_last.append(jnp.where(gate, next_last, last0))
                 bounds.append(bounds[-1] + n_sp)
             total_spawn = bounds[-1]
-            npool = pl.num_programs(0) * BLOCK_ROWS * LANES
+            npool = pl.num_programs(0) * block_rows * LANES
             cursor_new = jnp.mod(cursor0 + total_spawn, npool) if static.ring_claim else cursor0
             out_dyn_ref[0, 0] = mq
             out_dyn_ref[0, 1] = cursor_new
@@ -557,7 +558,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         #     (tile-local scan + SMEM carry; the grid runs sequentially on
         #     one core, so the carry is exact).
         if cad and static.ring_claim:
-            base = tid * (BLOCK_ROWS * LANES)
+            base = tid * (block_rows * LANES)
             row = jax.lax.broadcasted_iota(jnp.int32, dead.shape, 0)
             lane = jax.lax.broadcasted_iota(jnp.int32, dead.shape, 1)
             gidx = base + row * LANES + lane
@@ -565,7 +566,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             spawned_any = dead & (rank < total_spawn)
             # spawn-block gate: does the ring window [cursor, cursor+total)
             # (possibly wrapped) overlap this tile? scalar interval tests.
-            t0, t1 = base, base + BLOCK_ROWS * LANES
+            t0, t1 = base, base + block_rows * LANES
             b = cursor0 + total_spawn
             overlap_nowrap = (t1 > cursor0) & (t0 < b)
             overlap_wrap = (t0 < (b - npool)) | (t1 > cursor0)
@@ -844,7 +845,10 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
         f"pool capacity {N} must be a multiple of {BLOCK_ROWS * LANES} for the fused kernel"
     )
     rows = N // LANES
-    grid = rows // BLOCK_ROWS
+    # widest tile the capacity divides into (128 rows measured ~20% faster
+    # than 64 at 131k; 8192-lane pools keep the 64-row minimum tile)
+    block_rows = BLOCK_ROWS_WIDE if rows % BLOCK_ROWS_WIDE == 0 else BLOCK_ROWS
+    grid = rows // block_rows
 
     kinds = colliders.kinds if (colliders is not None and static.any_collision) else ()
     identity = colliders.identity_rot if (colliders is not None and static.any_collision) else ()
@@ -853,12 +857,12 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     derived = static.derived_alive and can_fuse(static)
     cad = kernel_spawn
     E = static.num_emitters
-    kernel = _make_kernel(static, kinds, identity, dump, kernel_spawn)
+    kernel = _make_kernel(static, kinds, identity, dump, kernel_spawn, block_rows)
 
     smalls = _pack_fused_smalls(static, params, colliders, frame) + [dyn, estate]
 
     def blocked():
-        return pl.BlockSpec((BLOCK_ROWS, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((block_rows, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM)
 
     small_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -901,8 +905,8 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)]
         + (
-            [pltpu.VMEM((BLOCK_ROWS, LANES), jnp.float32)] * 7
-            + [pltpu.VMEM((BLOCK_ROWS, LANES), jnp.int32)]
+            [pltpu.VMEM((block_rows, LANES), jnp.float32)] * 7
+            + [pltpu.VMEM((block_rows, LANES), jnp.int32)]
             if (len(kinds) > 0 and static.any_collision)
             else []
         ),
