@@ -147,11 +147,6 @@ fn prepass_depth_at(frag_coord: vec4<f32>) -> f32 {
     return textureLoad(depth_prepass, coords, 0);
 }
 
-// reverse-Z clip depth -> linear view-space distance
-fn linearize_depth(ndc_depth: f32, proj_22: f32, proj_32: f32) -> f32 {
-    return proj_32 / max(ndc_depth, 1e-7);
-}
-
 @fragment
 fn fragment(in: VsOut, @builtin(position) frag_coord: vec4<f32>) -> @location(0) vec4<f32> {
     var color = in.base_color;
@@ -170,14 +165,15 @@ fn fragment(in: VsOut, @builtin(position) frag_coord: vec4<f32>) -> @location(0)
         color.a = color.a * (1.0 - t * t * (3.0 - 2.0 * t));  // smoothstep
     }
 
-    // scene-depth fade: soften intersections against the depth prepass
+    // scene-depth fade: soften intersections against the depth prepass.
+    // Reference semantics (reference particles.wgsl:149-155): compare
+    // INVERSE window depths — with reverse-Z, 1/z is proportional to linear
+    // view distance — and smoothstep the absolute difference over
+    // fade_scene. Larger fade_scene => wider, softer fade band.
     if (system.fade_scene > 0.0) {
-        let scene_ndc = prepass_depth_at(frag_coord);
-        // reverse-Z: larger ndc = closer. Fragment behind-distance in ndc
-        // approximates world distance near the surface; scale by fade range.
-        let delta = frag_coord.z - scene_ndc;
-        let t = clamp(delta * system.fade_scene * 1e3, 0.0, 1.0);
-        color.a = color.a * t;
+        let scene_z = prepass_depth_at(frag_coord);
+        let diff = abs(1.0 / frag_coord.z - 1.0 / scene_z);
+        color.a = color.a * smoothstep(0.0, system.fade_scene, diff);
     }
 
     if (color.a <= 0.0) {
@@ -185,8 +181,9 @@ fn fragment(in: VsOut, @builtin(position) frag_coord: vec4<f32>) -> @location(0)
     }
 
     if (system.pbr == 0u) {
-        // unlit: emissive added over base (HDR-friendly)
-        return vec4<f32>(color.rgb + emissive.rgb, color.a);
+        // unlit path returns the base color alone (reference
+        // particles.wgsl:162-163); emissive only participates in PBR.
+        return color;
     }
     return pbr_shade(in, color, emissive);
 }

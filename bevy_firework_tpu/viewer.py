@@ -56,6 +56,11 @@ class Camera:
         self.fov = np.deg2rad(fov_deg)
 
 
+def _smoothstep(edge0: float, edge1: float, x: np.ndarray) -> np.ndarray:
+    t = np.clip((x - edge0) / max(edge1 - edge0, 1e-12), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
 def render_frame(
     items: Sequence,
     camera: Optional[Camera] = None,
@@ -63,10 +68,20 @@ def render_frame(
     height: int = 480,
     background: Tuple[float, float, float] = (0.02, 0.02, 0.03),
     exposure: float = 1.0,
+    ground_y: Optional[float] = None,
+    near: float = 0.1,
 ) -> np.ndarray:
     """Rasterize RenderItems to an [H, W, 3] float image (simple Reinhard
     tonemap for the HDR gradients). Implements the contract's billboard +
-    edge-fade + blend semantics in screen space (no PBR/shadows)."""
+    edge-fade + blend semantics in screen space.
+
+    `ground_y` adds an analytic ground plane acting as the depth prepass:
+    per-pixel reverse-Z test (Greater, like the reference pipeline
+    render.rs:775-782) plus the reference's scene fade
+    `alpha *= smoothstep(0, fade_scene, |1/z - 1/z_scene|)` on inverse
+    window depth (reference particles.wgsl:149-155), with reverse-Z
+    `z = near / view_depth` (Bevy's default near plane is 0.1). The
+    fragment depth is approximated by the particle's center depth."""
     cam = camera or Camera()
     img = np.zeros((height, width, 3), np.float32)
     img[:] = background
@@ -114,10 +129,35 @@ def render_frame(
         alpha = np.full(r.shape, base[3], np.float32)
         fade = uni.fade_edge
         if fade > 0:
-            t = np.clip((r - (1.0 - fade)) / max(fade, 1e-5), 0.0, 1.0)
-            alpha = alpha * (1.0 - t * t * (3.0 - 2.0 * t))
+            # alpha *= smoothstep(0, fade_edge, 1 - r): ramp over
+            # r in [1 - fade_edge, 1] (reference particles.wgsl:140-147)
+            alpha = alpha * _smoothstep(0.0, fade, np.clip(1.0 - r, 0.0, 1.0))
         alpha = np.where(r <= 1.0, alpha, 0.0)
-        color = base[0:3] + emis[0:3]
+        if ground_y is not None:
+            # per-pixel view depth at which the camera ray hits the plane
+            ax = (xx + 0.5 - width * 0.5) / focal
+            ay = -(yy + 0.5 - height * 0.5) / focal
+            dy = cam.forward[1] + ax * cam.right[1] + ay * cam.up[1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t_scene = (ground_y - cam.position[1]) / dy
+            hits = t_scene > 0.0
+            # reverse-Z depth test Greater: fragment behind the plane fails
+            alpha = np.where(hits & (depth >= t_scene), 0.0, alpha)
+            if uni.fade_scene > 0:
+                diff = np.abs(1.0 / (near / depth) - np.where(hits, 1.0 / (near / t_scene), np.inf))
+                alpha = alpha * _smoothstep(0.0, uni.fade_scene, diff)
+        if uni.pbr:
+            # lambert + emissive stand-in for the reference's full PBR path
+            n = -np.array([xs[pi], ys[pi], depth], np.float32)
+            n = n / max(np.linalg.norm(n), 1e-6)
+            light_w = np.array([0.4, 0.8, 0.3], np.float32)
+            light_w = light_w / np.linalg.norm(light_w)
+            light_v = np.stack([cam.right, cam.up, cam.forward]) @ light_w  # view-basis components
+            ndotl = max(float(n @ light_v), 0.0)
+            color = base[0:3] * (0.15 + 0.85 * ndotl) + emis[0:3]
+        else:
+            # unlit path: base color alone (reference particles.wgsl:162-163)
+            color = base[0:3]
         tile = img[y0c:y1c, x0c:x1c]
         if uni.alpha_mode == 4:  # additive
             tile += color * alpha[..., None]

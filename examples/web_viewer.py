@@ -127,10 +127,15 @@ in vec2 v_uv; in vec4 v_base; in vec4 v_emis;
 uniform float u_fade_edge; uniform int u_alpha_mode;
 out vec4 frag;
 void main(){
-  // edge fade: smoothstep on radial UV distance (particles.wgsl:140-147)
+  // edge fade (reference particles.wgsl:140-147): alpha *=
+  // smoothstep(0, fade_edge, 1 - dist), i.e. the ramp spans
+  // dist in [1 - fade_edge, 1] — written via the symmetry
+  // smoothstep(0,f,1-d) == 1 - smoothstep(1-f,1,d).
   float dist = length(v_uv - vec2(0.5)) * 2.0;
-  float fade = 1.0 - smoothstep(u_fade_edge, 1.0, dist);
-  vec4 c = vec4(v_base.rgb + v_emis.rgb, v_base.a * fade);
+  float fade = u_fade_edge > 0.0 ? 1.0 - smoothstep(1.0 - u_fade_edge, 1.0, dist) : 1.0;
+  // unlit path: base color only (reference particles.wgsl:162-163);
+  // emissive participates only in PBR, which this WebGL2 demo omits.
+  vec4 c = vec4(v_base.rgb, v_base.a * fade);
   if (c.a <= 0.0) discard;
   if (u_alpha_mode == 4) c = vec4(c.rgb * c.a, c.a);   // additive: premul rgb
   frag = c;
