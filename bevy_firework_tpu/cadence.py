@@ -39,6 +39,21 @@ def compute_emission_count(time_passed_in_cycle, last_emission, cycle_duration, 
     return count, next_last
 
 
+def emission_next_last(last_emission, cycle_duration, offset_start, offset_end, particles_per_cycle, times):
+    """`next_last_emission` for an explicit (possibly truncated) emission
+    count `times` — same f32 op order as `compute_emission_count`'s tail.
+
+    Used by the nested-deferral path (step._spawn_phase): when only part of a
+    parent's children fit the per-frame child buffer, its cadence anchor
+    advances by the number actually materialized, so the remainder re-emerges
+    next frame instead of being silently lost (the reference's `Vec::push`
+    never drops, `core.rs:502-545`)."""
+    last_pct = jnp.asarray(last_emission, jnp.float32) / cycle_duration
+    clamped_last = jnp.maximum(last_pct, offset_start)
+    percent_between = (offset_end - offset_start) / particles_per_cycle
+    return (clamped_last + jnp.asarray(times, jnp.float32) * percent_between) * cycle_duration
+
+
 def np_compute_emission_count(time_passed_in_cycle, last_emission, cycle_duration, offset_start, offset_end, particles_per_cycle):
     """Scalar numpy-f32 oracle with identical op order."""
     t = F32(time_passed_in_cycle)

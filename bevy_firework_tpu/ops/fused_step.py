@@ -1004,7 +1004,7 @@ def fused_step(
 def _fused_epilogue(
     static, params, state, alive_new, ptype_new, new_fields, dump_mask,
     last_emitted, enabled, time_in_cycle, last_emission, manual_queued,
-    ring_cursor, new_key,
+    ring_cursor, new_key, spawn_stats=None,
 ):
     """Stats + finished flag (XLA; dead-code-eliminated when the caller only
     consumes the state, e.g. under a multi-frame scan). active() is
@@ -1054,6 +1054,7 @@ def _fused_epilogue(
         ring_cursor=ring_cursor,
         rng_key=new_key,
     )
+    zero = jnp.zeros((), jnp.int32)
     outputs = StepOutputs(
         alive_count=alive_count,
         alive_count_per_type=per_type,
@@ -1062,6 +1063,8 @@ def _fused_epilogue(
         aabb_min=aabb_min,
         aabb_max=aabb_max,
         destroyed_mask=dump_mask,
+        nested_deferred=spawn_stats[0] if spawn_stats else zero,
+        nested_dropped=spawn_stats[1] if spawn_stats else zero,
     )
     return new_state, outputs
 
@@ -1092,14 +1095,17 @@ def fused_step_hybrid(
 
     # pre-spawn liveness for the in-kernel active() flag (core.rs:288-302)
     any_alive_pre = jnp.any(state.alive)
-    fields, enabled, time_in_cycle, last_emission, manual_queued, new_key = _spawn_phase(
+    fields, enabled, time_in_cycle, last_emission, manual_queued, new_key, spawn_stats = _spawn_phase(
         static, params, state, frame, skip_global=kernel_global
     )
 
     if kernel_global:
         # global emitters run fully in-kernel (cadence + claim + RNG init),
-        # AFTER the XLA nested pass — safe order inversion, see _spawn_phase
-        seed = jax.lax.bitcast_convert_type(new_key[1], jnp.int32)
+        # AFTER the XLA nested pass — safe order inversion, see _spawn_phase.
+        # The kernel's hardware PRNG gets a dedicated key split so no key
+        # material is shared with the threefry stream stored in state.rng_key.
+        new_key, kernel_key = jax.random.split(new_key)
+        seed = jax.lax.bitcast_convert_type(kernel_key[1], jnp.int32)
         dyn, estate = _pack_scalar_rows(
             static, manual_queued, fields["ring_cursor"], seed,
             any_alive_pre.astype(jnp.int32),
@@ -1132,7 +1138,7 @@ def fused_step_hybrid(
     return _fused_epilogue(
         static, params, state, alive_new, ptype_new, full_fields, dump_mask,
         fields["last_emitted"], enabled, time_in_cycle, last_emission, manual_queued,
-        cursor_out, new_key,
+        cursor_out, new_key, spawn_stats,
     )
 
 

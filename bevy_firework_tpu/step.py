@@ -38,7 +38,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .cadence import compute_emission_count
+from .cadence import compute_emission_count, emission_next_last
 from .colliders import ColliderTable
 from .collision import particle_collision
 from .compiled import (
@@ -70,6 +70,14 @@ class StepOutputs:
     aabb_min: jax.Array  # [3] min(pos - scale) over live (render.rs:677-703)
     aabb_max: jax.Array  # [3] max(pos + scale)
     destroyed_mask: jax.Array  # [N] bool (all-False unless dump enabled)
+    # Nested-emission accounting (no silent losses): children beyond the
+    # per-frame child buffer are DEFERRED — their parents' cadence anchor
+    # advances only by what was materialized, so they emerge next frame with
+    # total counts conserved (the reference's Vec::push never drops,
+    # core.rs:502-545). Children whose claim found no dead slot (pool
+    # capacity overflow, an explicit knob) are DROPPED, and counted here.
+    nested_deferred: jax.Array  # int32 scalar: children pushed to next frame
+    nested_dropped: jax.Array  # int32 scalar: children lost to capacity
 
 
 def _select_by_type(values, ptype, num_types):
@@ -192,11 +200,15 @@ def _claim_and_init(
     return spawn
 
 
-# Static cap on nested children spawned per emitter per frame: the two-stage
-# spawn works in a compact [M] child buffer (gathers/scatters sized by M, not
-# the pool), so M bounds the gather work, not the feature. 4096/emitter/frame
-# = ~245k children/s at 60 FPS, far beyond any reference scene; overflow
-# children are dropped for the frame (their parents' carry still advances).
+# Static size of the per-emitter-per-frame nested child buffer: the
+# two-stage spawn works in a compact [M] buffer (gathers/scatters sized by
+# M, not the pool), so M bounds the per-frame gather work, not the feature.
+# 4096/emitter/frame = ~245k children/s at 60 FPS. Overflowing children are
+# NOT lost: their parents' cadence anchor advances only by what was
+# materialized (cadence.emission_next_last), so the remainder re-emerges on
+# subsequent frames — conservation matches the reference's unbounded
+# Vec::push (core.rs:502-545) up to a frame of latency, reported per frame
+# in StepOutputs.nested_deferred.
 MAX_NESTED_SPAWN_PER_FRAME = 4096
 
 
@@ -274,12 +286,14 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
         idx = jnp.arange(N, dtype=jnp.int32)
         claimed = dead & (jnp.mod(idx - cursor, N) < n_spawn)
         fields["ring_cursor"] = jnp.mod(cursor + n_spawn, N)
+        dropped = n_spawn - jnp.sum(((rank_ids < n_spawn) & target_dead).astype(jnp.int32))
     else:
         dead_cum = jnp.cumsum(di)
         dead_rank = dead_cum - di  # exclusive, for the mask side
         claimed = dead & (dead_rank < n_spawn)
         slot_for_rank = _monotone_inverse(dead_cum, M)  # r-th dead slot, or N
         slot = jnp.where(rank_ids < n_spawn, slot_for_rank, N)  # N => dropped
+        dropped = n_spawn - jnp.minimum(n_spawn, dead_cum[-1])  # no dead slot left
 
     # --- gather parent state: one stacked gather sized by M ------------------
     # With rotation elided, parent rotation is identity pool-wide — skip its
@@ -337,6 +351,7 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     fields["alive"] = fields["alive"] | claimed
     # last_emitted_age = f32::MIN for every emitter (core.rs:539-542)
     fields["last_emitted"] = jnp.where(claimed[None, :], F32_MIN, fields["last_emitted"])
+    return dropped
 
 
 def _spawn_phase(
@@ -380,6 +395,8 @@ def _spawn_phase(
     last_emission = state.last_emission
     enabled = state.enabled
     manual_queued = state.manual_queued
+    nested_deferred = jnp.zeros((), jnp.int32)
+    nested_dropped = jnp.zeros((), jnp.int32)
 
     # Spawn origin per SpawnTransformMode (`core.rs:432-435`): the host passes
     # whichever transform applies in frame.transform_*.
@@ -441,14 +458,34 @@ def _spawn_phase(
                 params.off_start[e], params.off_end[e], params.count[e],
             )
             counts = jnp.where(parent_mask, counts, 0)
+            cum = jnp.cumsum(counts)
+            total = cum[-1]
+            # Deferral (no silent losses): only children with global rank < M
+            # are materialized this frame. A parent whose children were (fully
+            # or partially) cut advances its cadence anchor by the number
+            # actually emitted, so the remainder re-emerges next frame —
+            # count-conserving, like the reference's unbounded Vec::push.
+            M = min(MAX_NESTED_SPAWN_PER_FRAME, N)
+            emitted = jnp.minimum(cum, M) - jnp.minimum(cum - counts, M)
+            next_last = jnp.where(
+                emitted < counts,
+                emission_next_last(
+                    base_le, fields["lifetime"],
+                    params.off_start[e], params.off_end[e], params.count[e],
+                    emitted,
+                ),
+                next_last,
+            )
+            nested_deferred = nested_deferred + (total - jnp.minimum(total, M))
             fields["last_emitted"] = fields["last_emitted"].at[e].set(
                 jnp.where(parent_mask, next_last, base_le)
             )
-            cum = jnp.cumsum(counts)
-            total = cum[-1]
-            _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_key)
+            nested_dropped = nested_dropped + _nested_spawn(
+                static, params, frame, fields, e, counts, cum, total, frame_key
+            )
 
-    return fields, enabled, time_in_cycle, last_emission, manual_queued, new_key
+    stats = (nested_deferred, nested_dropped)
+    return fields, enabled, time_in_cycle, last_emission, manual_queued, new_key, stats
 
 
 def step(
@@ -464,7 +501,7 @@ def step(
     T = static.num_types
     dt = frame.dt
 
-    fields, enabled, time_in_cycle, last_emission, manual_queued, new_key = _spawn_phase(
+    fields, enabled, time_in_cycle, last_emission, manual_queued, new_key, spawn_stats = _spawn_phase(
         static, params, state, frame
     )
 
@@ -615,6 +652,8 @@ def step(
         aabb_min=aabb_min,
         aabb_max=aabb_max,
         destroyed_mask=dump_mask,
+        nested_deferred=spawn_stats[0],
+        nested_dropped=spawn_stats[1],
     )
     return new_state, outputs
 

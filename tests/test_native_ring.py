@@ -62,7 +62,6 @@ def test_end_to_end_with_engine_planes():
         RandF32,
         compile_spawner,
         init_pool_for,
-        init_pool_for,
         make_frame_input,
         pack_instances,
     )
@@ -95,7 +94,6 @@ def test_dense_and_f16_paths_match_compacted():
         ParticleSpawner,
         RandF32,
         compile_spawner,
-        init_pool_for,
         init_pool_for,
         make_frame_input,
         pack_instances,

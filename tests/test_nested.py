@@ -145,6 +145,76 @@ def test_nested_invalid_pacing_skipped():
     assert max(int(c[0]) for c in counts) == 2
 
 
+def _burst_spawner(n_parents, children_per_parent, window=0.001):
+    """Every parent demands ALL its children in one frame (the emission
+    window is far shorter than a frame), so frame 2 requests
+    n_parents * children_per_parent children at once."""
+    return ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(5.0), linear_drag=0.0, acceleration=(0, 0, 0)),
+            ParticleSettings(lifetime=RandF32.constant(100.0), linear_drag=0.0, acceleration=(0, 0, 0)),
+        ],
+        emission_settings=[
+            EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.one_shot(n_parents)),
+            EmissionSettings(particle_index=1, emission_mode=EmissionMode.nested(0),
+                             emission_pacing=EmissionPacing.count_over_duration(
+                                 float(children_per_parent), 1.0, 0.0, window)),
+        ],
+    )
+
+
+def test_nested_overflow_defers_not_drops():
+    """One frame demanding more children than the 4096 child buffer: the
+    overflow is DEFERRED (parents' cadence anchors advance only by what was
+    materialized) and the total spawned count still matches the oracle a few
+    frames late — the reference's unbounded Vec::push loses nothing
+    (`core.rs:502-545`), and neither do we. Also exercises the
+    partial-parent case: the parent straddling the 4096 boundary emits some
+    children this frame and the rest next frame."""
+    from bevy_firework_tpu.step import MAX_NESTED_SPAWN_PER_FRAME as M
+
+    n_parents, per_parent = 410, 10
+    total = n_parents * per_parent  # 4100 > 4096
+    assert total > M
+    sp = _burst_spawner(n_parents, per_parent)
+    compiled = compile_spawner(sp)
+    state = init_pool_for(compiled, 8192, 0)
+    dt = 1.0 / 60.0
+    deferred = []
+    counts = []
+    for _ in range(6):
+        state, out = step_jit(compiled.static, compiled.params, None, state, make_frame_input(dt))
+        deferred.append(int(out.nested_deferred))
+        counts.append(np.asarray(out.alive_count_per_type).copy())
+        assert int(out.nested_dropped) == 0
+    # frame 0: parents spawn; frame 1: burst — M children + the rest deferred
+    assert deferred[1] == total - M
+    assert counts[1][1] == M
+    # conservation: the deferred children arrive on the following frame(s)
+    assert counts[-1][1] == total
+    assert sum(deferred[2:]) == 0  # fully drained by frame 2
+
+    # oracle agreement on the final count (oracle emits everything in frame 1)
+    oc, _ = run_oracle(sp, 6, dt)
+    assert int(oc[-1][1]) == total
+
+
+def test_nested_capacity_overflow_is_counted():
+    """When the POOL runs out of dead slots (explicit capacity knob), nested
+    children are dropped — and the drop is surfaced, not silent."""
+    sp = _burst_spawner(64, 10)  # 640 children demanded, 64 parents
+    compiled = compile_spawner(sp)
+    state = init_pool_for(compiled, 256, 0)  # 256 slots < 64 + 640
+    dt = 1.0 / 60.0
+    dropped = 0
+    for _ in range(4):
+        state, out = step_jit(compiled.static, compiled.params, None, state, make_frame_input(dt))
+        dropped += int(out.nested_dropped)
+    alive_children = int(np.sum(np.asarray(state.alive) & (np.asarray(state.ptype) == 1)))
+    assert alive_children == 256 - 64
+    assert dropped == 640 - (256 - 64)
+
+
 def test_children_inherit_parent_velocity_and_position():
     sp = ParticleSpawner(
         particle_settings=[
