@@ -169,6 +169,40 @@ def _measure_fleet(n_slots=16, capacity=8 * 8192, rate=55_000.0, warmup=140, n_f
     return alive, diffs[len(diffs) // 2]
 
 
+def _measure_extract(compiled, state, frame, n_calls=40, reps=5):
+    """Marginal device cost of the render extract (the public render_items
+    fast path: pack_instances_dense fused after the step) at this pool size.
+    Differential: per-frame time of a step+pack dispatch loop minus a
+    step-only dispatch loop — same dispatch count, so tunnel/dispatch
+    constants cancel and the difference is the pack's device time. jit
+    outputs are always materialized, so the pack cannot be DCE'd."""
+    import numpy as np
+
+    from bevy_firework_tpu.ops.fused_step import step_auto_packed_jit
+
+    def run(fn, n):
+        s = state
+        for _ in range(n):
+            out = fn(s)
+            s = out[0] if isinstance(out, tuple) else out
+        np.asarray(s.px)
+
+    f_pack = lambda s: step_auto_packed_jit(compiled.static, compiled.params, None, s, frame)
+    f_step = lambda s: step_auto_jit(compiled.static, compiled.params, None, s, frame)
+    run(f_pack, 2)
+    run(f_step, 2)  # compile both
+    diffs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run(f_step, n_calls)
+        t1 = time.perf_counter()
+        run(f_pack, n_calls)
+        t2 = time.perf_counter()
+        diffs.append(((t2 - t1) - (t1 - t0)) / n_calls * 1e3)
+    diffs.sort()
+    return diffs[len(diffs) // 2]
+
+
 def main():
     # headline: driver metric — 100k live, stress_test
     spawner, _tf = effects.stress_test()
@@ -189,6 +223,8 @@ def main():
     try:
         _c, _s, _f, alive_1m, ms_1m = _measure(spawner, 1_000_000, 160 * 8192, n_frames=150)
         extras["1M"] = {"live": alive_1m, "ms_per_frame": round(ms_1m, 4)}
+        ms_extract = _measure_extract(_c, _s, _f)
+        extras["render_extract_1M"] = {"live": alive_1m, "ms_device": round(ms_extract, 4)}
         spc, _t2, cols = effects.stress_test_collision()
         _c, _s, _f, alive_c, ms_c = _measure(spc, 500_000, 160 * 8192, colliders=cols, n_frames=150)
         extras["1M_collision"] = {"live": alive_c, "ms_per_frame": round(ms_c, 4)}

@@ -17,7 +17,15 @@ from .emission_shape import EmissionShape
 from .fleet import Fleet
 from .pool import FrameInput, PoolState, init_pool, init_pool_for, make_frame_input
 from .rand import RandF32, RandVec3
-from .render import FireworkUniform, RenderItem, instances_to_bytes, make_uniform, pack_instances
+from .render import (
+    FireworkUniform,
+    RenderItem,
+    instances_to_bytes,
+    make_uniform,
+    pack_instances,
+    pack_instances_dense,
+    planes_to_rows,
+)
 from .scene import DestroyedParticle, Scene, Transform, estimate_capacity
 from .settings import (
     BlendMode,
@@ -89,6 +97,8 @@ __all__ = [
     "multi_step",
     "np_compute_emission_count",
     "pack_instances",
+    "pack_instances_dense",
+    "planes_to_rows",
     "propagate_modifiers",
     "save_pool",
     "save_scene",

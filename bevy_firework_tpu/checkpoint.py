@@ -102,17 +102,16 @@ def load_scene(path: str, colliders=None):
         for sid_s, m in meta["spawners"].items():
             sid = int(sid_s)
             spawner = spawner_from_dict(m["settings"])
-            # preserve the saved spawner id exactly (ids may be
-            # non-contiguous after removals; host code holds them)
-            scene._next_id = sid
-            new_sid = scene.add_spawner(
+            # ids may be non-contiguous after removals; host code holds
+            # them, so restore each exactly via the explicit-id path
+            scene.add_spawner(
                 spawner,
                 capacity=m["capacity"],
                 transform=Transform(tuple(m["transform"]["translation"]), tuple(m["transform"]["rotation"])),
                 global_transform=Transform(tuple(m["global_transform"]["translation"]), tuple(m["global_transform"]["rotation"])),
                 modifier=EffectModifier(**m["modifier"]),
+                sid=sid,
             )
-            assert new_sid == sid
             slot = scene._spawners[sid]
             slot.parent_velocity = tuple(m["parent_velocity"])
             slot.finished_fired = m["finished_fired"]

@@ -61,6 +61,9 @@ class SpawnerStatic:
     # per type (kind, knot count) of the scale curve — compile-time shape so
     # kernels specialize the interpolation (constant curves cost zero ops)
     scale_curve_meta: Tuple[Tuple[int, int], ...]
+    # per type (base_kind, base_n, emis_kind, emis_n) of the color gradients,
+    # for the in-kernel render pack's curve specialization
+    color_curve_meta: Tuple[Tuple[int, int, int, int], ...] = ()
     # --- field-elision flags (fused-kernel HBM traffic reduction) -----------
     # elide_rotation: every particle this spawner can ever create has
     # q = identity and w = 0 forever (all emitters spawn with identity
@@ -248,6 +251,10 @@ def compile_spawner(spawner: ParticleSpawner) -> CompiledSpawner:
         spawn_transform_local=spawner.spawn_transform_mode == SpawnTransformMode.LOCAL,
         nested_valid=nested_valid,
         scale_curve_meta=tuple((t.scale_curve.kind, t.scale_curve.n) for t in types),
+        color_curve_meta=tuple(
+            (t.base_color.kind, t.base_color.n, t.emissive_color.kind, t.emissive_color.n)
+            for t in types
+        ),
         elide_rotation=elide_rotation,
         const_lifetime=const_lifetime,
         destroy_types=tuple(

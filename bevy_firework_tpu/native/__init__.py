@@ -83,6 +83,18 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.compact_dense.restype = ctypes.c_int64
+        lib.compact_dense.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.compact_dense_ptrs.restype = ctypes.c_int64
+        lib.compact_dense_ptrs.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -260,6 +272,51 @@ class InstanceRing:
             with self._lock:
                 self._state[self._acquired] = 0
         self._acquired = None
+
+
+def compact_dense(planes: np.ndarray) -> np.ndarray:
+    """[16, N] dense planes (dead lanes at scale==0 in plane 3) -> compacted
+    [count, 16] interleaved instance rows, slot order preserved. Native when
+    available; numpy fallback otherwise. The synchronous extract fast path:
+    the device's dense pack is elementwise (fuses with the step, ~0 device
+    ms even at 1M lanes), and this host pass compacts at memcpy speed —
+    replacing the ~6 ms device-side scatter compaction."""
+    planes = np.ascontiguousarray(planes, dtype=np.float32)
+    n = planes.shape[1]
+    lib = get_lib()
+    if lib is None:
+        live = planes[3] != 0.0
+        return np.ascontiguousarray(planes[:, live].T)
+    out = np.empty((n, 16), np.float32)
+    count = lib.compact_dense(_fptr(out), _fptr(planes), n, n)
+    return out[:count]
+
+
+def compact_dense_planes(planes, defaults) -> np.ndarray:
+    """16 SEPARATE [N] f32 plane arrays (or None for an invariant component,
+    whose value comes from defaults[p]) -> compacted [count, 16] rows, slot
+    order preserved. Plane 3 (scale) is required; scale == 0 marks dead.
+    Used by the in-kernel render-pack path, where scale/colors arrive as
+    individual device arrays and elided rotation planes are never
+    transferred at all."""
+    arrs = [None if p is None else np.ascontiguousarray(p, dtype=np.float32) for p in planes]
+    n = arrs[3].shape[0]
+    lib = get_lib()
+    if lib is None:
+        live = arrs[3] != 0.0
+        count = int(live.sum())
+        out = np.empty((count, 16), np.float32)
+        for p in range(16):
+            out[:, p] = arrs[p][live] if arrs[p] is not None else np.float32(defaults[p])
+        return out
+    ptr_t = ctypes.POINTER(ctypes.c_float)
+    ptrs = (ptr_t * 16)(*[
+        (a.ctypes.data_as(ptr_t) if a is not None else ptr_t()) for a in arrs
+    ])
+    dflt = np.asarray(defaults, dtype=np.float32)
+    out = np.empty((n, 16), np.float32)
+    count = lib.compact_dense_ptrs(_fptr(out), ptrs, _fptr(dflt), n)
+    return out[:count]
 
 
 def transpose_planes(planes: np.ndarray) -> np.ndarray:

@@ -160,6 +160,45 @@ void transpose_planes(float* dst, const float* planes, int64_t plane_stride, int
   }
 }
 
+// Standalone dense-plane compaction (no ring): interleave live lanes
+// (plane 3 = scale != 0) of [16, n_lanes] planes into dst rows [*, 16].
+// Returns the live count. The synchronous Scene.render_items() fast path.
+int64_t compact_dense(float* dst, const float* planes, int64_t plane_stride,
+                      int64_t n_lanes) {
+  const float* scale = planes + 3 * plane_stride;
+  int64_t count = 0;
+  for (int64_t i = 0; i < n_lanes; ++i) {
+    if (scale[i] == 0.0f) continue;
+    float* d = dst + count * kFloatsPerInstance;
+    for (int p = 0; p < kFloatsPerInstance; ++p) {
+      d[p] = planes[p * plane_stride + i];
+    }
+    ++count;
+  }
+  return count;
+}
+
+// Compaction from 16 SEPARATE plane arrays (the in-kernel render pack emits
+// scale/color planes as individual device arrays; positions/rotations come
+// from pool state arrays). planes[p] == nullptr means the component is a
+// pool-wide invariant: defaults[p] is used (e.g. identity rotation under
+// rotation elision — those planes are then never even transferred).
+// plane 3 (scale) must be non-null; scale == 0 marks dead lanes.
+int64_t compact_dense_ptrs(float* dst, const float* const* planes,
+                           const float* defaults, int64_t n_lanes) {
+  const float* scale = planes[3];
+  int64_t count = 0;
+  for (int64_t i = 0; i < n_lanes; ++i) {
+    if (scale[i] == 0.0f) continue;
+    float* d = dst + count * kFloatsPerInstance;
+    for (int p = 0; p < kFloatsPerInstance; ++p) {
+      d[p] = planes[p] ? planes[p][i] : defaults[p];
+    }
+    ++count;
+  }
+  return count;
+}
+
 // Producer: fill `slot` from DENSE planes (every pool lane, dead lanes have
 // scale == 0 in plane 3), compacting live lanes while interleaving.  This is
 // the production extract path: the device emits dense planes for free (the

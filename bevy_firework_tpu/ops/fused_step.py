@@ -215,6 +215,42 @@ def _eval_curve_static(ts, vs, kind, n, t):
     return v0 + (v1 - v0) * frac
 
 
+def _eval_gradient_static(ts, vs_rows, kind, n, t):
+    """4-channel gradient sample sharing one index/frac computation across
+    channels (each channel then costs only its v0/v1 selects + one lerp).
+    vs_rows: indexable giving per-channel [K] value rows."""
+    C = 4
+    if kind == 0:  # CURVE_CONSTANT
+        return [jnp.full(t.shape, vs_rows[c][0]) for c in range(C)]
+    if kind == 1:  # CURVE_EVEN
+        x = jnp.clip(t, 0.0, 1.0) * np.float32(n - 1)
+        i = jnp.clip(jnp.floor(x), 0.0, np.float32(n - 2))
+        frac = x - i
+        sels = [i == k for k in range(1, n - 1)]
+    else:  # CURVE_UNEVEN
+        tun = jnp.clip(t, ts[0], ts[n - 1])
+        i = jnp.zeros_like(t)
+        for k in range(1, n - 1):
+            i = i + (tun >= ts[k]).astype(jnp.float32)
+        t0 = jnp.full(t.shape, ts[0])
+        t1 = jnp.full(t.shape, ts[1])
+        sels = [i == k for k in range(1, n - 1)]
+        for k, sel in zip(range(1, n - 1), sels):
+            t0 = jnp.where(sel, ts[k], t0)
+            t1 = jnp.where(sel, ts[k + 1], t1)
+        frac = (tun - t0) / (t1 - t0)
+    out = []
+    for c in range(C):
+        vs = vs_rows[c]
+        v0 = jnp.full(t.shape, vs[0])
+        v1 = jnp.full(t.shape, vs[1])
+        for k, sel in zip(range(1, n - 1), sels):
+            v0 = jnp.where(sel, vs[k], v0)
+            v1 = jnp.where(sel, vs[k + 1], v1)
+        out.append(v0 + (v1 - v0) * frac)
+    return out
+
+
 def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, vy, vz, dt,
                   restitution, friction, destroy_flag, lane_mask, participating,
                   scratch=None):
@@ -380,7 +416,7 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
 
 
 def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump: bool,
-                 kernel_spawn: bool, block_rows: int):
+                 kernel_spawn: bool, block_rows: int, pack_render: bool = False):
     E = static.num_emitters
     T = static.num_types
     C = len(collider_kinds)
@@ -428,6 +464,10 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             estate_ref,  # SMEM [E, 8] f32: time_in_cycle, last_emission, enabled
         ) = refs[:N_SMALL]
         pos = N_SMALL
+        gmeta_ref = None  # [T, 10, K] f32: base ts + rgba vs, emis ts + rgba vs
+        if pack_render:
+            gmeta_ref = refs[pos]
+            pos += 1
         alive_ref = None
         if not derived:
             alive_ref = refs[pos]
@@ -460,6 +500,8 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         if cad:  # SMEM scalar outputs: updated cadence/bookkeeping state
             out_dyn_ref = outs[oi + nf]
             out_estate_ref = outs[oi + nf + 1]
+        # in-kernel render pack planes: scale + base rgba + emissive rgba
+        render_outs = outs[-9:] if pack_render else None
 
         f = {name: field_in[i][:, :] for i, name in enumerate(fields)}
         fs = fscal_ref[0]
@@ -741,6 +783,28 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             f["wy"] = jnp.where(survivor, wy2, f["wy"])
             f["wz"] = jnp.where(survivor, wz2, f["wz"])
 
+        if pack_render:
+            # Render-contract extract fused into the step: the separate XLA
+            # dense pack re-reads the whole pool and pays ~20 table gathers
+            # (~2 ms at 1M lanes); here the fields are already in registers
+            # and the gradients are K-unrolled compare-selects, so the only
+            # extra cost is writing these 9 planes (~0.05 ms at 1M).
+            # scale==0 marks dead lanes (pack_instances_dense contract).
+            bk0, bn0, ek0, en0 = static.color_curve_meta[0]
+            bch = _eval_gradient_static(gmeta_ref[0, 0], [gmeta_ref[0, 1 + c] for c in range(4)], bk0, bn0, age_pct)
+            ech = _eval_gradient_static(gmeta_ref[0, 5], [gmeta_ref[0, 6 + c] for c in range(4)], ek0, en0, age_pct)
+            for t in range(1, T):
+                bkt, bnt, ekt, ent = static.color_curve_meta[t]
+                bt = _eval_gradient_static(gmeta_ref[t, 0], [gmeta_ref[t, 1 + c] for c in range(4)], bkt, bnt, age_pct)
+                et = _eval_gradient_static(gmeta_ref[t, 5], [gmeta_ref[t, 6 + c] for c in range(4)], ekt, ent, age_pct)
+                for c in range(4):
+                    bch[c] = jnp.where(ptype == t, bt[c], bch[c])
+                    ech[c] = jnp.where(ptype == t, et[c], ech[c])
+            render_outs[0][:, :] = jnp.where(survivor, scale_new, 0.0)
+            for c in range(4):
+                render_outs[1 + c][:, :] = bch[c]
+                render_outs[5 + c][:, :] = ech[c]
+
         if not derived:
             out_alive_ref[:, :] = survivor.astype(jnp.int32)
         if not single:
@@ -827,8 +891,22 @@ def _pack_fused_smalls(static: SpawnerStatic, params: SpawnerParams, colliders, 
     # dyn + estate (per-frame SMEM scalars) are appended by the caller
 
 
+def _pack_gmeta(params):
+    """[T, 10, K] gradient tables for the in-kernel render pack:
+    rows = [base_ts, base r, g, b, a, emis_ts, emis r, g, b, a]."""
+    return jnp.concatenate(
+        [
+            params.base_ts[:, None, :],
+            jnp.moveaxis(params.base_vs, -1, 1),
+            params.emis_ts[:, None, :],
+            jnp.moveaxis(params.emis_vs, -1, 1),
+        ],
+        axis=1,
+    )
+
+
 def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptype, f32_fields,
-                      kernel_spawn: bool = True):
+                      kernel_spawn: bool = True, pack_render: bool = False):
     """Invoke the fused Pallas kernel on one pool pass.
 
     alive: [N] bool, ptype: [N] i32, f32_fields: name -> [N] f32 covering
@@ -857,9 +935,11 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     derived = static.derived_alive and can_fuse(static)
     cad = kernel_spawn
     E = static.num_emitters
-    kernel = _make_kernel(static, kinds, identity, dump, kernel_spawn, block_rows)
+    kernel = _make_kernel(static, kinds, identity, dump, kernel_spawn, block_rows, pack_render)
 
     smalls = _pack_fused_smalls(static, params, colliders, frame) + [dyn, estate]
+    if pack_render:
+        smalls.append(_pack_gmeta(params))
 
     def blocked():
         return pl.BlockSpec((block_rows, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM)
@@ -869,9 +949,13 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     fields = active_f32_fields(static)
     nf = len(fields)
 
+    n_small = N_SMALL + (1 if pack_render else 0)
     n_big_in = (0 if derived else 1) + (0 if single else 1) + nf  # [alive], [ptype], fields
     n_extra = (0 if derived else 1) + (0 if single else 1) + (1 if dump else 0)
-    in_specs = [small_spec] * (N_SMALL - 2) + [smem_spec] * 2 + [blocked()] * n_big_in
+    in_specs = (
+        [small_spec] * (N_SMALL - 2) + [smem_spec] * 2
+        + ([small_spec] if pack_render else []) + [blocked()] * n_big_in
+    )
     out_specs = [blocked()] * (n_extra + nf)
     out_shape = (
         [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] * n_extra
@@ -883,6 +967,9 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
             jax.ShapeDtypeStruct((1, 8), jnp.int32),
             jax.ShapeDtypeStruct((E, 8), jnp.float32),
         ]
+    if pack_render:  # 9 render planes: scale + base rgba + emissive rgba
+        out_specs = out_specs + [blocked()] * 9
+        out_shape = out_shape + [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 9
 
     field_arrays = [f32_fields[name].reshape(rows, LANES) for name in fields]
     inputs = smalls[:]
@@ -893,7 +980,7 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     inputs = inputs + field_arrays
 
     # alias field inputs onto field outputs (in-place update)
-    first_field_in = N_SMALL + n_big_in - nf
+    first_field_in = n_small + n_big_in - nf
     first_field_out = n_extra
     aliases = {first_field_in + i: first_field_out + i for i in range(nf)}
 
@@ -928,7 +1015,8 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
         alive_new = new_fields["age"] < np.float32(static.const_lifetime)
     dyn_new = results[n_extra + nf] if cad else None
     estate_new = results[n_extra + nf + 1] if cad else None
-    return alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new
+    render_planes = tuple(r.reshape(N) for r in results[-9:]) if pack_render else None
+    return alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new, render_planes
 
 
 def _pack_scalar_rows(static, manual_queued, ring_cursor, seed, any_alive,
@@ -960,9 +1048,12 @@ def fused_step(
     colliders: Optional[ColliderTable],
     state: PoolState,
     frame: FrameInput,
+    pack_render: bool = False,
 ):
     """Drop-in replacement for step() on global-only archetypes, with the
-    per-lane pipeline in one Pallas kernel. Same state/outputs contract."""
+    per-lane pipeline in one Pallas kernel. Same state/outputs contract.
+    pack_render=True additionally returns the in-kernel render-pack planes
+    (scale + base rgba + emissive rgba) as a third result."""
     assert can_fuse(static)
     E = static.num_emitters
 
@@ -976,8 +1067,9 @@ def fused_step(
     )
 
     f32_fields = {name: getattr(state, name) for name in active_f32_fields(static)}
-    alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new = _run_fused_kernel(
-        static, params, colliders, frame, dyn, estate, state.alive, state.ptype, f32_fields
+    alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new, planes = _run_fused_kernel(
+        static, params, colliders, frame, dyn, estate, state.alive, state.ptype, f32_fields,
+        pack_render=pack_render,
     )
     manual_queued = dyn_new[0, 0]
     new_cursor = dyn_new[0, 1]
@@ -994,11 +1086,14 @@ def fused_step(
 
     # last_emitted is only consumed by nested emitters, which never take this
     # path — leave it untouched (dead lanes' values are meaningless anyway).
-    return _fused_epilogue(
+    st, out = _fused_epilogue(
         static, params, state, alive_new, ptype_new, full_fields, dump_mask,
         state.last_emitted, enabled, time_in_cycle, last_emission, manual_queued,
         new_cursor, new_key,
     )
+    if pack_render:
+        return st, out, planes
+    return st, out
 
 
 def _fused_epilogue(
@@ -1076,6 +1171,7 @@ def fused_step_hybrid(
     state: PoolState,
     frame: FrameInput,
     kernel_global: bool = True,
+    pack_render: bool = False,
 ):
     """Nested/mixed archetypes. Default (kernel_global=True, the production
     fast path): the XLA spawn phase handles NESTED emitters only (cross-tile
@@ -1115,9 +1211,9 @@ def fused_step_hybrid(
         dyn = jnp.zeros((1, 8), jnp.int32)  # ignored: kernel has no spawn pipeline
         estate = jnp.zeros((E, 8), jnp.float32)
     f32_fields = {name: fields[name] for name in active_f32_fields(static)}
-    alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new = _run_fused_kernel(
+    alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new, planes = _run_fused_kernel(
         static, params, colliders, frame, dyn, estate, fields["alive"], fields["ptype"], f32_fields,
-        kernel_spawn=kernel_global,
+        kernel_spawn=kernel_global, pack_render=pack_render,
     )
     if kernel_global:
         manual_queued = dyn_new[0, 0]
@@ -1135,11 +1231,14 @@ def fused_step_hybrid(
     if ptype_new is None:
         ptype_new = fields["ptype"]
 
-    return _fused_epilogue(
+    st, out = _fused_epilogue(
         static, params, state, alive_new, ptype_new, full_fields, dump_mask,
         fields["last_emitted"], enabled, time_in_cycle, last_emission, manual_queued,
         cursor_out, new_key, spawn_stats,
     )
+    if pack_render:
+        return st, out, planes
+    return st, out
 
 
 def step_auto(static, params, colliders, state, frame):
@@ -1159,6 +1258,52 @@ def step_auto(static, params, colliders, state, frame):
 @partial(jax.jit, static_argnums=(0,))
 def step_auto_jit(static, params, colliders, state, frame):
     return step_auto(static, params, colliders, state, frame)
+
+
+def can_pack_render(static: SpawnerStatic, capacity: int) -> bool:
+    """The in-kernel render pack applies where the fused/hybrid kernel runs
+    and the pool holds ONE particle type (the host compaction then needs no
+    per-type partition; multi-type archetypes use the XLA per-type pack)."""
+    return (
+        jax.default_backend() == "tpu"
+        and capacity % (BLOCK_ROWS * LANES) == 0
+        and static.single_type
+    )
+
+
+def step_auto_packed(static, params, colliders, state, frame):
+    """step_auto + the render extract: returns (state, outputs, planes) where
+    planes is the in-kernel 9-plane pack (scale + base rgba + emissive rgba)
+    when the kernel path applies, else None (caller falls back to the XLA
+    per-type dense pack). The full 16-plane render contract = state positions
+    + rotations + these planes (render.planes_to_rows assembles them)."""
+    from ..step import step
+
+    if can_pack_render(static, state.capacity):
+        if can_fuse(static):
+            return fused_step(static, params, colliders, state, frame, pack_render=True)
+        return fused_step_hybrid(static, params, colliders, state, frame, pack_render=True)
+    s, o = step_auto(static, params, colliders, state, frame)
+    return s, o, None
+
+
+@partial(jax.jit, static_argnums=(0,))
+def step_auto_packed_jit(static, params, colliders, state, frame):
+    return step_auto_packed(static, params, colliders, state, frame)
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def multi_step_auto_packed(static, params, colliders, state, frame, n_frames: int):
+    """multi_step_auto whose FINAL frame also emits the in-kernel render
+    planes (the only frame a renderer consumes)."""
+    if n_frames < 1:
+        raise ValueError("multi_step_auto_packed needs n_frames >= 1")
+    if n_frames > 1:
+        state, _o = _chain(
+            lambda s: step_auto(static, params, colliders, s, frame),
+            state, n_frames - 1, _scan_hoist(static, state),
+        )
+    return step_auto_packed(static, params, colliders, state, frame)
 
 
 def _scan_hoist(static, state):

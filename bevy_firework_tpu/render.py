@@ -190,6 +190,34 @@ def pack_instances_dense_f16(params, state: PoolState, type_index: int) -> Tuple
     return planes.astype(jnp.float16), count
 
 
+def planes_to_rows(static, state: PoolState, packed) -> np.ndarray:
+    """Assemble + compact the 16-plane render contract from post-step pool
+    state and the fused kernel's 9-plane render pack (`pack_render=True`:
+    scale + base rgba + emissive rgba, with scale==0 marking dead lanes).
+    Positions come from the state arrays the kernel already wrote; under
+    rotation elision the identity quaternion is synthesized host-side and
+    its planes are never transferred. Host-side; returns [count, 16] f32
+    rows in slot order — the same values `pack_instances` produces, at ~0
+    extra device cost."""
+    from .native import compact_dense_planes
+
+    host = np.asarray
+    scale = host(packed[0])
+    if static.elide_rotation:
+        q = [None, None, None, None]
+    else:
+        q = [host(state.qx), host(state.qy), host(state.qz), host(state.qw)]
+    planes = [
+        host(state.px), host(state.py), host(state.pz), scale,
+        q[0], q[1], q[2], q[3],
+        host(packed[1]), host(packed[2]), host(packed[3]), host(packed[4]),
+        host(packed[5]), host(packed[6]), host(packed[7]), host(packed[8]),
+    ]
+    defaults = [0.0] * 16
+    defaults[7] = 1.0  # identity quaternion w
+    return compact_dense_planes(planes, defaults)
+
+
 def instances_to_bytes(buffer: np.ndarray) -> bytes:
     """Host-side: dense instance rows -> the exact 64 B/particle byte stream
     uploaded by `prepare_instance_buffers` (`render.rs:568-584`)."""

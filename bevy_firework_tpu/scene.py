@@ -33,8 +33,8 @@ import numpy as np
 from .colliders import Collider, ColliderTable, empty_collider_table
 from .compiled import CompiledSpawner, compile_spawner
 from .pool import PoolState, init_pool_for, make_frame_input
-from .render import RenderItem, make_uniform, pack_instances
-from .ops.fused_step import step_auto_jit
+from .render import RenderItem, make_uniform, pack_instances, planes_to_rows
+from .ops.fused_step import multi_step_auto_packed, step_auto_packed_jit
 from .settings import EffectModifier, ParticleSpawner, SpawnTransformMode
 from .step import StepOutputs
 
@@ -99,6 +99,7 @@ class _SpawnerSlot:
     finished_observers: List[Callable]
     finished_fired: bool
     seed: int
+    render_planes: Optional[tuple] = None  # in-kernel pack of the last step
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,14 +162,24 @@ class Scene:
         transform: Optional[Transform] = None,
         global_transform: Optional[Transform] = None,
         modifier: Optional[EffectModifier] = None,
+        sid: Optional[int] = None,
     ) -> int:
         """capacity=None auto-sizes the pool from the spawner's steady-state
         estimate (see estimate_capacity); pass an explicit capacity for
-        heavy on-demand use or EffectModifier-scaled emission."""
+        heavy on-demand use or EffectModifier-scaled emission.
+
+        sid: explicit spawner id (checkpoint restore — ids may be
+        non-contiguous after removals and host code holds them); fresh ids
+        continue above the highest explicit one."""
         if capacity is None:
             capacity = estimate_capacity(spawner)
-        sid = self._next_id
-        self._next_id += 1
+        if sid is None:
+            sid = self._next_id
+            self._next_id += 1
+        else:
+            if sid in self._spawners:
+                raise ValueError(f"spawner id {sid} already in use")
+            self._next_id = max(self._next_id, sid + 1)
         compiled = compile_spawner(spawner)
         seed = self._seed + sid
         t = transform or Transform()
@@ -199,6 +210,7 @@ class Scene:
         slot.compiled = compile_spawner(spawner)
         slot.state = init_pool_for(slot.compiled, slot.capacity, slot.seed)
         slot.outputs = None
+        slot.render_planes = None
         slot.finished_fired = False
 
     def set_colliders(self, colliders: List[Collider]):
@@ -352,7 +364,7 @@ class Scene:
                 modifier_speed=slot.modifier.speed,
             )
             colliders = self._colliders if slot.compiled.static.any_collision else None
-            slot.state, slot.outputs = step_auto_jit(
+            slot.state, slot.outputs, slot.render_planes = step_auto_packed_jit(
                 slot.compiled.static, slot.compiled.params, colliders, slot.state, frame
             )
             # host-side event surfacing (forces a sync only when someone cares)
@@ -370,8 +382,6 @@ class Scene:
         Finished events are still delivered (latched via finished_notified);
         destroyed-particle dumps of intermediate frames are skipped — use
         step() when per-frame death events matter."""
-        from .ops.fused_step import multi_step_auto
-
         if n_frames <= 0:
             return
         self.time += float(dt) * n_frames
@@ -394,7 +404,7 @@ class Scene:
             watch_finished = bool(slot.finished_observers) and not slot.finished_fired
             # host syncs only when someone is actually observing
             notified_before = bool(slot.state.finished_notified) if watch_finished else False
-            slot.state, slot.outputs = multi_step_auto(
+            slot.state, slot.outputs, slot.render_planes = multi_step_auto_packed(
                 slot.compiled.static, slot.compiled.params, colliders, slot.state, frame, n_frames
             )
             if watch_finished:
@@ -467,32 +477,90 @@ class Scene:
             return int(self._spawners[sid].state.alive_count())
         return sum(int(s.state.alive_count()) for s in self._spawners.values())
 
-    def aabb(self, sid: int):
-        out = self._spawners[sid].outputs
+    def aabb(self, sid: int, space: str = "world"):
+        """Bounding box of the spawner's live particles (pos ± scale), as
+        (min, max).
+
+        space="world": raw world-space box from the step reduction.
+        space="local": the reference's `update_aabbs` semantics
+        (`render.rs:677-703`): the box KEEPS its world-space half-extents,
+        and only its CENTER is transformed into the spawner's local frame by
+        the inverse global transform — this is what a consumer culling by
+        entity transform expects."""
+        slot = self._spawners[sid]
+        out = slot.outputs
         if out is None or not bool(out.aabb_valid):
             return None
-        return np.asarray(out.aabb_min), np.asarray(out.aabb_max)
+        mn = np.asarray(out.aabb_min, dtype=np.float32)
+        mx = np.asarray(out.aabb_max, dtype=np.float32)
+        if space == "world":
+            return mn, mx
+        center = (mn + mx) * np.float32(0.5)
+        half = (mx - mn) * np.float32(0.5)
+        tf = slot.global_transform
+        # inverse rigid transform: R^-1 (center - translation)
+        qx, qy, qz, qw = (np.float32(v) for v in tf.rotation)
+        v = center - np.asarray(tf.translation, dtype=np.float32)
+        # rotate v by the conjugate quaternion (-q.xyz, q.w)
+        ux, uy, uz = -qx, -qy, -qz
+        tx = np.float32(2.0) * (uy * v[2] - uz * v[1])
+        ty = np.float32(2.0) * (uz * v[0] - ux * v[2])
+        tz = np.float32(2.0) * (ux * v[1] - uy * v[0])
+        cl = np.array(
+            [
+                v[0] + qw * tx + (uy * tz - uz * ty),
+                v[1] + qw * ty + (uz * tx - ux * tz),
+                v[2] + qw * tz + (ux * ty - uy * tx),
+            ],
+            dtype=np.float32,
+        )
+        return cl - half, cl + half
 
     def spawner_ids(self) -> List[int]:
         return list(self._spawners.keys())
 
     # ---------------------------------------------------------------- render
-    def render_items(self) -> List[RenderItem]:
+    def render_items(self, method: str = "dense") -> List[RenderItem]:
         """The extract step: one item per (spawner x non-empty type)
         (`render.rs:439-461`), each carrying a dense instance array in the
-        64-byte contract layout."""
+        64-byte contract layout.
+
+        method="dense" (default, the fast path): when the last step ran the
+        fused kernel's in-kernel render pack (single-type tile-aligned TPU
+        archetypes), the instance rows are assembled from those planes at ~0
+        extra device cost; otherwise the device emits full-pool planes with
+        dead lanes at scale 0 — a pure elementwise pack — and the native C++
+        bridge compacts live lanes while interleaving on the host. Caveat: a
+        live particle whose scale curve evaluates to exactly 0 is dropped
+        (it is invisible either way). method="compact" keeps the device-side
+        prefix-sum compaction (exact liveness, but the scatter costs ~6 ms
+        at 1M lanes) — for consumers that must see zero-scale live
+        particles. Pipelined rendering should use
+        render_pipeline.AsyncRenderReader instead of this synchronous call."""
+        from .native import compact_dense
+        from .render import pack_instances_dense
+
         items = []
         for sid, slot in self._spawners.items():
             for t in range(slot.compiled.num_types):
-                buf, count = pack_instances(slot.compiled.params, slot.state, t)
-                count = int(count)
+                if method == "dense" and slot.render_planes is not None and t == 0:
+                    rows = planes_to_rows(slot.compiled.static, slot.state, slot.render_planes)
+                    count = rows.shape[0]
+                elif method == "dense":
+                    planes, _count = pack_instances_dense(slot.compiled.params, slot.state, t)
+                    rows = compact_dense(np.asarray(planes))
+                    count = rows.shape[0]
+                else:
+                    buf, count = pack_instances(slot.compiled.params, slot.state, t)
+                    count = int(count)
+                    rows = np.asarray(buf[:count])
                 if count == 0:
                     continue
                 items.append(
                     RenderItem(
                         spawner_id=sid,
                         type_index=t,
-                        instances=np.asarray(buf[:count]),
+                        instances=rows,
                         count=count,
                         uniform=make_uniform(slot.compiled, t),
                         textures=slot.compiled.textures[t],

@@ -112,3 +112,39 @@ def test_render_items_per_nonempty_type():
     assert len(items) == 1  # type 1 empty -> no item (render.rs:382-423)
     assert items[0].type_index == 0 and items[0].count == 3
     assert items[0].instances.shape == (3, 16)
+
+
+def test_render_items_dense_default_matches_compact():
+    """The default (dense + native host compaction) extract path returns the
+    same rows, order and uniforms as the device-side prefix-sum compaction."""
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(2.0))],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.rate(500.0))],
+    )
+    scene = Scene()
+    sid = scene.add_spawner(sp, capacity=2048)
+    for _ in range(30):
+        scene.step(1 / 60)
+    dense = scene.render_items()
+    compact = scene.render_items(method="compact")
+    assert len(dense) == len(compact) == 1
+    assert dense[0].count == compact[0].count > 0
+    np.testing.assert_array_equal(dense[0].instances, compact[0].instances)
+    assert dense[0].uniform == compact[0].uniform
+    assert dense[0].spawner_id == compact[0].spawner_id == sid
+
+
+def test_native_compact_dense_matches_numpy():
+    from bevy_firework_tpu.native import compact_dense, get_lib
+
+    rng = np.random.default_rng(0)
+    planes = rng.normal(size=(16, 1000)).astype(np.float32)
+    planes[3, rng.random(1000) < 0.5] = 0.0  # dead lanes
+    live = planes[3] != 0.0
+    expect = planes[:, live].T
+    got = compact_dense(planes)
+    np.testing.assert_array_equal(got, expect)
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable; numpy fallback already covered")

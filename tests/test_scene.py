@@ -275,3 +275,41 @@ def test_estimate_capacity_large_is_tile_aligned():
     )
     cap = estimate_capacity(sp)
     assert cap % 8192 == 0 and cap >= 50000 * 1.5
+
+
+def test_aabb_world_and_local_rotated_spawner():
+    """Local AABB matches the reference's update_aabbs (render.rs:677-703):
+    world-space half-extents, center transformed into the spawner's local
+    frame by the inverse global transform."""
+    import math
+
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(
+            lifetime=RandF32.constant(5.0), linear_drag=0.0, acceleration=(0, 0, 0),
+            initial_scale=RandF32.constant(0.5))],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.one_shot(4),
+            initial_velocity=RandVec3.constant((1.0, 0.0, 0.0)))],
+    )
+    # spawner at (5, 1, -2), rotated 90 degrees about +Z
+    s, c = math.sin(math.pi / 4), math.cos(math.pi / 4)
+    tf = Transform(translation=(5.0, 1.0, -2.0), rotation=(0.0, 0.0, s, c))
+    scene = Scene()
+    sid = scene.add_spawner(sp, capacity=64, transform=tf)
+    for _ in range(10):
+        scene.step(1 / 60)
+    mn_w, mx_w = scene.aabb(sid)
+    # particles spawn at the spawner origin and fly along world +X rotated by
+    # the spawn rotation only for velocity... offset=Point => positions start
+    # exactly at the translation; the box must contain it
+    assert (mn_w <= np.array([5.0, 1.0, -2.0]) + 0.5 + 1e-5).all()
+    mn_l, mx_l = scene.aabb(sid, space="local")
+    # oracle: same math via an explicit rotation matrix
+    center = (mn_w + mx_w) / 2
+    half = (mx_w - mn_w) / 2
+    R = np.array([[c * c - s * s, -2 * s * c, 0], [2 * s * c, c * c - s * s, 0], [0, 0, 1]], np.float32)
+    cl = R.T @ (center - np.array([5.0, 1.0, -2.0], np.float32))
+    np.testing.assert_allclose(mn_l, cl - half, atol=1e-4)
+    np.testing.assert_allclose(mx_l, cl + half, atol=1e-4)
+    # half-extents are NOT rotated (reference keeps world extents)
+    np.testing.assert_allclose(mx_l - mn_l, mx_w - mn_w, atol=1e-5)

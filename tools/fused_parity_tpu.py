@@ -36,6 +36,7 @@ from bevy_firework_tpu.ops.fused_step import can_fuse, fused_step
 from bevy_firework_tpu.step import step_jit
 
 fused_jit = jax.jit(fused_step, static_argnums=(0,))
+fused_pack_jit = jax.jit(fused_step, static_argnums=(0, 5))
 
 
 def random_global_spawner(rng):
@@ -93,13 +94,96 @@ def random_global_spawner(rng):
     return ParticleSpawner(particle_settings=tuple(types), emission_settings=tuple(emitters))
 
 
+# Capacities cycle through the kernel's tiling regimes: one 64-row tile,
+# multi-tile 64-row (grid 3 - cross-tile claim carry), and the 128-row wide
+# block (rows % 128 == 0).
+CAPACITIES = (8192, 3 * 8192, 4 * 8192)
+
+
+def check_config(seed, sp, capacity, table, n_frames=30, pack=False):
+    """Run XLA vs fused-compiled for n_frames; returns error string or None.
+    pack=True additionally checks the in-kernel render pack planes against
+    the XLA-derived render fields on the final frame."""
+    c = compile_spawner(sp)
+    assert can_fuse(c.static)
+    sA = init_pool_for(c, capacity, 0)
+    sB = init_pool_for(c, capacity, 0)
+    frame = make_frame_input(1 / 50)
+    planes = None
+    for fi in range(n_frames):
+        sA, oA = step_jit(c.static, c.params, table, sA, frame)
+        if pack and fi == n_frames - 1:
+            sB, oB, planes = fused_pack_jit(c.static, c.params, table, sB, frame, True)
+        else:
+            sB, oB = fused_jit(c.static, c.params, table, sB, frame)
+    a_alive = np.asarray(sA.alive)
+    b_alive = np.asarray(sB.alive)
+    if a_alive.sum() != b_alive.sum():
+        return f"COUNT MISMATCH {a_alive.sum()} vs {b_alive.sum()}"
+    for f in ("px", "py", "pz", "vx", "vy", "vz", "age", "lifetime", "initial_scale", "qw", "wx"):
+        xa = np.sort(np.asarray(getattr(sA, f))[a_alive])
+        xb = np.sort(np.asarray(getattr(sB, f))[b_alive])
+        if not np.allclose(xa, xb, atol=5e-4):
+            return f"FIELD {f} max err {np.abs(xa - xb).max():.2e}"
+    if planes is not None:
+        from bevy_firework_tpu.render import compute_render_fields
+
+        scale_x, base_x, emis_x = compute_render_fields(c.params, sB, 0)
+        if not np.allclose(np.asarray(planes[0])[b_alive], np.asarray(scale_x)[b_alive], atol=1e-5):
+            return "RENDER PACK scale mismatch"
+        for ci in range(4):
+            if not np.allclose(np.asarray(planes[1 + ci])[b_alive], np.asarray(base_x[ci])[b_alive], atol=1e-5):
+                return f"RENDER PACK base[{ci}] mismatch"
+    return None
+
+
+def check_vmapped_non_ring(capacity=3 * 8192, S=2, n_frames=10):
+    """The destroy-on-collision (non-ring, dead-rank SMEM carry) archetype
+    under vmap, compiled on real TPU — the round-1 uncovered combination."""
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(
+            lifetime=RandF32.constant(5.0), initial_scale=RandF32.constant(0.1),
+            linear_drag=0.0,
+            collision_settings=ParticleCollisionSettings(
+                restitution=0.0, friction=0.0, destroy_on_collision=True),
+        )],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.rate(3000.0),
+            initial_velocity=RandVec3.constant((0.5, 1.0, 0.0)))],
+    )
+    c = compile_spawner(sp)
+    assert can_fuse(c.static) and not c.static.ring_claim
+    table = compile_colliders([Collider.halfspace(position=(0, 0, 0))])
+    from bevy_firework_tpu.parallel.sharding import stack_frames, stack_pools
+
+    frames = [make_frame_input(1 / 30, translation=(0.0, 0.2 + 0.25 * i, 0.0)) for i in range(S)]
+    vstates = stack_pools([init_pool_for(c, capacity, seed=i) for i in range(S)])
+    vframes = stack_frames(frames)
+    vstep = jax.jit(jax.vmap(lambda s, f: fused_step(c.static, c.params, table, s, f)))
+    xla_states = [init_pool_for(c, capacity, seed=i) for i in range(S)]
+    for _ in range(n_frames):
+        vstates, _ = vstep(vstates, vframes)
+        for i in range(S):
+            xla_states[i], _ = step_jit(c.static, c.params, table, xla_states[i], frames[i])
+    for i in range(S):
+        va = np.asarray(vstates.alive)[i]
+        xa = np.asarray(xla_states[i].alive)
+        if not np.array_equal(va, xa):
+            return f"slot {i} alive mismatch"
+        for f in ("px", "py", "vx", "age"):
+            if not np.allclose(np.asarray(getattr(vstates, f))[i][va],
+                               np.asarray(getattr(xla_states[i], f))[xa], atol=5e-4):
+                return f"slot {i} field {f} mismatch"
+    return None
+
+
 def main(n_configs=8):
     failures = 0
+    total = 0
     for seed in range(n_configs):
         rng = np.random.RandomState(500 + seed)
         sp = random_global_spawner(rng)
         c = compile_spawner(sp)
-        assert can_fuse(c.static)
         table = None
         if c.static.any_collision:
             table = compile_colliders([
@@ -107,31 +191,44 @@ def main(n_configs=8):
                 Collider.cuboid((1, 1, 1), position=tuple(rng.uniform(-2, 2, 3).astype(float)),
                                 rotation=tuple((lambda q: q / np.linalg.norm(q))(rng.normal(size=4)).astype(float))),
             ])
-        sA = init_pool_for(c, 8192, 0)
-        sB = init_pool_for(c, 8192, 0)
-        frame = make_frame_input(1 / 50)
-        ok = True
-        for fi in range(30):
-            sA, oA = step_jit(c.static, c.params, table, sA, frame)
-            sB, oB = fused_jit(c.static, c.params, table, sB, frame)
-        a_alive = np.asarray(sA.alive)
-        b_alive = np.asarray(sB.alive)
-        if a_alive.sum() != b_alive.sum():
-            print(f"seed {seed}: COUNT MISMATCH {a_alive.sum()} vs {b_alive.sum()}")
+        capacity = CAPACITIES[seed % len(CAPACITIES)]
+        pack = c.static.single_type  # in-kernel render pack parity where it applies
+        err = check_config(seed, sp, capacity, table, pack=pack)
+        total += 1
+        if err:
+            print(f"seed {seed} (N={capacity}): {err}")
             failures += 1
-            continue
-        for f in ("px", "py", "pz", "vx", "vy", "vz", "age", "lifetime", "initial_scale", "qw", "wx"):
-            xa = np.sort(np.asarray(getattr(sA, f))[a_alive])
-            xb = np.sort(np.asarray(getattr(sB, f))[b_alive])
-            if not np.allclose(xa, xb, atol=5e-4):
-                print(f"seed {seed}: FIELD {f} max err {np.abs(xa - xb).max():.2e}")
-                failures += 1
-                ok = False
-                break
-        if ok:
-            print(f"seed {seed}: OK ({int(a_alive.sum())} live, T={c.num_types} E={c.num_emitters}, "
-                  f"collision={'y' if table is not None else 'n'})")
-    print(f"\n{n_configs - failures}/{n_configs} configs exact-match")
+        else:
+            print(f"seed {seed}: OK (N={capacity}, T={c.num_types} E={c.num_emitters}, "
+                  f"collision={'y' if table is not None else 'n'}, pack={'y' if pack else 'n'})")
+    # deterministic extras: vmapped non-ring carry; dump config; pack config
+    total += 1
+    err = check_vmapped_non_ring()
+    if err:
+        print(f"vmapped-non-ring: {err}")
+        failures += 1
+    else:
+        print("vmapped-non-ring: OK (destroy-on-collision carry under vmap)")
+    from bevy_firework_tpu import ParticleEventHandlers, gradient_uneven_samples as _gus
+
+    dump_sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(
+            lifetime=RandF32.constant(0.3),
+            base_color=_gus([(0.0, (1, 0.6, 0.2, 1)), (1.0, (0, 0, 0, 0))]),
+            event_handlers=ParticleEventHandlers(particles_destroyed=lambda recs: None),
+        )],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.rate(2000.0),
+            initial_velocity=RandVec3.constant((0.2, 2.0, 0.0)))],
+    )
+    total += 1
+    err = check_config("dump", dump_sp, 4 * 8192, None, pack=True)
+    if err:
+        print(f"dump+pack 128-row: {err}")
+        failures += 1
+    else:
+        print("dump+pack 128-row: OK (destroyed-dump + in-kernel render pack, wide block)")
+    print(f"\n{total - failures}/{total} configs exact-match")
     return failures
 
 
