@@ -203,6 +203,36 @@ def _measure_extract(compiled, state, frame, n_calls=40, reps=5):
     return diffs[len(diffs) // 2]
 
 
+def _measure_scene_batch(n_spawners=12, capacity=8192, rate=6000.0, n_frames=50):
+    """Scene-level same-archetype batching: n heterogeneous-transform
+    spawners stepped through the public Scene.step in ONE vmapped dispatch
+    group (VERDICT r1 #8). Reports wall ms/frame (dispatch-inclusive — the
+    interactive path) and the dispatch-group count."""
+    import numpy as np
+
+    from bevy_firework_tpu import Scene, Transform
+
+    spawner, _tf = effects.sparks(rate=rate)
+    scene = Scene()
+    for i in range(n_spawners):
+        scene.add_spawner(spawner, capacity=capacity,
+                          transform=Transform(translation=(float(i), 0.0, 0.0)))
+    for _ in range(30):
+        scene.step(1.0 / 60.0)  # warm + compile
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        scene.step(1.0 / 60.0)
+    for slot in scene._spawners.values():
+        np.asarray(slot.state.px)  # fence
+    ms = (time.perf_counter() - t0) / n_frames * 1e3
+    return {
+        "spawners": n_spawners,
+        "live": scene.alive_count(),
+        "dispatch_groups": scene._last_step_dispatches,
+        "ms_per_frame_wall": round(ms, 4),
+    }
+
+
 def main():
     # headline: driver metric — 100k live, stress_test
     spawner, _tf = effects.stress_test()
@@ -232,6 +262,7 @@ def main():
         extras["nested_60k"] = {"live": alive_n, "ms_per_frame": round(ms_n, 4)}
         alive_f, ms_f = _measure_fleet()
         extras["fleet_16x55k"] = {"live": alive_f, "ms_per_frame": round(ms_f, 4)}
+        extras["scene_batch_12"] = _measure_scene_batch()
     except Exception as e:  # extras must never sink the headline metric
         extras["error"] = str(e)[:200]
 

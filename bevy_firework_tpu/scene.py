@@ -33,8 +33,44 @@ import numpy as np
 from .colliders import Collider, ColliderTable, empty_collider_table
 from .compiled import CompiledSpawner, compile_spawner
 from .pool import PoolState, init_pool_for, make_frame_input
+from functools import partial
+
 from .render import RenderItem, make_uniform, pack_instances, planes_to_rows
-from .ops.fused_step import multi_step_auto_packed, step_auto_packed_jit
+from .ops.fused_step import (
+    can_pack_render,
+    multi_step_auto_packed,
+    step_auto_packed,
+    step_auto_packed_jit,
+)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _batched_scene_step(static, params_list, colliders, states_list, frames_list):
+    """ONE dispatch for a whole group of same-archetype spawners: stack the
+    member pytrees, vmap the (packed) step, slice the results back out — all
+    inside a single jit, so a 100-spawner scene costs one kernel launch per
+    archetype group instead of one per spawner (the reference gets this from
+    rayon's par_iter_mut over spawners, `core.rs:583-585`; we get it from
+    vmap). Params are stacked too, so members may differ in rates, colors,
+    velocities — anything traced; only SpawnerStatic + capacity must match.
+    Per-member results are bit-identical to solo step_auto calls (vmap of
+    the XLA path) or to the vmapped fused kernel on TPU (the configuration
+    the parity sweep covers)."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    P = _jax.tree_util.tree_map(lambda *xs: _jnp.stack(xs), *params_list)
+    S = _jax.tree_util.tree_map(lambda *xs: _jnp.stack(xs), *states_list)
+    F = _jax.tree_util.tree_map(lambda *xs: _jnp.stack(xs), *frames_list)
+    S2, O, planes = _jax.vmap(
+        lambda p, s, f: step_auto_packed(static, p, colliders, s, f)
+    )(P, S, F)
+    n = len(states_list)
+    pick = lambda tree, i: _jax.tree_util.tree_map(lambda x: x[i], tree)
+    states_out = [pick(S2, i) for i in range(n)]
+    outs = [pick(O, i) for i in range(n)]
+    planes_out = [None if planes is None else pick(planes, i) for i in range(n)]
+    return states_out, outs, planes_out
 from .settings import EffectModifier, ParticleSpawner, SpawnTransformMode
 from .step import StepOutputs
 
@@ -151,6 +187,7 @@ class Scene:
         self._next_id = 0
         self._seed = seed
         self.time = 0.0
+        self._last_step_dispatches = 0  # archetype groups launched last step
         for col in colliders or []:
             self.add_collider(col)
 
@@ -345,36 +382,65 @@ class Scene:
         self._spawners[sid].finished_observers.append(callback)
 
     # ------------------------------------------------------------------ step
+    def _frame_for(self, slot: _SpawnerSlot, dt: float):
+        tf = (
+            slot.transform
+            if slot.spawner.spawn_transform_mode == SpawnTransformMode.LOCAL
+            else slot.global_transform
+        )
+        return make_frame_input(
+            dt,
+            translation=tf.translation,
+            rotation=tf.rotation,
+            parent_velocity=slot.parent_velocity,
+            modifier_scale=slot.modifier.scale,
+            modifier_speed=slot.modifier.speed,
+        )
+
     def step(self, dt: float):
-        """Advance every spawner one frame (spawn -> integrate -> notify)."""
+        """Advance every spawner one frame (spawn -> integrate -> notify).
+
+        Spawners sharing an archetype (equal SpawnerStatic + capacity) are
+        stepped as ONE vmapped dispatch (`_batched_scene_step`) — a
+        100-spawner scene costs one launch per archetype group, not one per
+        spawner. Per-spawner behaviour (events, dumps, outputs) is
+        unchanged."""
         self.time += float(dt)
         self._last_dt = float(dt)
-        for sid, slot in list(self._spawners.items()):
-            tf = (
-                slot.transform
-                if slot.spawner.spawn_transform_mode == SpawnTransformMode.LOCAL
-                else slot.global_transform
-            )
-            frame = make_frame_input(
-                dt,
-                translation=tf.translation,
-                rotation=tf.rotation,
-                parent_velocity=slot.parent_velocity,
-                modifier_scale=slot.modifier.scale,
-                modifier_speed=slot.modifier.speed,
-            )
-            colliders = self._colliders if slot.compiled.static.any_collision else None
-            slot.state, slot.outputs, slot.render_planes = step_auto_packed_jit(
-                slot.compiled.static, slot.compiled.params, colliders, slot.state, frame
-            )
-            # host-side event surfacing (forces a sync only when someone cares)
-            if slot.finished_observers and not slot.finished_fired:
-                if bool(slot.outputs.finished_event):
-                    slot.finished_fired = True
-                    for cb in slot.finished_observers:
-                        cb(sid)
-            if slot.compiled.static.any_destroyed_dump:
-                self._dispatch_destroyed(sid, slot)
+        groups: Dict[tuple, List[int]] = {}
+        for sid, slot in self._spawners.items():
+            key = (slot.compiled.static, slot.capacity)
+            groups.setdefault(key, []).append(sid)
+        self._last_step_dispatches = 0
+        for (static, _cap), sids in groups.items():
+            colliders = self._colliders if static.any_collision else None
+            slots = [self._spawners[sid] for sid in sids]
+            frames = [self._frame_for(s, dt) for s in slots]
+            self._last_step_dispatches += 1
+            if len(slots) == 1:
+                slot = slots[0]
+                slot.state, slot.outputs, slot.render_planes = step_auto_packed_jit(
+                    slot.compiled.static, slot.compiled.params, colliders, slot.state, frames[0]
+                )
+            else:
+                states_out, outs, planes_out = _batched_scene_step(
+                    static,
+                    tuple(s.compiled.params for s in slots),
+                    colliders,
+                    tuple(s.state for s in slots),
+                    tuple(frames),
+                )
+                for slot, st, out, pl in zip(slots, states_out, outs, planes_out):
+                    slot.state, slot.outputs, slot.render_planes = st, out, pl
+            for sid, slot in zip(sids, slots):
+                # host-side event surfacing (syncs only when someone cares)
+                if slot.finished_observers and not slot.finished_fired:
+                    if bool(slot.outputs.finished_event):
+                        slot.finished_fired = True
+                        for cb in slot.finished_observers:
+                            cb(sid)
+                if slot.compiled.static.any_destroyed_dump:
+                    self._dispatch_destroyed(sid, slot)
 
     def step_n(self, dt: float, n_frames: int):
         """Fast-forward n frames in ONE device dispatch per spawner (the

@@ -313,3 +313,75 @@ def test_aabb_world_and_local_rotated_spawner():
     np.testing.assert_allclose(mx_l, cl + half, atol=1e-4)
     # half-extents are NOT rotated (reference keeps world extents)
     np.testing.assert_allclose(mx_l - mn_l, mx_w - mn_w, atol=1e-5)
+
+
+def test_scene_batches_same_archetype_spawners():
+    """12 same-archetype spawners (different transforms, rates, seeds) step
+    as ONE dispatch group with per-spawner results identical to isolated
+    scenes; a different archetype makes a second group."""
+
+    def sparks_like(rate):
+        return ParticleSpawner(
+            particle_settings=[ParticleSettings(lifetime=RandF32.constant(0.5))],
+            emission_settings=[EmissionSettings(
+                emission_pacing=EmissionPacing.rate(rate),
+                initial_velocity=RandVec3(RandF32(1.0, 2.0), (0, 1, 0), 0.4))],
+        )
+
+    rates = [100.0 + 25.0 * i for i in range(12)]
+    big = Scene(seed=7)
+    sids = [
+        big.add_spawner(sparks_like(r), capacity=256,
+                        transform=Transform(translation=(float(i), 0.0, 0.0)))
+        for i, r in enumerate(rates)
+    ]
+    # a second archetype (different static: one-shot pacing) -> its own group
+    other = big.add_spawner(
+        ParticleSpawner(
+            particle_settings=[ParticleSettings(lifetime=RandF32.constant(1.0))],
+            emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.one_shot(5))]),
+        capacity=256)
+
+    solos = []
+    for i, r in enumerate(rates):
+        s = Scene(seed=7 + i)  # matches the big scene's per-slot seed (_seed + sid)
+        s.add_spawner(sparks_like(r), capacity=256,
+                      transform=Transform(translation=(float(i), 0.0, 0.0)))
+        solos.append(s)
+
+    for _ in range(30):
+        big.step(1 / 60)
+        for s in solos:
+            s.step(1 / 60)
+    assert big._last_step_dispatches == 2  # 12 sparks + 1 one-shot
+
+    for i, sid in enumerate(sids):
+        sb = big._spawners[sid].state
+        ss = solos[i]._spawners[0].state
+        np.testing.assert_array_equal(np.asarray(sb.alive), np.asarray(ss.alive))
+        alive = np.asarray(sb.alive)
+        for f in ("px", "py", "vx", "vy", "age", "lifetime"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sb, f))[alive], np.asarray(getattr(ss, f))[alive],
+                atol=1e-6, err_msg=f"spawner {i} field {f}")
+    assert int(big._spawners[other].state.alive_count()) == 5
+    # render items still come out per spawner
+    items = big.render_items()
+    assert len(items) == 13
+
+
+def test_scene_batched_events_fire_per_spawner():
+    fired = []
+    scene = Scene()
+    for i in range(3):
+        sid = scene.add_spawner(
+            ParticleSpawner(
+                particle_settings=[ParticleSettings(lifetime=RandF32.constant(0.05 * (i + 1)))],
+                emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.one_shot(3))]),
+            capacity=64)
+        scene.on_finished(sid, fired.append)
+    # same static but DIFFERENT lifetimes -> different const_lifetime statics
+    # may split groups; behaviour must be correct either way
+    for _ in range(30):
+        scene.step(1 / 60)
+    assert sorted(fired) == [0, 1, 2]
