@@ -415,6 +415,116 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
     return out[0], out[1], out[2], out[3], out[4], out[5], out[8]
 
 
+def _make_nested_cadence_kernel(static: SpawnerStatic, e: int, lazy_reset: bool, M: int):
+    """One Pallas pass computing a nested emitter's ENTIRE per-parent cadence
+    (core.rs:490-498) over the pool: lazy dead-lane anchor reset, emission
+    counts, the cross-tile inclusive count cumsum (Hillis-Steele + SMEM
+    carry, same trick as the claim rank), the deferral-truncated
+    `last_emitted` advance, and the spawn total. The XLA form of this math
+    was ~30 fusions per nested emitter per frame (cadence chain + [N]
+    cumsum + masked wheres), the dominant kernel-count cost of the nested
+    stress scene; only the [M]-sized child gather/init/scatter stays in XLA
+    (cross-tile dynamic addressing needs XLA gathers).
+
+    Bit-exact with step._spawn_phase's XLA branch: identical op order for
+    compute_emission_count and cadence.emission_next_last."""
+    single = static.single_type
+    target = static.target_types[e]
+
+    def kernel(prow_ref, alive_ref, *rest):
+        idx = 0
+        ptype_ref = None
+        if not single:
+            ptype_ref = rest[idx]
+            idx += 1
+        life_ref = rest[idx]; idx += 1
+        age_ref = rest[idx]; idx += 1
+        le_ref = rest[idx]; idx += 1
+        out_le = rest[idx]; idx += 1
+        out_cum = rest[idx]; idx += 1
+        out_total = rest[idx]; idx += 1
+        carry = rest[idx]  # SMEM scratch: counts seen in prior tiles
+
+        tid = pl.program_id(0)
+
+        @pl.when(tid == 0)
+        def _():
+            carry[0] = 0
+
+        p = prow_ref[0]
+        off_s, off_e, cnt = p[0], p[1], p[2]
+        gate = p[4] != 0.0
+        alive_t = alive_ref[:, :] != 0
+        age = age_ref[:, :]
+        life = life_ref[:, :]
+        base_le = le_ref[:, :]
+        if lazy_reset:
+            # fast-path lazy reset (see step._spawn_phase skip_global)
+            base_le = jnp.where(alive_t, base_le, F32_MIN)
+        pm = alive_t & gate
+        if not single:
+            pm = pm & (ptype_ref[:, :] == target)
+        counts, next_full = compute_emission_count(age, base_le, life, off_s, off_e, cnt)
+        counts = jnp.where(pm, counts, 0)
+        excl, tile_tot = _prefix_exclusive(counts)
+        c0 = carry[0]
+        cum = excl + counts + c0
+        carry[0] = c0 + tile_tot
+        out_total[0, 0] = c0 + tile_tot  # idempotent; last tile's value wins
+        emitted = jnp.minimum(cum, M) - jnp.minimum(cum - counts, M)
+        # cadence.emission_next_last, same f32 op order
+        last_pct = base_le / life
+        clamped = jnp.maximum(last_pct, off_s)
+        between = (off_e - off_s) / cnt
+        trunc = (clamped + emitted.astype(jnp.float32) * between) * life
+        nl = jnp.where(emitted < counts, trunc, next_full)
+        out_le[:, :] = jnp.where(pm, nl, base_le)
+        out_cum[:, :] = cum
+
+    return kernel
+
+
+def nested_cadence_pass(static, params, e, alive, ptype, age, lifetime, le_row, gate,
+                        lazy_reset: bool, M: int):
+    """Run the nested-cadence kernel; returns (new_le [N] f32, cum [N] i32
+    inclusive, total i32 scalar). Inputs are pool-shaped [N] arrays."""
+    N = alive.shape[0]
+    rows = N // LANES
+    block_rows = BLOCK_ROWS_WIDE if rows % BLOCK_ROWS_WIDE == 0 else BLOCK_ROWS
+    grid = rows // block_rows
+    z = jnp.zeros((), jnp.float32)
+    prow = jnp.stack(
+        [params.off_start[e], params.off_end[e], params.count[e], z,
+         gate.astype(jnp.float32), z, z, z]
+    ).reshape(1, 8)
+    kernel = _make_nested_cadence_kernel(static, e, lazy_reset, M)
+
+    def blocked(dtype=jnp.float32):
+        return pl.BlockSpec((block_rows, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM)
+
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    inputs = [prow, alive.astype(jnp.int32).reshape(rows, LANES)]
+    in_specs = [smem_spec, blocked()]
+    if not static.single_type:
+        inputs.append(ptype.reshape(rows, LANES))
+        in_specs.append(blocked())
+    inputs += [lifetime.reshape(rows, LANES), age.reshape(rows, LANES), le_row.reshape(rows, LANES)]
+    in_specs += [blocked(), blocked(), blocked()]
+    new_le, cum, total = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=[blocked(), blocked(), smem_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+    )(*inputs)
+    return new_le.reshape(N), cum.reshape(N), total[0, 0]
+
+
 def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump: bool,
                  kernel_spawn: bool, block_rows: int, pack_render: bool = False):
     E = static.num_emitters
@@ -604,6 +714,15 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             row = jax.lax.broadcasted_iota(jnp.int32, dead.shape, 0)
             lane = jax.lax.broadcasted_iota(jnp.int32, dead.shape, 1)
             gidx = base + row * LANES + lane
+            # Overflow corner (one frame's total global spawn > pool
+            # capacity N): ranks are mod N, so emitter windows
+            # [S_{e-1}, S_e) beyond N are unreachable here and later
+            # emitters drop entirely, while the XLA path advances its
+            # cursor per emitter and wraps onto remaining dead lanes —
+            # the two paths then claim different (equally overflowed)
+            # subsets. Both drop the overflow either way; capacity is the
+            # explicit knob (SURVEY.md §7 hard part 1), and a pool this
+            # under-provisioned is mis-sized by >1 full frame of emission.
             rank = jnp.mod(gidx - cursor0, npool)
             spawned_any = dead & (rank < total_spawn)
             # spawn-block gate: does the ring window [cursor, cursor+total)
@@ -1192,7 +1311,8 @@ def fused_step_hybrid(
     # pre-spawn liveness for the in-kernel active() flag (core.rs:288-302)
     any_alive_pre = jnp.any(state.alive)
     fields, enabled, time_in_cycle, last_emission, manual_queued, new_key, spawn_stats = _spawn_phase(
-        static, params, state, frame, skip_global=kernel_global
+        static, params, state, frame, skip_global=kernel_global,
+        kernel_cadence=kernel_global,
     )
 
     if kernel_global:

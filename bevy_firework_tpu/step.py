@@ -360,6 +360,7 @@ def _spawn_phase(
     state: PoolState,
     frame: FrameInput,
     skip_global: bool = False,
+    kernel_cadence: bool = False,
 ):
     """spawn_particles (`core.rs:367-551`) on the SoA pool: all emitters in
     order (global claim-and-init + nested two-stage). Returns the post-spawn
@@ -440,6 +441,23 @@ def _spawn_phase(
             if not static.nested_valid[e]:
                 continue
             target = static.target_types[e]
+            M = min(MAX_NESTED_SPAWN_PER_FRAME, N)
+            if kernel_cadence:
+                # whole per-parent cadence + count cumsum in ONE Pallas pass
+                # (bit-exact with the XLA branch below; hybrid fast path)
+                from .ops.fused_step import nested_cadence_pass
+
+                new_le, cum, total = nested_cadence_pass(
+                    static, params, e, fields["alive"], fields["ptype"],
+                    fields["age"], fields["lifetime"], fields["last_emitted"][e],
+                    gate, skip_global, M,
+                )
+                nested_deferred = nested_deferred + (total - jnp.minimum(total, M))
+                fields["last_emitted"] = fields["last_emitted"].at[e].set(new_le)
+                nested_dropped = nested_dropped + _nested_spawn(
+                    static, params, frame, fields, e, None, cum, total, frame_key
+                )
+                continue
             parent_mask = fields["alive"] & (fields["ptype"] == target) & gate
             base_le = fields["last_emitted"][e]
             if skip_global:

@@ -409,3 +409,44 @@ def test_vmapped_non_ring_carry_parity():
         for i in range(S)
     )
     assert total_spawned_minus_alive > 0, "no collision deaths - carry untested"
+
+
+def test_hybrid_cadence_kernel_deferral_conserves():
+    """The in-kernel nested cadence pass must reproduce the deferral
+    semantics exactly: a >4096-children frame defers the overflow via
+    truncated anchor advances and the total converges to the oracle count
+    (counts are draw-independent, so they match the XLA path even though
+    the fast path uses the hardware PRNG)."""
+    from bevy_firework_tpu import EmissionMode
+    from bevy_firework_tpu.ops.fused_step import fused_step_hybrid
+    from bevy_firework_tpu.step import MAX_NESTED_SPAWN_PER_FRAME as M
+
+    n_parents, per_parent = 410, 10
+    total = n_parents * per_parent
+    sp = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(5.0), linear_drag=0.0, acceleration=(0, 0, 0)),
+            ParticleSettings(lifetime=RandF32.constant(100.0), linear_drag=0.0, acceleration=(0, 0, 0)),
+        ],
+        emission_settings=[
+            EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.one_shot(n_parents)),
+            EmissionSettings(particle_index=1, emission_mode=EmissionMode.nested(0),
+                             emission_pacing=EmissionPacing.count_over_duration(
+                                 float(per_parent), 1.0, 0.0, 0.001)),
+        ],
+    )
+    c = compile_spawner(sp)
+    s = init_pool_for(c, N, 0)
+    frame = make_frame_input(1 / 60)
+    hybrid = jax.jit(fused_step_hybrid, static_argnums=(0,))
+    deferred = []
+    counts = []
+    with pltpu.force_tpu_interpret_mode():
+        for _ in range(4):
+            s, o = hybrid(c.static, c.params, None, s, frame)
+            deferred.append(int(o.nested_deferred))
+            counts.append(int(np.asarray(o.alive_count_per_type)[1]))
+            assert int(o.nested_dropped) == 0
+    assert deferred[1] == total - M
+    assert counts[1] == M
+    assert counts[-1] == total
