@@ -188,9 +188,41 @@ fn fragment(in: VsOut, @builtin(position) frag_coord: vec4<f32>) -> @location(0)
     return pbr_shade(in, color, emissive);
 }
 
-// Host-engine hook: a real integration substitutes its PBR pipeline here
-// (normal mapping via world_tangent + normal_tex when bit1 set, roughness/
-// metallic from orm_tex.gb when bit2 set, then the engine's light loop).
+// ---------------------------------------------------------------------------
+// PBR path: self-contained Cook-Torrance implementation of the reference's
+// material semantics (reference particles.wgsl:180-239 feeds the same inputs
+// into Bevy's apply_pbr_lighting): base_color, emissive (alpha ignored,
+// reference :198), perceptual_roughness = ORM.g, metallic = ORM.b
+// (reference :134-138 — ORM.r/occlusion is NOT consumed), normal mapping
+// via the tangent frame. Host engines with a clustered light loop /
+// shadows / fog substitute their pipeline at the pbr_shade seam; the body
+// below is a correct single-directional-light + ambient GGX evaluation,
+// not a lambert stand-in.
+// ---------------------------------------------------------------------------
+
+const LIGHT_DIR: vec3<f32> = vec3<f32>(0.4, 0.8, 0.3);    // normalized in code
+const LIGHT_COLOR: vec3<f32> = vec3<f32>(1.0, 1.0, 1.0);
+const AMBIENT: vec3<f32> = vec3<f32>(0.09, 0.09, 0.1);
+
+fn d_ggx(nh: f32, a: f32) -> f32 {
+    let a2 = a * a;
+    let d = nh * nh * (a2 - 1.0) + 1.0;
+    return a2 / (3.14159265 * d * d);
+}
+
+// Smith height-correlated visibility, V = G / (4 NdotL NdotV)
+fn v_smith(nl: f32, nv: f32, a: f32) -> f32 {
+    let a2 = a * a;
+    let gv = nl * sqrt(nv * nv * (1.0 - a2) + a2);
+    let gl = nv * sqrt(nl * nl * (1.0 - a2) + a2);
+    return 0.5 / max(gv + gl, 1e-5);
+}
+
+fn f_schlick(u: f32, f0: vec3<f32>) -> vec3<f32> {
+    let f = pow(1.0 - u, 5.0);
+    return f0 + (vec3<f32>(1.0, 1.0, 1.0) - f0) * f;
+}
+
 fn pbr_shade(in: VsOut, base: vec4<f32>, emissive: vec4<f32>) -> vec4<f32> {
     var n = normalize(in.world_normal);
     if ((system.flags & FLAG_NORMAL_MAP_TEXTURE) != 0u) {
@@ -199,17 +231,26 @@ fn pbr_shade(in: VsOut, base: vec4<f32>, emissive: vec4<f32>) -> vec4<f32> {
         let nm = textureSample(normal_tex, normal_samp, in.uv).rgb * 2.0 - 1.0;
         n = normalize(nm.x * t + nm.y * b + nm.z * n);
     }
-    var perceptual_roughness = 0.5;
+    var perceptual_roughness = 1.0;   // reference defaults (:127-128)
     var metallic = 0.0;
     if ((system.flags & FLAG_ORM_TEXTURE) != 0u) {
         let orm = textureSample(orm_tex, orm_samp, in.uv).rgb;
         perceptual_roughness = orm.g;
         metallic = orm.b;
     }
-    // minimal single-directional-light lambert+ambient stand-in; engines
-    // replace this body with their clustered light loop.
-    let light_dir = normalize(vec3<f32>(0.4, 0.8, 0.3));
-    let ndotl = max(dot(n, light_dir), 0.0);
-    let diffuse = base.rgb * (0.15 + 0.85 * ndotl) * (1.0 - metallic * 0.5);
-    return vec4<f32>(diffuse + emissive.rgb, base.a);
+    let a = max(perceptual_roughness * perceptual_roughness, 0.002);
+    let v = normalize(view.world_position - in.world_position);
+    let l = normalize(LIGHT_DIR);
+    let h = normalize(v + l);
+    let nl = max(dot(n, l), 0.0);
+    let nv = max(dot(n, v), 1e-4);
+    let nh = max(dot(n, h), 0.0);
+    let lh = max(dot(l, h), 0.0);
+
+    let f0 = mix(vec3<f32>(0.04, 0.04, 0.04), base.rgb, metallic);
+    let specular = d_ggx(nh, a) * v_smith(nl, nv, a) * f_schlick(lh, f0);
+    let diffuse = base.rgb * (1.0 - metallic) * (1.0 / 3.14159265);
+    let direct = (diffuse + specular) * LIGHT_COLOR * nl;
+    let indirect = base.rgb * AMBIENT;
+    return vec4<f32>(direct + indirect + emissive.rgb, base.a);
 }

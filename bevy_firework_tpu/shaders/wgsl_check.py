@@ -139,7 +139,7 @@ def _parse_globals(src: str) -> Dict[str, Optional[str]]:
     ):
         # only module scope: crude but effective — must not be inside a fn.
         out[m.group(1)] = m.group(2)
-    for m in re.finditer(rf"\bconst\s+({_ID})\s*(?::\s*({_ID}))?\s*=", src):
+    for m in re.finditer(rf"\bconst\s+({_ID})\s*(?::\s*({_ID})(?:<[^>=;]*>)?)?\s*=", src):
         out[m.group(1)] = m.group(2)
     return out
 

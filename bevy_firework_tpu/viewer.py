@@ -147,14 +147,31 @@ def render_frame(
                 diff = np.abs(1.0 / (near / depth) - np.where(hits, 1.0 / (near / t_scene), np.inf))
                 alpha = alpha * _smoothstep(0.0, uni.fade_scene, diff)
         if uni.pbr:
-            # lambert + emissive stand-in for the reference's full PBR path
+            # mirrors shaders/particles.wgsl pbr_shade: Cook-Torrance GGX,
+            # one directional light + ambient; billboard normal = to-camera,
+            # untextured defaults roughness 1.0 / metallic 0.
             n = -np.array([xs[pi], ys[pi], depth], np.float32)
             n = n / max(np.linalg.norm(n), 1e-6)
+            v = n  # camera-facing quad: normal == view direction
             light_w = np.array([0.4, 0.8, 0.3], np.float32)
             light_w = light_w / np.linalg.norm(light_w)
-            light_v = np.stack([cam.right, cam.up, cam.forward]) @ light_w  # view-basis components
-            ndotl = max(float(n @ light_v), 0.0)
-            color = base[0:3] * (0.15 + 0.85 * ndotl) + emis[0:3]
+            l = np.stack([cam.right, cam.up, cam.forward]) @ light_w  # view basis
+            h = v + l
+            h = h / max(np.linalg.norm(h), 1e-6)
+            nl = max(float(n @ l), 0.0)
+            nv = max(float(n @ v), 1e-4)
+            nh = max(float(n @ h), 0.0)
+            lh = max(float(l @ h), 0.0)
+            a = 1.0  # perceptual_roughness 1.0 squared
+            d = a * a / (np.pi * (nh * nh * (a * a - 1.0) + 1.0) ** 2)
+            gv = nl * np.sqrt(nv * nv * (1.0 - a * a) + a * a)
+            gl = nv * np.sqrt(nl * nl * (1.0 - a * a) + a * a)
+            vis = 0.5 / max(gv + gl, 1e-5)
+            f0 = 0.04
+            fr = f0 + (1.0 - f0) * (1.0 - lh) ** 5
+            spec = d * vis * fr
+            ambient = np.array([0.09, 0.09, 0.1], np.float32)
+            color = (base[0:3] / np.pi + spec) * nl + base[0:3] * ambient + emis[0:3]
         else:
             # unlit path: base color alone (reference particles.wgsl:162-163)
             color = base[0:3]
