@@ -71,6 +71,33 @@ def _batched_scene_step(static, params_list, colliders, states_list, frames_list
     outs = [pick(O, i) for i in range(n)]
     planes_out = [None if planes is None else pick(planes, i) for i in range(n)]
     return states_out, outs, planes_out
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def _batched_scene_multi_step(static, params_list, colliders, states_list, frames_list, n_frames):
+    """n frames of a whole archetype group in ONE dispatch: stack members,
+    lax.scan the vmapped step (with the fleet path's invariant-array carry
+    hoisting), run the final frame through the packed step, slice out."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from .ops.fused_step import _chain, _scan_hoist, step_auto
+
+    P = _jax.tree_util.tree_map(lambda *xs: _jnp.stack(xs), *params_list)
+    S = _jax.tree_util.tree_map(lambda *xs: _jnp.stack(xs), *states_list)
+    F = _jax.tree_util.tree_map(lambda *xs: _jnp.stack(xs), *frames_list)
+    if n_frames > 1:
+        vstep = _jax.vmap(lambda p, s, f: step_auto(static, p, colliders, s, f))
+        S, _o = _chain(lambda s: vstep(P, s, F), S, n_frames - 1, _scan_hoist(static, S))
+    S2, O, planes = _jax.vmap(
+        lambda p, s, f: step_auto_packed(static, p, colliders, s, f)
+    )(P, S, F)
+    n = len(states_list)
+    pick = lambda tree, i: _jax.tree_util.tree_map(lambda x: x[i], tree)
+    states_out = [pick(S2, i) for i in range(n)]
+    outs = [pick(O, i) for i in range(n)]
+    planes_out = [None if planes is None else pick(planes, i) for i in range(n)]
+    return states_out, outs, planes_out
 from .settings import EffectModifier, ParticleSpawner, SpawnTransformMode
 from .step import StepOutputs
 
@@ -452,34 +479,45 @@ class Scene:
             return
         self.time += float(dt) * n_frames
         self._last_dt = float(dt)
-        for sid, slot in list(self._spawners.items()):
-            tf = (
-                slot.transform
-                if slot.spawner.spawn_transform_mode == SpawnTransformMode.LOCAL
-                else slot.global_transform
-            )
-            frame = make_frame_input(
-                dt,
-                translation=tf.translation,
-                rotation=tf.rotation,
-                parent_velocity=slot.parent_velocity,
-                modifier_scale=slot.modifier.scale,
-                modifier_speed=slot.modifier.speed,
-            )
-            colliders = self._colliders if slot.compiled.static.any_collision else None
-            watch_finished = bool(slot.finished_observers) and not slot.finished_fired
-            # host syncs only when someone is actually observing
-            notified_before = bool(slot.state.finished_notified) if watch_finished else False
-            slot.state, slot.outputs, slot.render_planes = multi_step_auto_packed(
-                slot.compiled.static, slot.compiled.params, colliders, slot.state, frame, n_frames
-            )
-            if watch_finished:
-                if bool(slot.state.finished_notified) and not notified_before:
-                    slot.finished_fired = True
-                    for cb in slot.finished_observers:
-                        cb(sid)
-            if slot.compiled.static.any_destroyed_dump:
-                self._dispatch_destroyed(sid, slot)
+        groups: Dict[tuple, List[int]] = {}
+        for sid, slot in self._spawners.items():
+            key = (slot.compiled.static, slot.capacity)
+            groups.setdefault(key, []).append(sid)
+        self._last_step_dispatches = 0
+        for (static, _cap), sids in groups.items():
+            colliders = self._colliders if static.any_collision else None
+            slots = [self._spawners[sid] for sid in sids]
+            frames = [self._frame_for(s, dt) for s in slots]
+            watch = {
+                sid: bool(s.state.finished_notified)
+                for sid, s in zip(sids, slots)
+                if s.finished_observers and not s.finished_fired
+            }
+            self._last_step_dispatches += 1
+            if len(slots) == 1:
+                slot = slots[0]
+                slot.state, slot.outputs, slot.render_planes = multi_step_auto_packed(
+                    static, slot.compiled.params, colliders, slot.state, frames[0], n_frames
+                )
+            else:
+                states_out, outs, planes_out = _batched_scene_multi_step(
+                    static,
+                    tuple(s.compiled.params for s in slots),
+                    colliders,
+                    tuple(s.state for s in slots),
+                    tuple(frames),
+                    n_frames,
+                )
+                for slot, st, out, pl in zip(slots, states_out, outs, planes_out):
+                    slot.state, slot.outputs, slot.render_planes = st, out, pl
+            for sid, slot in zip(sids, slots):
+                if sid in watch:
+                    if bool(slot.state.finished_notified) and not watch[sid]:
+                        slot.finished_fired = True
+                        for cb in slot.finished_observers:
+                            cb(sid)
+                if slot.compiled.static.any_destroyed_dump:
+                    self._dispatch_destroyed(sid, slot)
 
     def _dispatch_destroyed(self, sid: int, slot: _SpawnerSlot):
         mask = np.asarray(slot.outputs.destroyed_mask)

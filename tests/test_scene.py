@@ -385,3 +385,35 @@ def test_scene_batched_events_fire_per_spawner():
     for _ in range(30):
         scene.step(1 / 60)
     assert sorted(fired) == [0, 1, 2]
+
+
+def test_scene_step_n_batched_matches_step_loop():
+    """Grouped step_n == the same scene stepped frame by frame."""
+
+    def sp(rate):
+        return ParticleSpawner(
+            particle_settings=[ParticleSettings(lifetime=RandF32.constant(0.4))],
+            emission_settings=[EmissionSettings(
+                emission_pacing=EmissionPacing.rate(rate),
+                initial_velocity=RandVec3(RandF32(1.0, 2.0), (0, 1, 0), 0.2))],
+        )
+
+    a = Scene(seed=3)
+    b = Scene(seed=3)
+    for i in range(4):
+        a.add_spawner(sp(200.0 + 40 * i), capacity=128,
+                      transform=Transform(translation=(float(i), 0.0, 0.0)))
+        b.add_spawner(sp(200.0 + 40 * i), capacity=128,
+                      transform=Transform(translation=(float(i), 0.0, 0.0)))
+    for _ in range(25):
+        a.step(1 / 60)
+    b.step_n(1 / 60, 25)
+    assert b._last_step_dispatches == 1
+    for sid in a.spawner_ids():
+        sa, sb = a._spawners[sid].state, b._spawners[sid].state
+        np.testing.assert_array_equal(np.asarray(sa.alive), np.asarray(sb.alive))
+        alive = np.asarray(sa.alive)
+        for f in ("px", "py", "vy", "age"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sa, f))[alive], np.asarray(getattr(sb, f))[alive],
+                atol=1e-6, err_msg=f"sid {sid} {f}")
