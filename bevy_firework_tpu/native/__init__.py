@@ -95,6 +95,13 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64,
         ]
+        lib.ring_publish_dense_ptrs.restype = ctypes.c_int64
+        lib.ring_publish_dense_ptrs.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -188,6 +195,35 @@ class InstanceRing:
         self._bufs[slot][: len(rows)] = rows
         with self._lock:
             self._meta[slot] = (len(rows), frame_id)
+            self._state[slot] = 2
+        return slot
+
+    def publish_dense_planes(self, planes, defaults, frame_id: int) -> int:
+        """publish_dense from 16 SEPARATE [N] f32 plane arrays (None => the
+        constant defaults[p]); the in-kernel render-pack hand-off. Compacts
+        live lanes (plane 3 scale != 0) while interleaving."""
+        arrs = [None if p is None else np.ascontiguousarray(p, dtype=np.float32) for p in planes]
+        n = arrs[3].shape[0]
+        if self._lib is not None:
+            ptr_t = ctypes.POINTER(ctypes.c_float)
+            ptrs = (ptr_t * 16)(*[
+                (a.ctypes.data_as(ptr_t) if a is not None else ptr_t()) for a in arrs
+            ])
+            dflt = np.asarray(defaults, dtype=np.float32)
+            slot = self._lib.ring_begin_write(self._h)
+            self._lib.ring_publish_dense_ptrs(self._h, slot, ptrs, _fptr(dflt), n, frame_id)
+            return slot
+        live = arrs[3] != 0.0
+        count = min(int(live.sum()), self.capacity)
+        slot = self._fallback_claim_slot()
+        if slot < 0:
+            return -1
+        buf = self._bufs[slot]
+        for p in range(16):
+            col = arrs[p][live][:count] if arrs[p] is not None else np.float32(defaults[p])
+            buf[:count, p] = col
+        with self._lock:
+            self._meta[slot] = (count, frame_id)
             self._state[slot] = 2
         return slot
 

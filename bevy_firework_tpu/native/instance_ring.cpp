@@ -227,6 +227,35 @@ int64_t ring_publish_dense(void* handle, int slot, const float* planes,
   return count;
 }
 
+// ring_publish_dense from 16 SEPARATE plane arrays (see compact_dense_ptrs):
+// the in-kernel render pack hands scale/colors as individual device arrays
+// and positions/rotations as pool-state arrays; nullptr planes use
+// defaults[p] (elided invariants, e.g. identity rotation). Compacts live
+// lanes (plane 3 scale != 0) into the slot and publishes.
+int64_t ring_publish_dense_ptrs(void* handle, int slot, const float* const* planes,
+                                const float* defaults, int64_t n_lanes,
+                                int64_t frame_id) {
+  Ring* r = static_cast<Ring*>(handle);
+  Slot& s = r->slots[slot];
+  const float* scale = planes[3];
+  float* dst = s.data;
+  int64_t count = 0;
+  for (int64_t i = 0; i < n_lanes; ++i) {
+    if (scale[i] == 0.0f) continue;
+    if (count >= r->capacity) break;
+    float* d = dst + count * kFloatsPerInstance;
+    for (int p = 0; p < kFloatsPerInstance; ++p) {
+      d[p] = planes[p] ? planes[p][i] : defaults[p];
+    }
+    ++count;
+  }
+  s.count = count;
+  s.frame_id = frame_id;
+  s.state.store(2, std::memory_order_release);
+  r->latest_frame.store(frame_id, std::memory_order_release);
+  return count;
+}
+
 // f16 variant of ring_publish_dense: planes are uint16-encoded IEEE float16
 // (32 B/particle after interleave — halves device->host render bandwidth).
 // The slot buffer is reinterpreted as uint16; scale==0 (bits 0x0000/0x8000)

@@ -62,7 +62,27 @@ class AsyncRenderReader:
                 planes, count = pack_instances_dense(params, state, t)
             else:
                 planes, count = pack_instances_planar(params, state, t)
-            payload.append((t, planes, count))
+            payload.append(("planar", t, planes, count))
+        self._enqueue(frame_id, payload)
+
+    def submit_packed(self, static, state, packed, frame_id: int):
+        """Enqueue the fused kernel's in-kernel render pack (the 9 planes
+        from step_auto_packed) plus the state position/rotation arrays — no
+        separate pack dispatch at all (the pack rode the step kernel for
+        ~free). Single-type pools only (can_pack_render)."""
+        if static.elide_rotation:
+            q = (None, None, None, None)
+        else:
+            q = (state.qx, state.qy, state.qz, state.qw)
+        planes16 = (
+            state.px, state.py, state.pz, packed[0],
+            q[0], q[1], q[2], q[3],
+            packed[1], packed[2], packed[3], packed[4],
+            packed[5], packed[6], packed[7], packed[8],
+        )
+        self._enqueue(frame_id, [("ptrs", 0, planes16, None)])
+
+    def _enqueue(self, frame_id, payload):
         while True:
             try:
                 self._q.put_nowait((frame_id, payload))
@@ -77,12 +97,18 @@ class AsyncRenderReader:
 
     # -------------------------------------------------------------- reader
     def _run(self):
+        defaults = [0.0] * 16
+        defaults[7] = 1.0  # identity quaternion w
         while not self._stop:
             try:
                 frame_id, payload = self._q.get(timeout=0.1)
             except queue.Empty:
                 continue
-            for t, planes, count in payload:
+            for kind, t, planes, count in payload:
+                if kind == "ptrs":
+                    host = [None if p is None else np.asarray(p) for p in planes]
+                    self.rings[t].publish_dense_planes(host, defaults, frame_id)
+                    continue
                 c = int(count)  # blocks until the device finished this frame
                 if c == 0:
                     continue
