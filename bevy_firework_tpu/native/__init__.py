@@ -102,6 +102,13 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.ring_publish_dense_ptrs_f16.restype = ctypes.c_int64
+        lib.ring_publish_dense_ptrs_f16.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint16)),
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -222,6 +229,38 @@ class InstanceRing:
         for p in range(16):
             col = arrs[p][live][:count] if arrs[p] is not None else np.float32(defaults[p])
             buf[:count, p] = col
+        with self._lock:
+            self._meta[slot] = (count, frame_id)
+            self._state[slot] = 2
+        return slot
+
+    def publish_dense_planes_f16(self, planes, defaults, frame_id: int) -> int:
+        """publish_dense_planes for float16 plane arrays (None => the f16
+        defaults[p]); the slot then holds f16 rows — consume via
+        acquire_f16. Halves the hand-off bandwidth (32 B/particle)."""
+        arrs = [None if p is None else np.ascontiguousarray(p, dtype=np.float16) for p in planes]
+        n = arrs[3].shape[0]
+        dflt16 = np.asarray(defaults, dtype=np.float16).view(np.uint16)
+        if self._lib is not None:
+            ptr_t = ctypes.POINTER(ctypes.c_uint16)
+            ptrs = (ptr_t * 16)(*[
+                (a.view(np.uint16).ctypes.data_as(ptr_t) if a is not None else ptr_t())
+                for a in arrs
+            ])
+            slot = self._lib.ring_begin_write(self._h)
+            self._lib.ring_publish_dense_ptrs_f16(
+                self._h, slot, ptrs, dflt16.ctypes.data_as(ptr_t), n, frame_id
+            )
+            return slot
+        live = (arrs[3].view(np.uint16) & 0x7FFF) != 0
+        count = min(int(live.sum()), self.capacity)
+        slot = self._fallback_claim_slot()
+        if slot < 0:
+            return -1
+        raw16 = self._bufs[slot].reshape(-1).view(np.float16)[: self.capacity * 16].reshape(self.capacity, 16)
+        for p in range(16):
+            col = arrs[p][live][:count] if arrs[p] is not None else np.float16(defaults[p])
+            raw16[:count, p] = col
         with self._lock:
             self._meta[slot] = (count, frame_id)
             self._state[slot] = 2

@@ -256,6 +256,35 @@ int64_t ring_publish_dense_ptrs(void* handle, int slot, const float* const* plan
   return count;
 }
 
+// f16 variant of ring_publish_dense_ptrs: 16 separate uint16-encoded f16
+// plane arrays (nullptr => defaults[p]); slot holds f16 rows (32 B/
+// particle). scale bits 0x0000/0x8000 mark dead lanes.
+int64_t ring_publish_dense_ptrs_f16(void* handle, int slot,
+                                    const uint16_t* const* planes,
+                                    const uint16_t* defaults, int64_t n_lanes,
+                                    int64_t frame_id) {
+  Ring* r = static_cast<Ring*>(handle);
+  Slot& s = r->slots[slot];
+  const uint16_t* scale = planes[3];
+  uint16_t* dst = reinterpret_cast<uint16_t*>(s.data);
+  int64_t count = 0;
+  for (int64_t i = 0; i < n_lanes; ++i) {
+    uint16_t sc = scale[i];
+    if (sc == 0 || sc == 0x8000) continue;
+    if (count >= r->capacity) break;
+    uint16_t* d = dst + count * kFloatsPerInstance;
+    for (int p = 0; p < kFloatsPerInstance; ++p) {
+      d[p] = planes[p] ? planes[p][i] : defaults[p];
+    }
+    ++count;
+  }
+  s.count = count;
+  s.frame_id = frame_id;
+  s.state.store(2, std::memory_order_release);
+  r->latest_frame.store(frame_id, std::memory_order_release);
+  return count;
+}
+
 // f16 variant of ring_publish_dense: planes are uint16-encoded IEEE float16
 // (32 B/particle after interleave — halves device->host render bandwidth).
 // The slot buffer is reinterpreted as uint16; scale==0 (bits 0x0000/0x8000)

@@ -415,6 +415,17 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
     return out[0], out[1], out[2], out[3], out[4], out[5], out[8]
 
 
+def _n_render_planes(static: SpawnerStatic, pack_render) -> int:
+    """Render-plane output count: 0 (off), 9 (f32: scale + 8 color
+    channels), or the full f16 record — 12 with rotation elided (identity
+    synthesized host-side), 16 otherwise."""
+    if not pack_render:
+        return 0
+    if pack_render == "f16":
+        return 12 if static.elide_rotation else 16
+    return 9
+
+
 def _make_nested_cadence_kernel(static: SpawnerStatic, e: int, lazy_reset: bool, M: int):
     """One Pallas pass computing a nested emitter's ENTIRE per-parent cadence
     (core.rs:490-498) over the pool: lazy dead-lane anchor reset, emission
@@ -610,8 +621,12 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         if cad:  # SMEM scalar outputs: updated cadence/bookkeeping state
             out_dyn_ref = outs[oi + nf]
             out_estate_ref = outs[oi + nf + 1]
-        # in-kernel render pack planes: scale + base rgba + emissive rgba
-        render_outs = outs[-9:] if pack_render else None
+        # in-kernel render pack planes: f32 mode = scale + base rgba +
+        # emissive rgba (positions/rotations reuse the state outputs);
+        # f16 mode = the FULL instance record as f16 planes (pos, scale,
+        # [quat], colors) for the halved-bandwidth render hand-off.
+        n_render = _n_render_planes(static, pack_render)
+        render_outs = outs[-n_render:] if n_render else None
 
         f = {name: field_in[i][:, :] for i, name in enumerate(fields)}
         fs = fscal_ref[0]
@@ -919,10 +934,28 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
                 for c in range(4):
                     bch[c] = jnp.where(ptype == t, bt[c], bch[c])
                     ech[c] = jnp.where(ptype == t, et[c], ech[c])
-            render_outs[0][:, :] = jnp.where(survivor, scale_new, 0.0)
-            for c in range(4):
-                render_outs[1 + c][:, :] = bch[c]
-                render_outs[5 + c][:, :] = ech[c]
+            inst_scale = jnp.where(survivor, scale_new, 0.0)
+            if pack_render == "f16":
+                h = lambda x: x.astype(jnp.float16)
+                render_outs[0][:, :] = h(f["px"])
+                render_outs[1][:, :] = h(f["py"])
+                render_outs[2][:, :] = h(f["pz"])
+                render_outs[3][:, :] = h(inst_scale)
+                ci = 4
+                if not elide_rot:
+                    render_outs[4][:, :] = h(f["qx"])
+                    render_outs[5][:, :] = h(f["qy"])
+                    render_outs[6][:, :] = h(f["qz"])
+                    render_outs[7][:, :] = h(f["qw"])
+                    ci = 8
+                for c in range(4):
+                    render_outs[ci + c][:, :] = h(bch[c])
+                    render_outs[ci + 4 + c][:, :] = h(ech[c])
+            else:
+                render_outs[0][:, :] = inst_scale
+                for c in range(4):
+                    render_outs[1 + c][:, :] = bch[c]
+                    render_outs[5 + c][:, :] = ech[c]
 
         if not derived:
             out_alive_ref[:, :] = survivor.astype(jnp.int32)
@@ -1086,9 +1119,11 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
             jax.ShapeDtypeStruct((1, 8), jnp.int32),
             jax.ShapeDtypeStruct((E, 8), jnp.float32),
         ]
-    if pack_render:  # 9 render planes: scale + base rgba + emissive rgba
-        out_specs = out_specs + [blocked()] * 9
-        out_shape = out_shape + [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 9
+    n_render = _n_render_planes(static, pack_render)
+    if n_render:
+        rdtype = jnp.float16 if pack_render == "f16" else jnp.float32
+        out_specs = out_specs + [blocked()] * n_render
+        out_shape = out_shape + [jax.ShapeDtypeStruct((rows, LANES), rdtype)] * n_render
 
     field_arrays = [f32_fields[name].reshape(rows, LANES) for name in fields]
     inputs = smalls[:]
@@ -1134,7 +1169,7 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
         alive_new = new_fields["age"] < np.float32(static.const_lifetime)
     dyn_new = results[n_extra + nf] if cad else None
     estate_new = results[n_extra + nf + 1] if cad else None
-    render_planes = tuple(r.reshape(N) for r in results[-9:]) if pack_render else None
+    render_planes = tuple(r.reshape(N) for r in results[-n_render:]) if n_render else None
     return alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new, render_planes
 
 

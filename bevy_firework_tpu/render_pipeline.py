@@ -66,10 +66,21 @@ class AsyncRenderReader:
         self._enqueue(frame_id, payload)
 
     def submit_packed(self, static, state, packed, frame_id: int):
-        """Enqueue the fused kernel's in-kernel render pack (the 9 planes
-        from step_auto_packed) plus the state position/rotation arrays — no
-        separate pack dispatch at all (the pack rode the step kernel for
-        ~free). Single-type pools only (can_pack_render)."""
+        """Enqueue the fused kernel's in-kernel render pack — no separate
+        pack dispatch at all (the pack rode the step kernel for ~free).
+        Single-type pools only (can_pack_render).
+
+        packed is either the 9 f32 planes from step_auto_packed (positions
+        and rotations then come from the state arrays), or the full f16
+        record (12/16 planes, pack_render='f16') — consume that ring via
+        acquire_f16."""
+        if len(packed) in (12, 16):  # f16 full record
+            if len(packed) == 12:  # rotation elided: identity from defaults
+                planes16 = tuple(packed[:4]) + (None,) * 4 + tuple(packed[4:])
+            else:
+                planes16 = tuple(packed)
+            self._enqueue(frame_id, [("ptrs16", 0, planes16, None)])
+            return
         if static.elide_rotation:
             q = (None, None, None, None)
         else:
@@ -108,6 +119,10 @@ class AsyncRenderReader:
                 if kind == "ptrs":
                     host = [None if p is None else np.asarray(p) for p in planes]
                     self.rings[t].publish_dense_planes(host, defaults, frame_id)
+                    continue
+                if kind == "ptrs16":
+                    host = [None if p is None else np.asarray(p) for p in planes]
+                    self.rings[t].publish_dense_planes_f16(host, defaults, frame_id)
                     continue
                 c = int(count)  # blocks until the device finished this frame
                 if c == 0:

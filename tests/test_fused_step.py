@@ -450,3 +450,47 @@ def test_hybrid_cadence_kernel_deferral_conserves():
     assert deferred[1] == total - M
     assert counts[1] == M
     assert counts[-1] == total
+
+
+def test_in_kernel_render_pack_f16():
+    """pack_render='f16': the kernel emits the FULL instance record as f16
+    planes (12 with rotation elided); values match the f32 pack rounded to
+    f16, scale==+-0 marking dead lanes."""
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(
+            lifetime=RandF32.constant(0.3), initial_scale=RandF32.constant(0.1),
+            scale_curve=FireworkCurve.uneven_samples([(0.0, 1.0), (1.0, 2.0)]),
+            base_color=gradient_uneven_samples([(0.0, (1, 0.5, 0.2, 1)), (1.0, (0, 0, 0, 0))]),
+        )],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.rate(2000.0),
+            initial_velocity=RandVec3.constant((1.0, 3.0, 0.2)))],
+    )
+    c = compile_spawner(sp)
+    assert c.static.elide_rotation
+    sA = init_pool_for(c, N, 0)
+    sB = init_pool_for(c, N, 0)
+    frame = make_frame_input(1 / 50)
+    fused = jax.jit(fused_step, static_argnums=(0, 5))
+    with pltpu.force_tpu_interpret_mode():
+        for _ in range(10):
+            sA, _o, p32 = fused(c.static, c.params, None, sA, frame, True)
+            sB, _o2, p16 = fused(c.static, c.params, None, sB, frame, "f16")
+    assert len(p16) == 12
+    alive = np.asarray(sA.alive)
+    for name, a32, a16 in [
+        ("px", np.asarray(sA.px), np.asarray(p16[0])),
+        ("py", np.asarray(sA.py), np.asarray(p16[1])),
+        ("pz", np.asarray(sA.pz), np.asarray(p16[2])),
+        ("scale", np.asarray(p32[0]), np.asarray(p16[3])),
+    ]:
+        assert a16.dtype == np.float16
+        np.testing.assert_array_equal(
+            a16[alive], a32[alive].astype(np.float16), err_msg=name)
+    for ci in range(8):
+        np.testing.assert_array_equal(
+            np.asarray(p16[4 + ci])[alive],
+            np.asarray(p32[1 + ci])[alive].astype(np.float16), err_msg=f"color {ci}")
+    # dead lanes: f16 scale is +-0
+    s16 = np.asarray(p16[3]).view(np.uint16)
+    assert ((s16[~alive] & 0x7FFF) == 0).all()

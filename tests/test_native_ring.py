@@ -127,3 +127,62 @@ def test_dense_and_f16_paths_match_compacted():
     np.testing.assert_allclose(buf16.astype(np.float32), rows_ref, atol=5e-2, rtol=1e-2)
     ring.release()
     ring.close()
+
+
+def test_publish_dense_planes_and_f16():
+    """Separate-plane publishes (f32 + f16, with None planes -> defaults)
+    equal the monolithic dense publish."""
+    import numpy as np
+
+    from bevy_firework_tpu.native import InstanceRing
+
+    rng = np.random.default_rng(3)
+    n = 500
+    planes = rng.normal(size=(16, n)).astype(np.float32)
+    planes[3, rng.random(n) < 0.4] = 0.0
+    live = planes[3] != 0.0
+    expect = planes[:, live].T
+    defaults = [0.0] * 16
+    defaults[7] = 1.0
+
+    ring = InstanceRing(n, 2)
+    try:
+        plist = [planes[p].copy() for p in range(16)]
+        ring.publish_dense_planes(plist, defaults, frame_id=5)
+        rows, fid = ring.acquire()
+        assert fid == 5
+        np.testing.assert_array_equal(np.asarray(rows), expect)
+        ring.release()
+
+        # None planes -> defaults (identity quat)
+        plist2 = list(plist)
+        for q in (4, 5, 6, 7):
+            plist2[q] = None
+        ring.publish_dense_planes(plist2, defaults, frame_id=6)
+        rows2, _ = ring.acquire()
+        np.testing.assert_array_equal(np.asarray(rows2)[:, 4:8],
+                                      np.tile([0, 0, 0, 1.0], (len(expect), 1)).astype(np.float32))
+        ring.release()
+    finally:
+        ring.close()
+
+    ring16 = InstanceRing(n, 2)
+    try:
+        p16 = [planes[p].astype(np.float16) for p in range(16)]
+        for q in (4, 5, 6, 7):
+            p16[q] = None
+        ring16.publish_dense_planes_f16(p16, defaults, frame_id=9)
+        got = ring16.acquire_f16()
+        assert got is not None
+        rows16, fid = got
+        assert fid == 9
+        live16 = (planes[3].astype(np.float16).view(np.uint16) & 0x7FFF) != 0
+        expect16 = planes[:, live16].T.astype(np.float16)
+        np.testing.assert_array_equal(np.asarray(rows16)[:, 0:4], expect16[:, 0:4])
+        np.testing.assert_array_equal(np.asarray(rows16)[:, 8:], expect16[:, 8:])
+        np.testing.assert_array_equal(
+            np.asarray(rows16)[:, 4:8],
+            np.tile(np.array([0, 0, 0, 1.0], np.float16), (len(expect16), 1)))
+        ring16.release()
+    finally:
+        ring16.close()
