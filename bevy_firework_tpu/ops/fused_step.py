@@ -462,9 +462,8 @@ def _make_nested_cadence_kernel(static: SpawnerStatic, e: int, lazy_reset: bool,
         def _():
             carry[0] = 0
 
-        p = prow_ref[0]
-        off_s, off_e, cnt = p[0], p[1], p[2]
-        gate = p[4] != 0.0
+        off_s, off_e, cnt = prow_ref[0, 0], prow_ref[0, 1], prow_ref[0, 2]
+        gate = prow_ref[0, 4] != 0.0
         alive_t = alive_ref[:, :] != 0
         age = age_ref[:, :]
         life = life_ref[:, :]

@@ -177,6 +177,56 @@ def check_vmapped_non_ring(capacity=3 * 8192, S=2, n_frames=10):
     return None
 
 
+def check_nested_cadence(capacity=3 * 8192, n_frames=40):
+    """The hybrid fast path's in-kernel nested cadence pass, compiled: a
+    fully-deterministic nested archetype (every draw constant, Point shape)
+    is lane-exact vs the XLA step even though globals spawn via the
+    hardware PRNG."""
+    from bevy_firework_tpu import EmissionMode
+    from bevy_firework_tpu.ops.fused_step import fused_step_hybrid
+
+    sp = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(1.2), initial_scale=RandF32.constant(0.2),
+                             linear_drag=0.0),
+            ParticleSettings(lifetime=RandF32.constant(0.5), initial_scale=RandF32.constant(0.1),
+                             linear_drag=0.0),
+        ],
+        emission_settings=[
+            EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.rate(800.0),
+                             initial_velocity=RandVec3.constant((0.5, 3.0, 0.0))),
+            EmissionSettings(particle_index=1,
+                             emission_mode=EmissionMode.nested(0),
+                             emission_pacing=EmissionPacing.count_over_duration(8.0, 1.0, 0.0, 0.5),
+                             initial_velocity=RandVec3.constant((0.0, 0.5, 0.0)),
+                             inherit_parent_velocity=True),
+        ],
+    )
+    c = compile_spawner(sp)
+    assert not can_fuse(c.static)
+    hybrid = jax.jit(fused_step_hybrid, static_argnums=(0,))
+    sA = init_pool_for(c, capacity, 0)
+    sB = init_pool_for(c, capacity, 0)
+    frame = make_frame_input(1 / 50)
+    for _ in range(n_frames):
+        sA, oA = step_jit(c.static, c.params, None, sA, frame)
+        sB, oB = hybrid(c.static, c.params, None, sB, frame)
+    a_alive = np.asarray(sA.alive)
+    b_alive = np.asarray(sB.alive)
+    ca = np.asarray(oA.alive_count_per_type)
+    cb = np.asarray(oB.alive_count_per_type)
+    if not np.array_equal(ca, cb):
+        return f"per-type counts {ca} vs {cb}"
+    if ca[1] == 0:
+        return "no children spawned - cadence untested"
+    for f in ("px", "py", "vx", "age"):
+        xa = np.sort(np.asarray(getattr(sA, f))[a_alive])
+        xb = np.sort(np.asarray(getattr(sB, f))[b_alive])
+        if not np.allclose(xa, xb, atol=5e-4):
+            return f"FIELD {f} max err {np.abs(xa - xb).max():.2e}"
+    return None
+
+
 def main(n_configs=8):
     failures = 0
     total = 0
@@ -209,6 +259,13 @@ def main(n_configs=8):
         failures += 1
     else:
         print("vmapped-non-ring: OK (destroy-on-collision carry under vmap)")
+    total += 1
+    err = check_nested_cadence()
+    if err:
+        print(f"nested-cadence-kernel: {err}")
+        failures += 1
+    else:
+        print("nested-cadence-kernel: OK (hybrid in-kernel cadence, deterministic nested)")
     from bevy_firework_tpu import ParticleEventHandlers, gradient_uneven_samples as _gus
 
     dump_sp = ParticleSpawner(
