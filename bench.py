@@ -104,7 +104,11 @@ def _measure_nested(warmup=150, n_frames=100, reps=5):
             ),
         ],
     )
-    compiled = compile_spawner(spawner)
+    # Steady state demands ~670 children/frame; the per-frame child buffer
+    # costs ~36 ns/index of XLA gather regardless of occupancy, so size it
+    # near the steady demand (overflow defers loss-free; see
+    # SpawnerStatic.nested_m).
+    compiled = compile_spawner(spawner, nested_buffer=1024)
     state = init_pool_for(compiled, 16 * 8192, seed=0)
     frame = make_frame_input(1.0 / 60.0)
     state, out = multi_step_auto(compiled.static, compiled.params, None, state, frame, warmup)

@@ -61,6 +61,14 @@ class SpawnerStatic:
     # per type (kind, knot count) of the scale curve — compile-time shape so
     # kernels specialize the interpolation (constant curves cost zero ops)
     scale_curve_meta: Tuple[Tuple[int, int], ...]
+    # per-emitter-per-frame nested child buffer size. The dominant nested
+    # cost is an [M]-sized XLA gather (~36 ns/index on v5e, so cost scales
+    # with M, not with children actually spawned); overflowing a small
+    # buffer is LOSS-FREE (deferred to later frames, see
+    # step.MAX_NESTED_SPAWN_PER_FRAME), so size this near the steady-state
+    # children-per-frame, not the worst burst. compile_spawner(...,
+    # nested_buffer=...) sets it.
+    nested_m: int = 4096
     # per type (base_kind, base_n, emis_kind, emis_n) of the color gradients,
     # for the in-kernel render pack's curve specialization
     color_curve_meta: Tuple[Tuple[int, int, int, int], ...] = ()
@@ -195,7 +203,7 @@ class CompiledSpawner:
         return self.static.num_emitters
 
 
-def compile_spawner(spawner: ParticleSpawner) -> CompiledSpawner:
+def compile_spawner(spawner: ParticleSpawner, nested_buffer: int = 4096) -> CompiledSpawner:
     types = spawner.particle_settings
     emitters = spawner.emission_settings
     T, E = len(types), len(emitters)
@@ -255,6 +263,7 @@ def compile_spawner(spawner: ParticleSpawner) -> CompiledSpawner:
             (t.base_color.kind, t.base_color.n, t.emissive_color.kind, t.emissive_color.n)
             for t in types
         ),
+        nested_m=int(nested_buffer),
         elide_rotation=elide_rotation,
         const_lifetime=const_lifetime,
         destroy_types=tuple(

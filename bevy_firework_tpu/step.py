@@ -250,7 +250,7 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     vectors anywhere.
     """
     N = fields["alive"].shape[0]
-    M = min(MAX_NESTED_SPAWN_PER_FRAME, N)
+    M = min(static.nested_m, N)
     ti = static.particle_indices[e]
 
     # --- rank space ---------------------------------------------------------
@@ -441,7 +441,7 @@ def _spawn_phase(
             if not static.nested_valid[e]:
                 continue
             target = static.target_types[e]
-            M = min(MAX_NESTED_SPAWN_PER_FRAME, N)
+            M = min(static.nested_m, N)
             if kernel_cadence:
                 # whole per-parent cadence + count cumsum in ONE Pallas pass
                 # (bit-exact with the XLA branch below; hybrid fast path)
@@ -483,7 +483,7 @@ def _spawn_phase(
             # or partially) cut advances its cadence anchor by the number
             # actually emitted, so the remainder re-emerges next frame —
             # count-conserving, like the reference's unbounded Vec::push.
-            M = min(MAX_NESTED_SPAWN_PER_FRAME, N)
+            M = min(static.nested_m, N)
             emitted = jnp.minimum(cum, M) - jnp.minimum(cum - counts, M)
             next_last = jnp.where(
                 emitted < counts,

@@ -242,3 +242,22 @@ def test_children_inherit_parent_velocity_and_position():
     child_vx = vx[tys == 1]
     assert len(child_vx) > 0
     np.testing.assert_allclose(child_vx, 2.0, atol=1e-5)  # inherited (drag 0)
+
+
+def test_small_nested_buffer_conserves():
+    """nested_buffer is a perf knob, not a correctness knob: a tiny buffer
+    spreads a burst over more frames but loses nothing."""
+    sp = _burst_spawner(16, 10)  # 160 children demanded in one frame
+    compiled = compile_spawner(sp, nested_buffer=64)
+    assert compiled.static.nested_m == 64
+    state = init_pool_for(compiled, 1024, 0)
+    dt = 1.0 / 60.0
+    counts = []
+    deferred = []
+    for _ in range(6):
+        state, out = step_jit(compiled.static, compiled.params, None, state, make_frame_input(dt))
+        counts.append(int(np.asarray(out.alive_count_per_type)[1]))
+        deferred.append(int(out.nested_deferred))
+    assert counts[1] == 64 and deferred[1] == 96
+    assert counts[2] == 128 and counts[3] == 160
+    assert counts[-1] == 160  # conserved, three frames late
