@@ -25,6 +25,30 @@ from .pool import PoolState
 from .settings import spawner_from_dict, spawner_to_dict
 
 
+def _reconstruct_ring_cursor(arrays: Dict[str, np.ndarray]) -> int:
+    """Exact ring-cursor recovery for legacy checkpoints that predate the
+    field. Ring pools (constant lifetime) die FIFO, so live lanes form a
+    contiguous ring window and claims advance in ring order: the cursor sits
+    one past the YOUNGEST live lane at the end of its same-age cohort. A
+    wrong cursor would claim into the live window for up to one lifetime
+    (claims are dead-masked, so overflow drops, never tramples) — this
+    reconstruction removes that silent under-emission entirely."""
+    alive = np.asarray(arrays["alive"]).astype(bool)
+    if not alive.any():
+        return 0
+    age = np.asarray(arrays["age"])
+    n = alive.shape[0]
+    min_age = age[alive].min()
+    youngest = alive & (age == min_age)
+    idx = np.nonzero(youngest)[0]
+    nxt = (idx + 1) % n
+    boundary = idx[~youngest[nxt]]
+    # boundary empty => the whole ring is one same-age cohort; any consistent
+    # position works, use the last youngest index
+    end = int(boundary[0]) if len(boundary) else int(idx[-1])
+    return (end + 1) % n
+
+
 def pool_to_arrays(state: PoolState) -> Dict[str, np.ndarray]:
     return {f.name: np.asarray(getattr(state, f.name)) for f in dataclasses.fields(PoolState)}
 
@@ -36,10 +60,7 @@ def pool_from_arrays(arrays: Dict[str, np.ndarray]) -> PoolState:
             # forward-compat: fields added after a checkpoint was written
             # default to their init value (currently only ring_cursor)
             if f.name == "ring_cursor":
-                # A legacy ring pool resuming at cursor 0 may claim into the
-                # live window for up to one lifetime (claims are dead-masked,
-                # so overflow drops, never tramples) before self-healing.
-                kw[f.name] = jnp.zeros((), jnp.int32)
+                kw[f.name] = jnp.asarray(_reconstruct_ring_cursor(arrays), jnp.int32)
                 continue
             raise KeyError(f"checkpoint missing pool field {f.name!r}")
         kw[f.name] = jnp.asarray(arrays[f.name])

