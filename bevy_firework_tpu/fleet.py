@@ -69,10 +69,14 @@ def _reset_slot(states, template, slot, enabled: bool):
 
 
 @partial(jax.jit, static_argnums=(2,))
-def _pack_fleet_instances(params, states, type_index: int):
-    from .render import pack_instances
+def _pack_fleet_dense(params, states, type_index: int):
+    """Dense planes per slot ([S, 16, N], dead lanes at scale 0): pure
+    elementwise on device (the scatter compaction costs ~ms at scale); live
+    lanes are compacted host-side by the native bridge."""
+    from .render import pack_instances_dense
 
-    return jax.vmap(lambda s: pack_instances(params, s, type_index))(states)
+    planes, counts = jax.vmap(lambda s: pack_instances_dense(params, s, type_index))(states)
+    return planes, counts
 
 
 class Fleet:
@@ -168,21 +172,24 @@ class Fleet:
         return int(np.asarray(self._outputs.alive_count).sum())
 
     def render_items(self) -> List[RenderItem]:
+        from .native import compact_dense
+
         items = []
         for t in range(self.compiled.num_types):
-            bufs, counts = _pack_fleet_instances(self.compiled.params, self.states, t)
+            planes, counts = _pack_fleet_dense(self.compiled.params, self.states, t)
             counts = np.asarray(counts)
-            bufs = np.asarray(bufs)
             for i in range(self.max_spawners):
-                c = int(counts[i])
-                if not self._active[i] or c == 0:
+                if not self._active[i] or int(counts[i]) == 0:
+                    continue
+                rows = compact_dense(np.asarray(planes[i]))
+                if rows.shape[0] == 0:
                     continue
                 items.append(
                     RenderItem(
                         spawner_id=i,
                         type_index=t,
-                        instances=bufs[i, :c],
-                        count=c,
+                        instances=rows,
+                        count=rows.shape[0],
                         uniform=make_uniform(self.compiled, t),
                         textures=self.compiled.textures[t],
                     )
