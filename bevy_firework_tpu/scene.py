@@ -227,6 +227,7 @@ class Scene:
         global_transform: Optional[Transform] = None,
         modifier: Optional[EffectModifier] = None,
         sid: Optional[int] = None,
+        nested_buffer: int = 4096,
     ) -> int:
         """capacity=None auto-sizes the pool from the spawner's steady-state
         estimate (see estimate_capacity); pass an explicit capacity for
@@ -234,7 +235,11 @@ class Scene:
 
         sid: explicit spawner id (checkpoint restore — ids may be
         non-contiguous after removals and host code holds them); fresh ids
-        continue above the highest explicit one."""
+        continue above the highest explicit one.
+
+        nested_buffer: per-frame nested child buffer (a perf knob — cost
+        scales with it, overflow defers loss-free; see
+        compiled.SpawnerStatic.nested_m)."""
         if capacity is None:
             capacity = estimate_capacity(spawner)
         if sid is None:
@@ -244,7 +249,7 @@ class Scene:
             if sid in self._spawners:
                 raise ValueError(f"spawner id {sid} already in use")
             self._next_id = max(self._next_id, sid + 1)
-        compiled = compile_spawner(spawner)
+        compiled = compile_spawner(spawner, nested_buffer=nested_buffer)
         seed = self._seed + sid
         t = transform or Transform()
         self._spawners[sid] = _SpawnerSlot(
@@ -271,7 +276,7 @@ class Scene:
         (`core.rs:343-365`)."""
         slot = self._spawners[sid]
         slot.spawner = spawner
-        slot.compiled = compile_spawner(spawner)
+        slot.compiled = compile_spawner(spawner, nested_buffer=slot.compiled.static.nested_m)
         slot.state = init_pool_for(slot.compiled, slot.capacity, slot.seed)
         slot.outputs = None
         slot.render_planes = None
