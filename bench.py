@@ -173,38 +173,45 @@ def _measure_fleet(n_slots=16, capacity=8 * 8192, rate=55_000.0, warmup=140, n_f
     return alive, diffs[len(diffs) // 2]
 
 
-def _measure_extract(compiled, state, frame, n_calls=40, reps=5):
+def _measure_extract(compiled, state, frame, n_frames=60, reps=7):
     """Marginal device cost of the render extract (the public render_items
-    fast path: pack_instances_dense fused after the step) at this pool size.
-    Differential: per-frame time of a step+pack dispatch loop minus a
-    step-only dispatch loop — same dispatch count, so tunnel/dispatch
-    constants cancel and the difference is the pack's device time. jit
-    outputs are always materialized, so the pack cannot be DCE'd."""
+    fast path: the in-kernel pack riding the step kernel) at this pool
+    size. Methodology: scan-chain n frames of the packed step vs the plain
+    step on device (a pallas_call's outputs cannot be individually DCE'd,
+    so every frame pays the pack), time each with the (t_2n - t_n)/n
+    differential, and report the difference — per-dispatch tunnel noise
+    cancels twice over."""
+    from functools import partial
+
     import numpy as np
 
-    from bevy_firework_tpu.ops.fused_step import step_auto_packed_jit
+    from bevy_firework_tpu.ops.fused_step import step_auto, step_auto_packed
 
-    def run(fn, n):
-        s = state
-        for _ in range(n):
-            out = fn(s)
-            s = out[0] if isinstance(out, tuple) else out
-        np.asarray(s.px)
+    @partial(jax.jit, static_argnums=(0, 3, 4))
+    def chain(static, params, s, n, packed):
+        def body(st, _):
+            if packed:
+                s2, _o, _pl = step_auto_packed(static, params, None, st, frame)
+            else:
+                s2, _o = step_auto(static, params, None, st, frame)
+            return s2, None
+        out, _ = jax.lax.scan(body, s, None, length=n)
+        return out
 
-    f_pack = lambda s: step_auto_packed_jit(compiled.static, compiled.params, None, s, frame)
-    f_step = lambda s: step_auto_jit(compiled.static, compiled.params, None, s, frame)
-    run(f_pack, 2)
-    run(f_step, 2)  # compile both
-    diffs = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        run(f_step, n_calls)
-        t1 = time.perf_counter()
-        run(f_pack, n_calls)
-        t2 = time.perf_counter()
-        diffs.append(((t2 - t1) - (t1 - t0)) / n_calls * 1e3)
-    diffs.sort()
-    return diffs[len(diffs) // 2]
+    def measure(packed):
+        run = lambda n: np.asarray(chain(compiled.static, compiled.params, state, n, packed).px)
+        run(n_frames)
+        run(2 * n_frames)
+        diffs = []
+        for _ in range(reps):
+            t0 = time.perf_counter(); run(n_frames)
+            t1 = time.perf_counter(); run(2 * n_frames)
+            t2 = time.perf_counter()
+            diffs.append(((t2 - t1) - (t1 - t0)) / n_frames * 1e3)
+        diffs.sort()
+        return diffs[len(diffs) // 2]
+
+    return measure(True) - measure(False)
 
 
 def _measure_scene_batch(n_spawners=12, capacity=8192, rate=6000.0, n_frames=50):
