@@ -208,7 +208,12 @@ def _claim_and_init(
 # materialized (cadence.emission_next_last), so the remainder re-emerges on
 # subsequent frames — conservation matches the reference's unbounded
 # Vec::push (core.rs:502-545) up to a frame of latency, reported per frame
-# in StepOutputs.nested_deferred.
+# in StepOutputs.nested_deferred. Caveat: every truncated re-anchoring is
+# an f32 round-trip, so under sustained buffer pressure a parent can lose
+# at most its FINAL child to rounding at the emission-window boundary —
+# the same off-by-one class the reference's own cadence conservation test
+# tolerates (core.rs:830-834); fuzz-tested in
+# tests/test_nested.py::test_fuzz_nested_buffer_conservation.
 MAX_NESTED_SPAWN_PER_FRAME = 4096
 
 

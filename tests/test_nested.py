@@ -261,3 +261,43 @@ def test_small_nested_buffer_conserves():
     assert counts[1] == 64 and deferred[1] == 96
     assert counts[2] == 128 and counts[3] == 160
     assert counts[-1] == 160  # conserved, three frames late
+
+
+def test_fuzz_nested_buffer_conservation():
+    """Randomized nested archetypes x random tiny nested_buffer sizes: after
+    enough settle frames the engine's child totals equal the unbuffered
+    oracle's (deferral conserves counts for any buffer size)."""
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n_parents = int(rng.integers(3, 30))
+        per_parent = float(rng.integers(2, 12))
+        window = float(rng.uniform(0.05, 0.5))
+        buf = int(rng.integers(2, 40))
+        sp = ParticleSpawner(
+            particle_settings=[
+                ParticleSettings(lifetime=RandF32.constant(4.0), linear_drag=0.0, acceleration=(0, 0, 0)),
+                ParticleSettings(lifetime=RandF32.constant(50.0), linear_drag=0.0, acceleration=(0, 0, 0)),
+            ],
+            emission_settings=[
+                EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.one_shot(n_parents)),
+                EmissionSettings(particle_index=1, emission_mode=EmissionMode.nested(0),
+                                 emission_pacing=EmissionPacing.count_over_duration(
+                                     per_parent, 1.0, 0.0, window)),
+            ],
+        )
+        compiled = compile_spawner(sp, nested_buffer=buf)
+        state = init_pool_for(compiled, 1024, 0)
+        dt = 1.0 / 30.0
+        frames = int(window * 4.0 / dt) + 8 + (n_parents * int(per_parent)) // buf + 2
+        for _ in range(frames):
+            state, out = step_jit(compiled.static, compiled.params, None, state, make_frame_input(dt))
+            assert int(out.nested_dropped) == 0
+        engine_children = int(np.sum(np.asarray(state.alive) & (np.asarray(state.ptype) == 1)))
+        oracle_children = int(run_oracle(sp, frames, dt)[0][-1][1])
+        # Each truncated f32 re-anchoring can round a parent out of its
+        # FINAL child at the window boundary — the same off-by-one the
+        # reference's own cadence conservation test tolerates
+        # (core.rs:830-834), at most once per parent.
+        assert oracle_children - n_parents <= engine_children <= oracle_children, (
+            f"trial {trial}: buf={buf} parents={n_parents} per={per_parent} "
+            f"window={window}: {engine_children} vs oracle {oracle_children}")
