@@ -166,12 +166,19 @@ class FrameInput:
 
 
 def make_frame_input(dt, translation=(0.0, 0.0, 0.0), rotation=(0.0, 0.0, 0.0, 1.0), parent_velocity=(0.0, 0.0, 0.0), modifier_scale=1.0, modifier_speed=1.0) -> FrameInput:
-    f = jnp.float32
+    """Host-side (numpy) on purpose: each jnp leaf here would be an EAGER
+    device_put — ~0.5-2 ms per op on a tunneled attach, times 6 leaves per
+    spawner per frame (measured: a 12-spawner Scene.step spent ~150 ms/frame
+    on frame-input creation alone). As numpy, the leaves ride the jit call's
+    own argument transfer."""
+    import numpy as np
+
+    f = np.float32
     return FrameInput(
         dt=f(dt),
-        transform_translation=jnp.asarray(translation, jnp.float32),
-        transform_rotation=jnp.asarray(rotation, jnp.float32),
-        parent_velocity=jnp.asarray(parent_velocity, jnp.float32),
+        transform_translation=np.asarray(translation, np.float32),
+        transform_rotation=np.asarray(rotation, np.float32),
+        parent_velocity=np.asarray(parent_velocity, np.float32),
         modifier_scale=f(modifier_scale),
         modifier_speed=f(modifier_speed),
     )
