@@ -30,18 +30,37 @@ from typing import Callable, Dict, List, Optional, Tuple
 import jax
 import numpy as np
 
-from .colliders import Collider, ColliderTable, empty_collider_table
-from .compiled import CompiledSpawner, compile_spawner
-from .pool import PoolState, init_pool_for, make_frame_input
 from functools import partial
 
-from .render import RenderItem, make_uniform, pack_instances, planes_to_rows
+from .colliders import Collider, ColliderTable, empty_collider_table
+from .compiled import CompiledSpawner, compile_spawner
 from .ops.fused_step import (
-    can_pack_render,
     multi_step_auto_packed,
     step_auto_packed,
     step_auto_packed_jit,
 )
+from .pool import PoolState, init_pool_for, make_frame_input
+from .render import RenderItem, make_uniform, pack_instances, planes_to_rows
+from .settings import EffectModifier, ParticleSpawner, SpawnTransformMode
+from .step import StepOutputs
+
+
+def _stack_members(params_list, states_list, frames_list):
+    stack = lambda *xs: jax.numpy.stack(xs)
+    return (
+        jax.tree_util.tree_map(stack, *params_list),
+        jax.tree_util.tree_map(stack, *states_list),
+        jax.tree_util.tree_map(stack, *frames_list),
+    )
+
+
+def _unstack_members(n, S2, O, planes):
+    pick = lambda tree, i: jax.tree_util.tree_map(lambda x: x[i], tree)
+    return (
+        [pick(S2, i) for i in range(n)],
+        [pick(O, i) for i in range(n)],
+        [None if planes is None else pick(planes, i) for i in range(n)],
+    )
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -56,21 +75,11 @@ def _batched_scene_step(static, params_list, colliders, states_list, frames_list
     Per-member results are bit-identical to solo step_auto calls (vmap of
     the XLA path) or to the vmapped fused kernel on TPU (the configuration
     the parity sweep covers)."""
-    import jax as _jax
-    import jax.numpy as _jnp
-
-    P = _jax.tree_util.tree_map(lambda *xs: _jnp.stack(xs), *params_list)
-    S = _jax.tree_util.tree_map(lambda *xs: _jnp.stack(xs), *states_list)
-    F = _jax.tree_util.tree_map(lambda *xs: _jnp.stack(xs), *frames_list)
-    S2, O, planes = _jax.vmap(
+    P, S, F = _stack_members(params_list, states_list, frames_list)
+    S2, O, planes = jax.vmap(
         lambda p, s, f: step_auto_packed(static, p, colliders, s, f)
     )(P, S, F)
-    n = len(states_list)
-    pick = lambda tree, i: _jax.tree_util.tree_map(lambda x: x[i], tree)
-    states_out = [pick(S2, i) for i in range(n)]
-    outs = [pick(O, i) for i in range(n)]
-    planes_out = [None if planes is None else pick(planes, i) for i in range(n)]
-    return states_out, outs, planes_out
+    return _unstack_members(len(states_list), S2, O, planes)
 
 
 @partial(jax.jit, static_argnums=(0, 5))
@@ -78,28 +87,16 @@ def _batched_scene_multi_step(static, params_list, colliders, states_list, frame
     """n frames of a whole archetype group in ONE dispatch: stack members,
     lax.scan the vmapped step (with the fleet path's invariant-array carry
     hoisting), run the final frame through the packed step, slice out."""
-    import jax as _jax
-    import jax.numpy as _jnp
-
     from .ops.fused_step import _chain, _scan_hoist, step_auto
 
-    P = _jax.tree_util.tree_map(lambda *xs: _jnp.stack(xs), *params_list)
-    S = _jax.tree_util.tree_map(lambda *xs: _jnp.stack(xs), *states_list)
-    F = _jax.tree_util.tree_map(lambda *xs: _jnp.stack(xs), *frames_list)
+    P, S, F = _stack_members(params_list, states_list, frames_list)
     if n_frames > 1:
-        vstep = _jax.vmap(lambda p, s, f: step_auto(static, p, colliders, s, f))
+        vstep = jax.vmap(lambda p, s, f: step_auto(static, p, colliders, s, f))
         S, _o = _chain(lambda s: vstep(P, s, F), S, n_frames - 1, _scan_hoist(static, S))
-    S2, O, planes = _jax.vmap(
+    S2, O, planes = jax.vmap(
         lambda p, s, f: step_auto_packed(static, p, colliders, s, f)
     )(P, S, F)
-    n = len(states_list)
-    pick = lambda tree, i: _jax.tree_util.tree_map(lambda x: x[i], tree)
-    states_out = [pick(S2, i) for i in range(n)]
-    outs = [pick(O, i) for i in range(n)]
-    planes_out = [None if planes is None else pick(planes, i) for i in range(n)]
-    return states_out, outs, planes_out
-from .settings import EffectModifier, ParticleSpawner, SpawnTransformMode
-from .step import StepOutputs
+    return _unstack_members(len(states_list), S2, O, planes)
 
 DEFAULT_CAPACITY = 16384
 _FUSED_TILE = 8192  # fused-kernel alignment (ops.fused_step BLOCK_ROWS*LANES)
