@@ -45,58 +45,86 @@ from .settings import EffectModifier, ParticleSpawner, SpawnTransformMode
 from .step import StepOutputs
 
 
-def _stack_members(params_list, states_list, frames_list):
-    stack = lambda *xs: jax.numpy.stack(xs)
-    return (
-        jax.tree_util.tree_map(stack, *params_list),
-        jax.tree_util.tree_map(stack, *states_list),
-        jax.tree_util.tree_map(stack, *frames_list),
-    )
+# ---------------------------------------------------------------------------
+# Archetype-group batching: spawners with equal (SpawnerStatic, capacity)
+# step as ONE vmapped dispatch (the reference gets cross-spawner parallelism
+# from rayon's par_iter_mut, `core.rs:583-585`; we get it from vmap). Params
+# are stacked too, so members may differ in rates, colors, velocities —
+# anything traced. Results stay STACKED between frames (`_GroupBatch`): per
+# call the host exchanges ~3 stacked pytrees (~40 buffer handles) instead of
+# ~40 per member, and in the steady state the previous frame's stacked
+# states feed the next dispatch directly — per-member trees are sliced out
+# lazily, only when someone actually reads a slot (events, render,
+# checkpoint). Per-member results are bit-identical to solo step_auto calls
+# (vmap of the XLA path) or to the vmapped fused kernel on TPU (the
+# configuration the parity sweep covers).
+# ---------------------------------------------------------------------------
 
 
-def _unstack_members(n, S2, O, planes):
-    pick = lambda tree, i: jax.tree_util.tree_map(lambda x: x[i], tree)
-    return (
-        [pick(S2, i) for i in range(n)],
-        [pick(O, i) for i in range(n)],
-        [None if planes is None else pick(planes, i) for i in range(n)],
-    )
+class _GroupBatch:
+    """Stacked authority for one archetype group after a batched step."""
+
+    __slots__ = ("sids", "params", "states", "outputs", "planes", "dirty")
+
+    def __init__(self, sids, params, states, outputs, planes):
+        self.sids = sids
+        self.params = params  # stacked SpawnerParams (reused across frames)
+        self.states = states  # stacked PoolState
+        self.outputs = outputs  # stacked StepOutputs
+        self.planes = planes  # stacked render planes or None
+        self.dirty = False  # True => a member was mutated; restack next step
+
+
+def _stack_frames_np(frames):
+    """Stack host (numpy) FrameInputs on the host: leaves ride the jit
+    call's argument transfer as [S, ...] arrays."""
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *frames)
+
+
+def _vmapped_packed_step(static, colliders):
+    return lambda P, S, F: jax.vmap(
+        lambda p, s, f: step_auto_packed(static, p, colliders, s, f)
+    )(P, S, F)
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _batched_scene_step(static, params_list, colliders, states_list, frames_list):
-    """ONE dispatch for a whole group of same-archetype spawners: stack the
-    member pytrees, vmap the (packed) step, slice the results back out — all
-    inside a single jit, so a 100-spawner scene costs one kernel launch per
-    archetype group instead of one per spawner (the reference gets this from
-    rayon's par_iter_mut over spawners, `core.rs:583-585`; we get it from
-    vmap). Params are stacked too, so members may differ in rates, colors,
-    velocities — anything traced; only SpawnerStatic + capacity must match.
-    Per-member results are bit-identical to solo step_auto calls (vmap of
-    the XLA path) or to the vmapped fused kernel on TPU (the configuration
-    the parity sweep covers)."""
-    P, S, F = _stack_members(params_list, states_list, frames_list)
-    S2, O, planes = jax.vmap(
-        lambda p, s, f: step_auto_packed(static, p, colliders, s, f)
-    )(P, S, F)
-    return _unstack_members(len(states_list), S2, O, planes)
+def _group_step_stacked(static, P, colliders, S, F):
+    """Steady-state group step: stacked in, stacked out."""
+    return _vmapped_packed_step(static, colliders)(P, S, F)
 
 
-@partial(jax.jit, static_argnums=(0, 5))
-def _batched_scene_multi_step(static, params_list, colliders, states_list, frames_list, n_frames):
-    """n frames of a whole archetype group in ONE dispatch: stack members,
-    lax.scan the vmapped step (with the fleet path's invariant-array carry
-    hoisting), run the final frame through the packed step, slice out."""
+@partial(jax.jit, static_argnums=(0,))
+def _group_step_fresh(static, params_list, colliders, states_list, F):
+    """Group (re)formation step: stack the member trees inside the jit,
+    return the stacked params for reuse by _group_step_stacked."""
+    stack = lambda *xs: jax.numpy.stack(xs)
+    P = jax.tree_util.tree_map(stack, *params_list)
+    S = jax.tree_util.tree_map(stack, *states_list)
+    S2, O, planes = _vmapped_packed_step(static, colliders)(P, S, F)
+    return P, S2, O, planes
+
+
+def _group_scan(static, colliders, P, S, F, n_frames):
     from .ops.fused_step import _chain, _scan_hoist, step_auto
 
-    P, S, F = _stack_members(params_list, states_list, frames_list)
     if n_frames > 1:
         vstep = jax.vmap(lambda p, s, f: step_auto(static, p, colliders, s, f))
         S, _o = _chain(lambda s: vstep(P, s, F), S, n_frames - 1, _scan_hoist(static, S))
-    S2, O, planes = jax.vmap(
-        lambda p, s, f: step_auto_packed(static, p, colliders, s, f)
-    )(P, S, F)
-    return _unstack_members(len(states_list), S2, O, planes)
+    return _vmapped_packed_step(static, colliders)(P, S, F)
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def _group_multi_step_stacked(static, P, colliders, S, F, n_frames):
+    return _group_scan(static, colliders, P, S, F, n_frames)
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def _group_multi_step_fresh(static, params_list, colliders, states_list, F, n_frames):
+    stack = lambda *xs: jax.numpy.stack(xs)
+    P = jax.tree_util.tree_map(stack, *params_list)
+    S = jax.tree_util.tree_map(stack, *states_list)
+    S2, O, planes = _group_scan(static, colliders, P, S, F, n_frames)
+    return P, S2, O, planes
 
 DEFAULT_CAPACITY = 16384
 _FUSED_TILE = 8192  # fused-kernel alignment (ops.fused_step BLOCK_ROWS*LANES)
@@ -145,21 +173,90 @@ def estimate_capacity(spawner: ParticleSpawner, headroom: float = 1.5) -> int:
     return total
 
 
-@dataclasses.dataclass
 class _SpawnerSlot:
-    spawner: ParticleSpawner
-    compiled: CompiledSpawner
-    state: PoolState
-    outputs: Optional[StepOutputs]
-    capacity: int
-    transform: Transform
-    global_transform: Transform
-    parent_velocity: Tuple[float, float, float]
-    modifier: EffectModifier
-    finished_observers: List[Callable]
-    finished_fired: bool
-    seed: int
-    render_planes: Optional[tuple] = None  # in-kernel pack of the last step
+    """One spawner's host-side record. After a batched step, state / outputs
+    / render_planes live STACKED in the group's `_GroupBatch`; the
+    properties slice this slot's column out lazily on first access (21/9/9
+    device slices respectively — paid only for slots somebody reads) and
+    cache it. Writing any of them detaches the slot from the batch (after
+    materializing what the batch still held) and marks the batch dirty so
+    the next step restacks from per-slot authorities."""
+
+    def __init__(self, spawner, compiled, state, outputs, capacity, transform,
+                 global_transform, parent_velocity, modifier, finished_observers,
+                 finished_fired, seed, render_planes=None):
+        self.spawner = spawner
+        self.compiled = compiled
+        self.capacity = capacity
+        self.transform = transform
+        self.global_transform = global_transform
+        self.parent_velocity = parent_velocity
+        self.modifier = modifier
+        self.finished_observers = finished_observers
+        self.finished_fired = finished_fired
+        self.seed = seed
+        self._state = state
+        self._outputs = outputs
+        self._render_planes = render_planes
+        self._batch = None  # (batch, idx) when a _GroupBatch holds authority
+
+    def _slice(self, tree, idx):
+        return jax.tree_util.tree_map(lambda x: x[idx], tree)
+
+    def attach_batch(self, batch: "_GroupBatch", idx: int):
+        """Hand authority to a freshly stepped group batch (no setter side
+        effects — the batch IS the new value of all three)."""
+        self._batch = (batch, idx)
+        self._state = None
+        self._outputs = None
+        self._render_planes = None
+
+    def _detach(self):
+        """Materialize everything the batch still holds for this slot, then
+        go standalone and mark the batch for restacking."""
+        if self._batch is None:
+            return
+        _ = self.state
+        _ = self.outputs
+        _ = self.render_planes
+        batch, _i = self._batch
+        batch.dirty = True
+        self._batch = None
+
+    @property
+    def state(self) -> PoolState:
+        if self._state is None and self._batch is not None:
+            self._state = self._slice(self._batch[0].states, self._batch[1])
+        return self._state
+
+    @state.setter
+    def state(self, v):
+        self._detach()
+        self._state = v
+
+    @property
+    def outputs(self) -> Optional[StepOutputs]:
+        if self._outputs is None and self._batch is not None:
+            self._outputs = self._slice(self._batch[0].outputs, self._batch[1])
+        return self._outputs
+
+    @outputs.setter
+    def outputs(self, v):
+        self._detach()
+        self._outputs = v
+
+    @property
+    def render_planes(self) -> Optional[tuple]:
+        if self._render_planes is None and self._batch is not None:
+            batch, i = self._batch
+            if batch.planes is not None:
+                self._render_planes = self._slice(batch.planes, i)
+        return self._render_planes
+
+    @render_planes.setter
+    def render_planes(self, v):
+        self._detach()
+        self._render_planes = v
 
 
 @dataclasses.dataclass(frozen=True)
@@ -212,6 +309,7 @@ class Scene:
         self._seed = seed
         self.time = 0.0
         self._last_step_dispatches = 0  # archetype groups launched last step
+        self._batches: Dict[tuple, _GroupBatch] = {}  # stacked group authority
         for col in colliders or []:
             self.add_collider(col)
 
@@ -436,40 +534,77 @@ class Scene:
         unchanged."""
         self.time += float(dt)
         self._last_dt = float(dt)
+        self._run_groups(dt, n_frames=1)
+
+    def _run_groups(self, dt: float, n_frames: int):
         groups: Dict[tuple, List[int]] = {}
         for sid, slot in self._spawners.items():
             key = (slot.compiled.static, slot.capacity)
             groups.setdefault(key, []).append(sid)
         self._last_step_dispatches = 0
-        for (static, _cap), sids in groups.items():
+        new_batches: Dict[tuple, _GroupBatch] = {}
+        for key, sids in groups.items():
+            static, _cap = key
             colliders = self._colliders if static.any_collision else None
             slots = [self._spawners[sid] for sid in sids]
             frames = [self._frame_for(s, dt) for s in slots]
             self._last_step_dispatches += 1
             if len(slots) == 1:
                 slot = slots[0]
-                slot.state, slot.outputs, slot.render_planes = step_auto_packed_jit(
-                    slot.compiled.static, slot.compiled.params, colliders, slot.state, frames[0]
-                )
+                if n_frames == 1:
+                    slot.state, slot.outputs, slot.render_planes = step_auto_packed_jit(
+                        static, slot.compiled.params, colliders, slot.state, frames[0]
+                    )
+                else:
+                    slot.state, slot.outputs, slot.render_planes = multi_step_auto_packed(
+                        static, slot.compiled.params, colliders, slot.state, frames[0], n_frames
+                    )
             else:
-                states_out, outs, planes_out = _batched_scene_step(
-                    static,
-                    tuple(s.compiled.params for s in slots),
-                    colliders,
-                    tuple(s.state for s in slots),
-                    tuple(frames),
-                )
-                for slot, st, out, pl in zip(slots, states_out, outs, planes_out):
-                    slot.state, slot.outputs, slot.render_planes = st, out, pl
+                F = _stack_frames_np(frames)
+                sids_t = tuple(sids)
+                batch = self._batches.get(key)
+                if batch is not None and batch.sids == sids_t and not batch.dirty:
+                    # steady state: the previous frame's stacked trees feed
+                    # the next dispatch directly — no per-member handles
+                    if n_frames == 1:
+                        S2, O, planes = _group_step_stacked(
+                            static, batch.params, colliders, batch.states, F
+                        )
+                    else:
+                        S2, O, planes = _group_multi_step_stacked(
+                            static, batch.params, colliders, batch.states, F, n_frames
+                        )
+                    P = batch.params
+                else:
+                    params = tuple(s.compiled.params for s in slots)
+                    states = tuple(s.state for s in slots)  # materializes lazies
+                    if n_frames == 1:
+                        P, S2, O, planes = _group_step_fresh(
+                            static, params, colliders, states, F
+                        )
+                    else:
+                        P, S2, O, planes = _group_multi_step_fresh(
+                            static, params, colliders, states, F, n_frames
+                        )
+                nb = _GroupBatch(sids_t, P, S2, O, planes)
+                new_batches[key] = nb
+                for i, slot in enumerate(slots):
+                    slot.attach_batch(nb, i)
             for sid, slot in zip(sids, slots):
                 # host-side event surfacing (syncs only when someone cares)
                 if slot.finished_observers and not slot.finished_fired:
-                    if bool(slot.outputs.finished_event):
+                    fired_now = (
+                        bool(slot.outputs.finished_event)
+                        if n_frames == 1
+                        else bool(slot.state.finished_notified)
+                    )
+                    if fired_now:
                         slot.finished_fired = True
                         for cb in slot.finished_observers:
                             cb(sid)
                 if slot.compiled.static.any_destroyed_dump:
                     self._dispatch_destroyed(sid, slot)
+        self._batches = new_batches
 
     def step_n(self, dt: float, n_frames: int):
         """Fast-forward n frames in ONE device dispatch per spawner (the
@@ -481,45 +616,7 @@ class Scene:
             return
         self.time += float(dt) * n_frames
         self._last_dt = float(dt)
-        groups: Dict[tuple, List[int]] = {}
-        for sid, slot in self._spawners.items():
-            key = (slot.compiled.static, slot.capacity)
-            groups.setdefault(key, []).append(sid)
-        self._last_step_dispatches = 0
-        for (static, _cap), sids in groups.items():
-            colliders = self._colliders if static.any_collision else None
-            slots = [self._spawners[sid] for sid in sids]
-            frames = [self._frame_for(s, dt) for s in slots]
-            watch = {
-                sid: bool(s.state.finished_notified)
-                for sid, s in zip(sids, slots)
-                if s.finished_observers and not s.finished_fired
-            }
-            self._last_step_dispatches += 1
-            if len(slots) == 1:
-                slot = slots[0]
-                slot.state, slot.outputs, slot.render_planes = multi_step_auto_packed(
-                    static, slot.compiled.params, colliders, slot.state, frames[0], n_frames
-                )
-            else:
-                states_out, outs, planes_out = _batched_scene_multi_step(
-                    static,
-                    tuple(s.compiled.params for s in slots),
-                    colliders,
-                    tuple(s.state for s in slots),
-                    tuple(frames),
-                    n_frames,
-                )
-                for slot, st, out, pl in zip(slots, states_out, outs, planes_out):
-                    slot.state, slot.outputs, slot.render_planes = st, out, pl
-            for sid, slot in zip(sids, slots):
-                if sid in watch:
-                    if bool(slot.state.finished_notified) and not watch[sid]:
-                        slot.finished_fired = True
-                        for cb in slot.finished_observers:
-                            cb(sid)
-                if slot.compiled.static.any_destroyed_dump:
-                    self._dispatch_destroyed(sid, slot)
+        self._run_groups(dt, n_frames=n_frames)
 
     def _dispatch_destroyed(self, sid: int, slot: _SpawnerSlot):
         mask = np.asarray(slot.outputs.destroyed_mask)

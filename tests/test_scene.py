@@ -417,3 +417,53 @@ def test_scene_step_n_batched_matches_step_loop():
             np.testing.assert_allclose(
                 np.asarray(getattr(sa, f))[alive], np.asarray(getattr(sb, f))[alive],
                 atol=1e-6, err_msg=f"sid {sid} {f}")
+
+
+def test_batched_group_mutation_restacks_correctly():
+    """Mutating one member of a stacked group (queue_particles, set_enabled)
+    detaches it, dirties the batch, and the next step restacks — per-member
+    behaviour must match isolated scenes doing the same operations."""
+
+    def sp():
+        return ParticleSpawner(
+            particle_settings=[ParticleSettings(lifetime=RandF32.constant(5.0))],
+            emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.on_demand())],
+        )
+
+    big = Scene(seed=2)
+    sids = [big.add_spawner(sp(), capacity=64) for _ in range(3)]
+    solos = [Scene(seed=2 + i) for i in range(3)]
+    for i, s in enumerate(solos):
+        s.add_spawner(sp(), capacity=64)
+
+    def both(fn_big, fn_solo):
+        fn_big()
+        fn_solo()
+
+    # a few steady batched steps first
+    for _ in range(3):
+        big.step(1 / 60)
+        for s in solos:
+            s.step(1 / 60)
+    # mutate ONE member mid-run
+    big.queue_particles(sids[1], 7)
+    solos[1].queue_particles(0, 7)
+    big.step(1 / 60)
+    for s in solos:
+        s.step(1 / 60)
+    # steady again, then disable another member
+    big.set_enabled(sids[2], False)
+    solos[2].set_enabled(0, False)
+    big.queue_particles(sids[2], 9)  # queued but disabled -> no spawn
+    solos[2].queue_particles(0, 9)
+    for _ in range(2):
+        big.step(1 / 60)
+        for s in solos:
+            s.step(1 / 60)
+    for i, sid in enumerate(sids):
+        a = big._spawners[sid].state
+        b = solos[i]._spawners[0].state
+        np.testing.assert_array_equal(np.asarray(a.alive), np.asarray(b.alive), err_msg=f"slot {i}")
+        assert int(a.manual_queued) == int(b.manual_queued), f"slot {i} queue"
+    assert big.alive_count(sids[1]) == 7
+    assert big.alive_count(sids[2]) == 0
