@@ -231,11 +231,13 @@ def _measure_scene_batch(n_spawners=12, capacity=8192, rate=6000.0, n_frames=50)
                           transform=Transform(translation=(float(i), 0.0, 0.0)))
     for _ in range(30):
         scene.step(1.0 / 60.0)  # warm + compile
+    for b in scene._batches.values():
+        np.asarray(b.states.px)  # drain warmup (compiles/first-exec) BEFORE t0
     t0 = time.perf_counter()
     for _ in range(n_frames):
         scene.step(1.0 / 60.0)
-    for slot in scene._spawners.values():
-        np.asarray(slot.state.px)  # fence
+    for b in scene._batches.values():
+        np.asarray(b.states.px)  # fence on the stacked authority
     ms = (time.perf_counter() - t0) / n_frames * 1e3
     return {
         "spawners": n_spawners,

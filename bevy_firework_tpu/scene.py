@@ -81,6 +81,16 @@ def _stack_frames_np(frames):
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *frames)
 
 
+def _stack_trees_np(trees):
+    """Stack S member pytrees into one [S, ...] tree on the HOST (bit-exact
+    numpy round-trip). Stacking inside a jit instead explodes the program to
+    S x leaves parameters + as many concats — measured ~170 s of XLA compile
+    for a 12-member group vs 1.6 s for the stacked-in/stacked-out program —
+    so group (re)formation pays a one-time device->host->device copy of the
+    member states here instead."""
+    return jax.tree_util.tree_map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *trees)
+
+
 def _vmapped_packed_step(static, colliders):
     return lambda P, S, F: jax.vmap(
         lambda p, s, f: step_auto_packed(static, p, colliders, s, f)
@@ -89,19 +99,9 @@ def _vmapped_packed_step(static, colliders):
 
 @partial(jax.jit, static_argnums=(0,))
 def _group_step_stacked(static, P, colliders, S, F):
-    """Steady-state group step: stacked in, stacked out."""
+    """Group step: stacked in, stacked out (formation passes host-stacked
+    trees; steady state feeds the previous frame's on-device results)."""
     return _vmapped_packed_step(static, colliders)(P, S, F)
-
-
-@partial(jax.jit, static_argnums=(0,))
-def _group_step_fresh(static, params_list, colliders, states_list, F):
-    """Group (re)formation step: stack the member trees inside the jit,
-    return the stacked params for reuse by _group_step_stacked."""
-    stack = lambda *xs: jax.numpy.stack(xs)
-    P = jax.tree_util.tree_map(stack, *params_list)
-    S = jax.tree_util.tree_map(stack, *states_list)
-    S2, O, planes = _vmapped_packed_step(static, colliders)(P, S, F)
-    return P, S2, O, planes
 
 
 def _group_scan(static, colliders, P, S, F, n_frames):
@@ -116,15 +116,6 @@ def _group_scan(static, colliders, P, S, F, n_frames):
 @partial(jax.jit, static_argnums=(0, 5))
 def _group_multi_step_stacked(static, P, colliders, S, F, n_frames):
     return _group_scan(static, colliders, P, S, F, n_frames)
-
-
-@partial(jax.jit, static_argnums=(0, 5))
-def _group_multi_step_fresh(static, params_list, colliders, states_list, F, n_frames):
-    stack = lambda *xs: jax.numpy.stack(xs)
-    P = jax.tree_util.tree_map(stack, *params_list)
-    S = jax.tree_util.tree_map(stack, *states_list)
-    S2, O, planes = _group_scan(static, colliders, P, S, F, n_frames)
-    return P, S2, O, planes
 
 DEFAULT_CAPACITY = 16384
 _FUSED_TILE = 8192  # fused-kernel alignment (ops.fused_step BLOCK_ROWS*LANES)
@@ -566,26 +557,18 @@ class Scene:
                 if batch is not None and batch.sids == sids_t and not batch.dirty:
                     # steady state: the previous frame's stacked trees feed
                     # the next dispatch directly — no per-member handles
-                    if n_frames == 1:
-                        S2, O, planes = _group_step_stacked(
-                            static, batch.params, colliders, batch.states, F
-                        )
-                    else:
-                        S2, O, planes = _group_multi_step_stacked(
-                            static, batch.params, colliders, batch.states, F, n_frames
-                        )
-                    P = batch.params
+                    P, S = batch.params, batch.states
                 else:
-                    params = tuple(s.compiled.params for s in slots)
-                    states = tuple(s.state for s in slots)  # materializes lazies
-                    if n_frames == 1:
-                        P, S2, O, planes = _group_step_fresh(
-                            static, params, colliders, states, F
-                        )
-                    else:
-                        P, S2, O, planes = _group_multi_step_fresh(
-                            static, params, colliders, states, F, n_frames
-                        )
+                    # (re)formation: stack member trees on the host (see
+                    # _stack_trees_np) and pin the params on device once
+                    P = jax.device_put(_stack_trees_np([s.compiled.params for s in slots]))
+                    S = _stack_trees_np([s.state for s in slots])  # materializes lazies
+                if n_frames == 1:
+                    S2, O, planes = _group_step_stacked(static, P, colliders, S, F)
+                else:
+                    S2, O, planes = _group_multi_step_stacked(
+                        static, P, colliders, S, F, n_frames
+                    )
                 nb = _GroupBatch(sids_t, P, S2, O, planes)
                 new_batches[key] = nb
                 for i, slot in enumerate(slots):
