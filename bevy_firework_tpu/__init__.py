@@ -45,6 +45,7 @@ from .settings import (
 )
 from .physics_sync import RigidBodyState, linear_velocity_at_point, propagate_modifiers, sync_parent_velocity
 from .render_pipeline import AsyncRenderReader
+from .shaders.specialize import DummyTextures, PipelineCache, PipelineKey, key_for
 from .step import StepOutputs, multi_step, step, step_jit
 
 __version__ = "0.1.0"
@@ -56,6 +57,7 @@ __all__ = [
     "ColliderTable",
     "CompiledSpawner",
     "DestroyedParticle",
+    "DummyTextures",
     "EffectModifier",
     "EmissionMode",
     "EmissionPacing",
@@ -70,6 +72,8 @@ __all__ = [
     "ParticleEventHandlers",
     "ParticleSettings",
     "ParticleSpawner",
+    "PipelineCache",
+    "PipelineKey",
     "PoolState",
     "RandF32",
     "RandVec3",
@@ -89,6 +93,7 @@ __all__ = [
     "init_pool",
     "init_pool_for",
     "instances_to_bytes",
+    "key_for",
     "linear_velocity_at_point",
     "load_pool",
     "load_scene",

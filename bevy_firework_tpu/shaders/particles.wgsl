@@ -14,6 +14,15 @@
 //
 // Host engines provide group(0)/group(1) view + lighting bindings in their
 // own idiom; group(2) is this system's uniform + textures.
+//
+// Shader defs (naga_oil-style `#ifdef`, resolved by shaders.specialize
+// before compilation — the reference's FireworkSpecializer mapping,
+// `/root/reference/src/render.rs:805-867`):
+//   DEPTH_PREPASS — depth-prepass texture bound; gates the whole
+//     scene-fade block (compiled out without it, reference
+//     particles.wgsl:149-155).
+//   MULTISAMPLED  — the prepass texture is multisampled; textureLoad
+//     takes a sample index (reference particles.wgsl:241-249).
 
 struct ViewLike {
     view_proj: mat4x4<f32>,
@@ -37,7 +46,11 @@ const FLAG_ORM_TEXTURE: u32 = 4u;
 @group(0) @binding(0) var<uniform> view: ViewLike;
 
 @group(2) @binding(0) var<uniform> system: SystemUniform;
+#ifdef MULTISAMPLED
+@group(2) @binding(1) var depth_prepass: texture_depth_multisampled_2d;
+#else // MULTISAMPLED
 @group(2) @binding(1) var depth_prepass: texture_depth_2d;
+#endif // MULTISAMPLED
 @group(2) @binding(2) var base_tex: texture_2d<f32>;
 @group(2) @binding(3) var base_samp: sampler;
 @group(2) @binding(4) var normal_tex: texture_2d<f32>;
@@ -142,10 +155,16 @@ fn vertex(in: VsIn) -> VsOut {
 // fragment
 // ---------------------------------------------------------------------------
 
-fn prepass_depth_at(frag_coord: vec4<f32>) -> f32 {
+#ifdef DEPTH_PREPASS
+fn prepass_depth_at(frag_coord: vec4<f32>, sample_index: u32) -> f32 {
     let coords = vec2<i32>(frag_coord.xy);
+#ifdef MULTISAMPLED
+    return textureLoad(depth_prepass, coords, i32(sample_index));
+#else // MULTISAMPLED
     return textureLoad(depth_prepass, coords, 0);
+#endif // MULTISAMPLED
 }
+#endif // DEPTH_PREPASS
 
 @fragment
 fn fragment(in: VsOut, @builtin(position) frag_coord: vec4<f32>) -> @location(0) vec4<f32> {
@@ -169,12 +188,15 @@ fn fragment(in: VsOut, @builtin(position) frag_coord: vec4<f32>) -> @location(0)
     // Reference semantics (reference particles.wgsl:149-155): compare
     // INVERSE window depths — with reverse-Z, 1/z is proportional to linear
     // view distance — and smoothstep the absolute difference over
-    // fade_scene. Larger fade_scene => wider, softer fade band.
+    // fade_scene. Larger fade_scene => wider, softer fade band. Without a
+    // depth prepass the whole block is compiled out (DEPTH_PREPASS def).
+#ifdef DEPTH_PREPASS
     if (system.fade_scene > 0.0) {
-        let scene_z = prepass_depth_at(frag_coord);
+        let scene_z = prepass_depth_at(frag_coord, 0u);
         let diff = abs(1.0 / frag_coord.z - 1.0 / scene_z);
         color.a = color.a * smoothstep(0.0, system.fade_scene, diff);
     }
+#endif // DEPTH_PREPASS
 
     if (color.a <= 0.0) {
         discard;

@@ -1,0 +1,215 @@
+"""Pipeline specialization: the reference's exact key->variant mapping,
+executed (SURVEY components #18/#19).
+
+Pins, against `/root/reference/src/render.rs`:
+  * every reachable (msaa x prepass x hdr x alpha_mode) variant of the
+    shipped WGSL preprocesses AND passes the static checker — shader rot
+    in any branch of an `#ifdef` fails here, not at a consumer;
+  * the target blend state is ALWAYS standard alpha blending
+    (`render.rs:855-859`), regardless of alpha_mode;
+  * alpha_mode -> key bits (`render.rs:519-535`), with Premultiplied and
+    Add sharing one key;
+  * MULTISAMPLED swaps the depth binding to the multisampled texture type
+    and the textureLoad gains a sample index (`particles.wgsl:241-249`);
+  * DEPTH_PREPASS compiles the scene-fade block in/out;
+  * dummy bindings: every layout slot is filled — absent textures get 1x1
+    dummies, absent prepass gets the per-sample-count depth dummy
+    (`render.rs:85-241`).
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from bevy_firework_tpu.shaders import particles_wgsl_source
+from bevy_firework_tpu.shaders.specialize import (
+    ALPHA_ADD,
+    ALPHA_BLEND,
+    ALPHA_BLENDING,
+    ALPHA_MASK,
+    ALPHA_MULTIPLY,
+    ALPHA_OPAQUE,
+    ALPHA_PREMULTIPLIED,
+    BLEND_ALPHA,
+    BLEND_MULTIPLY,
+    BLEND_PREMULTIPLIED_ALPHA,
+    MAY_DISCARD,
+    DummyTextures,
+    PipelineCache,
+    PipelineKey,
+    key_for,
+    preprocess,
+)
+from bevy_firework_tpu.shaders.wgsl_check import check_wgsl
+
+ALL_ALPHA_MODES = (ALPHA_OPAQUE, ALPHA_MASK, ALPHA_BLEND, ALPHA_PREMULTIPLIED, ALPHA_ADD, ALPHA_MULTIPLY)
+
+
+# ---------------------------------------------------------------------------
+# preprocessor
+# ---------------------------------------------------------------------------
+
+
+def test_preprocess_basic_branches():
+    src = "a\n#ifdef X\nb\n#else\nc\n#endif\nd\n"
+    assert preprocess(src, {"X"}).split() == ["a", "b", "d"]
+    assert preprocess(src, set()).split() == ["a", "c", "d"]
+
+
+def test_preprocess_nested_and_ifndef():
+    src = "#ifdef A\n1\n#ifndef B\n2\n#else\n3\n#endif\n#endif\n"
+    assert preprocess(src, {"A"}).split() == ["1", "2"]
+    assert preprocess(src, {"A", "B"}).split() == ["1", "3"]
+    assert preprocess(src, set()).split() == []
+
+
+def test_preprocess_rejects_unbalanced():
+    with pytest.raises(ValueError):
+        preprocess("#ifdef A\nx\n")
+    with pytest.raises(ValueError):
+        preprocess("#endif\n")
+
+
+# ---------------------------------------------------------------------------
+# every reachable variant compiles (static checker)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("msaa", [1, 4])
+@pytest.mark.parametrize("prepass", [False, True])
+@pytest.mark.parametrize("hdr", [False, True])
+def test_all_variants_pass_checker(msaa, prepass, hdr):
+    cache = PipelineCache()
+    for mode in ALL_ALPHA_MODES:
+        key = key_for(mode, msaa_samples=msaa, depth_prepass=prepass, hdr=hdr)
+        variant = cache.specialize(key)
+        assert check_wgsl(variant.shader_source) == []
+
+
+def test_multisampled_variant_swaps_depth_texture_type():
+    cache = PipelineCache()
+    msaa = cache.specialize(PipelineKey(msaa_samples=4, depth_prepass=True)).shader_source
+    single = cache.specialize(PipelineKey(msaa_samples=1, depth_prepass=True)).shader_source
+    assert "texture_depth_multisampled_2d" in msaa
+    assert "i32(sample_index)" in msaa
+    assert "texture_depth_multisampled_2d" not in single
+    # both still declare the binding (the layout always carries it)
+    assert "depth_prepass: texture_depth_2d" in single
+
+
+def test_depth_prepass_def_gates_scene_fade():
+    cache = PipelineCache()
+    with_pp = cache.specialize(PipelineKey(depth_prepass=True)).shader_source
+    without = cache.specialize(PipelineKey(depth_prepass=False)).shader_source
+    assert "fade_scene" in with_pp and "prepass_depth_at" in with_pp
+    # compiled out entirely without the prepass (reference #ifdef DEPTH_PREPASS)
+    assert "prepass_depth_at" not in without
+    assert "smoothstep(0.0, system.fade_scene" not in without
+
+
+def test_checker_gates_every_branch():
+    """A regression hiding in the MULTISAMPLED-only branch is caught."""
+    bad = particles_wgsl_source().replace("i32(sample_index)", "i32(sample_indexx)")
+    cache = PipelineCache(source=bad)
+    cache.specialize(PipelineKey(msaa_samples=1, depth_prepass=True))  # branch unused: fine
+    with pytest.raises(ValueError):
+        cache.specialize(PipelineKey(msaa_samples=4, depth_prepass=True))
+
+
+# ---------------------------------------------------------------------------
+# key mapping + descriptor invariants (render.rs:519-535, 775-867)
+# ---------------------------------------------------------------------------
+
+
+def test_alpha_mode_key_bits():
+    assert key_for(ALPHA_BLEND).blend_bit == BLEND_ALPHA
+    assert key_for(ALPHA_PREMULTIPLIED).blend_bit == BLEND_PREMULTIPLIED_ALPHA
+    # Premultiplied and Add SHARE one pipeline key (render.rs:523-527)
+    assert key_for(ALPHA_ADD).blend_bit == BLEND_PREMULTIPLIED_ALPHA
+    assert key_for(ALPHA_PREMULTIPLIED) == key_for(ALPHA_ADD)
+    assert key_for(ALPHA_MULTIPLY).blend_bit == BLEND_MULTIPLY
+    assert key_for(ALPHA_MASK).blend_bit == MAY_DISCARD
+    assert key_for(ALPHA_OPAQUE).blend_bit is None
+
+
+def test_blend_state_is_always_alpha_blending():
+    """render.rs:855-859: the hardware blend equation never varies with
+    alpha_mode — the round-trip trap this module exists to document."""
+    cache = PipelineCache()
+    for mode, msaa, prepass in itertools.product(ALL_ALPHA_MODES, (1, 4), (False, True)):
+        v = cache.specialize(key_for(mode, msaa_samples=msaa, depth_prepass=prepass))
+        assert v.blend == ALPHA_BLENDING
+        assert v.multisample_count == msaa
+        assert v.depth_compare == "greater" and v.depth_write_enabled is False
+        assert v.cull_mode is None and v.topology == "triangle-list"
+
+
+def test_target_format_tracks_hdr():
+    assert PipelineKey(hdr=True).target_format() == "rgba16float"
+    assert PipelineKey(hdr=False).target_format() == "bgra8unorm-srgb"
+
+
+def test_cache_memoizes():
+    cache = PipelineCache()
+    a = cache.specialize(PipelineKey(depth_prepass=True))
+    b = cache.specialize(PipelineKey(depth_prepass=True))
+    assert a is b
+    # alpha_mode variants that share key bits share the pipeline
+    c = cache.specialize(key_for(ALPHA_PREMULTIPLIED))
+    d = cache.specialize(key_for(ALPHA_ADD))
+    assert c is d
+    assert len(cache) == 2
+
+
+# ---------------------------------------------------------------------------
+# layout + dummy bindings (render.rs:85-241, 820-824)
+# ---------------------------------------------------------------------------
+
+
+def test_layout_depth_entry_always_present_and_msaa_swaps_it():
+    cache = PipelineCache()
+    plain = cache.specialize(PipelineKey(msaa_samples=1)).layout
+    msaa = cache.specialize(PipelineKey(msaa_samples=4)).layout
+    d1 = next(e for e in plain if e["binding"] == 1)
+    d4 = next(e for e in msaa if e["binding"] == 1)
+    assert d1["sample_type"] == "depth" and d1["multisampled"] is False
+    assert d4["sample_type"] == "depth" and d4["multisampled"] is True
+    assert [e["binding"] for e in plain] == [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def test_dummy_bindings_fill_every_slot():
+    dummies = DummyTextures()
+    key = PipelineKey(msaa_samples=4, depth_prepass=False)
+    entries = dummies.bind_group_entries(flags=0, key=key)
+    assert [e["binding"] for e in entries] == [0, 1, 2, 3, 4, 5, 6, 7]
+    depth = next(e for e in entries if e["binding"] == 1)
+    assert depth["real"] is False
+    assert 4 in dummies.depth_textures  # per-sample-count dummy created
+    for b in (2, 4, 6):
+        e = next(x for x in entries if x["binding"] == b)
+        assert e["real"] is False
+        np.testing.assert_array_equal(e["resource"], np.ones((1, 1, 4), np.float32))
+
+
+def test_real_textures_bound_when_flagged():
+    dummies = DummyTextures()
+    tex = np.zeros((8, 8, 4), np.float32)
+    prepass = np.zeros((16, 16), np.float32)
+    entries = dummies.bind_group_entries(
+        flags=1 | 4,  # base + orm real, normal absent
+        key=PipelineKey(depth_prepass=True),
+        textures={"base_color": tex, "orm": tex},
+        prepass_texture=prepass,
+    )
+    by_binding = {e["binding"]: e for e in entries}
+    assert by_binding[1]["real"] is True and by_binding[1]["resource"] is prepass
+    assert by_binding[2]["real"] is True and by_binding[2]["resource"] is tex
+    assert by_binding[4]["real"] is False  # dummy despite textures dict: flag unset
+    assert by_binding[6]["real"] is True
+
+
+def test_flag_without_texture_falls_back_to_dummy():
+    dummies = DummyTextures()
+    entries = dummies.bind_group_entries(flags=1, key=PipelineKey(), textures={})
+    assert next(e for e in entries if e["binding"] == 2)["real"] is False

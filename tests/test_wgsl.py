@@ -21,6 +21,7 @@ import pytest
 
 from bevy_firework_tpu.render import FireworkUniform, RenderItem
 from bevy_firework_tpu.shaders import particles_wgsl_source
+from bevy_firework_tpu.shaders.specialize import preprocess
 from bevy_firework_tpu.shaders.wgsl_check import check_wgsl
 from bevy_firework_tpu.viewer import Camera, render_frame
 
@@ -29,7 +30,9 @@ INSTANCE_CONTRACT = {3: "pos_scale", 4: "rotation", 5: "base_color", 6: "emissiv
 
 @pytest.fixture(scope="module")
 def src():
-    return particles_wgsl_source()
+    """The depth-prepass (non-msaa) variant — the configuration every
+    reference example renders with; test_specialize sweeps the rest."""
+    return preprocess(particles_wgsl_source(), {"DEPTH_PREPASS"})
 
 
 # ---------------------------------------------------------------------------
