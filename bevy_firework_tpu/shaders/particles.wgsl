@@ -166,8 +166,14 @@ fn prepass_depth_at(frag_coord: vec4<f32>, sample_index: u32) -> f32 {
 }
 #endif // DEPTH_PREPASS
 
+// NOTE: the fragment reads the window-space position through the input
+// struct's @builtin(position) member (clip_position becomes frag coords in
+// the fragment stage). Declaring a SECOND @builtin(position) parameter
+// alongside the struct is a duplicate-builtin validation error in
+// naga/tint — wgsl_check pins this.
+
 @fragment
-fn fragment(in: VsOut, @builtin(position) frag_coord: vec4<f32>) -> @location(0) vec4<f32> {
+fn fragment(in: VsOut) -> @location(0) vec4<f32> {
     var color = in.base_color;
     var emissive = in.emissive;
 
@@ -192,8 +198,8 @@ fn fragment(in: VsOut, @builtin(position) frag_coord: vec4<f32>) -> @location(0)
     // depth prepass the whole block is compiled out (DEPTH_PREPASS def).
 #ifdef DEPTH_PREPASS
     if (system.fade_scene > 0.0) {
-        let scene_z = prepass_depth_at(frag_coord, 0u);
-        let diff = abs(1.0 / frag_coord.z - 1.0 / scene_z);
+        let scene_z = prepass_depth_at(in.clip_position, 0u);
+        let diff = abs(1.0 / in.clip_position.z - 1.0 / scene_z);
         color.a = color.a * smoothstep(0.0, system.fade_scene, diff);
     }
 #endif // DEPTH_PREPASS

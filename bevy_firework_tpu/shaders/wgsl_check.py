@@ -13,6 +13,9 @@ on the regressions that actually happen to hand-edited shaders —
     struct fields of known uniform/IO structs),
   * calls to unknown functions or user functions with the wrong arity,
   * missing @vertex/@fragment entry points,
+  * the same stage builtin declared twice in one entry point's inputs
+    (e.g. `@builtin(position)` both inside the IO struct and as a separate
+    parameter — naga/tint reject this as a duplicate-builtin error),
   * instance-attribute locations drifting from the documented contract.
 
 It is NOT a full WGSL front end (no type inference, no generics checking);
@@ -119,15 +122,18 @@ def _match_brace(src: str, open_pos: int) -> int:
     raise WgslError(f"line {_line_of(src, open_pos)}: unclosed brace")
 
 
-def _parse_structs(src: str) -> Dict[str, Set[str]]:
+def _parse_structs(src: str) -> Tuple[Dict[str, Set[str]], Dict[str, List[str]]]:
+    """name -> field names, plus name -> stage builtins declared on fields."""
     structs: Dict[str, Set[str]] = {}
+    struct_builtins: Dict[str, List[str]] = {}
     for m in re.finditer(rf"\bstruct\s+({_ID})\s*{{", src):
         body = src[m.end() : _match_brace(src, m.end() - 1) - 1]
         fields = set(re.findall(rf"({_ID})\s*:", body))
         # strip attribute args that look like `@builtin(position) name:`
         fields -= {"builtin", "location", "interpolate", "align", "size"}
         structs[m.group(1)] = fields
-    return structs
+        struct_builtins[m.group(1)] = re.findall(rf"@builtin\(({_ID})\)", body)
+    return structs, struct_builtins
 
 
 def _parse_globals(src: str) -> Dict[str, Optional[str]]:
@@ -161,6 +167,7 @@ def _parse_functions(src: str) -> Dict[str, dict]:
                     break
             i += 1
         params_src = src[m.end() : i]
+        param_builtins = re.findall(rf"@builtin\(({_ID})\)", params_src)
         brace = src.find("{", i)
         if brace < 0:
             raise WgslError(f"line {_line_of(src, m.start())}: fn {name} has no body")
@@ -171,6 +178,7 @@ def _parse_functions(src: str) -> Dict[str, dict]:
         attrs = set(re.findall(rf"@({_ID})", src[max(0, m.start() - 80) : m.start()]))
         fns[name] = {
             "params": params,
+            "param_builtins": param_builtins,
             "body": src[brace + 1 : end - 1],
             "body_pos": brace + 1,
             "attrs": attrs,
@@ -207,7 +215,7 @@ def check_wgsl(src: str, *, instance_locations: Optional[Dict[int, str]] = None)
         _check_balance(src, errors)
         if errors:
             return errors
-        structs = _parse_structs(src)
+        structs, struct_builtins = _parse_structs(src)
         globals_ = _parse_globals(src)
         fns = _parse_functions(src)
     except WgslError as e:
@@ -220,6 +228,22 @@ def check_wgsl(src: str, *, instance_locations: Optional[Dict[int, str]] = None)
         errors.append("no @vertex entry point")
     if not fragment_fns:
         errors.append("no @fragment entry point")
+
+    # duplicate stage-builtin inputs on an entry point: each builtin may be
+    # consumed exactly once across the direct parameters and any struct-typed
+    # parameters' fields (naga/tint validation error otherwise — e.g. a
+    # second `@builtin(position)` param next to a VsOut that already carries
+    # clip_position).
+    for ename in vertex_fns + fragment_fns:
+        f = fns[ename]
+        seen: List[str] = list(f["param_builtins"])
+        for _, ptype in f["params"]:
+            seen.extend(struct_builtins.get(ptype, []))
+        for b in sorted({b for b in seen if seen.count(b) > 1}):
+            errors.append(
+                f"entry point {ename}: builtin '{b}' declared "
+                f"{seen.count(b)} times across its inputs"
+            )
 
     known_callables = BUILTIN_FUNCS | TYPE_NAMES | set(fns) | set(structs)
 

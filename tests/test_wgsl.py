@@ -53,8 +53,17 @@ def test_shipped_wgsl_passes(src):
         lambda s: s[: s.rfind("}")],  # unbalanced brace
         lambda s: s.replace("@fragment", ""),  # missing entry point
         lambda s: s.replace("@location(4) rotation", "@location(9) rotation"),  # contract drift
+        # the round-2 bug: position builtin both in VsOut and as a second
+        # fragment parameter (duplicate-builtin, rejected by naga/tint)
+        lambda s: s.replace(
+            "fn fragment(in: VsOut)",
+            "fn fragment(in: VsOut, @builtin(position) frag_coord: vec4<f32>)",
+        ),
     ],
-    ids=["typo-call", "bad-field", "renamed-fn", "unbalanced", "no-entry", "wrong-location"],
+    ids=[
+        "typo-call", "bad-field", "renamed-fn", "unbalanced", "no-entry",
+        "wrong-location", "dup-builtin",
+    ],
 )
 def test_wgsl_regressions_caught(src, mutate):
     assert check_wgsl(mutate(src), instance_locations=INSTANCE_CONTRACT) != []
@@ -69,7 +78,9 @@ def test_fade_scene_formula_is_reference_shaped(src):
     """Inverse-depth difference + smoothstep over fade_scene, exactly the
     reference's shape (reference particles.wgsl:149-155)."""
     frag = src[src.index("fn fragment") :]
-    assert re.search(r"abs\(\s*1\.0\s*/\s*frag_coord\.z\s*-\s*1\.0\s*/\s*scene_z\s*\)", frag)
+    assert re.search(
+        r"abs\(\s*1\.0\s*/\s*in\.clip_position\.z\s*-\s*1\.0\s*/\s*scene_z\s*\)", frag
+    )
     assert re.search(r"smoothstep\(\s*0\.0\s*,\s*system\.fade_scene\s*,\s*diff\s*\)", frag)
     # the round-1 inversion must not come back
     assert "fade_scene * 1e3" not in src
