@@ -24,15 +24,25 @@ BASELINE_STEPS_PER_SEC = 9.6e6  # BASELINE.md frame-rate-parity estimate
 TARGET_LIVE = 100_000
 
 
+def _fence(arr) -> float:
+    """Device fence: on this environment's axon attach jax.block_until_ready
+    can return without waiting, so only a value fetch reliably fences — but
+    fetching a pool-sized array (1.3 M f32 = 5 MB at 1 M lanes) rides the
+    tunnel and its transfer-time variance swamps the differential being
+    measured (it turned the 1M extras negative). Reduce on device and fetch
+    4 bytes instead."""
+    import numpy as np
+
+    return float(np.asarray(arr.sum()))
+
+
 def _measure(spawner, rate, capacity, colliders=None, warmup=140, n_frames=100, reps=5):
     """Steady-state device throughput (frames chained on-device — the
     deployment shape, simulation running ahead of readback like the
     reference's pipelined main/render worlds). Returns (alive, ms/frame).
 
     Timing is DIFFERENTIAL and readback-forced: run n and 2n frame chains,
-    each followed by a full np.asarray readback of one field (on this
-    environment's axon attach, jax.block_until_ready can return without
-    waiting, so only a value fetch is a reliable fence), and report
+    each followed by a 4-byte `_fence` readback, and report
     (t_2n - t_n) / n — per-call constants (dispatch, readback, fences)
     cancel, leaving the marginal per-frame device time."""
     import numpy as np
@@ -47,12 +57,12 @@ def _measure(spawner, rate, capacity, colliders=None, warmup=140, n_frames=100, 
     state = init_pool_for(compiled, capacity, seed=0)
     frame = make_frame_input(1.0 / 60.0)
     state, out = multi_step_auto(compiled.static, compiled.params, table, state, frame, warmup)
-    np.asarray(state.px)
+    _fence(state.px)
     alive = int(out.alive_count)
 
     def run(n):
         s, _o = multi_step_auto(compiled.static, compiled.params, table, state, frame, n)
-        np.asarray(s.px)  # forced device fence (see docstring)
+        _fence(s.px)  # 4-byte device fence (see _fence)
 
     run(n_frames)
     run(2 * n_frames)  # compile both chain lengths
@@ -112,11 +122,11 @@ def _measure_nested(warmup=150, n_frames=100, reps=5):
     state = init_pool_for(compiled, 16 * 8192, seed=0)
     frame = make_frame_input(1.0 / 60.0)
     state, out = multi_step_auto(compiled.static, compiled.params, None, state, frame, warmup)
-    np.asarray(state.px)
+    _fence(state.px)
 
     def run(n):
         s, _o = multi_step_auto(compiled.static, compiled.params, None, state, frame, n)
-        np.asarray(s.px)
+        _fence(s.px)
 
     run(n_frames)
     run(2 * n_frames)
@@ -152,12 +162,12 @@ def _measure_fleet(n_slots=16, capacity=8 * 8192, rate=55_000.0, warmup=140, n_f
         return multi_step_fleet(static, params, None, ss, fr, k)
 
     states, out = multi(compiled.static, compiled.params, states, frames, warmup)
-    np.asarray(states.px)
+    _fence(states.px)
     alive = int(np.asarray(out.alive_count).sum())
 
     def run(k):
         s, _ = multi(compiled.static, compiled.params, states, frames, k)
-        np.asarray(s.px)
+        _fence(s.px)
 
     run(n_frames)
     run(2 * n_frames)
@@ -198,7 +208,7 @@ def _measure_extract(compiled, state, frame, n_frames=60, reps=7):
         out, _ = jax.lax.scan(body, s, None, length=n)
         return out
 
-    run = lambda n, p: np.asarray(chain(compiled.static, compiled.params, state, n, p).px)
+    run = lambda n, p: _fence(chain(compiled.static, compiled.params, state, n, p).px)
     for p in (False, True):
         run(n_frames, p)
         run(2 * n_frames, p)
