@@ -1,0 +1,343 @@
+"""Execute the SHIPPED WGSL: export simulated frames plus the specialized
+pipeline descriptor to a standalone WebGPU page.
+
+Unlike `web_viewer.py` (a WebGL2 re-implementation of the billboard
+semantics), this page runs `bevy_firework_tpu/shaders/particles.wgsl`
+ITSELF: the JS builds its `GPURenderPipeline` mechanically from the
+serialized `SpecializedPipeline` the engine's `PipelineCache` produced —
+the preprocessed shader source verbatim, the pinned ALPHA_BLENDING blend
+state, reverse-Z `greater` depth with writes off, the group(2) bind-group
+layout (uniform + depth prepass + real-or-dummy material textures), the
+64-byte instance vertex layout at locations 3-6
+(`/root/reference/src/render.rs:737-766`), and one
+`draw(6, count)` per system per frame (`render.rs:926`).
+
+The page also renders a ground-plane depth prepass (the host-engine-side
+work Bevy's prepass does for the reference), so the DEPTH_PREPASS variant's
+`fade_scene` path — `alpha *= smoothstep(0, fade_scene, |1/z - 1/z_scene|)`
+(reference particles.wgsl:149-155) — executes for real: the default scene
+is the `pbr` smoke (fade_scene 3.5) hugging the ground.
+
+Usage: python examples/webgpu_viewer.py [--cpu] [--scene pbr|sparks|mixed]
+Writes examples/out/webgpu_viewer.html — open in a WebGPU browser
+(Chrome/Edge 113+, Safari 18+); no server needed.
+"""
+
+import argparse
+import base64
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+parser.add_argument("--scene", default="mixed", choices=["pbr", "sparks", "mixed"])
+parser.add_argument("--frames", type=int, default=120)
+parser.add_argument("--warmup", type=int, default=90)
+args = parser.parse_args()
+if args.cpu:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+from bevy_firework_tpu import Scene, Transform, instances_to_bytes  # noqa: E402
+from bevy_firework_tpu.models import effects  # noqa: E402
+from bevy_firework_tpu.shaders.specialize import (  # noqa: E402
+    ALPHA_BLEND,
+    PipelineCache,
+    key_for,
+)
+
+scene = Scene(seed=7)
+if args.scene in ("pbr", "mixed"):
+    sp, tf = effects.pbr()
+    scene.add_spawner(sp, capacity=2048, transform=tf)
+if args.scene in ("sparks", "mixed"):
+    sp, tf = effects.sparks()
+    scene.add_spawner(sp, capacity=2048, transform=Transform(translation=(0.0, 0.6, 0.0)))
+
+dt = 1.0 / 60.0
+for _ in range(args.warmup):
+    scene.step(dt)
+
+frames = []
+for _ in range(args.frames):
+    scene.step(dt)
+    fi = []
+    for item in scene.render_items():
+        u = item.uniform
+        fi.append(
+            {
+                "count": int(item.count),
+                # the 32 contract bytes; the page pads the GPU buffer to the
+                # WGSL struct's 48-byte size (the vec3 pad aligns to 16)
+                "uniform": base64.b64encode(u.to_bytes()).decode(),
+                "data": base64.b64encode(instances_to_bytes(item.instances)).decode(),
+            }
+        )
+    frames.append(fi)
+
+# The engine-side specialization: every reference example renders with a
+# depth prepass and no MSAA; alpha_mode only alters KEY bits, never the
+# pipeline state (blend is pinned to ALPHA_BLENDING, render.rs:855-859), so
+# one specialized variant serves every system on this page.
+variant = PipelineCache().specialize(key_for(ALPHA_BLEND, depth_prepass=True))
+desc = dataclasses.asdict(variant)
+del desc["key"]  # everything the consumer needs is in the descriptor fields
+
+HTML = r"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>bevy_firework_tpu - shipped-WGSL WebGPU viewer</title>
+<style>html,body{margin:0;background:#0b0e13;color:#9aa4b2;font:12px monospace;overflow:hidden}
+#hud{position:fixed;left:10px;top:8px;user-select:none;white-space:pre}</style></head>
+<body><canvas id="c"></canvas><div id="hud">starting…</div>
+<script>
+"use strict";
+const DESC = __DESC__;      // SpecializedPipeline, serialized by the engine
+const FRAMES = __FRAMES__;  // per-frame, per-system 64 B instance records
+const hud = document.getElementById("hud");
+const cv = document.getElementById("c");
+
+// ---- page-local (host-engine-side) shaders: Bevy provides these around the
+// reference — a depth prepass and an opaque ground pass. The PARTICLE
+// pipeline below uses only DESC.shader_source, the shipped WGSL.
+const GROUND_WGSL = `
+struct ViewLike { view_proj: mat4x4<f32>, inverse_view: mat4x4<f32>, world_position: vec3<f32> };
+@group(0) @binding(0) var<uniform> view: ViewLike;
+@vertex fn vertex(@location(0) pos: vec3<f32>) -> @builtin(position) vec4<f32> {
+  return view.view_proj * vec4<f32>(pos, 1.0);
+}
+@fragment fn fragment(@builtin(position) p: vec4<f32>) -> @location(0) vec4<f32> {
+  return vec4<f32>(0.075, 0.09, 0.11, 1.0);
+}`;
+
+function mat4mul(a, b) {  // column-major a*b
+  const o = new Float32Array(16);
+  for (let c = 0; c < 4; c++) for (let r = 0; r < 4; r++) {
+    let s = 0;
+    for (let k = 0; k < 4; k++) s += a[k*4+r] * b[c*4+k];
+    o[c*4+r] = s;
+  }
+  return o;
+}
+function lookAt(eye, at) {
+  const up = [0,1,0];
+  let z = [eye[0]-at[0], eye[1]-at[1], eye[2]-at[2]];
+  const zl = Math.hypot(...z); z = z.map(v => v/zl);
+  let x = [up[1]*z[2]-up[2]*z[1], up[2]*z[0]-up[0]*z[2], up[0]*z[1]-up[1]*z[0]];
+  const xl = Math.hypot(...x); x = x.map(v => v/xl);
+  const y = [z[1]*x[2]-z[2]*x[1], z[2]*x[0]-z[0]*x[2], z[0]*x[1]-z[1]*x[0]];
+  const view = new Float32Array([x[0],y[0],z[0],0, x[1],y[1],z[1],0, x[2],y[2],z[2],0,
+    -(x[0]*eye[0]+x[1]*eye[1]+x[2]*eye[2]),
+    -(y[0]*eye[0]+y[1]*eye[1]+y[2]*eye[2]),
+    -(z[0]*eye[0]+z[1]*eye[1]+z[2]*eye[2]), 1]);
+  // inverse of a rigid transform: transpose rotation, eye translation
+  const inv = new Float32Array([x[0],x[1],x[2],0, y[0],y[1],y[2],0, z[0],z[1],z[2],0,
+    eye[0],eye[1],eye[2],1]);
+  return {view, inv};
+}
+// Reverse-Z infinite perspective (depth = near / view_dist, matching the
+// engine's reverse-Z `greater` depth state and the 1/z fade comparison).
+function perspRevZ(fov, aspect, near) {
+  const f = 1/Math.tan(fov/2);
+  return new Float32Array([f/aspect,0,0,0, 0,f,0,0, 0,0,0,-1, 0,0,near,0]);
+}
+
+function decodeFrames() {
+  return FRAMES.map(f => f.map(s => {
+    const bin = atob(s.data); const a = new Uint8Array(bin.length);
+    for (let i = 0; i < bin.length; i++) a[i] = bin.charCodeAt(i);
+    const ub = atob(s.uniform); const u = new Uint8Array(48);  // WGSL struct size
+    for (let i = 0; i < ub.length; i++) u[i] = ub.charCodeAt(i);
+    return {count: s.count, buf: a, uniform: u};
+  }));
+}
+
+async function main() {
+  if (!navigator.gpu) { hud.textContent = "WebGPU unavailable in this browser"; return; }
+  const adapter = await navigator.gpu.requestAdapter();
+  if (!adapter) { hud.textContent = "no WebGPU adapter"; return; }
+  const device = await adapter.requestDevice();
+  const ctx = cv.getContext("webgpu");
+
+  // Target format: the engine key resolved bgra8unorm-srgb (hdr=false,
+  // render.rs:831). Configure the canvas base format and render through an
+  // sRGB view; fall back to the platform-preferred family if it differs.
+  const pref = navigator.gpu.getPreferredCanvasFormat();
+  const srgb = pref + "-srgb";
+  const targetFormat = (srgb === DESC.target_format) ? DESC.target_format : srgb;
+  ctx.configure({device, format: pref, viewFormats: [targetFormat], alphaMode: "opaque"});
+
+  // ---- bind group layouts, built 1:1 from DESC.layout (group 2) ----
+  const g0Layout = device.createBindGroupLayout({entries: [
+    {binding: 0, visibility: GPUShaderStage.VERTEX | GPUShaderStage.FRAGMENT,
+     buffer: {type: "uniform"}},
+  ]});
+  const g1Layout = device.createBindGroupLayout({entries: []});  // view group 1 unused
+  const g2Entries = DESC.layout.map(e => {
+    const out = {binding: e.binding, visibility: GPUShaderStage.FRAGMENT};
+    if (e.type === "uniform-buffer") out.buffer = {type: "uniform"};
+    else if (e.type === "texture")
+      out.texture = {sampleType: e.sample_type, multisampled: !!e.multisampled};
+    else out.sampler = {type: e.filtering ? "filtering" : "non-filtering"};
+    return out;
+  });
+  const g2Layout = device.createBindGroupLayout({entries: g2Entries});
+
+  // ---- THE pipeline: every field comes from the engine's descriptor ----
+  const module = device.createShaderModule({code: DESC.shader_source});
+  const info = await module.getCompilationInfo();
+  const errs = info.messages.filter(m => m.type === "error");
+  if (errs.length) {
+    hud.textContent = "shipped WGSL failed to compile:\n" +
+      errs.map(m => `${m.lineNum}:${m.linePos} ${m.message}`).join("\n");
+    return;
+  }
+  const blend = c => ({srcFactor: c.src_factor, dstFactor: c.dst_factor, operation: c.operation});
+  const particlePipeline = device.createRenderPipeline({
+    layout: device.createPipelineLayout({bindGroupLayouts: [g0Layout, g1Layout, g2Layout]}),
+    vertex: {
+      module, entryPoint: "vertex",
+      buffers: [{
+        arrayStride: 64, stepMode: "instance",  // render.rs:737-766
+        attributes: [3, 4, 5, 6].map((loc, i) =>
+          ({shaderLocation: loc, offset: 16*i, format: "float32x4"})),
+      }],
+    },
+    fragment: {module, entryPoint: "fragment",
+      targets: [{format: targetFormat, blend: {color: blend(DESC.blend.color), alpha: blend(DESC.blend.alpha)}}]},
+    primitive: {topology: DESC.topology, cullMode: DESC.cull_mode ?? undefined},
+    depthStencil: {format: "depth32float",
+      depthWriteEnabled: DESC.depth_write_enabled, depthCompare: DESC.depth_compare},
+    multisample: {count: DESC.multisample_count},
+  });
+
+  // ---- host-engine-side: ground prepass + opaque pass pipelines ----
+  const gmod = device.createShaderModule({code: GROUND_WGSL});
+  const groundLayout = device.createPipelineLayout({bindGroupLayouts: [g0Layout]});
+  const groundVertex = {module: gmod, entryPoint: "vertex",
+    buffers: [{arrayStride: 12, attributes: [{shaderLocation: 0, offset: 0, format: "float32x3"}]}]};
+  const prepassPipeline = device.createRenderPipeline({
+    layout: groundLayout, vertex: groundVertex,  // depth-only: no fragment
+    primitive: {topology: "triangle-list"},
+    depthStencil: {format: "depth32float", depthWriteEnabled: true, depthCompare: "greater"},
+  });
+  const groundPipeline = device.createRenderPipeline({
+    layout: groundLayout, vertex: groundVertex,
+    fragment: {module: gmod, entryPoint: "fragment", targets: [{format: targetFormat}]},
+    primitive: {topology: "triangle-list"},
+    depthStencil: {format: "depth32float", depthWriteEnabled: true, depthCompare: "greater"},
+  });
+
+  const E = 30;
+  const groundVerts = new Float32Array([-E,0,-E, E,0,-E, E,0,E, -E,0,-E, E,0,E, -E,0,E]);
+  const groundBuf = device.createBuffer({size: groundVerts.byteLength, usage: GPUBufferUsage.VERTEX | GPUBufferUsage.COPY_DST});
+  device.queue.writeBuffer(groundBuf, 0, groundVerts);
+
+  // ---- resources: view uniform, dummy textures, per-system bindings ----
+  const viewBuf = device.createBuffer({size: 144, usage: GPUBufferUsage.UNIFORM | GPUBufferUsage.COPY_DST});
+  const g0 = device.createBindGroup({layout: g0Layout, entries: [{binding: 0, resource: {buffer: viewBuf}}]});
+  const g1 = device.createBindGroup({layout: g1Layout, entries: []});
+
+  // DummyTextures analog (render.rs:85-241): 1x1 whites; every exported
+  // system here has flags=0 so dummies are what the engine binds too.
+  const white = device.createTexture({size: [1, 1], format: "rgba8unorm",
+    usage: GPUTextureUsage.TEXTURE_BINDING | GPUTextureUsage.COPY_DST});
+  device.queue.writeTexture({texture: white}, new Uint8Array([255,255,255,255]), {bytesPerRow: 4}, [1,1]);
+  const samp = device.createSampler({magFilter: "linear", minFilter: "linear"});
+
+  const bytes = decodeFrames();
+  const nSystems = Math.max(...bytes.map(f => f.length));
+  const systems = [];
+  let prepassDepth = null, mainDepth = null, depthW = 0, depthH = 0;
+
+  function ensureTargets(w, h) {
+    if (w === depthW && h === depthH) return;
+    depthW = w; depthH = h;
+    const mk = extra => device.createTexture({size: [w, h], format: "depth32float",
+      usage: GPUTextureUsage.RENDER_ATTACHMENT | extra});
+    prepassDepth = mk(GPUTextureUsage.TEXTURE_BINDING);
+    mainDepth = mk(0);
+    for (let i = 0; i < nSystems; i++) {
+      const maxCount = Math.max(1, ...bytes.map(f => f[i] ? f[i].count : 0));
+      if (!systems[i]) {
+        const ubuf = device.createBuffer({size: 48, usage: GPUBufferUsage.UNIFORM | GPUBufferUsage.COPY_DST});
+        device.queue.writeBuffer(ubuf, 0, bytes[0][i].uniform);
+        systems[i] = {ubuf, ibuf: device.createBuffer({size: maxCount * 64,
+          usage: GPUBufferUsage.VERTEX | GPUBufferUsage.COPY_DST})};
+      }
+      // bind group 2 depends on the (resized) prepass depth texture
+      systems[i].g2 = device.createBindGroup({layout: g2Layout, entries: [
+        {binding: 0, resource: {buffer: systems[i].ubuf}},
+        {binding: 1, resource: prepassDepth.createView()},
+        {binding: 2, resource: white.createView()}, {binding: 3, resource: samp},
+        {binding: 4, resource: white.createView()}, {binding: 5, resource: samp},
+        {binding: 6, resource: white.createView()}, {binding: 7, resource: samp},
+      ]});
+    }
+  }
+
+  let fi = 0, t = 0;
+  function draw() {
+    const w = cv.width = innerWidth, h = cv.height = innerHeight;
+    ensureTargets(w, h);
+    t += 0.004;
+    const eye = [9*Math.sin(t), 3.2, 9*Math.cos(t)];
+    const {view, inv} = lookAt(eye, [0, 1.2, 0]);
+    const vp = mat4mul(perspRevZ(0.9, w/h, 0.1), view);
+    const vu = new Float32Array(36);
+    vu.set(vp, 0); vu.set(inv, 16); vu.set(eye, 32);
+    device.queue.writeBuffer(viewBuf, 0, vu);
+
+    const enc = device.createCommandEncoder();
+    // 1) depth prepass (what Bevy's prepass provides the reference shader)
+    const p1 = enc.beginRenderPass({colorAttachments: [], depthStencilAttachment: {
+      view: prepassDepth.createView(), depthClearValue: 0, depthLoadOp: "clear", depthStoreOp: "store"}});
+    p1.setPipeline(prepassPipeline); p1.setBindGroup(0, g0);
+    p1.setVertexBuffer(0, groundBuf); p1.draw(6); p1.end();
+    // 2) main pass: opaque ground, then one instanced draw per system
+    const p2 = enc.beginRenderPass({
+      colorAttachments: [{view: ctx.getCurrentTexture().createView({format: targetFormat}),
+        clearValue: {r: 0.016, g: 0.02, b: 0.03, a: 1}, loadOp: "clear", storeOp: "store"}],
+      depthStencilAttachment: {view: mainDepth.createView(),
+        depthClearValue: 0, depthLoadOp: "clear", depthStoreOp: "store"}});
+    p2.setPipeline(groundPipeline); p2.setBindGroup(0, g0);
+    p2.setVertexBuffer(0, groundBuf); p2.draw(6);
+    let live = 0;
+    p2.setPipeline(particlePipeline);
+    p2.setBindGroup(0, g0); p2.setBindGroup(1, g1);
+    const systemsNow = bytes[fi];
+    for (let i = 0; i < systemsNow.length; i++) {
+      const s = systemsNow[i];
+      if (!s.count) continue;
+      live += s.count;
+      device.queue.writeBuffer(systems[i].ibuf, 0, s.buf, 0, s.count * 64);  // render.rs:568-584
+      p2.setBindGroup(2, systems[i].g2);
+      p2.setVertexBuffer(0, systems[i].ibuf);
+      p2.draw(6, s.count);  // render.rs:926
+    }
+    p2.end();
+    device.queue.submit([enc.finish()]);
+    hud.textContent = `shipped particles.wgsl [${DESC.shader_defs.join(", ")}] executing on WebGPU\n` +
+      `frame ${fi+1}/${bytes.length} — ${live} instances — 1 draw/system — target ${targetFormat}`;
+    fi = (fi + 1) % bytes.length;
+    requestAnimationFrame(draw);
+  }
+  draw();
+}
+main().catch(e => { hud.textContent = "error: " + e.message; });
+</script></body></html>
+"""
+
+out_dir = os.path.join(os.path.dirname(__file__), "out")
+os.makedirs(out_dir, exist_ok=True)
+out = os.path.join(out_dir, "webgpu_viewer.html")
+with open(out, "w") as f:
+    f.write(HTML.replace("__DESC__", json.dumps(desc)).replace("__FRAMES__", json.dumps(frames)))
+total = sum(s["count"] for s in frames[-1])
+print(
+    f"wrote {out} ({args.frames} frames, {len(frames[-1])} system(s), "
+    f"{total} instances in last frame, shader defs {list(variant.shader_defs)})"
+)
