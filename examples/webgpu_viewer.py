@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--cpu", action="store_true", help="force CPU backend")
-parser.add_argument("--scene", default="mixed", choices=["pbr", "sparks", "mixed"])
+parser.add_argument("--scene", default="mixed", choices=["pbr", "sparks", "mixed", "textures"])
 parser.add_argument("--frames", type=int, default=120)
 parser.add_argument("--warmup", type=int, default=90)
 args = parser.parse_args()
@@ -51,13 +51,21 @@ from bevy_firework_tpu.shaders.specialize import (  # noqa: E402
     key_for,
 )
 
-scene = Scene(seed=7)
-if args.scene in ("pbr", "mixed"):
-    sp, tf = effects.pbr()
+if args.scene == "textures":
+    # reference examples/textures.rs: textured PBR shell casings (real
+    # base/normal/ORM maps -> flags != 0 -> the page binds REAL textures)
+    # + nested smoke + cylinder/cone collision
+    sp, tf, colliders = effects.textures()
+    scene = Scene(seed=7, colliders=colliders)
     scene.add_spawner(sp, capacity=2048, transform=tf)
-if args.scene in ("sparks", "mixed"):
-    sp, tf = effects.sparks()
-    scene.add_spawner(sp, capacity=2048, transform=Transform(translation=(0.0, 0.6, 0.0)))
+else:
+    scene = Scene(seed=7)
+    if args.scene in ("pbr", "mixed"):
+        sp, tf = effects.pbr()
+        scene.add_spawner(sp, capacity=2048, transform=tf)
+    if args.scene in ("sparks", "mixed"):
+        sp, tf = effects.sparks()
+        scene.add_spawner(sp, capacity=2048, transform=Transform(translation=(0.0, 0.6, 0.0)))
 
 dt = 1.0 / 60.0
 for _ in range(args.warmup):
@@ -71,14 +79,28 @@ for _ in range(args.frames):
         u = item.uniform
         fi.append(
             {
+                # render_items skips empty types, so positional indexing is
+                # NOT stable across frames; key each draw by its render
+                # entity identity (spawner x type, render.rs:439-461)
+                "key": f"{item.spawner_id}:{item.type_index}",
                 "count": int(item.count),
                 # the 32 contract bytes; the page pads the GPU buffer to the
                 # WGSL struct's 48-byte size (the vec3 pad aligns to 16)
                 "uniform": base64.b64encode(u.to_bytes()).decode(),
+                "textures": list(item.textures),
                 "data": base64.b64encode(instances_to_bytes(item.instances)).decode(),
             }
         )
     frames.append(fi)
+
+# Embed any referenced texture assets (asset-relative paths, like the
+# reference's asset server handles) as base64 PNGs.
+ASSET_ROOT = os.path.join(os.path.dirname(__file__), "..", "assets")
+tex_paths = sorted({p for f in frames for s in f for p in s["textures"] if p})
+assets = {}
+for p in tex_paths:
+    with open(os.path.join(ASSET_ROOT, p), "rb") as fh:
+        assets[p] = base64.b64encode(fh.read()).decode()
 
 # The engine-side specialization: every reference example renders with a
 # depth prepass and no MSAA; alpha_mode only alters KEY bits, never the
@@ -97,6 +119,7 @@ HTML = r"""<!DOCTYPE html>
 "use strict";
 const DESC = __DESC__;      // SpecializedPipeline, serialized by the engine
 const FRAMES = __FRAMES__;  // per-frame, per-system 64 B instance records
+const ASSETS = __ASSETS__;  // texture path -> base64 PNG
 const hud = document.getElementById("hud");
 const cv = document.getElementById("c");
 
@@ -151,7 +174,7 @@ function decodeFrames() {
     for (let i = 0; i < bin.length; i++) a[i] = bin.charCodeAt(i);
     const ub = atob(s.uniform); const u = new Uint8Array(48);  // WGSL struct size
     for (let i = 0; i < ub.length; i++) u[i] = ub.charCodeAt(i);
-    return {count: s.count, buf: a, uniform: u};
+    return {key: s.key, count: s.count, buf: a, uniform: u, textures: s.textures};
   }));
 }
 
@@ -241,18 +264,52 @@ async function main() {
   const g0 = device.createBindGroup({layout: g0Layout, entries: [{binding: 0, resource: {buffer: viewBuf}}]});
   const g1 = device.createBindGroup({layout: g1Layout, entries: []});
 
-  // DummyTextures analog (render.rs:85-241): 1x1 whites; every exported
-  // system here has flags=0 so dummies are what the engine binds too.
+  // DummyTextures analog (render.rs:85-241): 1x1 whites wherever a system
+  // has no real texture; real assets are decoded and bound per flag bits
+  // (`prepare_firework_bindgroup`, render.rs:587-675).
   const white = device.createTexture({size: [1, 1], format: "rgba8unorm",
     usage: GPUTextureUsage.TEXTURE_BINDING | GPUTextureUsage.COPY_DST});
   device.queue.writeTexture({texture: white}, new Uint8Array([255,255,255,255]), {bytesPerRow: 4}, [1,1]);
   const samp = device.createSampler({magFilter: "linear", minFilter: "linear"});
 
-  const bytes = decodeFrames();
-  const nSystems = Math.max(...bytes.map(f => f.length));
-  const systems = [];
-  let prepassDepth = null, mainDepth = null, depthW = 0, depthH = 0;
+  // decode embedded PNG assets; base color is sRGB, normal/ORM linear
+  const texViews = new Map();  // path -> GPUTextureView
+  async function loadAsset(path, srgb) {
+    const res = await fetch("data:image/png;base64," + ASSETS[path]);
+    const bmp = await createImageBitmap(await res.blob(), {colorSpaceConversion: "none"});
+    const tex = device.createTexture({size: [bmp.width, bmp.height],
+      format: srgb ? "rgba8unorm-srgb" : "rgba8unorm",
+      usage: GPUTextureUsage.TEXTURE_BINDING | GPUTextureUsage.COPY_DST | GPUTextureUsage.RENDER_ATTACHMENT});
+    device.queue.copyExternalImageToTexture({source: bmp}, {texture: tex}, [bmp.width, bmp.height]);
+    texViews.set(path, tex.createView());
+  }
 
+  const bytes = decodeFrames();
+  // stable per-(spawner x type) metadata: uniform/textures are constant,
+  // the instance buffer is sized to the max count across frames
+  const sysMeta = new Map();
+  for (const f of bytes) for (const s of f) {
+    const m = sysMeta.get(s.key);
+    if (m) m.max = Math.max(m.max, s.count);
+    else sysMeta.set(s.key, {max: s.count, uniform: s.uniform, textures: s.textures});
+  }
+  const loads = [];
+  for (const m of sysMeta.values())
+    m.textures.forEach((p, slot) => {
+      if (p && !texViews.has(p)) { texViews.set(p, null); loads.push(loadAsset(p, slot === 0)); }
+    });
+  await Promise.all(loads);
+
+  const systems = new Map();
+  for (const [key, m] of sysMeta) {
+    const ubuf = device.createBuffer({size: 48, usage: GPUBufferUsage.UNIFORM | GPUBufferUsage.COPY_DST});
+    device.queue.writeBuffer(ubuf, 0, m.uniform);
+    systems.set(key, {ubuf, textures: m.textures,
+      ibuf: device.createBuffer({size: Math.max(1, m.max) * 64,
+        usage: GPUBufferUsage.VERTEX | GPUBufferUsage.COPY_DST})});
+  }
+
+  let prepassDepth = null, mainDepth = null, depthW = 0, depthH = 0;
   function ensureTargets(w, h) {
     if (w === depthW && h === depthH) return;
     depthW = w; depthH = h;
@@ -260,21 +317,18 @@ async function main() {
       usage: GPUTextureUsage.RENDER_ATTACHMENT | extra});
     prepassDepth = mk(GPUTextureUsage.TEXTURE_BINDING);
     mainDepth = mk(0);
-    for (let i = 0; i < nSystems; i++) {
-      const maxCount = Math.max(1, ...bytes.map(f => f[i] ? f[i].count : 0));
-      if (!systems[i]) {
-        const ubuf = device.createBuffer({size: 48, usage: GPUBufferUsage.UNIFORM | GPUBufferUsage.COPY_DST});
-        device.queue.writeBuffer(ubuf, 0, bytes[0][i].uniform);
-        systems[i] = {ubuf, ibuf: device.createBuffer({size: maxCount * 64,
-          usage: GPUBufferUsage.VERTEX | GPUBufferUsage.COPY_DST})};
-      }
-      // bind group 2 depends on the (resized) prepass depth texture
-      systems[i].g2 = device.createBindGroup({layout: g2Layout, entries: [
-        {binding: 0, resource: {buffer: systems[i].ubuf}},
+    // bind group 2 depends on the (resized) prepass depth texture
+    for (const sys of systems.values()) {
+      const real = slot => {
+        const p = sys.textures[slot];
+        return (p && texViews.get(p)) || white.createView();
+      };
+      sys.g2 = device.createBindGroup({layout: g2Layout, entries: [
+        {binding: 0, resource: {buffer: sys.ubuf}},
         {binding: 1, resource: prepassDepth.createView()},
-        {binding: 2, resource: white.createView()}, {binding: 3, resource: samp},
-        {binding: 4, resource: white.createView()}, {binding: 5, resource: samp},
-        {binding: 6, resource: white.createView()}, {binding: 7, resource: samp},
+        {binding: 2, resource: real(0)}, {binding: 3, resource: samp},
+        {binding: 4, resource: real(1)}, {binding: 5, resource: samp},
+        {binding: 6, resource: real(2)}, {binding: 7, resource: samp},
       ]});
     }
   }
@@ -308,14 +362,13 @@ async function main() {
     let live = 0;
     p2.setPipeline(particlePipeline);
     p2.setBindGroup(0, g0); p2.setBindGroup(1, g1);
-    const systemsNow = bytes[fi];
-    for (let i = 0; i < systemsNow.length; i++) {
-      const s = systemsNow[i];
+    for (const s of bytes[fi]) {
       if (!s.count) continue;
       live += s.count;
-      device.queue.writeBuffer(systems[i].ibuf, 0, s.buf, 0, s.count * 64);  // render.rs:568-584
-      p2.setBindGroup(2, systems[i].g2);
-      p2.setVertexBuffer(0, systems[i].ibuf);
+      const sys = systems.get(s.key);
+      device.queue.writeBuffer(sys.ibuf, 0, s.buf, 0, s.count * 64);  // render.rs:568-584
+      p2.setBindGroup(2, sys.g2);
+      p2.setVertexBuffer(0, sys.ibuf);
       p2.draw(6, s.count);  // render.rs:926
     }
     p2.end();
@@ -335,7 +388,11 @@ out_dir = os.path.join(os.path.dirname(__file__), "out")
 os.makedirs(out_dir, exist_ok=True)
 out = os.path.join(out_dir, "webgpu_viewer.html")
 with open(out, "w") as f:
-    f.write(HTML.replace("__DESC__", json.dumps(desc)).replace("__FRAMES__", json.dumps(frames)))
+    f.write(
+        HTML.replace("__DESC__", json.dumps(desc))
+        .replace("__FRAMES__", json.dumps(frames))
+        .replace("__ASSETS__", json.dumps(assets))
+    )
 total = sum(s["count"] for s in frames[-1])
 print(
     f"wrote {out} ({args.frames} frames, {len(frames[-1])} system(s), "

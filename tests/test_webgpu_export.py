@@ -1,0 +1,79 @@
+"""The WebGPU viewer export ships the ENGINE's specialized WGSL verbatim.
+
+`examples/webgpu_viewer.py` is the render-contract executable: its page
+builds a GPURenderPipeline from the serialized `SpecializedPipeline`. This
+test runs the exporter and pins that what lands in the HTML is exactly what
+`PipelineCache.specialize` produces (shader source, blend, depth state),
+that the texture assets referenced by the scene are embedded, and that the
+embedded shader passes the static checker — so the page cannot drift from
+the engine's specialization machinery.
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+OUT = os.path.join(ROOT, "examples", "out", "webgpu_viewer.html")
+
+
+@pytest.fixture(scope="module")
+def html():
+    env = dict(os.environ)
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "examples", "webgpu_viewer.py"),
+         "--cpu", "--scene", "textures", "--frames", "3", "--warmup", "2"],
+        check=True, cwd=ROOT, env=env, timeout=540,
+    )
+    with open(OUT) as f:
+        return f.read()
+
+
+def _embedded(html, name):
+    m = re.search(rf"const {name} = ", html)
+    assert m, f"{name} blob missing from page"
+    value, _end = json.JSONDecoder().raw_decode(html, m.end())
+    return value
+
+
+def test_page_embeds_engine_specialization(html):
+    from bevy_firework_tpu.shaders.specialize import ALPHA_BLEND, PipelineCache, key_for
+
+    desc = _embedded(html, "DESC")
+    want = PipelineCache().specialize(key_for(ALPHA_BLEND, depth_prepass=True))
+    assert desc["shader_source"] == want.shader_source  # verbatim
+    assert desc["blend"] == want.blend
+    assert desc["depth_compare"] == "greater" and desc["depth_write_enabled"] is False
+    assert desc["multisample_count"] == 1
+    assert list(desc["shader_defs"]) == ["DEPTH_PREPASS"]
+
+
+def test_embedded_shader_passes_checker(html):
+    from bevy_firework_tpu.shaders.wgsl_check import check_wgsl
+
+    desc = _embedded(html, "DESC")
+    assert check_wgsl(desc["shader_source"]) == []
+
+
+def test_assets_and_frames_embedded(html):
+    assets = _embedded(html, "ASSETS")
+    assert set(assets) == {
+        "textures/bullet_case/diffuse.png",
+        "textures/bullet_case/normal.png",
+        "textures/bullet_case/orm.png",
+    }
+    frames = _embedded(html, "FRAMES")
+    assert len(frames) == 3
+    # the textured shell system references all three maps; records are 64 B
+    import base64
+
+    for f in frames:
+        for s in f:
+            assert len(base64.b64decode(s["data"])) == s["count"] * 64
+    keys = {s["key"] for f in frames for s in f}
+    assert any(k.endswith(":0") for k in keys)  # shell casings draw present
