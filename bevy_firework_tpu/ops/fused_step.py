@@ -86,6 +86,10 @@ from ..utils.quat import quat_from_scaled_axis_comp, quat_mul_comp, quat_rotate_
 LANES = 128
 BLOCK_ROWS = 64  # minimum tile: 64 x 128 = 8192 lanes (the capacity granule)
 BLOCK_ROWS_WIDE = 128  # preferred tile when capacity allows (measured faster)
+# Broad-phase tile culling kicks in at this many colliders; below it the
+# scalar tests + VMEM best/normal round-trips cost more than the ray tests
+# they can skip (the reference stress scenes run 2-3 colliders, ungated).
+CULL_MIN_COLLIDERS = 5
 
 _F32_FIELDS = (
     "px", "py", "pz", "vx", "vy", "vz",
@@ -253,7 +257,7 @@ def _eval_gradient_static(ts, vs_rows, kind, n, t):
 
 def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, vy, vz, dt,
                   restitution, friction, destroy_flag, lane_mask, participating,
-                  scratch=None):
+                  scratch=None, cull_scratch=None):
     """particle_collision (core.rs:744-800) on one tile, colliders unrolled;
     mirrors collision.particle_collision lane-for-lane for `participating`
     lanes (alive + collision-enabled type; other lanes' outputs are ignored
@@ -270,7 +274,18 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
     to carry state across the gated regions: mosaic fails to legalize an
     scf.if yielding this many vectors (a lax.cond here died in
     tpu.vpad layout inference), so the branches are side-effecting pl.when
-    blocks instead. scratch=None runs all 4 substeps straight-line."""
+    blocks instead. scratch=None runs all 4 substeps straight-line.
+
+    `cull_scratch` (4 VMEM f32 refs: best, bnx, bny, bnz) enables the
+    many-collider broad phase: every substep's per-collider ray test is
+    gated by a SCALAR per-tile test — the substep's active-lane AABB,
+    expanded by the longest remaining ray (max over lanes of speed x delta),
+    against the collider's bounding volume, recomputed per substep from the
+    current positions. The cull is conservative (a collider is skipped only
+    when no lane's ray can reach it, and `inside` hits imply overlap), so
+    parity with the ungated path is exact. Ring pools are age-ordered,
+    making a tile a spawn cohort with a naturally tight spatial bound — no
+    reorder pass is needed for culling to bite."""
     BIG = np.float32(1e30)
     orig_delta = dt
     delta = jnp.where(participating, dt, 0.0).astype(jnp.float32)
@@ -280,7 +295,37 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
     def conj_rot(qx, qy, qz, qw, x, y, z):
         return quat_rotate_comp(-qx, -qy, -qz, qw, x, y, z)
 
-    def substep(px, py, pz, vx, vy, vz, delta, done, destroyed):
+    def one_collider(ci, k, px, py, pz, dx, dy, dz):
+        """Ray test vs collider ci: (dist or BIG, world-space normal)."""
+        qx, qy, qz, qw = crot[ci, 0], crot[ci, 1], crot[ci, 2], crot[ci, 3]
+        if identity_rot[ci]:
+            ox, oy, oz = px - cpos[ci, 0], py - cpos[ci, 1], pz - cpos[ci, 2]
+            rdx, rdy, rdz = dx, dy, dz
+        else:
+            ox, oy, oz = conj_rot(qx, qy, qz, qw, px - cpos[ci, 0], py - cpos[ci, 1], pz - cpos[ci, 2])
+            rdx, rdy, rdz = conj_rot(qx, qy, qz, qw, dx, dy, dz)
+        p0, p1, p2 = cpar[ci, 0], cpar[ci, 1], cpar[ci, 2]
+        if k == 0:
+            dist, nx, ny, nz = _ray_halfspace(ox, oy, oz, rdx, rdy, rdz)
+        elif k == 1:
+            dist, nx, ny, nz = _ray_sphere(ox, oy, oz, rdx, rdy, rdz, p0)
+        elif k == 2:
+            dist, nx, ny, nz = _ray_cuboid(ox, oy, oz, rdx, rdy, rdz, p0, p1, p2)
+        elif k == 3:
+            dist, nx, ny, nz = _ray_capsule(ox, oy, oz, rdx, rdy, rdz, p0, p1)
+        elif k == 4:
+            dist, nx, ny, nz = _ray_cylinder(ox, oy, oz, rdx, rdy, rdz, p0, p1)
+        else:
+            dist, nx, ny, nz = _ray_cone(ox, oy, oz, rdx, rdy, rdz, p0, p1)
+        layer_ok = (lane_mask & clay[ci, 0]) != 0
+        dist = jnp.where(layer_ok, dist, BIG)
+        if identity_rot[ci]:
+            wnx, wny, wnz = nx, ny, nz
+        else:
+            wnx, wny, wnz = quat_rotate_comp(qx, qy, qz, qw, nx, ny, nz)
+        return dist, wnx, wny, wnz
+
+    def substep(px, py, pz, vx, vy, vz, delta, done, destroyed, cull=False):
         lane_active = (~done) & (delta > 0.0)
         speed2 = vx * vx + vy * vy + vz * vz
         speed = jnp.sqrt(speed2)
@@ -291,42 +336,92 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
         dz = jnp.where(ok, vz * inv, 0.0)
         max_dist = speed * delta
 
-        best = jnp.full(px.shape, BIG)
-        bnx = jnp.zeros_like(px)
-        bny = jnp.zeros_like(px)
-        bnz = jnp.zeros_like(px)
-        for ci, k in enumerate(kinds):
-            qx, qy, qz, qw = crot[ci, 0], crot[ci, 1], crot[ci, 2], crot[ci, 3]
-            if identity_rot[ci]:
-                ox, oy, oz = px - cpos[ci, 0], py - cpos[ci, 1], pz - cpos[ci, 2]
-                rdx, rdy, rdz = dx, dy, dz
-            else:
-                ox, oy, oz = conj_rot(qx, qy, qz, qw, px - cpos[ci, 0], py - cpos[ci, 1], pz - cpos[ci, 2])
-                rdx, rdy, rdz = conj_rot(qx, qy, qz, qw, dx, dy, dz)
-            p0, p1, p2 = cpar[ci, 0], cpar[ci, 1], cpar[ci, 2]
-            if k == 0:
-                dist, nx, ny, nz = _ray_halfspace(ox, oy, oz, rdx, rdy, rdz)
-            elif k == 1:
-                dist, nx, ny, nz = _ray_sphere(ox, oy, oz, rdx, rdy, rdz, p0)
-            elif k == 2:
-                dist, nx, ny, nz = _ray_cuboid(ox, oy, oz, rdx, rdy, rdz, p0, p1, p2)
-            elif k == 3:
-                dist, nx, ny, nz = _ray_capsule(ox, oy, oz, rdx, rdy, rdz, p0, p1)
-            elif k == 4:
-                dist, nx, ny, nz = _ray_cylinder(ox, oy, oz, rdx, rdy, rdz, p0, p1)
-            else:
-                dist, nx, ny, nz = _ray_cone(ox, oy, oz, rdx, rdy, rdz, p0, p1)
-            layer_ok = (lane_mask & clay[ci, 0]) != 0
-            dist = jnp.where(layer_ok, dist, BIG)
-            closer = (dist <= max_dist) & (dist < best)
-            if identity_rot[ci]:
-                wnx, wny, wnz = nx, ny, nz
-            else:
-                wnx, wny, wnz = quat_rotate_comp(qx, qy, qz, qw, nx, ny, nz)
-            bnx = jnp.where(closer, wnx, bnx)
-            bny = jnp.where(closer, wny, bny)
-            bnz = jnp.where(closer, wnz, bnz)
-            best = jnp.where(closer, dist, best)
+        if cull:
+            # scalar broad-phase conditions, recomputed per substep (see
+            # docstring): this substep's active-lane AABB expanded by the
+            # longest remaining ray (max over lanes of speed x delta, plus
+            # an f32 safety margin) vs each collider's bounding volume.
+            # Disabled colliders (layers==0 via masked_layers) are culled
+            # too, so toggled-off dynamic colliders cost nothing.
+            part = lane_active
+            any_part = jnp.any(part)
+            bminx = jnp.min(jnp.where(part, px, BIG))
+            bmaxx = jnp.max(jnp.where(part, px, -BIG))
+            bminy = jnp.min(jnp.where(part, py, BIG))
+            bmaxy = jnp.max(jnp.where(part, py, -BIG))
+            bminz = jnp.min(jnp.where(part, pz, BIG))
+            bmaxz = jnp.max(jnp.where(part, pz, -BIG))
+            reach = jnp.max(jnp.where(part, max_dist, 0.0)) * np.float32(1.001) + np.float32(0.01)
+            conds = []
+            for ci, k in enumerate(kinds):
+                cx, cy, cz = cpos[ci, 0], cpos[ci, 1], cpos[ci, 2]
+                enabled = clay[ci, 0] != 0
+                if k == 0:  # halfspace: box support distance to the plane
+                    if identity_rot[ci]:
+                        near = (bminy - cy) <= reach
+                    else:
+                        qx, qy, qz, qw = crot[ci, 0], crot[ci, 1], crot[ci, 2], crot[ci, 3]
+                        nx_, ny_, nz_ = quat_rotate_comp(qx, qy, qz, qw, np.float32(0), np.float32(1), np.float32(0))
+                        ccx, ccy, ccz = (bminx + bmaxx) * 0.5, (bminy + bmaxy) * 0.5, (bminz + bmaxz) * 0.5
+                        hx, hy, hz = (bmaxx - bminx) * 0.5, (bmaxy - bminy) * 0.5, (bmaxz - bminz) * 0.5
+                        signed = (ccx - cx) * nx_ + (ccy - cy) * ny_ + (ccz - cz) * nz_
+                        support = jnp.abs(nx_) * hx + jnp.abs(ny_) * hy + jnp.abs(nz_) * hz
+                        near = (signed - support) <= reach
+                else:
+                    p0, p1, p2 = cpar[ci, 0], cpar[ci, 1], cpar[ci, 2]
+                    if k == 1:  # sphere
+                        radius = p0
+                    elif k == 2:  # cuboid: bounding sphere of the half-extents
+                        radius = jnp.sqrt(p0 * p0 + p1 * p1 + p2 * p2)
+                    elif k == 3:  # capsule: radius + half-segment
+                        radius = p0 + p1
+                    else:  # cylinder / cone
+                        radius = jnp.sqrt(p0 * p0 + p1 * p1)
+                    # rotation never changes an origin-centered bounding sphere
+                    qx_ = jnp.clip(cx, bminx, bmaxx)
+                    qy_ = jnp.clip(cy, bminy, bmaxy)
+                    qz_ = jnp.clip(cz, bminz, bmaxz)
+                    d2 = (cx - qx_) ** 2 + (cy - qy_) ** 2 + (cz - qz_) ** 2
+                    rr = radius + reach
+                    near = d2 <= rr * rr
+                conds.append(enabled & near & any_part)
+
+        if not cull:
+            best = jnp.full(px.shape, BIG)
+            bnx = jnp.zeros_like(px)
+            bny = jnp.zeros_like(px)
+            bnz = jnp.zeros_like(px)
+            for ci, k in enumerate(kinds):
+                dist, wnx, wny, wnz = one_collider(ci, k, px, py, pz, dx, dy, dz)
+                closer = (dist <= max_dist) & (dist < best)
+                bnx = jnp.where(closer, wnx, bnx)
+                bny = jnp.where(closer, wny, bny)
+                bnz = jnp.where(closer, wnz, bnz)
+                best = jnp.where(closer, dist, best)
+        else:
+            # broad-phase path: each collider's ray test runs only when the
+            # scalar tile-vs-collider test passes; the running (best, normal)
+            # lives in VMEM scratch across the gated blocks
+            sbest, sbnx, sbny, sbnz = cull_scratch
+            zero = jnp.zeros(px.shape, jnp.float32)
+            sbest[:, :] = jnp.full(px.shape, BIG)
+            sbnx[:, :] = zero
+            sbny[:, :] = zero
+            sbnz[:, :] = zero
+            for ci, k in enumerate(kinds):
+
+                @pl.when(conds[ci])
+                def _(ci=ci, k=k):
+                    dist, wnx, wny, wnz = one_collider(ci, k, px, py, pz, dx, dy, dz)
+                    best = sbest[:, :]
+                    closer = (dist <= max_dist) & (dist < best)
+                    sbest[:, :] = jnp.where(closer, dist, best)
+                    sbnx[:, :] = jnp.where(closer, wnx, sbnx[:, :])
+                    sbny[:, :] = jnp.where(closer, wny, sbny[:, :])
+                    sbnz[:, :] = jnp.where(closer, wnz, sbnz[:, :])
+
+            best = sbest[:, :]
+            bnx, bny, bnz = sbnx[:, :], sbny[:, :], sbnz[:, :]
         hit = (best <= max_dist) & lane_active
         dist = jnp.where(hit, best, 0.0)
         nx, ny, nz = bnx, bny, bnz
@@ -380,7 +475,8 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
     def still_active(s):
         return jnp.any((~s[7]) & (s[6] > 0.0))
 
-    state = substep(px, py, pz, vx, vy, vz, delta, done, destroyed)
+    cull = cull_scratch is not None
+    state = substep(px, py, pz, vx, vy, vz, delta, done, destroyed, cull)
     if scratch is None:  # straight-line fallback (no gating)
         for _ in range(3):
             state = substep(*state)
@@ -403,13 +499,13 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
 
     @pl.when(still_active(state))
     def _():
-        store(substep(*load()))
+        store(substep(*load(), cull))
 
     s2 = load()
 
     @pl.when(still_active(s2))
     def _():
-        store(substep(*substep(*load())))
+        store(substep(*substep(*load(), cull), cull))
 
     out = load()
     return out[0], out[1], out[2], out[3], out[4], out[5], out[8]
@@ -598,9 +694,13 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             pos += 1
         field_in = refs[pos : pos + nf]
         has_coll = C > 0 and static.any_collision
-        n_scratch = 1 + (8 if has_coll else 0)
+        cull = has_coll and C >= CULL_MIN_COLLIDERS
+        n_scratch = 1 + (8 if has_coll else 0) + (4 if cull else 0)
         dead_carry = refs[-n_scratch]  # SMEM scratch: dead slots seen in prior tiles
-        coll_scratch = refs[-8:] if has_coll else None  # VMEM substep carries
+        # VMEM substep carries (+ broad-phase best/normal carries when culling)
+        s0 = len(refs) - n_scratch
+        coll_scratch = refs[s0 + 1 : s0 + 9] if has_coll else None
+        cull_scratch = refs[-4:] if cull else None
         outs = refs[pos + nf : -n_scratch]
         oi = 0
         out_alive_ref = None
@@ -860,7 +960,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
                 collider_kinds, collider_identity, cpos_ref[:, :], crot_ref[:, :],
                 cpar_ref[:, :], clay_ref[:, :],
                 px, py, pz, vx, vy, vz, dt, restitution, friction, destroy_flag, lane_mask,
-                alive_sp & ~dead_by_age & has_col, coll_scratch,
+                alive_sp & ~dead_by_age & has_col, coll_scratch, cull_scratch,
             )
             npx = jnp.where(has_col, cpx, px + vx * dt)
             npy = jnp.where(has_col, cpy, py + vy * dt)
@@ -1148,6 +1248,11 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
             [pltpu.VMEM((block_rows, LANES), jnp.float32)] * 7
             + [pltpu.VMEM((block_rows, LANES), jnp.int32)]
             if (len(kinds) > 0 and static.any_collision)
+            else []
+        )
+        + (
+            [pltpu.VMEM((block_rows, LANES), jnp.float32)] * 4
+            if (len(kinds) >= CULL_MIN_COLLIDERS and static.any_collision)
             else []
         ),
         input_output_aliases=aliases,

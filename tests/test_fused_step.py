@@ -105,6 +105,35 @@ def test_fused_collision_parity():
     assert_state_match(sA, sB, atol=1e-4)
 
 
+def test_fused_collision_parity_many_colliders_broadphase():
+    """C >= CULL_MIN_COLLIDERS engages the per-tile broad phase (a scalar
+    tile-AABB-vs-collider-bound test gates each unrolled ray test). The XLA
+    oracle never culls, so a collider wrongly skipped breaks parity; the mix
+    below has colliders the burst actually hits plus far-away ones of every
+    kind that the broad phase must skip without changing any trajectory."""
+    from bevy_firework_tpu.ops.fused_step import CULL_MIN_COLLIDERS
+
+    sp = det_spawner(
+        ps=dict(
+            linear_drag=0.0,
+            collision_settings=ParticleCollisionSettings(restitution=0.5, friction=0.1),
+        ),
+        pacing=EmissionPacing.one_shot(60),
+    )
+    colliders = [
+        Collider.halfspace(position=(0.0, -0.5, 0.0)),  # hit: floor under the burst
+        Collider.sphere(0.4, position=(0.6, 1.0, 0.1)),  # hit: in the stream
+        Collider.cuboid((0.3, 0.3, 0.3), position=(50.0, 0.0, 0.0)),  # culled
+        Collider.capsule(0.2, 0.5, position=(0.0, 40.0, 0.0)),  # culled
+        Collider.cylinder(0.3, 0.4, position=(-60.0, 2.0, 3.0), rotation=(0.0, 0.0, 0.3826834, 0.9238795)),  # culled, rotated
+        Collider.cone(0.5, 0.5, position=(0.0, 0.0, 70.0)),  # culled
+    ]
+    assert len(colliders) >= CULL_MIN_COLLIDERS
+    sA, oA, sB, oB = run_both(sp, n_frames=12, colliders=colliders)
+    assert int(oA.alive_count) == int(oB.alive_count) > 0
+    assert_state_match(sA, sB, atol=1e-4)
+
+
 def test_hybrid_matches_xla_nested_random_draws():
     """fused_step_hybrid = step's spawn phase + kernel integrate: with the
     draws happening in the SHARED spawn phase, parity is lane-for-lane (not

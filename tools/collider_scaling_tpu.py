@@ -1,10 +1,13 @@
 """Collision cost vs collider count on the fused kernel (1M-lane pool).
 
 The narrow phase unrolls every collider per substep (collision.py semantics);
-this quantifies the O(C) cost so capacity planning is honest. A broad phase
-is deliberately absent: pool slots are not spatially sorted, so any per-tile
-bound covers the whole scene and culls nothing — the real lever would be
-periodic spatial reordering (docs/ROADMAP.md).
+this quantifies the O(C) cost so capacity planning is honest. At
+C >= CULL_MIN_COLLIDERS a tile-AABB broad phase gates each unrolled ray test
+behind a scalar reachability check (ops/fused_step._collide_tile). Measured
+~neutral at C<=24 (docs/PERF_NOTES.md "Collider-count scaling"): the
+unrolled narrow phase is VPU-cheap, so skipped ray tests only buy back the
+gating overhead. The binding constraint at large C is unrolled CODE size
+(superlinear past C~24), not ray math — see PERF_NOTES.
 
 Run: python tools/collider_scaling_tpu.py
 """
@@ -41,7 +44,13 @@ def colliders_n(n):
     return cols[:n]
 
 
-def measure(n_cols, warmup=140, n=60):
+def _fence(arr) -> float:
+    """4-byte device fence (see bench.py: full-pool readback rides the tunnel
+    and its transfer variance swamps the differential being measured)."""
+    return float(np.asarray(arr.sum()))
+
+
+def measure(n_cols, warmup=140, n=60, reps=7):
     sp, _t, _c = effects.stress_test_collision()
     es = dataclasses.replace(sp.emission_settings[0], emission_pacing=EmissionPacing.rate(500_000.0))
     sp = dataclasses.replace(sp, emission_settings=(es,))
@@ -50,15 +59,15 @@ def measure(n_cols, warmup=140, n=60):
     state = init_pool_for(c, CAPACITY, 0)
     frame = make_frame_input(1 / 60)
     state, out = multi_step_auto(c.static, c.params, table, state, frame, warmup)
-    np.asarray(state.px)
+    _fence(state.px)
 
     def run(k):
         s, _ = multi_step_auto(c.static, c.params, table, state, frame, k)
-        np.asarray(s.px)
+        _fence(s.px)
 
     run(n); run(2 * n)
     d = []
-    for _ in range(5):
+    for _ in range(reps):
         t0 = time.perf_counter(); run(n); t1 = time.perf_counter(); run(2 * n); t2 = time.perf_counter()
         d.append(((t2 - t1) - (t1 - t0)) / n * 1e3)
     d.sort()

@@ -227,6 +227,35 @@ def check_nested_cadence(capacity=3 * 8192, n_frames=40):
     return None
 
 
+def check_many_collider_broadphase(capacity=3 * 8192, n_frames=25):
+    """C >= CULL_MIN_COLLIDERS engages the scalar tile-AABB broad phase
+    (per-collider pl.when around each unrolled ray test) — compiled on real
+    TPU, exact-match vs the cull-free XLA path. The collider mix has hits
+    plus far-away colliders of every kind the broad phase must skip."""
+    from bevy_firework_tpu.ops.fused_step import CULL_MIN_COLLIDERS
+
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(
+            lifetime=RandF32.constant(0.5), initial_scale=RandF32.constant(0.1),
+            linear_drag=0.0,
+            collision_settings=ParticleCollisionSettings(restitution=0.5, friction=0.1))],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.rate(4000.0),
+            initial_velocity=RandVec3.constant((1.0, 3.0, 0.2)))],
+    )
+    colliders = [
+        Collider.halfspace(position=(0.0, -0.5, 0.0)),
+        Collider.sphere(0.4, position=(0.6, 1.0, 0.1)),
+        Collider.cuboid((0.3, 0.3, 0.3), position=(50.0, 0.0, 0.0)),
+        Collider.capsule(0.2, 0.5, position=(0.0, 40.0, 0.0)),
+        Collider.cylinder(0.3, 0.4, position=(-60.0, 2.0, 3.0),
+                          rotation=(0.0, 0.0, 0.3826834, 0.9238795)),
+        Collider.cone(0.5, 0.5, position=(0.0, 0.0, 70.0)),
+    ]
+    assert len(colliders) >= CULL_MIN_COLLIDERS
+    return check_config("broadphase", sp, capacity, compile_colliders(colliders), n_frames=n_frames)
+
+
 def main(n_configs=8):
     failures = 0
     total = 0
@@ -236,11 +265,16 @@ def main(n_configs=8):
         c = compile_spawner(sp)
         table = None
         if c.static.any_collision:
-            table = compile_colliders([
+            cols = [
                 Collider.halfspace(position=(0, float(rng.uniform(-2, 0)), 0)),
                 Collider.cuboid((1, 1, 1), position=tuple(rng.uniform(-2, 2, 3).astype(float)),
                                 rotation=tuple((lambda q: q / np.linalg.norm(q))(rng.normal(size=4)).astype(float))),
-            ])
+            ]
+            if rng.rand() < 0.5:  # cross CULL_MIN_COLLIDERS: broad-phase path
+                for _ in range(4):
+                    cols.append(Collider.sphere(float(rng.uniform(0.5, 2.0)),
+                                                position=tuple(rng.uniform(-15, 15, 3).astype(float))))
+            table = compile_colliders(cols)
         capacity = CAPACITIES[seed % len(CAPACITIES)]
         pack = c.static.single_type  # in-kernel render pack parity where it applies
         err = check_config(seed, sp, capacity, table, pack=pack)
@@ -266,6 +300,13 @@ def main(n_configs=8):
         failures += 1
     else:
         print("nested-cadence-kernel: OK (hybrid in-kernel cadence, deterministic nested)")
+    total += 1
+    err = check_many_collider_broadphase()
+    if err:
+        print(f"many-collider-broadphase: {err}")
+        failures += 1
+    else:
+        print("many-collider-broadphase: OK (tile-AABB cull, 6 colliders incl. rotated)")
     from bevy_firework_tpu import ParticleEventHandlers, gradient_uneven_samples as _gus
 
     dump_sp = ParticleSpawner(
