@@ -86,10 +86,12 @@ from ..utils.quat import quat_from_scaled_axis_comp, quat_mul_comp, quat_rotate_
 LANES = 128
 BLOCK_ROWS = 64  # minimum tile: 64 x 128 = 8192 lanes (the capacity granule)
 BLOCK_ROWS_WIDE = 128  # preferred tile when capacity allows (measured faster)
-# Broad-phase tile culling kicks in at this many colliders; below it the
-# scalar tests + VMEM best/normal round-trips cost more than the ray tests
-# they can skip (the reference stress scenes run 2-3 colliders, ungated).
-CULL_MIN_COLLIDERS = 5
+# The looped narrow phase (kind-grouped fori_loop over SMEM collider rows,
+# per-iteration broad-phase skip) engages at this many colliders; below it
+# the colliders are fully unrolled (the reference stress scenes run 2-3).
+# Unrolled cost grows superlinearly past C~24 (code-size scheduling blowup,
+# docs/PERF_NOTES.md "Collider-count scaling"); the loop is constant-code.
+LOOP_MIN_COLLIDERS = 5
 
 _F32_FIELDS = (
     "px", "py", "pz", "vx", "vy", "vz",
@@ -97,6 +99,7 @@ _F32_FIELDS = (
     "initial_scale", "age", "lifetime",
 )
 N_SMALL = 17  # count of small leading inputs (see kernel unpack)
+CPOS_IDX = 10  # index of cpos in the smalls list (crot/cpar/clay follow)
 
 
 def active_f32_fields(static: SpawnerStatic):
@@ -255,13 +258,53 @@ def _eval_gradient_static(ts, vs_rows, kind, n, t):
     return out
 
 
+def _ray_kind(k, ox, oy, oz, rdx, rdy, rdz, p0, p1, p2):
+    """Dispatch the kind-k primitive ray test (k is compile-time static)."""
+    if k == 0:
+        return _ray_halfspace(ox, oy, oz, rdx, rdy, rdz)
+    if k == 1:
+        return _ray_sphere(ox, oy, oz, rdx, rdy, rdz, p0)
+    if k == 2:
+        return _ray_cuboid(ox, oy, oz, rdx, rdy, rdz, p0, p1, p2)
+    if k == 3:
+        return _ray_capsule(ox, oy, oz, rdx, rdy, rdz, p0, p1)
+    if k == 4:
+        return _ray_cylinder(ox, oy, oz, rdx, rdy, rdz, p0, p1)
+    return _ray_cone(ox, oy, oz, rdx, rdy, rdz, p0, p1)
+
+
+def _collider_perm(kinds, identity_rot):
+    """Stable permutation grouping colliders by (kind, identity_rot) for the
+    looped narrow phase. Returns (perm, permuted_kinds, permuted_identity,
+    groups) with groups = ((kind, identity, start, count), ...) covering the
+    permuted order contiguously."""
+    order = sorted(range(len(kinds)), key=lambda i: (kinds[i], not identity_rot[i], i))
+    pk = tuple(kinds[i] for i in order)
+    pi = tuple(bool(identity_rot[i]) for i in order)
+    return tuple(order), pk, pi, _collider_groups(pk, pi)
+
+
+def _collider_groups(kinds, identity_rot):
+    """Contiguous (kind, identity, start, count) runs of an already-grouped
+    collider order (see _collider_perm)."""
+    groups = []
+    i = 0
+    while i < len(kinds):
+        j = i
+        while j < len(kinds) and kinds[j] == kinds[i] and identity_rot[j] == identity_rot[i]:
+            j += 1
+        groups.append((kinds[i], bool(identity_rot[i]), i, j - i))
+        i = j
+    return tuple(groups)
+
+
 def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, vy, vz, dt,
                   restitution, friction, destroy_flag, lane_mask, participating,
-                  scratch=None, cull_scratch=None):
-    """particle_collision (core.rs:744-800) on one tile, colliders unrolled;
-    mirrors collision.particle_collision lane-for-lane for `participating`
-    lanes (alive + collision-enabled type; other lanes' outputs are ignored
-    by the caller, so they start with delta=0 and are never touched).
+                  scratch=None, loop_groups=None, cidx=None):
+    """particle_collision (core.rs:744-800) on one tile; mirrors
+    collision.particle_collision lane-for-lane for `participating` lanes
+    (alive + collision-enabled type; other lanes' outputs are ignored by the
+    caller, so they start with delta=0 and are never touched).
 
     Substep 1 always runs; substep 2 only executes when some lane in the
     tile still has travel budget after its first hit (a bounce continuing
@@ -276,16 +319,27 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
     tpu.vpad layout inference), so the branches are side-effecting pl.when
     blocks instead. scratch=None runs all 4 substeps straight-line.
 
-    `cull_scratch` (4 VMEM f32 refs: best, bnx, bny, bnz) enables the
-    many-collider broad phase: every substep's per-collider ray test is
-    gated by a SCALAR per-tile test — the substep's active-lane AABB,
-    expanded by the longest remaining ray (max over lanes of speed x delta),
-    against the collider's bounding volume, recomputed per substep from the
-    current positions. The cull is conservative (a collider is skipped only
-    when no lane's ray can reach it, and `inside` hits imply overlap), so
-    parity with the ungated path is exact. Ring pools are age-ordered,
-    making a tile a spawn cohort with a naturally tight spatial bound — no
-    reorder pass is needed for culling to bite."""
+    Narrow-phase form (chosen by the caller at C >= LOOP_MIN_COLLIDERS):
+
+    - `loop_groups=None` (few colliders): the per-collider ray tests are
+      fully unrolled; cpos/crot/cpar/clay are loaded [C, _] arrays.
+      Unrolled code size grows superlinearly in cost past C~24
+      (docs/PERF_NOTES.md), hence the second form.
+    - `loop_groups=((kind, identity, start, count), ...)` (many colliders):
+      colliders arrive PERMUTED into contiguous (kind, identity_rot) groups;
+      cpos/crot/cpar/clay are SMEM refs read per-iteration by scalar index,
+      and `cidx` is an SMEM [C, 1] int32 ref of each row's ORIGINAL table
+      index. Each group is one lax.fori_loop whose body is gated by a
+      scalar broad-phase test (the substep's active-lane AABB, expanded by
+      the longest remaining ray, vs the collider's bounding volume) — a
+      skipped iteration saves serial loop time, unlike the unrolled form
+      where a skipped test only frees already-parallel VPU slots. Winner
+      selection is the lexicographic min of (dist, original index), which
+      is order-independent, so the group permutation cannot change results:
+      the XLA path's first-in-table-order-wins tie rule (real ties happen —
+      dist==0 for a lane inside two overlapping colliders) is preserved
+      exactly. Disabled colliders (layers==0 via masked_layers) fail the
+      broad phase, so toggled-off dynamic colliders cost nothing."""
     BIG = np.float32(1e30)
     orig_delta = dt
     delta = jnp.where(participating, dt, 0.0).astype(jnp.float32)
@@ -296,7 +350,8 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
         return quat_rotate_comp(-qx, -qy, -qz, qw, x, y, z)
 
     def one_collider(ci, k, px, py, pz, dx, dy, dz):
-        """Ray test vs collider ci: (dist or BIG, world-space normal)."""
+        """Unrolled-path ray test vs collider ci (static index into loaded
+        arrays): (dist or BIG, world-space normal)."""
         qx, qy, qz, qw = crot[ci, 0], crot[ci, 1], crot[ci, 2], crot[ci, 3]
         if identity_rot[ci]:
             ox, oy, oz = px - cpos[ci, 0], py - cpos[ci, 1], pz - cpos[ci, 2]
@@ -305,18 +360,7 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
             ox, oy, oz = conj_rot(qx, qy, qz, qw, px - cpos[ci, 0], py - cpos[ci, 1], pz - cpos[ci, 2])
             rdx, rdy, rdz = conj_rot(qx, qy, qz, qw, dx, dy, dz)
         p0, p1, p2 = cpar[ci, 0], cpar[ci, 1], cpar[ci, 2]
-        if k == 0:
-            dist, nx, ny, nz = _ray_halfspace(ox, oy, oz, rdx, rdy, rdz)
-        elif k == 1:
-            dist, nx, ny, nz = _ray_sphere(ox, oy, oz, rdx, rdy, rdz, p0)
-        elif k == 2:
-            dist, nx, ny, nz = _ray_cuboid(ox, oy, oz, rdx, rdy, rdz, p0, p1, p2)
-        elif k == 3:
-            dist, nx, ny, nz = _ray_capsule(ox, oy, oz, rdx, rdy, rdz, p0, p1)
-        elif k == 4:
-            dist, nx, ny, nz = _ray_cylinder(ox, oy, oz, rdx, rdy, rdz, p0, p1)
-        else:
-            dist, nx, ny, nz = _ray_cone(ox, oy, oz, rdx, rdy, rdz, p0, p1)
+        dist, nx, ny, nz = _ray_kind(k, ox, oy, oz, rdx, rdy, rdz, p0, p1, p2)
         layer_ok = (lane_mask & clay[ci, 0]) != 0
         dist = jnp.where(layer_ok, dist, BIG)
         if identity_rot[ci]:
@@ -325,7 +369,7 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
             wnx, wny, wnz = quat_rotate_comp(qx, qy, qz, qw, nx, ny, nz)
         return dist, wnx, wny, wnz
 
-    def substep(px, py, pz, vx, vy, vz, delta, done, destroyed, cull=False):
+    def substep(px, py, pz, vx, vy, vz, delta, done, destroyed):
         lane_active = (~done) & (delta > 0.0)
         speed2 = vx * vx + vy * vy + vz * vz
         speed = jnp.sqrt(speed2)
@@ -336,57 +380,7 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
         dz = jnp.where(ok, vz * inv, 0.0)
         max_dist = speed * delta
 
-        if cull:
-            # scalar broad-phase conditions, recomputed per substep (see
-            # docstring): this substep's active-lane AABB expanded by the
-            # longest remaining ray (max over lanes of speed x delta, plus
-            # an f32 safety margin) vs each collider's bounding volume.
-            # Disabled colliders (layers==0 via masked_layers) are culled
-            # too, so toggled-off dynamic colliders cost nothing.
-            part = lane_active
-            any_part = jnp.any(part)
-            bminx = jnp.min(jnp.where(part, px, BIG))
-            bmaxx = jnp.max(jnp.where(part, px, -BIG))
-            bminy = jnp.min(jnp.where(part, py, BIG))
-            bmaxy = jnp.max(jnp.where(part, py, -BIG))
-            bminz = jnp.min(jnp.where(part, pz, BIG))
-            bmaxz = jnp.max(jnp.where(part, pz, -BIG))
-            reach = jnp.max(jnp.where(part, max_dist, 0.0)) * np.float32(1.001) + np.float32(0.01)
-            conds = []
-            for ci, k in enumerate(kinds):
-                cx, cy, cz = cpos[ci, 0], cpos[ci, 1], cpos[ci, 2]
-                enabled = clay[ci, 0] != 0
-                if k == 0:  # halfspace: box support distance to the plane
-                    if identity_rot[ci]:
-                        near = (bminy - cy) <= reach
-                    else:
-                        qx, qy, qz, qw = crot[ci, 0], crot[ci, 1], crot[ci, 2], crot[ci, 3]
-                        nx_, ny_, nz_ = quat_rotate_comp(qx, qy, qz, qw, np.float32(0), np.float32(1), np.float32(0))
-                        ccx, ccy, ccz = (bminx + bmaxx) * 0.5, (bminy + bmaxy) * 0.5, (bminz + bmaxz) * 0.5
-                        hx, hy, hz = (bmaxx - bminx) * 0.5, (bmaxy - bminy) * 0.5, (bmaxz - bminz) * 0.5
-                        signed = (ccx - cx) * nx_ + (ccy - cy) * ny_ + (ccz - cz) * nz_
-                        support = jnp.abs(nx_) * hx + jnp.abs(ny_) * hy + jnp.abs(nz_) * hz
-                        near = (signed - support) <= reach
-                else:
-                    p0, p1, p2 = cpar[ci, 0], cpar[ci, 1], cpar[ci, 2]
-                    if k == 1:  # sphere
-                        radius = p0
-                    elif k == 2:  # cuboid: bounding sphere of the half-extents
-                        radius = jnp.sqrt(p0 * p0 + p1 * p1 + p2 * p2)
-                    elif k == 3:  # capsule: radius + half-segment
-                        radius = p0 + p1
-                    else:  # cylinder / cone
-                        radius = jnp.sqrt(p0 * p0 + p1 * p1)
-                    # rotation never changes an origin-centered bounding sphere
-                    qx_ = jnp.clip(cx, bminx, bmaxx)
-                    qy_ = jnp.clip(cy, bminy, bmaxy)
-                    qz_ = jnp.clip(cz, bminz, bmaxz)
-                    d2 = (cx - qx_) ** 2 + (cy - qy_) ** 2 + (cz - qz_) ** 2
-                    rr = radius + reach
-                    near = d2 <= rr * rr
-                conds.append(enabled & near & any_part)
-
-        if not cull:
+        if loop_groups is None:
             best = jnp.full(px.shape, BIG)
             bnx = jnp.zeros_like(px)
             bny = jnp.zeros_like(px)
@@ -399,29 +393,97 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
                 bnz = jnp.where(closer, wnz, bnz)
                 best = jnp.where(closer, dist, best)
         else:
-            # broad-phase path: each collider's ray test runs only when the
-            # scalar tile-vs-collider test passes; the running (best, normal)
-            # lives in VMEM scratch across the gated blocks
-            sbest, sbnx, sbny, sbnz = cull_scratch
-            zero = jnp.zeros(px.shape, jnp.float32)
-            sbest[:, :] = jnp.full(px.shape, BIG)
-            sbnx[:, :] = zero
-            sbny[:, :] = zero
-            sbnz[:, :] = zero
-            for ci, k in enumerate(kinds):
+            # looped narrow phase: per-substep scalar AABB + reach, then one
+            # fori_loop per (kind, identity) group with a lax.cond-gated body
+            # carrying (best, best original index, normal)
+            part = lane_active
+            any_part = jnp.any(part)
+            bminx = jnp.min(jnp.where(part, px, BIG))
+            bmaxx = jnp.max(jnp.where(part, px, -BIG))
+            bminy = jnp.min(jnp.where(part, py, BIG))
+            bmaxy = jnp.max(jnp.where(part, py, -BIG))
+            bminz = jnp.min(jnp.where(part, pz, BIG))
+            bmaxz = jnp.max(jnp.where(part, pz, -BIG))
+            reach = jnp.max(jnp.where(part, max_dist, 0.0)) * np.float32(1.001) + np.float32(0.01)
 
-                @pl.when(conds[ci])
-                def _(ci=ci, k=k):
-                    dist, wnx, wny, wnz = one_collider(ci, k, px, py, pz, dx, dy, dz)
-                    best = sbest[:, :]
-                    closer = (dist <= max_dist) & (dist < best)
-                    sbest[:, :] = jnp.where(closer, dist, best)
-                    sbnx[:, :] = jnp.where(closer, wnx, sbnx[:, :])
-                    sbny[:, :] = jnp.where(closer, wny, sbny[:, :])
-                    sbnz[:, :] = jnp.where(closer, wnz, sbnz[:, :])
+            best = jnp.full(px.shape, BIG)
+            bci = jnp.full(px.shape, np.int32(2**31 - 1))
+            bnx = jnp.zeros_like(px)
+            bny = jnp.zeros_like(px)
+            bnz = jnp.zeros_like(px)
+            carry = (best, bci, bnx, bny, bnz)
 
-            best = sbest[:, :]
-            bnx, bny, bnz = sbnx[:, :], sbny[:, :], sbnz[:, :]
+            for k, ident, start, count in loop_groups:
+
+                def body(ci, carry, k=k, ident=ident):
+                    cx, cy, cz = cpos[ci, 0], cpos[ci, 1], cpos[ci, 2]
+                    lay = clay[ci, 0]
+                    p0, p1, p2 = cpar[ci, 0], cpar[ci, 1], cpar[ci, 2]
+                    if not ident:
+                        qx, qy, qz, qw = crot[ci, 0], crot[ci, 1], crot[ci, 2], crot[ci, 3]
+                    # scalar broad phase: substep AABB + max reach vs the
+                    # collider's bounding volume (conservative: skipped only
+                    # when no lane's ray can reach it; `inside` hits imply
+                    # overlap, which the AABB contains)
+                    if k == 0:  # halfspace: box support distance to the plane
+                        if ident:
+                            near = (bminy - cy) <= reach
+                        else:
+                            nx_, ny_, nz_ = quat_rotate_comp(qx, qy, qz, qw, np.float32(0), np.float32(1), np.float32(0))
+                            ccx, ccy, ccz = (bminx + bmaxx) * 0.5, (bminy + bmaxy) * 0.5, (bminz + bmaxz) * 0.5
+                            hx, hy, hz = (bmaxx - bminx) * 0.5, (bmaxy - bminy) * 0.5, (bmaxz - bminz) * 0.5
+                            signed = (ccx - cx) * nx_ + (ccy - cy) * ny_ + (ccz - cz) * nz_
+                            support = jnp.abs(nx_) * hx + jnp.abs(ny_) * hy + jnp.abs(nz_) * hz
+                            near = (signed - support) <= reach
+                    else:
+                        if k == 1:  # sphere
+                            radius = p0
+                        elif k == 2:  # cuboid: bounding sphere of the half-extents
+                            radius = jnp.sqrt(p0 * p0 + p1 * p1 + p2 * p2)
+                        elif k == 3:  # capsule: radius + half-segment
+                            radius = p0 + p1
+                        else:  # cylinder / cone
+                            radius = jnp.sqrt(p0 * p0 + p1 * p1)
+                        # rotation never changes an origin-centered bounding sphere
+                        qx_ = jnp.clip(cx, bminx, bmaxx)
+                        qy_ = jnp.clip(cy, bminy, bmaxy)
+                        qz_ = jnp.clip(cz, bminz, bmaxz)
+                        d2 = (cx - qx_) ** 2 + (cy - qy_) ** 2 + (cz - qz_) ** 2
+                        rr = radius + reach
+                        near = d2 <= rr * rr
+                    cond = (lay != 0) & near & any_part
+
+                    def hit(c, k=k, ident=ident):
+                        best, bci, bnx, bny, bnz = c
+                        if ident:
+                            ox, oy, oz = px - cx, py - cy, pz - cz
+                            rdx, rdy, rdz = dx, dy, dz
+                        else:
+                            ox, oy, oz = conj_rot(qx, qy, qz, qw, px - cx, py - cy, pz - cz)
+                            rdx, rdy, rdz = conj_rot(qx, qy, qz, qw, dx, dy, dz)
+                        dist, nx, ny, nz = _ray_kind(k, ox, oy, oz, rdx, rdy, rdz, p0, p1, p2)
+                        layer_ok = (lane_mask & lay) != 0
+                        dist = jnp.where(layer_ok, dist, BIG)
+                        if ident:
+                            wnx, wny, wnz = nx, ny, nz
+                        else:
+                            wnx, wny, wnz = quat_rotate_comp(qx, qy, qz, qw, nx, ny, nz)
+                        oidx = cidx[ci, 0]
+                        closer = (dist <= max_dist) & (
+                            (dist < best) | ((dist == best) & (oidx < bci))
+                        )
+                        return (
+                            jnp.where(closer, dist, best),
+                            jnp.where(closer, oidx, bci),
+                            jnp.where(closer, wnx, bnx),
+                            jnp.where(closer, wny, bny),
+                            jnp.where(closer, wnz, bnz),
+                        )
+
+                    return jax.lax.cond(cond, hit, lambda c: c, carry)
+
+                carry = jax.lax.fori_loop(start, start + count, body, carry)
+            best, _bci, bnx, bny, bnz = carry
         hit = (best <= max_dist) & lane_active
         dist = jnp.where(hit, best, 0.0)
         nx, ny, nz = bnx, bny, bnz
@@ -475,8 +537,7 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
     def still_active(s):
         return jnp.any((~s[7]) & (s[6] > 0.0))
 
-    cull = cull_scratch is not None
-    state = substep(px, py, pz, vx, vy, vz, delta, done, destroyed, cull)
+    state = substep(px, py, pz, vx, vy, vz, delta, done, destroyed)
     if scratch is None:  # straight-line fallback (no gating)
         for _ in range(3):
             state = substep(*state)
@@ -499,13 +560,13 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
 
     @pl.when(still_active(state))
     def _():
-        store(substep(*load(), cull))
+        store(substep(*load()))
 
     s2 = load()
 
     @pl.when(still_active(s2))
     def _():
-        store(substep(*substep(*load(), cull), cull))
+        store(substep(*substep(*load())))
 
     out = load()
     return out[0], out[1], out[2], out[3], out[4], out[5], out[8]
@@ -684,6 +745,12 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         if pack_render:
             gmeta_ref = refs[pos]
             pos += 1
+        has_coll = C > 0 and static.any_collision
+        looped = has_coll and C >= LOOP_MIN_COLLIDERS
+        cidx_ref = None
+        if looped:  # SMEM [C, 1] i32: original table index per permuted row
+            cidx_ref = refs[pos]
+            pos += 1
         alive_ref = None
         if not derived:
             alive_ref = refs[pos]
@@ -693,14 +760,9 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             ptype_ref = refs[pos]
             pos += 1
         field_in = refs[pos : pos + nf]
-        has_coll = C > 0 and static.any_collision
-        cull = has_coll and C >= CULL_MIN_COLLIDERS
-        n_scratch = 1 + (8 if has_coll else 0) + (4 if cull else 0)
+        n_scratch = 1 + (8 if has_coll else 0)
         dead_carry = refs[-n_scratch]  # SMEM scratch: dead slots seen in prior tiles
-        # VMEM substep carries (+ broad-phase best/normal carries when culling)
-        s0 = len(refs) - n_scratch
-        coll_scratch = refs[s0 + 1 : s0 + 9] if has_coll else None
-        cull_scratch = refs[-4:] if cull else None
+        coll_scratch = refs[-8:] if has_coll else None  # VMEM substep carries
         outs = refs[pos + nf : -n_scratch]
         oi = 0
         out_alive_ref = None
@@ -957,10 +1019,13 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
                     if static.collision_types[t]:
                         has_col = has_col | (ptype == t)
             cpx, cpy, cpz, cvx, cvy, cvz, cdes = _collide_tile(
-                collider_kinds, collider_identity, cpos_ref[:, :], crot_ref[:, :],
-                cpar_ref[:, :], clay_ref[:, :],
+                collider_kinds, collider_identity,
+                *((cpos_ref, crot_ref, cpar_ref, clay_ref) if looped
+                  else (cpos_ref[:, :], crot_ref[:, :], cpar_ref[:, :], clay_ref[:, :])),
                 px, py, pz, vx, vy, vz, dt, restitution, friction, destroy_flag, lane_mask,
-                alive_sp & ~dead_by_age & has_col, coll_scratch, cull_scratch,
+                alive_sp & ~dead_by_age & has_col, coll_scratch,
+                loop_groups=_collider_groups(collider_kinds, collider_identity) if looped else None,
+                cidx=cidx_ref,
             )
             npx = jnp.where(has_col, cpx, px + vx * dt)
             npy = jnp.where(has_col, cpy, py + vy * dt)
@@ -1181,6 +1246,10 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
 
     kinds = colliders.kinds if (colliders is not None and static.any_collision) else ()
     identity = colliders.identity_rot if (colliders is not None and static.any_collision) else ()
+    looped = len(kinds) >= LOOP_MIN_COLLIDERS
+    perm = None
+    if looped:  # group by (kind, identity) for the fori_loop narrow phase
+        perm, kinds, identity, _groups = _collider_perm(kinds, identity)
     dump = static.any_destroyed_dump
     single = static.single_type
     derived = static.derived_alive and can_fuse(static)
@@ -1189,8 +1258,16 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     kernel = _make_kernel(static, kinds, identity, dump, kernel_spawn, block_rows, pack_render)
 
     smalls = _pack_fused_smalls(static, params, colliders, frame) + [dyn, estate]
+    if looped:
+        # permute the collider rows to match (static gather, tiny [C, _]
+        # arrays; positions may be traced for dynamic colliders)
+        pidx = np.asarray(perm, np.int32)
+        for si in (CPOS_IDX, CPOS_IDX + 1, CPOS_IDX + 2, CPOS_IDX + 3):
+            smalls[si] = smalls[si][pidx, :]
     if pack_render:
         smalls.append(_pack_gmeta(params))
+    if looped:  # original table index per permuted row (exact tie-break)
+        smalls.append(jnp.asarray(np.asarray(perm, np.int32).reshape(-1, 1)))
 
     def blocked():
         return pl.BlockSpec((block_rows, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM)
@@ -1200,12 +1277,17 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     fields = active_f32_fields(static)
     nf = len(fields)
 
-    n_small = N_SMALL + (1 if pack_render else 0)
+    n_small = N_SMALL + (1 if pack_render else 0) + (1 if looped else 0)
     n_big_in = (0 if derived else 1) + (0 if single else 1) + nf  # [alive], [ptype], fields
     n_extra = (0 if derived else 1) + (0 if single else 1) + (1 if dump else 0)
+    # looped narrow phase reads collider rows (cpos/crot/cpar/clay, smalls
+    # indices CPOS_IDX..+3) by dynamic scalar index — they live in SMEM there
+    cspec = smem_spec if looped else small_spec
     in_specs = (
-        [small_spec] * (N_SMALL - 2) + [smem_spec] * 2
-        + ([small_spec] if pack_render else []) + [blocked()] * n_big_in
+        [small_spec] * CPOS_IDX + [cspec] * 4 + [small_spec] * (N_SMALL - 2 - CPOS_IDX - 4)
+        + [smem_spec] * 2
+        + ([small_spec] if pack_render else []) + ([smem_spec] if looped else [])
+        + [blocked()] * n_big_in
     )
     out_specs = [blocked()] * (n_extra + nf)
     out_shape = (
@@ -1248,11 +1330,6 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
             [pltpu.VMEM((block_rows, LANES), jnp.float32)] * 7
             + [pltpu.VMEM((block_rows, LANES), jnp.int32)]
             if (len(kinds) > 0 and static.any_collision)
-            else []
-        )
-        + (
-            [pltpu.VMEM((block_rows, LANES), jnp.float32)] * 4
-            if (len(kinds) >= CULL_MIN_COLLIDERS and static.any_collision)
             else []
         ),
         input_output_aliases=aliases,

@@ -106,12 +106,15 @@ def test_fused_collision_parity():
 
 
 def test_fused_collision_parity_many_colliders_broadphase():
-    """C >= CULL_MIN_COLLIDERS engages the per-tile broad phase (a scalar
-    tile-AABB-vs-collider-bound test gates each unrolled ray test). The XLA
-    oracle never culls, so a collider wrongly skipped breaks parity; the mix
-    below has colliders the burst actually hits plus far-away ones of every
-    kind that the broad phase must skip without changing any trajectory."""
-    from bevy_firework_tpu.ops.fused_step import CULL_MIN_COLLIDERS
+    """C >= LOOP_MIN_COLLIDERS engages the looped narrow phase: colliders are
+    permuted into (kind, identity) groups, each group a fori_loop over SMEM
+    rows whose body is gated by a scalar tile-AABB broad-phase test, with an
+    exact (dist, original index) tie-break so the permutation cannot change
+    winners. The XLA oracle never culls or reorders, so a wrongly skipped
+    collider or a tie flipped by the grouping breaks parity; the mix below
+    has colliders the burst actually hits plus far-away ones of every kind
+    that the broad phase must skip without changing any trajectory."""
+    from bevy_firework_tpu.ops.fused_step import LOOP_MIN_COLLIDERS
 
     sp = det_spawner(
         ps=dict(
@@ -128,7 +131,7 @@ def test_fused_collision_parity_many_colliders_broadphase():
         Collider.cylinder(0.3, 0.4, position=(-60.0, 2.0, 3.0), rotation=(0.0, 0.0, 0.3826834, 0.9238795)),  # culled, rotated
         Collider.cone(0.5, 0.5, position=(0.0, 0.0, 70.0)),  # culled
     ]
-    assert len(colliders) >= CULL_MIN_COLLIDERS
+    assert len(colliders) >= LOOP_MIN_COLLIDERS
     sA, oA, sB, oB = run_both(sp, n_frames=12, colliders=colliders)
     assert int(oA.alive_count) == int(oB.alive_count) > 0
     assert_state_match(sA, sB, atol=1e-4)

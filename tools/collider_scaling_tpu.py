@@ -1,13 +1,13 @@
 """Collision cost vs collider count on the fused kernel (1M-lane pool).
 
-The narrow phase unrolls every collider per substep (collision.py semantics);
-this quantifies the O(C) cost so capacity planning is honest. At
-C >= CULL_MIN_COLLIDERS a tile-AABB broad phase gates each unrolled ray test
-behind a scalar reachability check (ops/fused_step._collide_tile). Measured
-~neutral at C<=24 (docs/PERF_NOTES.md "Collider-count scaling"): the
-unrolled narrow phase is VPU-cheap, so skipped ray tests only buy back the
-gating overhead. The binding constraint at large C is unrolled CODE size
-(superlinear past C~24), not ray math — see PERF_NOTES.
+Quantifies the O(C) narrow-phase cost so capacity planning is honest. At
+C < LOOP_MIN_COLLIDERS every collider's ray test is unrolled per substep
+(collision.py semantics); at C >= LOOP_MIN_COLLIDERS the kernel switches to
+the kind-grouped `lax.fori_loop` over SMEM collider rows with a scalar
+broad-phase gate per iteration (ops/fused_step._collide_tile). Measured:
+the loop is linear (~0.36 + 0.018xC ms @1M lanes) and beats unrolled at
+every C where it engages; unrolled blows up superlinearly past C~24 on
+CODE size, not ray math — see docs/PERF_NOTES.md "Collider-count scaling".
 
 Run: python tools/collider_scaling_tpu.py
 """

@@ -228,11 +228,12 @@ def check_nested_cadence(capacity=3 * 8192, n_frames=40):
 
 
 def check_many_collider_broadphase(capacity=3 * 8192, n_frames=25):
-    """C >= CULL_MIN_COLLIDERS engages the scalar tile-AABB broad phase
-    (per-collider pl.when around each unrolled ray test) — compiled on real
-    TPU, exact-match vs the cull-free XLA path. The collider mix has hits
-    plus far-away colliders of every kind the broad phase must skip."""
-    from bevy_firework_tpu.ops.fused_step import CULL_MIN_COLLIDERS
+    """C >= LOOP_MIN_COLLIDERS engages the looped narrow phase (kind-grouped
+    fori_loop over SMEM collider rows, lax.cond broad-phase gate, exact
+    (dist, index) tie-break) — compiled on real TPU, exact-match vs the
+    loop-free XLA path. The collider mix has hits plus far-away colliders
+    of every kind the broad phase must skip."""
+    from bevy_firework_tpu.ops.fused_step import LOOP_MIN_COLLIDERS
 
     sp = ParticleSpawner(
         particle_settings=[ParticleSettings(
@@ -252,7 +253,7 @@ def check_many_collider_broadphase(capacity=3 * 8192, n_frames=25):
                           rotation=(0.0, 0.0, 0.3826834, 0.9238795)),
         Collider.cone(0.5, 0.5, position=(0.0, 0.0, 70.0)),
     ]
-    assert len(colliders) >= CULL_MIN_COLLIDERS
+    assert len(colliders) >= LOOP_MIN_COLLIDERS
     return check_config("broadphase", sp, capacity, compile_colliders(colliders), n_frames=n_frames)
 
 
@@ -270,7 +271,7 @@ def main(n_configs=8):
                 Collider.cuboid((1, 1, 1), position=tuple(rng.uniform(-2, 2, 3).astype(float)),
                                 rotation=tuple((lambda q: q / np.linalg.norm(q))(rng.normal(size=4)).astype(float))),
             ]
-            if rng.rand() < 0.5:  # cross CULL_MIN_COLLIDERS: broad-phase path
+            if rng.rand() < 0.5:  # cross LOOP_MIN_COLLIDERS: broad-phase path
                 for _ in range(4):
                     cols.append(Collider.sphere(float(rng.uniform(0.5, 2.0)),
                                                 position=tuple(rng.uniform(-15, 15, 3).astype(float))))
@@ -306,7 +307,7 @@ def main(n_configs=8):
         print(f"many-collider-broadphase: {err}")
         failures += 1
     else:
-        print("many-collider-broadphase: OK (tile-AABB cull, 6 colliders incl. rotated)")
+        print("many-collider-broadphase: OK (looped narrow phase, 6 colliders incl. rotated)")
     from bevy_firework_tpu import ParticleEventHandlers, gradient_uneven_samples as _gus
 
     dump_sp = ParticleSpawner(
