@@ -25,6 +25,7 @@ from .render import (
     pack_instances,
     pack_instances_dense,
     planes_to_rows,
+    sort_instances_back_to_front,
 )
 from .scene import DestroyedParticle, Scene, Transform, estimate_capacity
 from .settings import (
@@ -104,6 +105,7 @@ __all__ = [
     "pack_instances",
     "pack_instances_dense",
     "planes_to_rows",
+    "sort_instances_back_to_front",
     "propagate_modifiers",
     "save_pool",
     "save_scene",

@@ -224,6 +224,35 @@ def instances_to_bytes(buffer: np.ndarray) -> bytes:
     return np.ascontiguousarray(buffer, dtype=np.float32).tobytes()
 
 
+# alpha_mode codes (BlendMode.as_u32) whose blend operators do not commute:
+# Blend (2, src*a + dst*(1-a)) and Premultiplied (3, src + dst*(1-a)) are
+# the "over" operator; Add (4) and Multiply (5) commute; Opaque (0) depth
+# tests. The reference sorts whole systems back-to-front per view
+# (`render.rs:541-561` Transparent3d distance sort) but draws instances
+# WITHIN a system in pool order — same-system overlap artifacts are a known
+# reference limitation that per-instance sorting removes.
+ORDER_DEPENDENT_ALPHA_MODES = frozenset((2, 3))
+
+
+def sort_instances_back_to_front(instances: np.ndarray, camera_pos) -> np.ndarray:
+    """Stable back-to-front (farthest-first) reorder of dense instance rows
+    by squared distance from `camera_pos` — correct compositing order for
+    the non-commutative blend modes (see ORDER_DEPENDENT_ALPHA_MODES).
+
+    Goes beyond the reference, which only distance-sorts whole systems
+    (`render.rs:541-561`); instance rows stay in the 64 B contract layout,
+    so the result feeds `instances_to_bytes` unchanged. Cost is a host
+    argsort over live instances — O(n log n) on typical alpha-blend system
+    sizes (hundreds to tens of thousands); commutative-blend systems should
+    skip it (Scene.render_items does this automatically)."""
+    if instances.shape[0] <= 1:
+        return instances
+    cam = np.asarray(camera_pos, np.float32).reshape(3)
+    d = instances[:, :3] - cam
+    d2 = (d * d).sum(axis=1)
+    return instances[np.argsort(-d2, kind="stable")]
+
+
 @dataclasses.dataclass(frozen=True)
 class RenderItem:
     """One draw call's worth of data: the analog of the reference's render

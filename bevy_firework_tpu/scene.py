@@ -40,7 +40,14 @@ from .ops.fused_step import (
     step_auto_packed_jit,
 )
 from .pool import PoolState, init_pool_for, make_frame_input
-from .render import RenderItem, make_uniform, pack_instances, planes_to_rows
+from .render import (
+    ORDER_DEPENDENT_ALPHA_MODES,
+    RenderItem,
+    make_uniform,
+    pack_instances,
+    planes_to_rows,
+    sort_instances_back_to_front,
+)
 from .settings import EffectModifier, ParticleSpawner, SpawnTransformMode
 from .step import StepOutputs
 
@@ -706,10 +713,22 @@ class Scene:
         return list(self._spawners.keys())
 
     # ---------------------------------------------------------------- render
-    def render_items(self, method: str = "dense") -> List[RenderItem]:
+    def render_items(
+        self, method: str = "dense", camera_pos=None, sort_within: str = "auto"
+    ) -> List[RenderItem]:
         """The extract step: one item per (spawner x non-empty type)
         (`render.rs:439-461`), each carrying a dense instance array in the
         64-byte contract layout.
+
+        camera_pos (optional [3] world-space view position) enables draw
+        ordering: the item list comes back back-to-front by spawner-origin
+        distance (the reference's Transparent3d per-view distance sort,
+        `render.rs:541-561`), and each item whose alpha_mode is a
+        non-commutative blend (Blend/Premultiplied) additionally gets its
+        INSTANCES sorted back-to-front — same-system overlap compositing the
+        reference cannot get right, since it draws instances in storage
+        order. sort_within: "auto" (order-dependent modes only, default),
+        "all", or "none" (item-level ordering only).
 
         method="dense" (default, the fast path): when the last step ran the
         fused kernel's in-kernel render pack (single-type tile-aligned TPU
@@ -742,14 +761,31 @@ class Scene:
                     rows = np.asarray(buf[:count])
                 if count == 0:
                     continue
+                uniform = make_uniform(slot.compiled, t)
+                if camera_pos is not None and (
+                    sort_within == "all"
+                    or (sort_within == "auto" and uniform.alpha_mode in ORDER_DEPENDENT_ALPHA_MODES)
+                ):
+                    rows = sort_instances_back_to_front(rows, camera_pos)
                 items.append(
                     RenderItem(
                         spawner_id=sid,
                         type_index=t,
                         instances=rows,
                         count=count,
-                        uniform=make_uniform(slot.compiled, t),
+                        uniform=uniform,
                         textures=slot.compiled.textures[t],
                     )
                 )
+        if camera_pos is not None:
+            cam = np.asarray(camera_pos, np.float32).reshape(3)
+
+            def _dist2(item):
+                o = np.asarray(
+                    self._spawners[item.spawner_id].global_transform.translation,
+                    np.float32,
+                ) - cam
+                return -float(o @ o)
+
+            items.sort(key=_dist2)
         return items

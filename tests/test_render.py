@@ -148,3 +148,56 @@ def test_native_compact_dense_matches_numpy():
         import pytest
 
         pytest.skip("native lib unavailable; numpy fallback already covered")
+
+
+def test_sorted_render_items_back_to_front():
+    """camera_pos sorting: items come back farthest-spawner-first (the
+    reference's Transparent3d per-view distance sort, `render.rs:541-561`)
+    and Blend-mode items additionally get their instance rows sorted
+    back-to-front — beyond the reference, which draws same-system instances
+    in storage order. Add-mode systems (commutative blend) are untouched."""
+    from bevy_firework_tpu import Transform, sort_instances_back_to_front
+    from bevy_firework_tpu.render import ORDER_DEPENDENT_ALPHA_MODES
+
+    def burst(blend):
+        return ParticleSpawner(
+            particle_settings=[ParticleSettings(
+                lifetime=RandF32.constant(5.0), blend_mode=blend,
+                acceleration=(0.0, 0.0, 0.0), linear_drag=0.0)],
+            emission_settings=[EmissionSettings(
+                emission_pacing=EmissionPacing.one_shot(64),
+                initial_velocity_radial=RandF32(min=0.5, max=3.0))],
+        )
+
+    scene = Scene(seed=3)
+    near = scene.add_spawner(burst(BlendMode.BLEND), capacity=256,
+                             transform=Transform(translation=(0.0, 0.0, 1.0)))
+    far = scene.add_spawner(burst(BlendMode.ADD), capacity=256,
+                            transform=Transform(translation=(0.0, 0.0, 40.0)))
+    for _ in range(10):
+        scene.step(1 / 60)
+
+    cam = (0.0, 0.0, -5.0)
+    plain = {it.spawner_id: it for it in scene.render_items()}
+    items = scene.render_items(camera_pos=cam)
+    assert [it.spawner_id for it in items] == [far, near]  # back-to-front
+
+    blend_item = items[1]
+    assert blend_item.uniform.alpha_mode in ORDER_DEPENDENT_ALPHA_MODES
+    d2 = ((blend_item.instances[:, :3] - np.asarray(cam, np.float32)) ** 2).sum(1)
+    assert (np.diff(d2) <= 0).all()  # farthest first
+    # a permutation of the unsorted rows, nothing altered
+    np.testing.assert_array_equal(
+        np.sort(blend_item.instances, axis=0), np.sort(plain[near].instances, axis=0))
+    np.testing.assert_array_equal(
+        blend_item.instances,
+        sort_instances_back_to_front(plain[near].instances, cam))
+
+    add_item = items[0]  # commutative blend: rows untouched under "auto"
+    np.testing.assert_array_equal(add_item.instances, plain[far].instances)
+    # "all" sorts it too; "none" leaves both
+    all_items = {it.spawner_id: it for it in scene.render_items(camera_pos=cam, sort_within="all")}
+    d2a = ((all_items[far].instances[:, :3] - np.asarray(cam, np.float32)) ** 2).sum(1)
+    assert (np.diff(d2a) <= 0).all()
+    none_items = {it.spawner_id: it for it in scene.render_items(camera_pos=cam, sort_within="none")}
+    np.testing.assert_array_equal(none_items[near].instances, plain[near].instances)
