@@ -28,6 +28,14 @@ from .render import (
     sort_instances_back_to_front,
 )
 from .scene import DestroyedParticle, Scene, Transform, estimate_capacity
+from .trails import (
+    TrailItem,
+    TrailSettings,
+    TrailState,
+    init_trail_state,
+    pack_trail_segments,
+    update_trails,
+)
 from .settings import (
     BlendMode,
     EffectModifier,
@@ -83,6 +91,9 @@ __all__ = [
     "Scene",
     "SpawnTransformMode",
     "StepOutputs",
+    "TrailItem",
+    "TrailSettings",
+    "TrailState",
     "Transform",
     "compile_colliders",
     "compile_spawner",
@@ -93,6 +104,7 @@ __all__ = [
     "gradient_uneven_samples",
     "init_pool",
     "init_pool_for",
+    "init_trail_state",
     "instances_to_bytes",
     "key_for",
     "linear_velocity_at_point",
@@ -104,11 +116,12 @@ __all__ = [
     "np_compute_emission_count",
     "pack_instances",
     "pack_instances_dense",
+    "pack_trail_segments",
     "planes_to_rows",
-    "sort_instances_back_to_front",
     "propagate_modifiers",
     "save_pool",
     "save_scene",
+    "sort_instances_back_to_front",
     "spawner_from_dict",
     "spawner_from_json",
     "spawner_to_dict",
@@ -116,4 +129,5 @@ __all__ = [
     "step",
     "step_jit",
     "sync_parent_velocity",
+    "update_trails",
 ]

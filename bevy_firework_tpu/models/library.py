@@ -186,3 +186,36 @@ def smoke_plume(rate=60.0):
             )
         ],
     )
+
+
+def comets(rate=6.0, speed=7.5, lifetime=2.5):
+    """Bright arcing heads designed for ribbon trails: pair with
+    `Scene.add_spawner(..., trail=TrailSettings(length=16, width=0.8))`
+    (trails.py — a capability beyond the reference's feature set). Additive
+    blend so overlapping trails sum instead of occluding."""
+    color = gradient_uneven_samples(
+        [
+            (0.0, (6.0, 4.5, 1.8, 1.0)),
+            (0.7, (3.0, 1.2, 0.6, 1.0)),
+            (1.0, (0.3, 0.1, 0.05, 0.0)),
+        ]
+    )
+    return ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(
+                lifetime=RandF32.constant(lifetime),
+                initial_scale=RandF32(0.08, 0.14),
+                acceleration=(0.0, -4.0, 0.0),
+                linear_drag=0.05,
+                base_color=color,
+                blend_mode=BlendMode.ADD,
+            )
+        ],
+        emission_settings=[
+            EmissionSettings(
+                emission_pacing=EmissionPacing.rate(rate),
+                emission_shape=EmissionShape.circle((0, 1, 0), 0.4),
+                initial_velocity=RandVec3(RandF32(speed * 0.8, speed), (0, 1, 0), 0.55),
+            )
+        ],
+    )

@@ -48,6 +48,7 @@ from .render import (
     planes_to_rows,
     sort_instances_back_to_front,
 )
+from .trails import TrailSettings, init_trail_state, update_trails
 from .settings import EffectModifier, ParticleSpawner, SpawnTransformMode
 from .step import StepOutputs
 
@@ -182,7 +183,8 @@ class _SpawnerSlot:
 
     def __init__(self, spawner, compiled, state, outputs, capacity, transform,
                  global_transform, parent_velocity, modifier, finished_observers,
-                 finished_fired, seed, render_planes=None):
+                 finished_fired, seed, render_planes=None,
+                 trail_settings=None, trail_state=None):
         self.spawner = spawner
         self.compiled = compiled
         self.capacity = capacity
@@ -193,6 +195,8 @@ class _SpawnerSlot:
         self.finished_observers = finished_observers
         self.finished_fired = finished_fired
         self.seed = seed
+        self.trail_settings = trail_settings
+        self.trail_state = trail_state
         self._state = state
         self._outputs = outputs
         self._render_planes = render_planes
@@ -321,6 +325,7 @@ class Scene:
         modifier: Optional[EffectModifier] = None,
         sid: Optional[int] = None,
         nested_buffer: int = 4096,
+        trail: Optional["TrailSettings"] = None,
     ) -> int:
         """capacity=None auto-sizes the pool from the spawner's steady-state
         estimate (see estimate_capacity); pass an explicit capacity for
@@ -332,7 +337,11 @@ class Scene:
 
         nested_buffer: per-frame nested child buffer (a perf knob — cost
         scales with it, overflow defers loss-free; see
-        compiled.SpawnerStatic.nested_m)."""
+        compiled.SpawnerStatic.nested_m).
+
+        trail: TrailSettings enables ribbon trails for this spawner (beyond
+        the reference's feature set; see trails.py). Each step() records one
+        history point; drain via Scene.trail_items()."""
         if capacity is None:
             capacity = estimate_capacity(spawner)
         if sid is None:
@@ -358,6 +367,8 @@ class Scene:
             finished_observers=[],
             finished_fired=False,
             seed=seed,
+            trail_settings=trail,
+            trail_state=init_trail_state(trail, capacity) if trail else None,
         )
         return sid
 
@@ -374,6 +385,8 @@ class Scene:
         slot.outputs = None
         slot.render_planes = None
         slot.finished_fired = False
+        if slot.trail_settings is not None:  # full re-sync clears trails too
+            slot.trail_state = init_trail_state(slot.trail_settings, slot.capacity)
 
     def set_colliders(self, colliders: List[Collider]):
         """Replace the whole collider set. Changes the table's static layout,
@@ -581,6 +594,10 @@ class Scene:
                 for i, slot in enumerate(slots):
                     slot.attach_batch(nb, i)
             for sid, slot in zip(sids, slots):
+                if slot.trail_settings is not None:
+                    # one history point per step()/step_n() call (a step_n
+                    # fast-forward records only its final frame's point)
+                    slot.trail_state = update_trails(slot.trail_state, slot.state)
                 # host-side event surfacing (syncs only when someone cares)
                 if slot.finished_observers and not slot.finished_fired:
                     fired_now = (
@@ -788,4 +805,35 @@ class Scene:
                 return -float(o @ o)
 
             items.sort(key=_dist2)
+        return items
+
+    def trail_items(self, camera_pos=None) -> List["TrailItem"]:
+        """Drain ribbon-trail segments for every trailed spawner: one item
+        per (spawner x non-empty type) carrying dense [count, 16] f32
+        segment records (trails.py module docstring for the layout), live
+        segments compacted by the native bridge. camera_pos sorts segments
+        back-to-front within non-commutative-blend items (midpoint key) —
+        ribbons are alpha-composited like particles."""
+        from .native import compact_dense
+        from .trails import TrailItem, pack_trail_segments, sort_segments_back_to_front
+
+        items = []
+        for sid, slot in self._spawners.items():
+            if slot.trail_settings is None:
+                continue
+            for t in range(slot.compiled.num_types):
+                planes, _n = pack_trail_segments(
+                    slot.trail_settings, slot.compiled.params, slot.state,
+                    slot.trail_state, t,
+                )
+                rows = compact_dense(np.asarray(planes))
+                if rows.shape[0] == 0:
+                    continue
+                uniform = make_uniform(slot.compiled, t)
+                if camera_pos is not None and uniform.alpha_mode in ORDER_DEPENDENT_ALPHA_MODES:
+                    rows = sort_segments_back_to_front(rows, camera_pos)
+                items.append(TrailItem(
+                    spawner_id=sid, type_index=t, segments=rows,
+                    count=rows.shape[0], uniform=uniform,
+                ))
         return items

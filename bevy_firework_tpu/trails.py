@@ -1,0 +1,187 @@
+"""Trail / ribbon rendering: per-particle position history + segment records.
+
+Beyond the reference's feature set — bevy_firework has no trails
+(`/root/reference/README.md:21-50` feature list) — but a natural extension
+that the SoA pool makes cheap on TPU:
+
+  * The history is a CIRCULAR [K, N] buffer per coordinate with a head
+    cursor, so the per-frame device cost is ONE [N]-row dynamic-update-slice
+    per coordinate plus an [N] validity update — not a K x N shift.
+  * Respawn detection needs no particle ids: a slot restarted iff it is
+    alive now and either was dead last frame or its age went backwards
+    (ring reuse can recycle a slot the same frame its tenant dies).
+  * Segment extraction is a static gather of K-1 row pairs off the head
+    cursor, packed into 64-byte records whose invalid rows carry width 0 —
+    exactly the key the native dense compaction (`native.compact_dense`)
+    already drops, so trails reuse the render bridge unchanged.
+
+Segment record (16 f32 = 64 B, mirroring the instance-record discipline of
+`render.rs:95-115`):
+
+    [p0.x, p0.y, p0.z, w0,  p1.x, p1.y, p1.z, w1,  r, g, b, a0,  r, g, b, a1]
+
+p0 is the newer end (toward the particle), p1 the older; w* are world-space
+ribbon half-widths; the color is the particle's CURRENT base color with the
+alpha tapered toward the tail (a consumer draws a camera-facing quad per
+segment, interpolating width and alpha along it).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pool import PoolState
+from .render import FireworkUniform, compute_render_fields
+
+
+@dataclasses.dataclass(frozen=True)
+class TrailSettings:
+    """Per-spawner trail config (compile-time static: `length` sizes the
+    history buffer and the packed segment count)."""
+
+    length: int = 8  # history points K (>= 2); up to K-1 segments drawn
+    width: float = 0.25  # ribbon half-width as a fraction of particle scale
+    taper: bool = True  # linearly taper width and alpha toward the tail
+
+    def __post_init__(self):
+        if self.length < 2:
+            raise ValueError("TrailSettings.length must be >= 2")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TrailState:
+    """Circular position history for one spawner's pool."""
+
+    hx: jax.Array  # [K, N] f32
+    hy: jax.Array  # [K, N] f32
+    hz: jax.Array  # [K, N] f32
+    hcount: jax.Array  # [N] int32: valid history points per slot (0..K)
+    head: jax.Array  # scalar int32: row of the most recent point
+    prev_age: jax.Array  # [N] f32: age at the last recorded point
+    prev_alive: jax.Array  # [N] bool
+
+    @property
+    def length(self) -> int:
+        return self.hx.shape[0]
+
+    @property
+    def capacity(self) -> int:
+        return self.hx.shape[1]
+
+
+def init_trail_state(settings: TrailSettings, capacity: int) -> TrailState:
+    k = settings.length
+    z = jnp.zeros((k, capacity), jnp.float32)
+    return TrailState(
+        hx=z, hy=z, hz=z,
+        hcount=jnp.zeros((capacity,), jnp.int32),
+        head=jnp.zeros((), jnp.int32),
+        prev_age=jnp.zeros((capacity,), jnp.float32),
+        prev_alive=jnp.zeros((capacity,), bool),
+    )
+
+
+@jax.jit
+def update_trails(trail: TrailState, state: PoolState) -> TrailState:
+    """Record one history point from the post-step pool state.
+
+    Call once per simulated frame AFTER the step (Scene.step does this for
+    trailed spawners). Slots that (re)started this frame — newly alive, or
+    alive with age running backwards (ring reuse) — restart their history at
+    the current position; stale rows behind them are hidden by hcount."""
+    k = trail.length
+    restarted = state.alive & (~trail.prev_alive | (state.age < trail.prev_age))
+    head = jax.lax.rem(trail.head + 1, jnp.int32(k))
+    hx = jax.lax.dynamic_update_index_in_dim(trail.hx, state.px, head, 0)
+    hy = jax.lax.dynamic_update_index_in_dim(trail.hy, state.py, head, 0)
+    hz = jax.lax.dynamic_update_index_in_dim(trail.hz, state.pz, head, 0)
+    hcount = jnp.where(
+        state.alive,
+        jnp.where(restarted, 1, jnp.minimum(trail.hcount + 1, k)),
+        0,
+    ).astype(jnp.int32)
+    return TrailState(
+        hx=hx, hy=hy, hz=hz, hcount=hcount, head=head,
+        prev_age=state.age, prev_alive=state.alive,
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def pack_trail_segments(
+    settings: TrailSettings,
+    params,
+    state: PoolState,
+    trail: TrailState,
+    type_index: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Emit dense segment planes [16, (K-1)*N] f32 + the valid-segment count.
+
+    Row s of the (K-1)-stack joins history points s and s+1 behind the head;
+    a segment is valid iff its slot is alive, of `type_index`, and has
+    recorded both endpoints (hcount >= s+2). Invalid lanes carry w0 == 0 —
+    the same drop key as the dense instance pack — so
+    `native.compact_dense(np.asarray(planes))` yields the final [count, 16]
+    records at host memcpy speed."""
+    k = settings.length
+    s = jnp.arange(k - 1, dtype=jnp.int32)  # segment index, 0 = newest
+    idx0 = jax.lax.rem(trail.head - s + jnp.int32(2 * k), jnp.int32(k))
+    idx1 = jax.lax.rem(idx0 - 1 + jnp.int32(k), jnp.int32(k))
+
+    p0 = (trail.hx[idx0], trail.hy[idx0], trail.hz[idx0])  # each [K-1, N]
+    p1 = (trail.hx[idx1], trail.hy[idx1], trail.hz[idx1])
+
+    sel = state.alive & (state.ptype == type_index)
+    valid = sel[None, :] & (trail.hcount[None, :] >= (s + 2)[:, None])
+
+    scale, base, _emis = compute_render_fields(params, state, type_index)
+    if settings.taper:
+        t0 = (1.0 - s.astype(jnp.float32) / np.float32(k - 1))[:, None]
+        t1 = (1.0 - (s + 1).astype(jnp.float32) / np.float32(k - 1))[:, None]
+    else:
+        t0 = jnp.ones((k - 1, 1), jnp.float32)
+        t1 = jnp.ones((k - 1, 1), jnp.float32)
+    half_w = scale[None, :] * np.float32(settings.width)
+    w0 = jnp.where(valid, half_w * t0, 0.0)
+    w1 = half_w * t1
+
+    zero = jnp.zeros_like(w0)
+    planes = jnp.stack(
+        [
+            p0[0], p0[1], p0[2], w0,
+            p1[0], p1[1], p1[2], w1,
+            base[0][None, :] + zero, base[1][None, :] + zero,
+            base[2][None, :] + zero, base[3][None, :] * t0,
+            base[0][None, :] + zero, base[1][None, :] + zero,
+            base[2][None, :] + zero, base[3][None, :] * t1,
+        ]
+    ).reshape(16, -1)
+    return planes, jnp.sum(valid.astype(jnp.int32))
+
+
+@dataclasses.dataclass(frozen=True)
+class TrailItem:
+    """One ribbon draw's worth of data, per (spawner x non-empty type)."""
+
+    spawner_id: int
+    type_index: int
+    segments: np.ndarray  # [count, 16] f32 (see module docstring layout)
+    count: int
+    uniform: FireworkUniform
+
+
+def sort_segments_back_to_front(segments: np.ndarray, camera_pos) -> np.ndarray:
+    """Stable farthest-first reorder by segment midpoint distance (the
+    ribbon analog of `render.sort_instances_back_to_front`)."""
+    if segments.shape[0] <= 1:
+        return segments
+    cam = np.asarray(camera_pos, np.float32).reshape(3)
+    mid = 0.5 * (segments[:, 0:3] + segments[:, 4:7]) - cam
+    d2 = (mid * mid).sum(axis=1)
+    return segments[np.argsort(-d2, kind="stable")]

@@ -61,6 +61,61 @@ def _smoothstep(edge0: float, edge1: float, x: np.ndarray) -> np.ndarray:
     return t * t * (3.0 - 2.0 * t)
 
 
+def _draw_trail_segment(img, tbatch, pi, focal, width, height):
+    """Composite one ribbon segment (trails.py record layout) as a
+    screen-space tapered line: per-pixel distance to the projected 2D
+    segment against the width lerped along it, alpha lerped a0 -> a1."""
+    seg, v0, v1, uni = tbatch
+    z0, z1 = v0[pi, 2], v1[pi, 2]
+    if z0 <= 0.05 or z1 <= 0.05:
+        return
+    p0 = np.array([focal * v0[pi, 0] / z0 + width * 0.5,
+                   -focal * v0[pi, 1] / z0 + height * 0.5], np.float32)
+    p1 = np.array([focal * v1[pi, 0] / z1 + width * 0.5,
+                   -focal * v1[pi, 1] / z1 + height * 0.5], np.float32)
+    r0 = max(focal * seg[pi, 3] / z0, 0.3)  # screen half-widths
+    r1 = max(focal * seg[pi, 7] / z1, 0.0)
+    rmax = max(r0, r1)
+    x0 = int(min(p0[0], p1[0]) - rmax)
+    x1 = int(max(p0[0], p1[0]) + rmax) + 1
+    y0 = int(min(p0[1], p1[1]) - rmax)
+    y1 = int(max(p0[1], p1[1]) + rmax) + 1
+    if x1 < 0 or y1 < 0 or x0 >= width or y0 >= height:
+        return
+    x0c, x1c = max(x0, 0), min(x1, width)
+    y0c, y1c = max(y0, 0), min(y1, height)
+    if x0c >= x1c or y0c >= y1c:
+        return
+    yy, xx = np.mgrid[y0c:y1c, x0c:x1c]
+    d = p1 - p0
+    len2 = float(d @ d)
+    if len2 < 1e-12:
+        t = np.zeros(xx.shape, np.float32)
+    else:
+        t = np.clip(((xx - p0[0]) * d[0] + (yy - p0[1]) * d[1]) / len2, 0.0, 1.0)
+    cx = p0[0] + t * d[0]
+    cy = p0[1] + t * d[1]
+    dist = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+    w = r0 + t * (r1 - r0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rr = np.where(w > 0, dist / np.maximum(w, 1e-6), np.inf)
+    a = seg[pi, 11] + t * (seg[pi, 15] - seg[pi, 11])
+    alpha = np.where(rr <= 1.0, a, 0.0)
+    fade = uni.fade_edge
+    if fade > 0:
+        alpha = alpha * _smoothstep(0.0, fade, np.clip(1.0 - rr, 0.0, 1.0))
+    color0 = seg[pi, 8:11]
+    color1 = seg[pi, 12:15]
+    color = color0[None, None, :] + t[..., None] * (color1 - color0)[None, None, :]
+    tile = img[y0c:y1c, x0c:x1c]
+    if uni.alpha_mode == 4:  # additive
+        tile += color * alpha[..., None]
+    else:
+        tile *= (1.0 - alpha)[..., None]
+        tile += color * alpha[..., None]
+    img[y0c:y1c, x0c:x1c] = tile
+
+
 def render_frame(
     items: Sequence,
     camera: Optional[Camera] = None,
@@ -70,6 +125,7 @@ def render_frame(
     exposure: float = 1.0,
     ground_y: Optional[float] = None,
     near: float = 0.1,
+    trail_items: Sequence = (),
 ) -> np.ndarray:
     """Rasterize RenderItems to an [H, W, 3] float image (simple Reinhard
     tonemap for the HDR gradients). Implements the contract's billboard +
@@ -100,14 +156,33 @@ def render_frame(
         y = rel @ cam.up
         batches.append((inst, depth, x, y, item.uniform))
 
-    # global back-to-front ordering across items (transparent phase sort)
+    # trail ribbons enter the same global sort, keyed by segment midpoint
+    tbatches = []
+    for item in trail_items or ():
+        seg = np.asarray(item.segments, np.float32).reshape(-1, 16)
+        if len(seg) == 0:
+            continue
+        basis = np.stack([cam.right, cam.up, cam.forward])  # world -> view
+        v0 = (seg[:, 0:3] - cam.position) @ basis.T
+        v1 = (seg[:, 4:7] - cam.position) @ basis.T
+        tbatches.append((seg, v0, v1, item.uniform))
+
+    # global back-to-front ordering across items (transparent phase sort);
+    # kind 0 = particle disc, kind 1 = trail segment
     order = []
     for bi, (inst, depth, x, y, uni) in enumerate(batches):
         for pi in range(len(inst)):
-            order.append((depth[pi], bi, pi))
+            order.append((depth[pi], 0, bi, pi))
+    for bi, (seg, v0, v1, uni) in enumerate(tbatches):
+        mid = 0.5 * (v0[:, 2] + v1[:, 2])
+        for pi in range(len(seg)):
+            order.append((mid[pi], 1, bi, pi))
     order.sort(key=lambda t: -t[0])
 
-    for depth, bi, pi in order:
+    for depth, kind, bi, pi in order:
+        if kind == 1:
+            _draw_trail_segment(img, tbatches[bi], pi, focal, width, height)
+            continue
         inst, depths, xs, ys, uni = batches[bi]
         if depth <= 0.05:
             continue
@@ -189,6 +264,9 @@ def render_frame(
 
 
 def render_scene_png(scene, path: str, camera: Optional[Camera] = None, width: int = 640, height: int = 480, **kw):
-    img = render_frame(scene.render_items(), camera, width, height, **kw)
+    img = render_frame(
+        scene.render_items(), camera, width, height,
+        trail_items=scene.trail_items(), **kw,
+    )
     write_png(path, img)
     return path

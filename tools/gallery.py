@@ -56,6 +56,16 @@ def _snow():
     return s
 
 
+def _comets():
+    from bevy_firework_tpu import TrailSettings
+
+    s = Scene()
+    s.add_spawner(library.comets(), capacity=256,
+                  transform=Transform(translation=(0.0, 0.5, 0.0)),
+                  trail=TrailSettings(length=16, width=0.8))
+    return s
+
+
 def _render_fireworks():
     """The fireworks burst is periodic (~3 rockets/s, each exploding at its
     apex): step until a burst is young and dense (>140 live sparkles), then
@@ -84,6 +94,7 @@ JOBS = {
     "collision": (_collision, 150, Camera((0, 3, 9), (0, 1, 0)), dict(ground_y=0.0)),
     "explosion": (_explosion, 20, Camera((0, 2.5, 8), (0, 2, 0)), dict(exposure=1.5)),
     "snow": (_snow, 240, Camera((0, 3.5, 11), (0, 3, 0)), dict()),
+    "comets": (_comets, 140, Camera((0, 3.2, 10), (0, 2.6, 0)), dict(exposure=1.6)),
     "fireworks": None,  # special-cased: burst-seeking warmup
 }
 
@@ -98,7 +109,8 @@ def main(names):
             scene = build()
             for _ in range(frames):
                 scene.step(1.0 / 60.0)
-            img = render_frame(scene.render_items(), cam, **kw)
+            img = render_frame(scene.render_items(), cam,
+                               trail_items=scene.trail_items(), **kw)
         path = os.path.join(OUT, f"{name}.png")
         write_png(path, img)
         print(f"{name} -> {path}  {scene.alive_count()} live")
