@@ -23,6 +23,7 @@ import numpy as np
 
 from .pool import PoolState
 from .settings import spawner_from_dict, spawner_to_dict
+from .trails import TrailSettings, TrailState
 
 
 def _reconstruct_ring_cursor(arrays: Dict[str, np.ndarray]) -> int:
@@ -101,7 +102,16 @@ def save_scene(path: str, scene) -> None:
                 "modifier": {"scale": slot.modifier.scale, "speed": slot.modifier.speed},
                 "finished_fired": slot.finished_fired,
                 "seed": slot.seed,
+                "nested_buffer": slot.compiled.static.nested_m,
             }
+            if slot.trail_settings is not None:
+                meta["spawners"][str(sid)]["trail"] = dataclasses.asdict(slot.trail_settings)
+                tbuf = io.BytesIO()
+                np.savez_compressed(tbuf, **{
+                    f.name: np.asarray(getattr(slot.trail_state, f.name))
+                    for f in dataclasses.fields(type(slot.trail_state))
+                })
+                zf.writestr(f"trail_{sid}.npz", tbuf.getvalue())
             buf = io.BytesIO()
             np.savez_compressed(buf, **pool_to_arrays(slot.state))
             zf.writestr(f"pool_{sid}.npz", buf.getvalue())
@@ -132,6 +142,9 @@ def load_scene(path: str, colliders=None):
                 global_transform=Transform(tuple(m["global_transform"]["translation"]), tuple(m["global_transform"]["rotation"])),
                 modifier=EffectModifier(**m["modifier"]),
                 sid=sid,
+                # legacy checkpoints predate the knob: default matches theirs
+                nested_buffer=m.get("nested_buffer", 4096),
+                trail=TrailSettings(**m["trail"]) if "trail" in m else None,
             )
             slot = scene._spawners[sid]
             slot.parent_velocity = tuple(m["parent_velocity"])
@@ -140,5 +153,11 @@ def load_scene(path: str, colliders=None):
             with zf.open(f"pool_{sid}.npz") as fh:
                 with np.load(io.BytesIO(fh.read())) as z:
                     slot.state = pool_from_arrays({k: z[k] for k in z.files})
+            if "trail" in m:
+                with zf.open(f"trail_{sid}.npz") as fh:
+                    with np.load(io.BytesIO(fh.read())) as z:
+                        slot.trail_state = TrailState(
+                            **{k: jnp.asarray(z[k]) for k in z.files}
+                        )
         scene._next_id = meta["next_id"]
     return scene

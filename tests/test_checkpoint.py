@@ -119,3 +119,28 @@ def test_legacy_checkpoint_ring_cursor_reconstructed(tmp_path):
         b, ob = step_jit(c.static, c.params, None, b, frame)
         assert int(oa.alive_count) == int(ob.alive_count)
     np.testing.assert_array_equal(np.asarray(a.alive), np.asarray(b.alive))
+
+
+def test_scene_checkpoint_round_trips_trails_and_nested_buffer(tmp_path):
+    """Trail history and the nested_buffer compile knob survive save+load:
+    restored trail segments match exactly and keep continuing the ribbon."""
+    from bevy_firework_tpu import TrailSettings
+
+    path = os.path.join(tmp_path, "trail.ckpt")
+    a = Scene()
+    sid = a.add_spawner(spawner(), capacity=512, nested_buffer=2048,
+                        trail=TrailSettings(length=5, width=0.4, taper=False))
+    for _ in range(20):
+        a.step(1 / 60)
+    save_scene(path, a)
+    b = load_scene(path)
+    assert b._spawners[sid].compiled.static.nested_m == 2048
+    assert b._spawners[sid].trail_settings == TrailSettings(length=5, width=0.4, taper=False)
+    ia, ib = a.trail_items(), b.trail_items()
+    assert len(ia) == len(ib) == 1
+    np.testing.assert_array_equal(ia[0].segments, ib[0].segments)
+    for _ in range(10):  # history keeps extending identically post-restore
+        a.step(1 / 60)
+        b.step(1 / 60)
+    np.testing.assert_array_equal(a.trail_items()[0].segments,
+                                  b.trail_items()[0].segments)

@@ -170,3 +170,26 @@ def test_viewer_draws_trails():
     assert with_trails[py, px].max() > 0.1
     assert without[py, px].max() <= 0.05
     assert (with_trails > 0.05).sum() > (without > 0.05).sum()
+
+
+def test_trails_with_archetype_batched_spawners():
+    """Two same-archetype spawners step as ONE vmapped group dispatch;
+    each keeps its own independent trail history (read off the lazy
+    batch slice)."""
+    scene = Scene(seed=4)
+    a = scene.add_spawner(ballistic_spawner(n=4), capacity=256,
+                          trail=TrailSettings(length=4, width=0.3))
+    b = scene.add_spawner(ballistic_spawner(n=4), capacity=256,
+                          trail=TrailSettings(length=4, width=0.3))
+    from bevy_firework_tpu import Transform
+    scene.set_transform(b, Transform(translation=(0.0, 10.0, 0.0)))
+    for _ in range(6):
+        scene.step(1 / 60)
+    assert scene._last_step_dispatches == 1  # batched
+    items = {it.spawner_id: it for it in scene.trail_items()}
+    assert set(items) == {a, b}
+    # spawner b's ribbon rides its own origin, 10 units up
+    assert np.abs(items[a].segments[:, 1]).max() < 1.0
+    assert items[b].segments[:, 1].min() > 9.0
+    # identical spawners at different origins: same local trajectory
+    np.testing.assert_allclose(items[a].segments[:, 0], items[b].segments[:, 0], atol=1e-5)
