@@ -1,0 +1,196 @@
+"""Scene-API soak: a seeded random op sequence over the full public surface
+(spawner/collider CRUD, stepping, fast-forward, events, render/trail drains,
+checkpoint round-trip) with invariants checked after every op. The reference
+gets this class of coverage from being embedded in live Bevy apps; headless,
+a fuzzer is the closest analog."""
+
+import os
+
+import numpy as np
+import pytest
+
+from bevy_firework_tpu import (
+    BlendMode,
+    Collider,
+    EffectModifier,
+    EmissionMode,
+    EmissionPacing,
+    EmissionSettings,
+    ParticleSettings,
+    ParticleSpawner,
+    RandF32,
+    RandVec3,
+    Scene,
+    TrailSettings,
+    Transform,
+    instances_to_bytes,
+)
+from bevy_firework_tpu.checkpoint import load_scene, save_scene
+from bevy_firework_tpu.settings import ParticleCollisionSettings
+
+# a small fixed archetype pool bounds compile count while still crossing the
+# big config axes: rate/one-shot/on-demand pacing, collision, nested
+# emission, multi-type, blend modes, trails
+ARCHETYPES = [
+    ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(0.4))],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.rate(400.0))],
+    ),
+    ParticleSpawner(
+        particle_settings=[ParticleSettings(
+            lifetime=RandF32(0.2, 0.5), blend_mode=BlendMode.ADD,
+            collision_settings=ParticleCollisionSettings(restitution=0.4, friction=0.2))],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.rate(600.0),
+            initial_velocity=RandVec3(RandF32(1.0, 3.0), (0, 1, 0), 0.4))],
+    ),
+    ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(1.0))],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.one_shot(40))],
+    ),
+    ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(0.6))],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.on_demand())],
+    ),
+    ParticleSpawner(  # nested: type-1 children off type-0 parents
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(0.8)),
+            ParticleSettings(lifetime=RandF32.constant(0.3), blend_mode=BlendMode.BLEND),
+        ],
+        emission_settings=[
+            EmissionSettings(emission_pacing=EmissionPacing.rate(30.0)),
+            EmissionSettings(
+                particle_index=1,
+                emission_mode=EmissionMode.nested(0),
+                emission_pacing=EmissionPacing.count_over_duration(6.0, 0.0, 0.0, 1.0),
+            ),
+        ],
+    ),
+]
+
+COLLIDER_MAKERS = [
+    lambda rng: Collider.halfspace(position=(0.0, float(rng.uniform(-1.5, -0.2)), 0.0)),
+    lambda rng: Collider.sphere(float(rng.uniform(0.2, 0.8)), position=tuple(rng.uniform(-2, 2, 3))),
+    lambda rng: Collider.cuboid(tuple(rng.uniform(0.2, 0.8, 3)), position=tuple(rng.uniform(-2, 2, 3))),
+    lambda rng: Collider.capsule(0.3, 0.5, position=tuple(rng.uniform(-2, 2, 3))),
+]
+
+
+def check_invariants(scene, trailed):
+    for sid in scene.spawner_ids():
+        slot = scene._spawners[sid]
+        st = slot.state
+        alive = np.asarray(st.alive)
+        n_alive = int(alive.sum())
+        assert n_alive == scene.alive_count(sid)
+        assert n_alive <= slot.capacity
+        for f in ("px", "py", "pz", "vx", "vy", "vz", "age"):
+            v = np.asarray(getattr(st, f))[alive]
+            assert np.isfinite(v).all(), f"non-finite {f} in spawner {sid}"
+        assert (np.asarray(st.age)[alive] <= np.asarray(st.lifetime)[alive]).all()
+    # the exact-liveness extract agrees with the pool masks
+    per_sid = {}
+    for item in scene.render_items(method="compact"):
+        assert item.instances.shape[1] == 16
+        assert len(instances_to_bytes(item.instances)) == item.count * 64
+        assert np.isfinite(item.instances).all()
+        per_sid[item.spawner_id] = per_sid.get(item.spawner_id, 0) + item.count
+    for sid, n in per_sid.items():
+        assert n == scene.alive_count(sid)
+    for item in scene.trail_items():
+        assert item.spawner_id in trailed
+        assert np.isfinite(item.segments).all()
+        assert (item.segments[:, 3] > 0).all()  # live segments only
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_scene_soak(seed, tmp_path):
+    rng = np.random.RandomState(100 + seed)
+    scene = Scene(seed=seed, colliders=[Collider.halfspace(position=(0, -1, 0))])
+    trailed = set()
+    collider_ids = []
+
+    def op_add_spawner():
+        i = int(rng.randint(len(ARCHETYPES)))
+        trail = TrailSettings(length=int(rng.randint(2, 6))) if (i != 4 and rng.rand() < 0.3) else None
+        sid = scene.add_spawner(
+            ARCHETYPES[i], capacity=256,
+            transform=Transform(translation=tuple(rng.uniform(-3, 3, 3))),
+        ) if trail is None else scene.add_spawner(
+            ARCHETYPES[i], capacity=256,
+            transform=Transform(translation=tuple(rng.uniform(-3, 3, 3))),
+            trail=trail,
+        )
+        if trail is not None:
+            trailed.add(sid)
+
+    def op_remove_spawner():
+        ids = scene.spawner_ids()
+        if ids:
+            sid = ids[int(rng.randint(len(ids)))]
+            scene.remove_spawner(sid)
+            trailed.discard(sid)
+
+    def op_set_spawner():
+        ids = scene.spawner_ids()
+        if ids:
+            scene.set_spawner(ids[int(rng.randint(len(ids)))],
+                              ARCHETYPES[int(rng.randint(len(ARCHETYPES)))])
+
+    def op_add_collider():
+        cid = scene.add_collider(COLLIDER_MAKERS[int(rng.randint(len(COLLIDER_MAKERS)))](rng))
+        collider_ids.append(cid)
+
+    def op_remove_collider():
+        if collider_ids:
+            scene.remove_collider(collider_ids.pop(int(rng.randint(len(collider_ids)))))
+
+    def op_move_collider():
+        if collider_ids:
+            scene.set_collider(collider_ids[int(rng.randint(len(collider_ids)))],
+                               position=tuple(rng.uniform(-2, 2, 3)))
+
+    def op_transform_modifier():
+        ids = scene.spawner_ids()
+        if ids:
+            sid = ids[int(rng.randint(len(ids)))]
+            scene.set_transform(sid, Transform(translation=tuple(rng.uniform(-3, 3, 3))))
+            scene.set_modifier(sid, EffectModifier(scale=float(rng.uniform(0.5, 2.0)),
+                                                   speed=float(rng.uniform(0.5, 2.0))))
+
+    def op_queue_and_toggle():
+        ids = scene.spawner_ids()
+        if ids:
+            sid = ids[int(rng.randint(len(ids)))]
+            scene.queue_particles(sid, int(rng.randint(1, 20)))
+            scene.set_enabled(sid, bool(rng.rand() < 0.8))
+
+    def op_step():
+        scene.step(float(rng.choice([1 / 120, 1 / 60, 1 / 30])))
+
+    def op_step_n():
+        scene.step_n(1 / 60, int(rng.randint(2, 6)))
+
+    def op_checkpoint_roundtrip():
+        path = os.path.join(tmp_path, "soak.ckpt")
+        save_scene(path, scene)
+        restored = load_scene(path, colliders=None)
+        a = {(i.spawner_id, i.type_index): i.instances
+             for i in scene.render_items(method="compact")}
+        b = {(i.spawner_id, i.type_index): i.instances
+             for i in restored.render_items(method="compact")}
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+    ops = [op_add_spawner, op_remove_spawner, op_set_spawner, op_add_collider,
+           op_remove_collider, op_move_collider, op_transform_modifier,
+           op_queue_and_toggle, op_step, op_step, op_step, op_step_n,
+           op_checkpoint_roundtrip]
+    weights = np.array([2, 1, 1, 1.5, 1, 1.5, 1.5, 1.5, 6, 6, 6, 2, 0.5], float)
+    weights /= weights.sum()
+
+    op_add_spawner()  # never start empty
+    for _ in range(70):
+        ops[int(rng.choice(len(ops), p=weights))]()
+        check_invariants(scene, trailed)
