@@ -18,3 +18,10 @@ def particles_wgsl_source() -> str:
     compilable WGSL for a concrete pipeline key."""
     with open(os.path.join(SHADER_DIR, "particles.wgsl")) as f:
         return f.read()
+
+
+def ribbons_wgsl_source() -> str:
+    """The trail-segment consumer (docs/RENDER_CONTRACT.md §3b — beyond the
+    reference's feature set). No shader defs; compilable as-is."""
+    with open(os.path.join(SHADER_DIR, "ribbons.wgsl")) as f:
+        return f.read()

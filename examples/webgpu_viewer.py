@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--cpu", action="store_true", help="force CPU backend")
-parser.add_argument("--scene", default="mixed", choices=["pbr", "sparks", "mixed", "textures"])
+parser.add_argument("--scene", default="mixed", choices=["pbr", "sparks", "mixed", "textures", "comets"])
 parser.add_argument("--frames", type=int, default=120)
 parser.add_argument("--warmup", type=int, default=90)
 args = parser.parse_args()
@@ -43,8 +43,9 @@ if args.cpu:
 
     jax.config.update("jax_platforms", "cpu")
 
-from bevy_firework_tpu import Scene, Transform, instances_to_bytes  # noqa: E402
-from bevy_firework_tpu.models import effects  # noqa: E402
+from bevy_firework_tpu import Scene, TrailSettings, Transform, instances_to_bytes  # noqa: E402
+from bevy_firework_tpu.models import effects, library  # noqa: E402
+from bevy_firework_tpu.shaders import ribbons_wgsl_source  # noqa: E402
 from bevy_firework_tpu.shaders.specialize import (  # noqa: E402
     ALPHA_BLEND,
     PipelineCache,
@@ -58,6 +59,13 @@ if args.scene == "textures":
     sp, tf, colliders = effects.textures()
     scene = Scene(seed=7, colliders=colliders)
     scene.add_spawner(sp, capacity=2048, transform=tf)
+elif args.scene == "comets":
+    # ribbon trails (docs/RENDER_CONTRACT.md 3b): the page draws the trail
+    # segments with shaders/ribbons.wgsl alongside the particle heads
+    scene = Scene(seed=7)
+    scene.add_spawner(library.comets(), capacity=256,
+                      transform=Transform(translation=(0.0, 0.5, 0.0)),
+                      trail=TrailSettings(length=16, width=0.8))
 else:
     scene = Scene(seed=7)
     if args.scene in ("pbr", "mixed"):
@@ -75,6 +83,18 @@ frames = []
 for _ in range(args.frames):
     scene.step(dt)
     fi = []
+    # trail ribbons draw first (behind their own heads); same 64 B stride
+    for item in scene.trail_items():
+        fi.append(
+            {
+                "key": f"trail:{item.spawner_id}:{item.type_index}",
+                "ribbon": True,
+                "count": int(item.count),
+                "uniform": base64.b64encode(item.uniform.to_bytes()).decode(),
+                "textures": [None, None, None],
+                "data": base64.b64encode(instances_to_bytes(item.segments)).decode(),
+            }
+        )
     for item in scene.render_items():
         u = item.uniform
         fi.append(
@@ -120,6 +140,7 @@ HTML = r"""<!DOCTYPE html>
 const DESC = __DESC__;      // SpecializedPipeline, serialized by the engine
 const FRAMES = __FRAMES__;  // per-frame, per-system 64 B instance records
 const ASSETS = __ASSETS__;  // texture path -> base64 PNG
+const RIBBON_WGSL = __RIBBON__;  // shipped ribbons.wgsl (trail contract 3b)
 const hud = document.getElementById("hud");
 const cv = document.getElementById("c");
 
@@ -174,7 +195,8 @@ function decodeFrames() {
     for (let i = 0; i < bin.length; i++) a[i] = bin.charCodeAt(i);
     const ub = atob(s.uniform); const u = new Uint8Array(48);  // WGSL struct size
     for (let i = 0; i < ub.length; i++) u[i] = ub.charCodeAt(i);
-    return {key: s.key, count: s.count, buf: a, uniform: u, textures: s.textures};
+    return {key: s.key, count: s.count, buf: a, uniform: u, textures: s.textures,
+            ribbon: !!s.ribbon};
   }));
 }
 
@@ -237,6 +259,37 @@ async function main() {
     multisample: {count: DESC.multisample_count},
   });
 
+  // ---- ribbon pipeline (shipped ribbons.wgsl, trail contract 3b): same
+  // 64 B instance stride/locations, same pinned blend + reverse-Z depth;
+  // group(2) is the uniform alone (no textures in the ribbon contract) ----
+  const rg2Layout = device.createBindGroupLayout({entries: [
+    {binding: 0, visibility: GPUShaderStage.FRAGMENT, buffer: {type: "uniform"}},
+  ]});
+  let ribbonPipeline = null;
+  if (RIBBON_WGSL) {
+    const rmod = device.createShaderModule({code: RIBBON_WGSL});
+    const rinfo = await rmod.getCompilationInfo();
+    const rerrs = rinfo.messages.filter(m => m.type === "error");
+    if (rerrs.length) {
+      hud.textContent = "shipped ribbons.wgsl failed to compile:\n" +
+        rerrs.map(m => `${m.lineNum}:${m.linePos} ${m.message}`).join("\n");
+      return;
+    }
+    ribbonPipeline = device.createRenderPipeline({
+      layout: device.createPipelineLayout({bindGroupLayouts: [g0Layout, g1Layout, rg2Layout]}),
+      vertex: {module: rmod, entryPoint: "vertex",
+        buffers: [{arrayStride: 64, stepMode: "instance",
+          attributes: [3, 4, 5, 6].map((loc, i) =>
+            ({shaderLocation: loc, offset: 16*i, format: "float32x4"}))}]},
+      fragment: {module: rmod, entryPoint: "fragment",
+        targets: [{format: targetFormat, blend: {color: blend(DESC.blend.color), alpha: blend(DESC.blend.alpha)}}]},
+      primitive: {topology: DESC.topology, cullMode: DESC.cull_mode ?? undefined},
+      depthStencil: {format: "depth32float",
+        depthWriteEnabled: DESC.depth_write_enabled, depthCompare: DESC.depth_compare},
+      multisample: {count: DESC.multisample_count},
+    });
+  }
+
   // ---- host-engine-side: ground prepass + opaque pass pipelines ----
   const gmod = device.createShaderModule({code: GROUND_WGSL});
   const groundLayout = device.createPipelineLayout({bindGroupLayouts: [g0Layout]});
@@ -291,7 +344,8 @@ async function main() {
   for (const f of bytes) for (const s of f) {
     const m = sysMeta.get(s.key);
     if (m) m.max = Math.max(m.max, s.count);
-    else sysMeta.set(s.key, {max: s.count, uniform: s.uniform, textures: s.textures});
+    else sysMeta.set(s.key, {max: s.count, uniform: s.uniform, textures: s.textures,
+                             ribbon: s.ribbon});
   }
   const loads = [];
   for (const m of sysMeta.values())
@@ -304,9 +358,13 @@ async function main() {
   for (const [key, m] of sysMeta) {
     const ubuf = device.createBuffer({size: 48, usage: GPUBufferUsage.UNIFORM | GPUBufferUsage.COPY_DST});
     device.queue.writeBuffer(ubuf, 0, m.uniform);
-    systems.set(key, {ubuf, textures: m.textures,
+    const sys = {ubuf, textures: m.textures, ribbon: m.ribbon,
       ibuf: device.createBuffer({size: Math.max(1, m.max) * 64,
-        usage: GPUBufferUsage.VERTEX | GPUBufferUsage.COPY_DST})});
+        usage: GPUBufferUsage.VERTEX | GPUBufferUsage.COPY_DST})};
+    if (m.ribbon)  // prepass-independent: build once
+      sys.g2 = device.createBindGroup({layout: rg2Layout,
+        entries: [{binding: 0, resource: {buffer: ubuf}}]});
+    systems.set(key, sys);
   }
 
   let prepassDepth = null, mainDepth = null, depthW = 0, depthH = 0;
@@ -319,6 +377,7 @@ async function main() {
     mainDepth = mk(0);
     // bind group 2 depends on the (resized) prepass depth texture
     for (const sys of systems.values()) {
+      if (sys.ribbon) continue;  // ribbon g2 has no prepass dependency
       const real = slot => {
         const p = sys.textures[slot];
         return (p && texViews.get(p)) || white.createView();
@@ -359,22 +418,24 @@ async function main() {
         depthClearValue: 0, depthLoadOp: "clear", depthStoreOp: "store"}});
     p2.setPipeline(groundPipeline); p2.setBindGroup(0, g0);
     p2.setVertexBuffer(0, groundBuf); p2.draw(6);
-    let live = 0;
-    p2.setPipeline(particlePipeline);
+    let live = 0, ribbons = 0;
     p2.setBindGroup(0, g0); p2.setBindGroup(1, g1);
     for (const s of bytes[fi]) {
       if (!s.count) continue;
-      live += s.count;
       const sys = systems.get(s.key);
+      if (s.ribbon) ribbons += s.count; else live += s.count;
+      p2.setPipeline(s.ribbon ? ribbonPipeline : particlePipeline);
       device.queue.writeBuffer(sys.ibuf, 0, s.buf, 0, s.count * 64);  // render.rs:568-584
       p2.setBindGroup(2, sys.g2);
       p2.setVertexBuffer(0, sys.ibuf);
-      p2.draw(6, s.count);  // render.rs:926
+      p2.draw(6, s.count);  // render.rs:926 (ribbons: 6 verts x segments)
     }
     p2.end();
     device.queue.submit([enc.finish()]);
     hud.textContent = `shipped particles.wgsl [${DESC.shader_defs.join(", ")}] executing on WebGPU\n` +
-      `frame ${fi+1}/${bytes.length} — ${live} instances — 1 draw/system — target ${targetFormat}`;
+      `frame ${fi+1}/${bytes.length} — ${live} instances` +
+      (ribbons ? ` + ${ribbons} ribbon segments (ribbons.wgsl)` : ``) +
+      ` — 1 draw/system — target ${targetFormat}`;
     fi = (fi + 1) % bytes.length;
     requestAnimationFrame(draw);
   }
@@ -392,6 +453,8 @@ with open(out, "w") as f:
         HTML.replace("__DESC__", json.dumps(desc))
         .replace("__FRAMES__", json.dumps(frames))
         .replace("__ASSETS__", json.dumps(assets))
+        .replace("__RIBBON__", json.dumps(
+            ribbons_wgsl_source() if any(s.get("ribbon") for f in frames for s in f) else None))
     )
 total = sum(s["count"] for s in frames[-1])
 print(

@@ -77,3 +77,36 @@ def test_assets_and_frames_embedded(html):
             assert len(base64.b64decode(s["data"])) == s["count"] * 64
     keys = {s["key"] for f in frames for s in f}
     assert any(k.endswith(":0") for k in keys)  # shell casings draw present
+
+
+@pytest.fixture(scope="module")
+def comets_html(tmp_path_factory):
+    env = dict(os.environ)
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "examples", "webgpu_viewer.py"),
+         "--cpu", "--scene", "comets", "--frames", "6", "--warmup", "30"],
+        check=True, cwd=ROOT, env=env, timeout=540,
+    )
+    with open(OUT) as f:
+        return f.read()
+
+
+def test_comets_page_embeds_ribbon_shader_and_segments(comets_html):
+    """The trail page ships ribbons.wgsl verbatim plus per-frame 64 B
+    segment blobs keyed as trail draws (RENDER_CONTRACT 3b)."""
+    import base64
+
+    from bevy_firework_tpu.shaders import ribbons_wgsl_source
+    from bevy_firework_tpu.shaders.wgsl_check import check_wgsl
+
+    ribbon = _embedded(comets_html, "RIBBON_WGSL")
+    assert ribbon == ribbons_wgsl_source()  # verbatim
+    assert check_wgsl(ribbon) == []
+    frames = _embedded(comets_html, "FRAMES")
+    trail_draws = [s for f in frames for s in f if s.get("ribbon")]
+    assert trail_draws, "no ribbon draws exported"
+    for s in trail_draws:
+        assert s["key"].startswith("trail:")
+        data = base64.b64decode(s["data"])
+        assert len(data) == s["count"] * 64

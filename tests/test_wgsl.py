@@ -169,3 +169,34 @@ def test_pbr_viewer_adds_emissive():
     img_a = render_frame([a], CAM, 160, 120)
     img_b = render_frame([b], CAM, 160, 120)
     assert _brightness(img_b) > _brightness(img_a)
+
+
+# ---------------------------------------------------------------------------
+# ribbon trail shader (docs/RENDER_CONTRACT.md 3b — beyond the reference)
+# ---------------------------------------------------------------------------
+
+
+def test_ribbons_wgsl_passes_static_checker():
+    from bevy_firework_tpu.shaders import ribbons_wgsl_source
+
+    src = ribbons_wgsl_source()
+    assert check_wgsl(src, instance_locations={
+        3: "p0_w0", 4: "p1_w1", 5: "color0", 6: "color1"}) == []
+    # regression classes the checker must still catch in this shader
+    assert check_wgsl(src.replace("view.world_position", "view.world_positionn"))
+    assert check_wgsl(src.replace("smoothstep(", "smoothsteep("))
+    assert check_wgsl(src.replace("out.across = side;", "out.across = sidex;"))
+
+
+def test_ribbons_wgsl_shares_uniform_layout():
+    """One SystemUniform serves both pipelines: the ribbon shader's struct
+    must stay field-identical to the particle shader's."""
+    from bevy_firework_tpu.shaders import ribbons_wgsl_source
+
+    from bevy_firework_tpu.shaders.wgsl_check import _strip_comments
+
+    def uniform_struct(src):
+        m = re.search(r"struct SystemUniform \{([^}]*)\}", _strip_comments(src))
+        return re.findall(r"(\w+)\s*:\s*([\w<>]+)", m.group(1))
+
+    assert uniform_struct(ribbons_wgsl_source()) == uniform_struct(particles_wgsl_source())
