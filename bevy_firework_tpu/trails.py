@@ -78,9 +78,14 @@ class TrailState:
 
 def init_trail_state(settings: TrailSettings, capacity: int) -> TrailState:
     k = settings.length
-    z = jnp.zeros((k, capacity), jnp.float32)
+
+    # three DISTINCT buffers: update_trails donates the trail state, and a
+    # shared zeros array would be one buffer donated three times
+    def z():
+        return jnp.zeros((k, capacity), jnp.float32)
+
     return TrailState(
-        hx=z, hy=z, hz=z,
+        hx=z(), hy=z(), hz=z(),
         hcount=jnp.zeros((capacity,), jnp.int32),
         head=jnp.zeros((), jnp.int32),
         prev_age=jnp.zeros((capacity,), jnp.float32),
@@ -88,14 +93,19 @@ def init_trail_state(settings: TrailSettings, capacity: int) -> TrailState:
     )
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,))
 def update_trails(trail: TrailState, state: PoolState) -> TrailState:
     """Record one history point from the post-step pool state.
 
     Call once per simulated frame AFTER the step (Scene.step does this for
     trailed spawners). Slots that (re)started this frame — newly alive, or
     alive with age running backwards (ring reuse) — restart their history at
-    the current position; stale rows behind them are hidden by hcount."""
+    the current position; stale rows behind them are hidden by hcount.
+
+    `trail` is DONATED: the circular buffers update in place (XLA would
+    otherwise copy all K x N history bytes per frame to write one row —
+    measured 6x the HBM traffic at 1M lanes). The returned state replaces
+    the argument; don't reuse the argument after the call."""
     k = trail.length
     restarted = state.alive & (~trail.prev_alive | (state.age < trail.prev_age))
     head = jax.lax.rem(trail.head + 1, jnp.int32(k))
