@@ -99,6 +99,10 @@ _F32_FIELDS = (
     "initial_scale", "age", "lifetime",
 )
 N_SMALL = 17  # count of small leading inputs (see kernel unpack)
+# dyn-row int32 slots holding each unrolled sub-frame's PRNG seed
+# (dyn = [mq, cursor, seed0, anyp, seed1..seed7, pad]; max unroll 8)
+_SEED_SLOTS = (2, 4, 5, 6, 7, 8, 9, 10)
+MAX_UNROLL = 8
 CPOS_IDX = 10  # index of cpos in the smalls list (crot/cpar/clay follow)
 
 
@@ -124,6 +128,23 @@ PI = np.float32(np.pi)
 def can_fuse(static: SpawnerStatic) -> bool:
     """The pallas fast path covers global-only archetypes (collision ok)."""
     return all(m == MODE_GLOBAL for m in static.mode_kinds)
+
+
+def can_unroll(static: SpawnerStatic) -> bool:
+    """Multi-frame in-kernel unroll (fused_step(unroll=U)): U frames per
+    kernel invocation, reading/writing the pool ONCE — HBM traffic and
+    launch overhead amortize U-fold in headless chains. Sound exactly where
+    every cross-frame dependency lives in (fields + SMEM scalars): ring
+    claims are per-lane iota-vs-cursor math (no cross-tile dead-rank carry,
+    which frame 2 could never see), deaths derive from age, and no
+    per-frame dump plane is emitted. Nested archetypes are excluded (their
+    XLA spawn stage runs between frames)."""
+    return (
+        can_fuse(static)
+        and static.ring_claim
+        and static.derived_alive
+        and not static.any_destroyed_dump
+    )
 
 
 def _u01(bits):
@@ -693,7 +714,8 @@ def nested_cadence_pass(static, params, e, alive, ptype, age, lifetime, le_row, 
 
 
 def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump: bool,
-                 kernel_spawn: bool, block_rows: int, pack_render: bool = False):
+                 kernel_spawn: bool, block_rows: int, pack_render: bool = False,
+                 unroll: int = 1):
     E = static.num_emitters
     T = static.num_types
     C = len(collider_kinds)
@@ -737,7 +759,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             cpar_ref,  # [C', 3]
             clay_ref,  # [C', 1] int32
             cadp_ref,  # [E, 8] f32: count, duration, off_start, off_end (cadence params)
-            dyn_ref,  # SMEM [1, 8] int32: manual_queued, ring_cursor, seed
+            dyn_ref,  # SMEM [1, 16] int32: mq, ring_cursor, seeds (_SEED_SLOTS)
             estate_ref,  # SMEM [E, 8] f32: time_in_cycle, last_emission, enabled
         ) = refs[:N_SMALL]
         pos = N_SMALL
@@ -805,281 +827,299 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             def _():
                 dead_carry[0] = 0
 
-        if derived:
-            alive0 = f["age"] < np.float32(const_life)
-        else:
-            alive0 = alive_ref[:, :] != 0
         ptype = None if single else ptype_ref[:, :]
-        dead = ~alive0
-
-        # ---------------- in-kernel cadence (global-only archetypes) ----------
-        # spawn_particles' per-emitter count/bookkeeping (core.rs:395-427) on
-        # SMEM scalars: every tile computes the same values; outputs are
-        # written idempotently. Matches step.py's _spawn_phase math exactly.
         if cad:
-            pltpu.prng_seed(dyn_ref[0, 2] + tid * 1000003)
+            # scalar state threaded across the unrolled sub-frames (python
+            # jnp scalars; written back once after the loop)
             mq = dyn_ref[0, 0]
             cursor0 = dyn_ref[0, 1]
-            en_in = [estate_ref[e, 2] != 0.0 for e in range(E)]
-            # active() is nested-aware (core.rs:288-302): a nested emitter
-            # counts only while particles exist (pre-spawn flag in dyn[3])
             anyp = dyn_ref[0, 3] != 0
-            active = jnp.zeros((), bool)
-            for e in range(E):
-                if static.mode_kinds[e] == MODE_GLOBAL:
-                    active = active | en_in[e]
+            tic_s = [estate_ref[e, 0] for e in range(E)]
+            last_s = [estate_ref[e, 1] for e in range(E)]
+            en_s = [estate_ref[e, 2] != 0.0 for e in range(E)]
+            cursor_new = cursor0
+        for _u in range(unroll):
+            # each sub-frame recomputes liveness from the current fields
+            # (derived: alive == age < lifetime; unroll > 1 requires it)
+            if derived:
+                alive0 = f["age"] < np.float32(const_life)
+            else:
+                alive0 = alive_ref[:, :] != 0
+            dead = ~alive0
+
+            # ---------------- in-kernel cadence (global-only archetypes) ----------
+            # spawn_particles' per-emitter count/bookkeeping (core.rs:395-427) on
+            # SMEM scalars: every tile computes the same values; outputs are
+            # written idempotently. Matches step.py's _spawn_phase math exactly.
+            if cad:
+                pltpu.prng_seed(dyn_ref[0, _SEED_SLOTS[_u]] + tid * 1000003)
+                en_in = en_s
+                # active() is nested-aware (core.rs:288-302): a nested emitter
+                # counts only while particles exist (pre-spawn flag in dyn[3],
+                # read once before the sub-frame loop — nested archetypes
+                # never unroll, so the pre-spawn value is the frame's value)
+                active = jnp.zeros((), bool)
+                for e in range(E):
+                    if static.mode_kinds[e] == MODE_GLOBAL:
+                        active = active | en_in[e]
+                    else:
+                        active = active | (en_in[e] & anyp)
+                bounds = [jnp.zeros((), jnp.int32)]
+                new_tic, new_last, new_en = [], [], []
+                for e in range(E):
+                    tic0_, last0_ = tic_s[e], last_s[e]
+                    if static.mode_kinds[e] != MODE_GLOBAL:
+                        # nested: spawned by the XLA phase; scalars pass through
+                        new_en.append(en_in[e])
+                        new_tic.append(tic0_)
+                        new_last.append(last0_)
+                        bounds.append(bounds[-1])
+                        continue
+                    gate = active & en_in[e]
+                    tic0, last0 = tic_s[e], last_s[e]
+                    cnt_p, dur = cadp_ref[e, 0], cadp_ref[e, 1]
+                    off_s, off_e = cadp_ref[e, 2], cadp_ref[e, 3]
+                    pk = static.pacing_kinds[e]
+                    if pk == PACING_ONE_SHOT:
+                        n_sp = jnp.where(gate, cnt_p.astype(jnp.int32), 0)
+                        new_en.append(en_in[e] & ~gate)  # disable after burst
+                        new_tic.append(tic0)
+                        new_last.append(last0)
+                    elif pk == PACING_ON_DEMAND:
+                        n_sp = jnp.where(gate, mq, 0)
+                        mq = jnp.where(gate, 0, mq)
+                        new_en.append(en_in[e])
+                        new_tic.append(tic0)
+                        new_last.append(last0)
+                    else:  # PACING_RATE / CountOverDuration
+                        tic = rem_euclid(tic0 + dt, dur)
+                        cnt, next_last = compute_emission_count(tic, last0, dur, off_s, off_e, cnt_p)
+                        n_sp = jnp.where(gate, cnt, 0)
+                        new_en.append(en_in[e])
+                        new_tic.append(jnp.where(gate, tic, tic0))
+                        new_last.append(jnp.where(gate, next_last, last0))
+                    bounds.append(bounds[-1] + n_sp)
+                total_spawn = bounds[-1]
+                npool = pl.num_programs(0) * block_rows * LANES
+                cursor_new = jnp.mod(cursor0 + total_spawn, npool) if static.ring_claim else cursor0
+                tic_s, last_s, en_s = new_tic, new_last, new_en
+
+            # ---------------- in-kernel slot claim --------------------------------
+            # The sequential-emitter Vec::push order (core.rs:386-469) is exactly:
+            # the r-th claimable slot is claimed by emitter e iff S_{e-1} <= r <
+            # S_e, with S the cumulative spawn counts.
+            #   * ring archetypes (const lifetime, FIFO deaths): r is the ring
+            #     distance (lane - cursor) mod N — pure iota math, no prefix scan
+            #     (the Hillis-Steele scan costs ~25% of the 1M step).
+            #   * otherwise: r is the dead-slot rank, a cross-tile prefix sum
+            #     (tile-local scan + SMEM carry; the grid runs sequentially on
+            #     one core, so the carry is exact).
+            if cad and static.ring_claim:
+                base = tid * (block_rows * LANES)
+                row = jax.lax.broadcasted_iota(jnp.int32, dead.shape, 0)
+                lane = jax.lax.broadcasted_iota(jnp.int32, dead.shape, 1)
+                gidx = base + row * LANES + lane
+                # Overflow corner (one frame's total global spawn > pool
+                # capacity N): ranks are mod N, so emitter windows
+                # [S_{e-1}, S_e) beyond N are unreachable here and later
+                # emitters drop entirely, while the XLA path advances its
+                # cursor per emitter and wraps onto remaining dead lanes —
+                # the two paths then claim different (equally overflowed)
+                # subsets. Both drop the overflow either way; capacity is the
+                # explicit knob (SURVEY.md §7 hard part 1), and a pool this
+                # under-provisioned is mis-sized by >1 full frame of emission.
+                rank = jnp.mod(gidx - cursor0, npool)
+                spawned_any = dead & (rank < total_spawn)
+                # spawn-block gate: does the ring window [cursor, cursor+total)
+                # (possibly wrapped) overlap this tile? scalar interval tests.
+                t0, t1 = base, base + block_rows * LANES
+                b = cursor0 + total_spawn
+                overlap_nowrap = (t1 > cursor0) & (t0 < b)
+                overlap_wrap = (t0 < (b - npool)) | (t1 > cursor0)
+                tile_has_spawn = (total_spawn > 0) & jnp.where(b > npool, overlap_wrap, overlap_nowrap)
+            elif cad:
+                rank_local, dead_in_tile = _prefix_exclusive(dead.astype(jnp.int32))
+                carry_before = dead_carry[0]
+                rank = rank_local + carry_before
+                dead_carry[0] = carry_before + dead_in_tile
+                spawned_any = dead & (rank < total_spawn)
+
+                # The RNG + samplers cost ~half the kernel but only tiles
+                # containing the first `total_spawn` dead ranks have claimed
+                # lanes — skip the whole block elsewhere (~1 tile in 16).
+                tile_has_spawn = (carry_before < total_spawn) & (dead_in_tile > 0)
+            else:  # hybrid: spawn already happened in the XLA spawn phase
+                spawned_any = jnp.zeros(dead.shape, bool)
+
+            def spawn_block(args):
+                if single:
+                    fvals = args
+                    ptype_l = None
                 else:
-                    active = active | (en_in[e] & anyp)
-            bounds = [jnp.zeros((), jnp.int32)]
-            new_tic, new_last, new_en = [], [], []
-            for e in range(E):
-                tic0_, last0_ = estate_ref[e, 0], estate_ref[e, 1]
-                if static.mode_kinds[e] != MODE_GLOBAL:
-                    # nested: spawned by the XLA phase; scalars pass through
-                    new_en.append(en_in[e])
-                    new_tic.append(tic0_)
-                    new_last.append(last0_)
-                    bounds.append(bounds[-1])
-                    continue
-                gate = active & en_in[e]
-                tic0, last0 = estate_ref[e, 0], estate_ref[e, 1]
-                cnt_p, dur = cadp_ref[e, 0], cadp_ref[e, 1]
-                off_s, off_e = cadp_ref[e, 2], cadp_ref[e, 3]
-                pk = static.pacing_kinds[e]
-                if pk == PACING_ONE_SHOT:
-                    n_sp = jnp.where(gate, cnt_p.astype(jnp.int32), 0)
-                    new_en.append(en_in[e] & ~gate)  # disable after burst
-                    new_tic.append(tic0)
-                    new_last.append(last0)
-                elif pk == PACING_ON_DEMAND:
-                    n_sp = jnp.where(gate, mq, 0)
-                    mq = jnp.where(gate, 0, mq)
-                    new_en.append(en_in[e])
-                    new_tic.append(tic0)
-                    new_last.append(last0)
-                else:  # PACING_RATE / CountOverDuration
-                    tic = rem_euclid(tic0 + dt, dur)
-                    cnt, next_last = compute_emission_count(tic, last0, dur, off_s, off_e, cnt_p)
-                    n_sp = jnp.where(gate, cnt, 0)
-                    new_en.append(en_in[e])
-                    new_tic.append(jnp.where(gate, tic, tic0))
-                    new_last.append(jnp.where(gate, next_last, last0))
-                bounds.append(bounds[-1] + n_sp)
-            total_spawn = bounds[-1]
-            npool = pl.num_programs(0) * block_rows * LANES
-            cursor_new = jnp.mod(cursor0 + total_spawn, npool) if static.ring_claim else cursor0
+                    fvals, ptype_l = args
+                fd = dict(zip(fields, fvals))
+                bits = pltpu.bitcast(pltpu.prng_random_bits((n_draws,) + dead.shape), jnp.uint32)
+                u = _u01(bits)
+                for e in range(E):
+                    if static.mode_kinds[e] != MODE_GLOBAL:
+                        continue  # nested children spawned by the XLA phase
+                    m = dead & (rank >= bounds[e]) & (rank < bounds[e + 1])
+                    srow = shape_ref[e]
+                    em = emisc_ref[e]
+                    offx, offy, offz = _shape_row(srow, u[0], u[1], u[2])
+                    ivx, ivy, ivz = _randvec3_row(ivel_ref[e], u[3], u[4], u[5])
+                    radial = em[0] + (em[1] - em[0]) * u[6]
+                    l2 = offx * offx + offy * offy + offz * offz
+                    inv = jnp.where(l2 > 0, 1.0 / jnp.sqrt(jnp.where(l2 > 0, l2, 1.0)), 0.0)
+                    wvx, wvy, wvz = quat_rotate_comp(*orot, ivx, ivy, ivz)
+                    velx = mod_speed * (wvx + offx * inv * radial) + em[2] * pvel[0]
+                    vely = mod_speed * (wvy + offy * inv * radial) + em[2] * pvel[1]
+                    velz = mod_speed * (wvz + offz * inv * radial) + em[2] * pvel[2]
+                    ti = static.particle_indices[e]
+                    tr = trand_ref[ti]
+                    iscale = (tr[0] + (tr[1] - tr[0]) * u[7]) * mod_scale
+                    ui = 8
+                    if const_life is None:
+                        life = tr[2] + (tr[3] - tr[2]) * u[ui]
+                        ui += 1
+                    if not elide_rot:
+                        avx, avy, avz = _randvec3_row(iang_ref[e], u[ui], u[ui + 1], u[ui + 2])
+
+                    def W(name, val):
+                        fd[name] = jnp.where(m, val, fd[name])
+
+                    W("px", trans[0] + offx); W("py", trans[1] + offy); W("pz", trans[2] + offz)
+                    W("vx", velx); W("vy", vely); W("vz", velz)
+                    if not elide_rot:
+                        W("qx", em[3]); W("qy", em[4]); W("qz", em[5]); W("qw", em[6])
+                        W("wx", avx); W("wy", avy); W("wz", avz)
+                    W("initial_scale", iscale)
+                    W("age", jnp.float32(0.0))
+                    if const_life is None:
+                        W("lifetime", life)
+                    if not single:
+                        ptype_l = jnp.where(m, ti, ptype_l)
+                fvals = tuple(fd[name] for name in fields)
+                return fvals if single else (fvals, ptype_l)
+
+            if cad and E > 0:
+                init_args = tuple(f[name] for name in fields)
+                if single:
+                    fvals = jax.lax.cond(tile_has_spawn, spawn_block, lambda a: a, init_args)
+                else:
+                    fvals, ptype = jax.lax.cond(
+                        tile_has_spawn, spawn_block, lambda a: a, (init_args, ptype)
+                    )
+                f = dict(zip(fields, fvals))
+            alive_sp = alive0 | spawned_any
+
+            # ---------------- integrate ------------------------------------------
+            age_new = f["age"] + dt
+            lifetime = np.float32(const_life) if const_life is not None else f["lifetime"]
+            dead_by_age = age_new >= lifetime
+            age_pct = age_new / lifetime
+
+            def by_type(ref, col):
+                out = jnp.full(alive0.shape, ref[0, col])
+                for t in range(1, T):
+                    out = jnp.where(ptype == t, ref[t, col], out)
+                return out
+
+            k0, n0 = static.scale_curve_meta[0]
+            sf = _eval_curve_static(cmeta_ref[0, 0], cmeta_ref[0, 1], k0, n0, age_pct)
+            for t in range(1, T):
+                kt, nt = static.scale_curve_meta[t]
+                sft = _eval_curve_static(cmeta_ref[t, 0], cmeta_ref[t, 1], kt, nt, age_pct)
+                sf = jnp.where(ptype == t, sft, sf)
+            scale_new = f["initial_scale"] * sf
+
+            px, py, pz = f["px"], f["py"], f["pz"]
+            vx, vy, vz = f["vx"], f["vy"], f["vz"]
+            if C > 0 and static.any_collision:
+                restitution = by_type(tcoll_ref, 0)
+                friction = by_type(tcoll_ref, 1)
+                destroy_flag = by_type(tcoll_ref, 2)
+                lane_mask = by_type(tmask_ref, 0)
+                if single:
+                    has_col = jnp.full(alive0.shape, static.collision_types[0])
+                else:
+                    has_col = jnp.zeros(alive0.shape, bool)
+                    for t in range(T):
+                        if static.collision_types[t]:
+                            has_col = has_col | (ptype == t)
+                cpx, cpy, cpz, cvx, cvy, cvz, cdes = _collide_tile(
+                    collider_kinds, collider_identity,
+                    *((cpos_ref, crot_ref, cpar_ref, clay_ref) if looped
+                      else (cpos_ref[:, :], crot_ref[:, :], cpar_ref[:, :], clay_ref[:, :])),
+                    px, py, pz, vx, vy, vz, dt, restitution, friction, destroy_flag, lane_mask,
+                    alive_sp & ~dead_by_age & has_col, coll_scratch,
+                    loop_groups=_collider_groups(collider_kinds, collider_identity) if looped else None,
+                    cidx=cidx_ref,
+                )
+                npx = jnp.where(has_col, cpx, px + vx * dt)
+                npy = jnp.where(has_col, cpy, py + vy * dt)
+                npz = jnp.where(has_col, cpz, pz + vz * dt)
+                nvx = jnp.where(has_col, cvx, vx)
+                nvy = jnp.where(has_col, cvy, vy)
+                nvz = jnp.where(has_col, cvz, vz)
+                should_destroy = has_col & cdes
+            else:
+                npx, npy, npz = px + vx * dt, py + vy * dt, pz + vz * dt
+                nvx, nvy, nvz = vx, vy, vz
+                should_destroy = jnp.zeros(alive0.shape, bool)
+
+            moved = alive_sp & ~dead_by_age
+            survivor = moved & ~should_destroy
+
+            ax, ay, az = by_type(tphys_ref, 0), by_type(tphys_ref, 1), by_type(tphys_ref, 2)
+            lin_drag = by_type(tphys_ref, 3)
+            aax, aay, aaz = by_type(tphys_ref, 4), by_type(tphys_ref, 5), by_type(tphys_ref, 6)
+            ang_drag = by_type(tphys_ref, 7)
+
+            dvx = nvx + (ax - nvx * lin_drag) * dt
+            dvy = nvy + (ay - nvy * lin_drag) * dt
+            dvz = nvz + (az - nvz * lin_drag) * dt
+
+            if derived:
+                # collision-destroys must read dead next frame: age := lifetime
+                f["age"] = jnp.where(
+                    moved & should_destroy, np.float32(const_life),
+                    jnp.where(alive_sp, age_new, f["age"]),
+                )
+            else:
+                f["age"] = jnp.where(alive_sp, age_new, f["age"])
+            f["px"] = jnp.where(moved, npx, f["px"])
+            f["py"] = jnp.where(moved, npy, f["py"])
+            f["pz"] = jnp.where(moved, npz, f["pz"])
+            f["vx"] = jnp.where(survivor, dvx, jnp.where(moved, nvx, f["vx"]))
+            f["vy"] = jnp.where(survivor, dvy, jnp.where(moved, nvy, f["vy"]))
+            f["vz"] = jnp.where(survivor, dvz, jnp.where(moved, nvz, f["vz"]))
+            if not elide_rot:
+                # quaternion rotation + angular drag (core.rs:645-650); with
+                # rotation elided these are compile-time no-ops (q=id, w=0)
+                sqx, sqy, sqz, sqw = quat_from_scaled_axis_comp(f["wx"] * dt, f["wy"] * dt, f["wz"] * dt)
+                rqx, rqy, rqz, rqw = quat_mul_comp(sqx, sqy, sqz, sqw, f["qx"], f["qy"], f["qz"], f["qw"])
+                wx2 = f["wx"] + (aax - ang_drag * f["wx"]) * dt
+                wy2 = f["wy"] + (aay - ang_drag * f["wy"]) * dt
+                wz2 = f["wz"] + (aaz - ang_drag * f["wz"]) * dt
+                f["qx"] = jnp.where(survivor, rqx, f["qx"])
+                f["qy"] = jnp.where(survivor, rqy, f["qy"])
+                f["qz"] = jnp.where(survivor, rqz, f["qz"])
+                f["qw"] = jnp.where(survivor, rqw, f["qw"])
+                f["wx"] = jnp.where(survivor, wx2, f["wx"])
+                f["wy"] = jnp.where(survivor, wy2, f["wy"])
+                f["wz"] = jnp.where(survivor, wz2, f["wz"])
+
+            if cad:
+                cursor0 = cursor_new  # next sub-frame claims off the advanced ring
+
+        if cad:  # write back the final scalar state (once, not per sub-frame)
             out_dyn_ref[0, 0] = mq
             out_dyn_ref[0, 1] = cursor_new
             for e in range(E):
-                out_estate_ref[e, 0] = new_tic[e]
-                out_estate_ref[e, 1] = new_last[e]
-                out_estate_ref[e, 2] = new_en[e].astype(jnp.float32)
-
-        # ---------------- in-kernel slot claim --------------------------------
-        # The sequential-emitter Vec::push order (core.rs:386-469) is exactly:
-        # the r-th claimable slot is claimed by emitter e iff S_{e-1} <= r <
-        # S_e, with S the cumulative spawn counts.
-        #   * ring archetypes (const lifetime, FIFO deaths): r is the ring
-        #     distance (lane - cursor) mod N — pure iota math, no prefix scan
-        #     (the Hillis-Steele scan costs ~25% of the 1M step).
-        #   * otherwise: r is the dead-slot rank, a cross-tile prefix sum
-        #     (tile-local scan + SMEM carry; the grid runs sequentially on
-        #     one core, so the carry is exact).
-        if cad and static.ring_claim:
-            base = tid * (block_rows * LANES)
-            row = jax.lax.broadcasted_iota(jnp.int32, dead.shape, 0)
-            lane = jax.lax.broadcasted_iota(jnp.int32, dead.shape, 1)
-            gidx = base + row * LANES + lane
-            # Overflow corner (one frame's total global spawn > pool
-            # capacity N): ranks are mod N, so emitter windows
-            # [S_{e-1}, S_e) beyond N are unreachable here and later
-            # emitters drop entirely, while the XLA path advances its
-            # cursor per emitter and wraps onto remaining dead lanes —
-            # the two paths then claim different (equally overflowed)
-            # subsets. Both drop the overflow either way; capacity is the
-            # explicit knob (SURVEY.md §7 hard part 1), and a pool this
-            # under-provisioned is mis-sized by >1 full frame of emission.
-            rank = jnp.mod(gidx - cursor0, npool)
-            spawned_any = dead & (rank < total_spawn)
-            # spawn-block gate: does the ring window [cursor, cursor+total)
-            # (possibly wrapped) overlap this tile? scalar interval tests.
-            t0, t1 = base, base + block_rows * LANES
-            b = cursor0 + total_spawn
-            overlap_nowrap = (t1 > cursor0) & (t0 < b)
-            overlap_wrap = (t0 < (b - npool)) | (t1 > cursor0)
-            tile_has_spawn = (total_spawn > 0) & jnp.where(b > npool, overlap_wrap, overlap_nowrap)
-        elif cad:
-            rank_local, dead_in_tile = _prefix_exclusive(dead.astype(jnp.int32))
-            carry_before = dead_carry[0]
-            rank = rank_local + carry_before
-            dead_carry[0] = carry_before + dead_in_tile
-            spawned_any = dead & (rank < total_spawn)
-
-            # The RNG + samplers cost ~half the kernel but only tiles
-            # containing the first `total_spawn` dead ranks have claimed
-            # lanes — skip the whole block elsewhere (~1 tile in 16).
-            tile_has_spawn = (carry_before < total_spawn) & (dead_in_tile > 0)
-        else:  # hybrid: spawn already happened in the XLA spawn phase
-            spawned_any = jnp.zeros(dead.shape, bool)
-
-        def spawn_block(args):
-            if single:
-                fvals = args
-                ptype_l = None
-            else:
-                fvals, ptype_l = args
-            fd = dict(zip(fields, fvals))
-            bits = pltpu.bitcast(pltpu.prng_random_bits((n_draws,) + dead.shape), jnp.uint32)
-            u = _u01(bits)
-            for e in range(E):
-                if static.mode_kinds[e] != MODE_GLOBAL:
-                    continue  # nested children spawned by the XLA phase
-                m = dead & (rank >= bounds[e]) & (rank < bounds[e + 1])
-                srow = shape_ref[e]
-                em = emisc_ref[e]
-                offx, offy, offz = _shape_row(srow, u[0], u[1], u[2])
-                ivx, ivy, ivz = _randvec3_row(ivel_ref[e], u[3], u[4], u[5])
-                radial = em[0] + (em[1] - em[0]) * u[6]
-                l2 = offx * offx + offy * offy + offz * offz
-                inv = jnp.where(l2 > 0, 1.0 / jnp.sqrt(jnp.where(l2 > 0, l2, 1.0)), 0.0)
-                wvx, wvy, wvz = quat_rotate_comp(*orot, ivx, ivy, ivz)
-                velx = mod_speed * (wvx + offx * inv * radial) + em[2] * pvel[0]
-                vely = mod_speed * (wvy + offy * inv * radial) + em[2] * pvel[1]
-                velz = mod_speed * (wvz + offz * inv * radial) + em[2] * pvel[2]
-                ti = static.particle_indices[e]
-                tr = trand_ref[ti]
-                iscale = (tr[0] + (tr[1] - tr[0]) * u[7]) * mod_scale
-                ui = 8
-                if const_life is None:
-                    life = tr[2] + (tr[3] - tr[2]) * u[ui]
-                    ui += 1
-                if not elide_rot:
-                    avx, avy, avz = _randvec3_row(iang_ref[e], u[ui], u[ui + 1], u[ui + 2])
-
-                def W(name, val):
-                    fd[name] = jnp.where(m, val, fd[name])
-
-                W("px", trans[0] + offx); W("py", trans[1] + offy); W("pz", trans[2] + offz)
-                W("vx", velx); W("vy", vely); W("vz", velz)
-                if not elide_rot:
-                    W("qx", em[3]); W("qy", em[4]); W("qz", em[5]); W("qw", em[6])
-                    W("wx", avx); W("wy", avy); W("wz", avz)
-                W("initial_scale", iscale)
-                W("age", jnp.float32(0.0))
-                if const_life is None:
-                    W("lifetime", life)
-                if not single:
-                    ptype_l = jnp.where(m, ti, ptype_l)
-            fvals = tuple(fd[name] for name in fields)
-            return fvals if single else (fvals, ptype_l)
-
-        if cad and E > 0:
-            init_args = tuple(f[name] for name in fields)
-            if single:
-                fvals = jax.lax.cond(tile_has_spawn, spawn_block, lambda a: a, init_args)
-            else:
-                fvals, ptype = jax.lax.cond(
-                    tile_has_spawn, spawn_block, lambda a: a, (init_args, ptype)
-                )
-            f = dict(zip(fields, fvals))
-        alive_sp = alive0 | spawned_any
-
-        # ---------------- integrate ------------------------------------------
-        age_new = f["age"] + dt
-        lifetime = np.float32(const_life) if const_life is not None else f["lifetime"]
-        dead_by_age = age_new >= lifetime
-        age_pct = age_new / lifetime
-
-        def by_type(ref, col):
-            out = jnp.full(alive0.shape, ref[0, col])
-            for t in range(1, T):
-                out = jnp.where(ptype == t, ref[t, col], out)
-            return out
-
-        k0, n0 = static.scale_curve_meta[0]
-        sf = _eval_curve_static(cmeta_ref[0, 0], cmeta_ref[0, 1], k0, n0, age_pct)
-        for t in range(1, T):
-            kt, nt = static.scale_curve_meta[t]
-            sft = _eval_curve_static(cmeta_ref[t, 0], cmeta_ref[t, 1], kt, nt, age_pct)
-            sf = jnp.where(ptype == t, sft, sf)
-        scale_new = f["initial_scale"] * sf
-
-        px, py, pz = f["px"], f["py"], f["pz"]
-        vx, vy, vz = f["vx"], f["vy"], f["vz"]
-        if C > 0 and static.any_collision:
-            restitution = by_type(tcoll_ref, 0)
-            friction = by_type(tcoll_ref, 1)
-            destroy_flag = by_type(tcoll_ref, 2)
-            lane_mask = by_type(tmask_ref, 0)
-            if single:
-                has_col = jnp.full(alive0.shape, static.collision_types[0])
-            else:
-                has_col = jnp.zeros(alive0.shape, bool)
-                for t in range(T):
-                    if static.collision_types[t]:
-                        has_col = has_col | (ptype == t)
-            cpx, cpy, cpz, cvx, cvy, cvz, cdes = _collide_tile(
-                collider_kinds, collider_identity,
-                *((cpos_ref, crot_ref, cpar_ref, clay_ref) if looped
-                  else (cpos_ref[:, :], crot_ref[:, :], cpar_ref[:, :], clay_ref[:, :])),
-                px, py, pz, vx, vy, vz, dt, restitution, friction, destroy_flag, lane_mask,
-                alive_sp & ~dead_by_age & has_col, coll_scratch,
-                loop_groups=_collider_groups(collider_kinds, collider_identity) if looped else None,
-                cidx=cidx_ref,
-            )
-            npx = jnp.where(has_col, cpx, px + vx * dt)
-            npy = jnp.where(has_col, cpy, py + vy * dt)
-            npz = jnp.where(has_col, cpz, pz + vz * dt)
-            nvx = jnp.where(has_col, cvx, vx)
-            nvy = jnp.where(has_col, cvy, vy)
-            nvz = jnp.where(has_col, cvz, vz)
-            should_destroy = has_col & cdes
-        else:
-            npx, npy, npz = px + vx * dt, py + vy * dt, pz + vz * dt
-            nvx, nvy, nvz = vx, vy, vz
-            should_destroy = jnp.zeros(alive0.shape, bool)
-
-        moved = alive_sp & ~dead_by_age
-        survivor = moved & ~should_destroy
-
-        ax, ay, az = by_type(tphys_ref, 0), by_type(tphys_ref, 1), by_type(tphys_ref, 2)
-        lin_drag = by_type(tphys_ref, 3)
-        aax, aay, aaz = by_type(tphys_ref, 4), by_type(tphys_ref, 5), by_type(tphys_ref, 6)
-        ang_drag = by_type(tphys_ref, 7)
-
-        dvx = nvx + (ax - nvx * lin_drag) * dt
-        dvy = nvy + (ay - nvy * lin_drag) * dt
-        dvz = nvz + (az - nvz * lin_drag) * dt
-
-        if derived:
-            # collision-destroys must read dead next frame: age := lifetime
-            f["age"] = jnp.where(
-                moved & should_destroy, np.float32(const_life),
-                jnp.where(alive_sp, age_new, f["age"]),
-            )
-        else:
-            f["age"] = jnp.where(alive_sp, age_new, f["age"])
-        f["px"] = jnp.where(moved, npx, f["px"])
-        f["py"] = jnp.where(moved, npy, f["py"])
-        f["pz"] = jnp.where(moved, npz, f["pz"])
-        f["vx"] = jnp.where(survivor, dvx, jnp.where(moved, nvx, f["vx"]))
-        f["vy"] = jnp.where(survivor, dvy, jnp.where(moved, nvy, f["vy"]))
-        f["vz"] = jnp.where(survivor, dvz, jnp.where(moved, nvz, f["vz"]))
-        if not elide_rot:
-            # quaternion rotation + angular drag (core.rs:645-650); with
-            # rotation elided these are compile-time no-ops (q=id, w=0)
-            sqx, sqy, sqz, sqw = quat_from_scaled_axis_comp(f["wx"] * dt, f["wy"] * dt, f["wz"] * dt)
-            rqx, rqy, rqz, rqw = quat_mul_comp(sqx, sqy, sqz, sqw, f["qx"], f["qy"], f["qz"], f["qw"])
-            wx2 = f["wx"] + (aax - ang_drag * f["wx"]) * dt
-            wy2 = f["wy"] + (aay - ang_drag * f["wy"]) * dt
-            wz2 = f["wz"] + (aaz - ang_drag * f["wz"]) * dt
-            f["qx"] = jnp.where(survivor, rqx, f["qx"])
-            f["qy"] = jnp.where(survivor, rqy, f["qy"])
-            f["qz"] = jnp.where(survivor, rqz, f["qz"])
-            f["qw"] = jnp.where(survivor, rqw, f["qw"])
-            f["wx"] = jnp.where(survivor, wx2, f["wx"])
-            f["wy"] = jnp.where(survivor, wy2, f["wy"])
-            f["wz"] = jnp.where(survivor, wz2, f["wz"])
+                out_estate_ref[e, 0] = tic_s[e]
+                out_estate_ref[e, 1] = last_s[e]
+                out_estate_ref[e, 2] = en_s[e].astype(jnp.float32)
 
         if pack_render:
             # Render-contract extract fused into the step: the separate XLA
@@ -1222,7 +1262,7 @@ def _pack_gmeta(params):
 
 
 def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptype, f32_fields,
-                      kernel_spawn: bool = True, pack_render: bool = False):
+                      kernel_spawn: bool = True, pack_render: bool = False, unroll=1):
     """Invoke the fused Pallas kernel on one pool pass.
 
     alive: [N] bool, ptype: [N] i32, f32_fields: name -> [N] f32 covering
@@ -1255,7 +1295,8 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     derived = static.derived_alive and can_fuse(static)
     cad = kernel_spawn
     E = static.num_emitters
-    kernel = _make_kernel(static, kinds, identity, dump, kernel_spawn, block_rows, pack_render)
+    kernel = _make_kernel(static, kinds, identity, dump, kernel_spawn, block_rows, pack_render,
+                          unroll=unroll)
 
     smalls = _pack_fused_smalls(static, params, colliders, frame) + [dyn, estate]
     if looped:
@@ -1297,7 +1338,7 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     if cad:  # SMEM scalar outputs: updated bookkeeping (dyn', estate')
         out_specs = out_specs + [smem_spec, smem_spec]
         out_shape = out_shape + [
-            jax.ShapeDtypeStruct((1, 8), jnp.int32),
+            jax.ShapeDtypeStruct((1, 16), jnp.int32),
             jax.ShapeDtypeStruct((E, 8), jnp.float32),
         ]
     n_render = _n_render_planes(static, pack_render)
@@ -1354,17 +1395,21 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     return alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new, render_planes
 
 
-def _pack_scalar_rows(static, manual_queued, ring_cursor, seed, any_alive,
+def _pack_scalar_rows(static, manual_queued, ring_cursor, seeds, any_alive,
                       time_in_cycle, last_emission, enabled):
     """Assemble the kernel's per-frame SMEM scalar rows. SINGLE source of
-    truth for the dyn/estate column layout (matches the kernel unpack:
-    dyn = [manual_queued, ring_cursor, seed, any_alive_pre, pad...];
-    estate rows = [time_in_cycle, last_emission, enabled, pad...])."""
+    truth for the dyn/estate column layout (matches the kernel unpack /
+    _SEED_SLOTS: dyn = [manual_queued, ring_cursor, seed0, any_alive_pre,
+    seed1, seed2, seed3, pad]; seeds is one PRNG seed per unrolled
+    sub-frame; estate rows = [time_in_cycle, last_emission, enabled,
+    pad...])."""
     E = static.num_emitters
     z = jnp.zeros((), jnp.int32)
+    s = list(seeds) + [z] * (8 - len(seeds))  # dyn row always has 8 seed slots
     dyn = jnp.stack(
-        [manual_queued, ring_cursor, seed, any_alive, z, z, z, z]
-    ).reshape(1, 8)
+        [manual_queued, ring_cursor, s[0], any_alive,
+         s[1], s[2], s[3], s[4], s[5], s[6], s[7], z, z, z, z, z]
+    ).reshape(1, 16)
     estate = jnp.concatenate(
         [
             time_in_cycle.reshape(E, 1),
@@ -1384,27 +1429,42 @@ def fused_step(
     state: PoolState,
     frame: FrameInput,
     pack_render: bool = False,
+    unroll: int = 1,
 ):
     """Drop-in replacement for step() on global-only archetypes, with the
     per-lane pipeline in one Pallas kernel. Same state/outputs contract.
     pack_render=True additionally returns the in-kernel render-pack planes
-    (scale + base rgba + emissive rgba) as a third result."""
+    (scale + base rgba + emissive rgba) as a third result.
+
+    unroll > 1 advances THAT MANY frames in the one kernel invocation
+    (can_unroll archetypes only): the pool is read and written once for U
+    frames, amortizing HBM traffic and launch overhead in headless chains.
+    Bit-equal to U sequential calls — the per-frame RNG keys split in the
+    same order and the kernel reseeds per sub-frame (outputs are the final
+    frame's; intermediates are never materialized, exactly like a scan
+    whose intermediate outputs are dead)."""
     assert can_fuse(static)
+    assert unroll == 1 or (can_unroll(static) and 1 < unroll <= MAX_UNROLL)
     E = static.num_emitters
 
     # The whole emission pipeline (cadence, bookkeeping, claim, RNG, init)
     # runs in-kernel; the XLA prelude just assembles two small scalar rows.
-    new_key, frame_key = jax.random.split(state.rng_key)
-    seed = jax.lax.bitcast_convert_type(frame_key[0], jnp.int32)
+    # Per-sub-frame keys split exactly as U sequential fused_step calls.
+    key = state.rng_key
+    seeds = []
+    for _ in range(unroll):
+        key, frame_key = jax.random.split(key)
+        seeds.append(jax.lax.bitcast_convert_type(frame_key[0], jnp.int32))
+    new_key = key
     dyn, estate = _pack_scalar_rows(
-        static, state.manual_queued, state.ring_cursor, seed, jnp.zeros((), jnp.int32),
+        static, state.manual_queued, state.ring_cursor, seeds, jnp.zeros((), jnp.int32),
         state.time_in_cycle, state.last_emission, state.enabled,
     )
 
     f32_fields = {name: getattr(state, name) for name in active_f32_fields(static)}
     alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new, planes = _run_fused_kernel(
         static, params, colliders, frame, dyn, estate, state.alive, state.ptype, f32_fields,
-        pack_render=pack_render,
+        pack_render=pack_render, unroll=unroll,
     )
     manual_queued = dyn_new[0, 0]
     new_cursor = dyn_new[0, 1]
@@ -1539,12 +1599,12 @@ def fused_step_hybrid(
         new_key, kernel_key = jax.random.split(new_key)
         seed = jax.lax.bitcast_convert_type(kernel_key[1], jnp.int32)
         dyn, estate = _pack_scalar_rows(
-            static, manual_queued, fields["ring_cursor"], seed,
+            static, manual_queued, fields["ring_cursor"], [seed],
             any_alive_pre.astype(jnp.int32),
             time_in_cycle, last_emission, enabled,
         )
     else:
-        dyn = jnp.zeros((1, 8), jnp.int32)  # ignored: kernel has no spawn pipeline
+        dyn = jnp.zeros((1, 16), jnp.int32)  # ignored: kernel has no spawn pipeline
         estate = jnp.zeros((E, 8), jnp.float32)
     f32_fields = {name: fields[name] for name in active_f32_fields(static)}
     alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new, planes = _run_fused_kernel(
@@ -1635,10 +1695,7 @@ def multi_step_auto_packed(static, params, colliders, state, frame, n_frames: in
     if n_frames < 1:
         raise ValueError("multi_step_auto_packed needs n_frames >= 1")
     if n_frames > 1:
-        state, _o = _chain(
-            lambda s: step_auto(static, params, colliders, s, frame),
-            state, n_frames - 1, _scan_hoist(static, state),
-        )
+        state, _o = _multi_step_impl(static, params, colliders, state, frame, n_frames - 1)
     return step_auto_packed(static, params, colliders, state, frame)
 
 
@@ -1705,16 +1762,41 @@ def _chain(step_fn, state, n_frames: int, hoist):
     return step_fn(from_carry(carry))
 
 
+def _multi_step_impl(static, params, colliders, state, frame, n_frames: int):
+    """n frames in one dispatch: lax.scan with invariant-array carry
+    hoisting (_scan_hoist), and — on can_unroll archetypes — the kernel
+    steps MAX_UNROLL frames per invocation (fused_step(unroll=U) reads and
+    writes the pool once per U frames; bit-equal to U sequential steps).
+    Remainder frames chain as single steps after the unrolled scan."""
+    hoist = _scan_hoist(static, state)
+    single = lambda s: step_auto(static, params, colliders, s, frame)
+    unrollable = (
+        jax.default_backend() == "tpu"
+        and state.capacity % (BLOCK_ROWS * LANES) == 0
+        and can_unroll(static)
+    )
+    # measured (PERF_NOTES "Multi-frame unroll"): U=4 wins everywhere the
+    # kernel is bandwidth/launch bound, but the collision narrow phase is
+    # VPU-code bound and U=4 replicates it into a scheduling blowup
+    # (0.60 vs 0.40 ms @1M, 2 colliders) — U=2 is the collision sweet spot
+    has_coll = colliders is not None and len(colliders.kinds) > 0 and static.any_collision
+    U = 2 if has_coll else MAX_UNROLL
+    if not unrollable or n_frames < U:
+        return _chain(single, state, n_frames, hoist)
+    n_u, rem = divmod(n_frames, U)
+    ustep = lambda s: fused_step(static, params, colliders, s, frame, unroll=U)
+    if rem == 0:
+        return _chain(ustep, state, n_u, hoist)
+    state, _o = _chain(ustep, state, n_u, hoist)
+    return _chain(single, state, rem, hoist)
+
+
 @partial(jax.jit, static_argnums=(0, 5))
 def multi_step_auto(static, params, colliders, state, frame, n_frames: int):
-    """n frames in one dispatch (lax.scan over step_auto with invariant-array
-    carry hoisting — see _scan_hoist). See step.multi_step."""
+    """n frames in one dispatch (see _multi_step_impl). See step.multi_step."""
     if n_frames < 1:
         raise ValueError("multi_step_auto needs n_frames >= 1")
-    return _chain(
-        lambda s: step_auto(static, params, colliders, s, frame),
-        state, n_frames, _scan_hoist(static, state),
-    )
+    return _multi_step_impl(static, params, colliders, state, frame, n_frames)
 
 
 @partial(jax.jit, static_argnums=(0, 5))

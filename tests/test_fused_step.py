@@ -526,3 +526,46 @@ def test_in_kernel_render_pack_f16():
     # dead lanes: f16 scale is +-0
     s16 = np.asarray(p16[3]).view(np.uint16)
     assert ((s16[~alive] & 0x7FFF) == 0).all()
+
+
+def test_unrolled_kernel_matches_sequential_exactly():
+    """fused_step(unroll=U) advances U frames in ONE kernel invocation
+    (can_unroll archetypes: ring claims are per-lane cursor math, deaths
+    derive from age). Must be BIT-EQUAL to U sequential calls — same key
+    splits, per-sub-frame PRNG reseed, same op order on register-resident
+    fields — including across a multi-emitter one-shot+rate mix (the
+    one-shot fires in sub-frame 1 and must stay disabled in sub-frame 2)
+    and with collision."""
+    from bevy_firework_tpu.ops.fused_step import can_unroll
+
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(
+            lifetime=RandF32.constant(0.25), initial_scale=RandF32.constant(0.1),
+            collision_settings=ParticleCollisionSettings(restitution=0.5, friction=0.1))],
+        emission_settings=[
+            EmissionSettings(emission_pacing=EmissionPacing.rate(1500.0),
+                             initial_velocity=RandVec3.constant((1.0, 3.0, 0.2))),
+            EmissionSettings(emission_pacing=EmissionPacing.one_shot(40),
+                             initial_velocity=RandVec3.constant((-1.0, 2.0, 0.0))),
+        ],
+    )
+    c = compile_spawner(sp)
+    assert can_unroll(c.static)
+    table = compile_colliders([Collider.halfspace(position=(0.0, -0.05, 0.0))])
+    frame = make_frame_input(1 / 50)
+    fused = jax.jit(fused_step, static_argnums=(0, 5, 6))
+    sA = init_pool_for(c, N, 0)
+    sB = init_pool_for(c, N, 0)
+    with pltpu.force_tpu_interpret_mode():
+        for _ in range(4):
+            sA, oA = fused(c.static, c.params, table, sA, frame)
+        for _ in range(2):
+            sB, oB = fused(c.static, c.params, table, sB, frame, False, 2)
+    for f in ("px", "py", "pz", "vx", "vy", "vz", "age", "initial_scale"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sA, f)), np.asarray(getattr(sB, f)), err_msg=f)
+    np.testing.assert_array_equal(np.asarray(sA.rng_key), np.asarray(sB.rng_key))
+    np.testing.assert_array_equal(np.asarray(sA.ring_cursor), np.asarray(sB.ring_cursor))
+    np.testing.assert_array_equal(np.asarray(sA.enabled), np.asarray(sB.enabled))
+    assert not bool(np.asarray(sB.enabled)[1])  # one-shot fired + disabled
+    assert int(oA.alive_count) == int(oB.alive_count) > 0

@@ -257,6 +257,62 @@ def check_many_collider_broadphase(capacity=3 * 8192, n_frames=25):
     return check_config("broadphase", sp, capacity, compile_colliders(colliders), n_frames=n_frames)
 
 
+def check_unrolled_chain(capacity=3 * 8192, n_frames=38):
+    """multi_step_auto engages the multi-frame in-kernel unroll on
+    can_unroll archetypes (U=8 plain, U=2 with collision; 38 frames forces
+    U-chunks + remainder singles). Compiled on real TPU, the chained result
+    must EXACTLY match per-frame sequential stepping — both paths run the
+    fused kernel, so any unroll divergence (seed order, cadence threading,
+    ring-cursor advance) shows as a lane mismatch."""
+    from bevy_firework_tpu.ops.fused_step import can_unroll, multi_step_auto
+
+    def run_pair(sp, table, label):
+        c = compile_spawner(sp)
+        assert can_unroll(c.static), label
+        frame = make_frame_input(1 / 50)
+        sA = init_pool_for(c, capacity, 0)
+        sB = init_pool_for(c, capacity, 0)
+        for _ in range(n_frames):
+            sA, oA = fused_jit(c.static, c.params, table, sA, frame)
+        sB, oB = multi_step_auto(c.static, c.params, table, sB, frame, n_frames)
+        if int(oA.alive_count) != int(oB.alive_count) or int(oA.alive_count) == 0:
+            return f"{label}: COUNT {int(oA.alive_count)} vs {int(oB.alive_count)}"
+        for f in ("px", "py", "pz", "vx", "vy", "vz", "age", "initial_scale"):
+            xa, xb = np.asarray(getattr(sA, f)), np.asarray(getattr(sB, f))
+            if not np.array_equal(xa, xb):
+                return f"{label}: FIELD {f} max err {np.abs(xa - xb).max():.2e}"
+        if not np.array_equal(np.asarray(sA.rng_key), np.asarray(sB.rng_key)):
+            return f"{label}: rng_key mismatch"
+        return None
+
+    plain = ParticleSpawner(
+        particle_settings=[ParticleSettings(
+            lifetime=RandF32.constant(0.4), initial_scale=RandF32.constant(0.1))],
+        emission_settings=[
+            EmissionSettings(emission_pacing=EmissionPacing.rate(30000.0),
+                             initial_velocity=RandVec3.constant((1.0, 3.0, 0.2))),
+            EmissionSettings(emission_pacing=EmissionPacing.one_shot(500),
+                             initial_velocity=RandVec3.constant((-1.0, 2.0, 0.0))),
+        ],
+    )
+    err = run_pair(plain, None, "U=8 rate+one_shot")
+    if err:
+        return err
+    coll = ParticleSpawner(
+        particle_settings=[ParticleSettings(
+            lifetime=RandF32.constant(0.4), initial_scale=RandF32.constant(0.1),
+            collision_settings=ParticleCollisionSettings(restitution=0.5, friction=0.1))],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.rate(30000.0),
+            initial_velocity=RandVec3.constant((1.0, 3.0, 0.2)))],
+    )
+    table = compile_colliders([
+        Collider.halfspace(position=(0.0, -0.5, 0.0)),
+        Collider.cuboid((0.4, 0.4, 0.4), position=(0.8, 0.2, 0.1)),
+    ])
+    return run_pair(coll, table, "U=2 collision")
+
+
 def main(n_configs=8):
     failures = 0
     total = 0
@@ -301,6 +357,13 @@ def main(n_configs=8):
         failures += 1
     else:
         print("nested-cadence-kernel: OK (hybrid in-kernel cadence, deterministic nested)")
+    total += 1
+    err = check_unrolled_chain()
+    if err:
+        print(f"unrolled-chain: {err}")
+        failures += 1
+    else:
+        print("unrolled-chain: OK (U=8 plain + U=2 collision, exact vs per-frame)")
     total += 1
     err = check_many_collider_broadphase()
     if err:
