@@ -1762,33 +1762,43 @@ def _chain(step_fn, state, n_frames: int, hoist):
     return step_fn(from_carry(carry))
 
 
-def _multi_step_impl(static, params, colliders, state, frame, n_frames: int):
-    """n frames in one dispatch: lax.scan with invariant-array carry
-    hoisting (_scan_hoist), and — on can_unroll archetypes — the kernel
-    steps MAX_UNROLL frames per invocation (fused_step(unroll=U) reads and
-    writes the pool once per U frames; bit-equal to U sequential steps).
-    Remainder frames chain as single steps after the unrolled scan."""
+def _chain_with_unroll(static, colliders, state, n_frames, single, make_unrolled):
+    """Chain n frames with the in-kernel multi-frame unroll where it
+    applies: can_unroll archetypes step U frames per kernel invocation
+    (fused_step(unroll=U), bit-equal to U sequential steps; the pool is
+    read/written once per U frames). Remainder frames chain as singles.
+
+    U policy (measured, PERF_NOTES "Multi-frame unroll"): U=MAX_UNROLL
+    wherever the kernel is bandwidth/launch bound; collision archetypes
+    cap at U=2 — the narrow phase is VPU-code bound and x4 replication
+    hits the same code-size scheduling blowup as high collider counts
+    (0.60 vs 0.40 ms @1M, 2 colliders)."""
     hoist = _scan_hoist(static, state)
-    single = lambda s: step_auto(static, params, colliders, s, frame)
     unrollable = (
         jax.default_backend() == "tpu"
         and state.capacity % (BLOCK_ROWS * LANES) == 0
         and can_unroll(static)
     )
-    # measured (PERF_NOTES "Multi-frame unroll"): U=4 wins everywhere the
-    # kernel is bandwidth/launch bound, but the collision narrow phase is
-    # VPU-code bound and U=4 replicates it into a scheduling blowup
-    # (0.60 vs 0.40 ms @1M, 2 colliders) — U=2 is the collision sweet spot
     has_coll = colliders is not None and len(colliders.kinds) > 0 and static.any_collision
     U = 2 if has_coll else MAX_UNROLL
     if not unrollable or n_frames < U:
         return _chain(single, state, n_frames, hoist)
     n_u, rem = divmod(n_frames, U)
-    ustep = lambda s: fused_step(static, params, colliders, s, frame, unroll=U)
+    ustep = make_unrolled(U)
     if rem == 0:
         return _chain(ustep, state, n_u, hoist)
     state, _o = _chain(ustep, state, n_u, hoist)
     return _chain(single, state, rem, hoist)
+
+
+def _multi_step_impl(static, params, colliders, state, frame, n_frames: int):
+    """n frames in one dispatch: lax.scan with invariant-array carry
+    hoisting (_scan_hoist) + the in-kernel unroll (_chain_with_unroll)."""
+    return _chain_with_unroll(
+        static, colliders, state, n_frames,
+        lambda s: step_auto(static, params, colliders, s, frame),
+        lambda U: lambda s: fused_step(static, params, colliders, s, frame, unroll=U),
+    )
 
 
 @partial(jax.jit, static_argnums=(0, 5))
@@ -1804,8 +1814,16 @@ def multi_step_fleet(static, params, colliders, states, frames, n_frames: int):
     """n frames of a whole fleet (leading [S] slot axis on states/frames) in
     one dispatch: lax.scan over the vmapped step_auto — on TPU with
     tile-aligned capacities every slot runs the fused Pallas kernel in a
-    single launch per frame. Same carry hoisting as multi_step_auto."""
+    single launch per frame — with the same in-kernel multi-frame unroll
+    policy as multi_step_auto (the unrolled kernel vmaps like the single-
+    frame one: ring claims index off the tile axis only)."""
     if n_frames < 1:
         raise ValueError("multi_step_fleet needs n_frames >= 1")
     vstep = jax.vmap(lambda s, f: step_auto(static, params, colliders, s, f))
-    return _chain(lambda s: vstep(s, frames), states, n_frames, _scan_hoist(static, states))
+    return _chain_with_unroll(
+        static, colliders, states, n_frames,
+        lambda s: vstep(s, frames),
+        lambda U: lambda s: jax.vmap(
+            lambda st, f: fused_step(static, params, colliders, st, f, unroll=U)
+        )(s, frames),
+    )

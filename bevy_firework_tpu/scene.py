@@ -113,11 +113,17 @@ def _group_step_stacked(static, P, colliders, S, F):
 
 
 def _group_scan(static, colliders, P, S, F, n_frames):
-    from .ops.fused_step import _chain, _scan_hoist, step_auto
+    from .ops.fused_step import _chain_with_unroll, fused_step, step_auto
 
     if n_frames > 1:
         vstep = jax.vmap(lambda p, s, f: step_auto(static, p, colliders, s, f))
-        S, _o = _chain(lambda s: vstep(P, s, F), S, n_frames - 1, _scan_hoist(static, S))
+        S, _o = _chain_with_unroll(
+            static, colliders, S, n_frames - 1,
+            lambda s: vstep(P, s, F),
+            lambda U: lambda s: jax.vmap(
+                lambda p, st, f: fused_step(static, p, colliders, st, f, unroll=U)
+            )(P, s, F),
+        )
     return _vmapped_packed_step(static, colliders)(P, S, F)
 
 

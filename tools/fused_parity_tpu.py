@@ -310,7 +310,31 @@ def check_unrolled_chain(capacity=3 * 8192, n_frames=38):
         Collider.halfspace(position=(0.0, -0.5, 0.0)),
         Collider.cuboid((0.4, 0.4, 0.4), position=(0.8, 0.2, 0.1)),
     ])
-    return run_pair(coll, table, "U=2 collision")
+    err = run_pair(coll, table, "U=2 collision")
+    if err:
+        return err
+
+    # vmapped (fleet) unrolled chain: multi_step_fleet vs per-slot per-frame
+    from bevy_firework_tpu.ops.fused_step import multi_step_fleet, step_auto_jit
+
+    c = compile_spawner(plain)
+    S = 3
+    states = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]),
+        *[init_pool_for(c, capacity, i) for i in range(S)])
+    frame = make_frame_input(1 / 50)
+    frames = jax.tree_util.tree_map(lambda x: np.stack([np.asarray(x)] * S), frame)
+    sA = states
+    vstep = jax.jit(jax.vmap(lambda s, f: step_auto_jit(c.static, c.params, None, s, f)[0]))
+    for _ in range(n_frames):
+        sA = vstep(sA, frames)
+    sB, _oB = multi_step_fleet(c.static, c.params, None, states, frames, n_frames)
+    for f in ("px", "py", "vx", "age", "initial_scale"):
+        if not np.array_equal(np.asarray(getattr(sA, f)), np.asarray(getattr(sB, f))):
+            return f"fleet-U8: FIELD {f} mismatch"
+    if not np.array_equal(np.asarray(sA.rng_key), np.asarray(sB.rng_key)):
+        return "fleet-U8: rng_key mismatch"
+    return None
 
 
 def main(n_configs=8):
@@ -363,7 +387,7 @@ def main(n_configs=8):
         print(f"unrolled-chain: {err}")
         failures += 1
     else:
-        print("unrolled-chain: OK (U=8 plain + U=2 collision, exact vs per-frame)")
+        print("unrolled-chain: OK (U=8 plain + U=2 collision + vmapped fleet U=8, exact vs per-frame)")
     total += 1
     err = check_many_collider_broadphase()
     if err:
