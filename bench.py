@@ -287,6 +287,11 @@ def main():
         alive_f, ms_f = _measure_fleet()
         extras["fleet_16x55k"] = {"live": alive_f, "ms_per_frame": round(ms_f, 4)}
         extras["scene_batch_12"] = _measure_scene_batch()
+        # single-chip scale headroom: one 10M-lane pool (multi-frame unroll
+        # keeps it HBM-traffic bound; ~linear in capacity)
+        _c, _s, _f, alive_10m, ms_10m = _measure(
+            spawner, 10_000_000, 1280 * 8192, warmup=100, n_frames=80)
+        extras["10M"] = {"live": alive_10m, "ms_per_frame": round(ms_10m, 4)}
     except Exception as e:  # extras must never sink the headline metric
         extras["error"] = str(e)[:200]
 
