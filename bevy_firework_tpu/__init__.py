@@ -11,6 +11,7 @@ sharding the pool/emitter axes over a `jax.sharding.Mesh`.
 from .cadence import compute_emission_count, np_compute_emission_count
 from .checkpoint import load_pool, load_scene, save_pool, save_scene
 from .colliders import Collider, ColliderTable, compile_colliders
+from .force_fields import FieldTable, ForceField, compile_force_fields
 from .compiled import CompiledSpawner, compile_spawner
 from .curve import FireworkCurve, FireworkGradient, gradient_constant, gradient_even_samples, gradient_uneven_samples
 from .emission_shape import EmissionShape
@@ -75,7 +76,9 @@ __all__ = [
     "FireworkCurve",
     "FireworkGradient",
     "Fleet",
+    "FieldTable",
     "FireworkUniform",
+    "ForceField",
     "FrameInput",
     "ParticleCollisionSettings",
     "ParticleEventHandlers",
@@ -96,6 +99,7 @@ __all__ = [
     "TrailState",
     "Transform",
     "compile_colliders",
+    "compile_force_fields",
     "compile_spawner",
     "compute_emission_count",
     "estimate_capacity",

@@ -91,6 +91,12 @@ def save_scene(path: str, scene) -> None:
             "next_id": scene._next_id,
             "seed": scene._seed,
             "spawners": {},
+            # scene force fields (beyond the reference): slots + live handles
+            "force_fields": {
+                "slots": [dataclasses.asdict(s) for s in scene._field_slots],
+                "ids": {str(k): v for k, v in scene._field_ids.items()},
+                "next_id": scene._next_field_id,
+            },
         }
         for sid, slot in scene._spawners.items():
             meta["spawners"][str(sid)] = {
@@ -160,4 +166,18 @@ def load_scene(path: str, colliders=None):
                             **{k: jnp.asarray(z[k]) for k in z.files}
                         )
         scene._next_id = meta["next_id"]
+        ffm = meta.get("force_fields")  # absent in pre-field checkpoints
+        if ffm:
+            from .scene import _FieldSlot
+
+            scene._field_slots = [
+                _FieldSlot(
+                    kind=s["kind"], position=tuple(s["position"]), axis=tuple(s["axis"]),
+                    strength=s["strength"], radius=s["radius"], active=s["active"],
+                )
+                for s in ffm["slots"]
+            ]
+            scene._field_ids = {int(k): v for k, v in ffm["ids"].items()}
+            scene._next_field_id = ffm["next_id"]
+            scene._field_table = None
     return scene

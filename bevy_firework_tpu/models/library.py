@@ -219,3 +219,31 @@ def comets(rate=6.0, speed=7.5, lifetime=2.5):
             )
         ],
     )
+
+
+def dust(rate=900.0, lifetime=4.0, updraft=0.0, drag=1.2, emit_radius=3.0):
+    """Ambient dust motes — pair with scene force fields (e.g. a tornado:
+    vortex + axial + `updraft`, `examples/force_fields.py`). High drag so
+    the field's acceleration sets the steady-state velocity."""
+    return ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(
+                lifetime=RandF32(lifetime * 0.7, lifetime),
+                initial_scale=RandF32(0.02, 0.06),
+                acceleration=(0.0, float(updraft), 0.0),
+                linear_drag=float(drag),
+                base_color=gradient_uneven_samples(
+                    [(0.0, (2.0, 1.7, 1.2, 0.0)), (0.15, (2.0, 1.7, 1.2, 0.8)),
+                     (1.0, (1.2, 1.0, 0.8, 0.0))]
+                ),
+                blend_mode=BlendMode.ADD,
+            )
+        ],
+        emission_settings=[
+            EmissionSettings(
+                emission_pacing=EmissionPacing.rate(rate),
+                emission_shape=EmissionShape.circle((0, 1, 0), float(emit_radius)),
+                initial_velocity=RandVec3(RandF32(0.2, 1.0), (0, 1, 0), 0.4),
+            )
+        ],
+    )

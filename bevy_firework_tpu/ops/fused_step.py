@@ -81,6 +81,7 @@ from ..curve import K_MAX
 from ..pool import FrameInput, PoolState
 from ..step import StepOutputs
 from ..utils.f32 import F32_MIN, rem_euclid
+from ..force_fields import field_accel
 from ..utils.quat import quat_from_scaled_axis_comp, quat_mul_comp, quat_rotate_comp
 
 LANES = 128
@@ -715,7 +716,7 @@ def nested_cadence_pass(static, params, e, alive, ptype, age, lifetime, le_row, 
 
 def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump: bool,
                  kernel_spawn: bool, block_rows: int, pack_render: bool = False,
-                 unroll: int = 1):
+                 unroll: int = 1, field_kinds: tuple = ()):
     E = static.num_emitters
     T = static.num_types
     C = len(collider_kinds)
@@ -773,6 +774,10 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         if looped:  # SMEM [C, 1] i32: original table index per permuted row
             cidx_ref = refs[pos]
             pos += 1
+        ffpos_ref = ffaxis_ref = ffpar_ref = ffact_ref = None
+        if field_kinds:  # scene force fields (force_fields.py)
+            ffpos_ref, ffaxis_ref, ffpar_ref, ffact_ref = refs[pos : pos + 4]
+            pos += 4
         alive_ref = None
         if not derived:
             alive_ref = refs[pos]
@@ -1072,6 +1077,15 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             survivor = moved & ~should_destroy
 
             ax, ay, az = by_type(tphys_ref, 0), by_type(tphys_ref, 1), by_type(tphys_ref, 2)
+            if field_kinds:
+                # scene force fields: add onto the per-type accel at the
+                # post-move position, before drag (force_fields.py; same
+                # helper as the XLA path, indexing the small VMEM tables)
+                ffx, ffy, ffz = field_accel(
+                    field_kinds, ffpos_ref, ffaxis_ref, ffpar_ref, ffact_ref,
+                    npx, npy, npz,
+                )
+                ax, ay, az = ax + ffx, ay + ffy, az + ffz
             lin_drag = by_type(tphys_ref, 3)
             aax, aay, aaz = by_type(tphys_ref, 4), by_type(tphys_ref, 5), by_type(tphys_ref, 6)
             ang_drag = by_type(tphys_ref, 7)
@@ -1295,8 +1309,10 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     derived = static.derived_alive and can_fuse(static)
     cad = kernel_spawn
     E = static.num_emitters
+    ff = frame.force_fields
+    field_kinds = ff.kinds if (ff is not None and len(ff.kinds) > 0) else ()
     kernel = _make_kernel(static, kinds, identity, dump, kernel_spawn, block_rows, pack_render,
-                          unroll=unroll)
+                          unroll=unroll, field_kinds=field_kinds)
 
     smalls = _pack_fused_smalls(static, params, colliders, frame) + [dyn, estate]
     if looped:
@@ -1309,6 +1325,13 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
         smalls.append(_pack_gmeta(params))
     if looped:  # original table index per permuted row (exact tie-break)
         smalls.append(jnp.asarray(np.asarray(perm, np.int32).reshape(-1, 1)))
+    if field_kinds:  # force-field tables (position / axis / params / active)
+        smalls += [
+            jnp.asarray(ff.position, jnp.float32),
+            jnp.asarray(ff.axis, jnp.float32),
+            jnp.asarray(ff.params, jnp.float32),
+            jnp.asarray(ff.active, jnp.float32).reshape(-1, 1),
+        ]
 
     def blocked():
         return pl.BlockSpec((block_rows, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM)
@@ -1318,7 +1341,8 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     fields = active_f32_fields(static)
     nf = len(fields)
 
-    n_small = N_SMALL + (1 if pack_render else 0) + (1 if looped else 0)
+    n_small = (N_SMALL + (1 if pack_render else 0) + (1 if looped else 0)
+               + (4 if field_kinds else 0))
     n_big_in = (0 if derived else 1) + (0 if single else 1) + nf  # [alive], [ptype], fields
     n_extra = (0 if derived else 1) + (0 if single else 1) + (1 if dump else 0)
     # looped narrow phase reads collider rows (cpos/crot/cpar/clay, smalls
@@ -1328,6 +1352,7 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
         [small_spec] * CPOS_IDX + [cspec] * 4 + [small_spec] * (N_SMALL - 2 - CPOS_IDX - 4)
         + [smem_spec] * 2
         + ([small_spec] if pack_render else []) + ([smem_spec] if looped else [])
+        + ([small_spec] * 4 if field_kinds else [])
         + [blocked()] * n_big_in
     )
     out_specs = [blocked()] * (n_extra + nf)

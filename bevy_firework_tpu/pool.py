@@ -163,9 +163,14 @@ class FrameInput:
     parent_velocity: jax.Array  # [3]
     modifier_scale: jax.Array  # f32 scalar
     modifier_speed: jax.Array  # f32 scalar
+    # scene-level force fields (force_fields.FieldTable) or None — beyond
+    # the reference; rides the frame so no step signature changes. The
+    # table's kinds are pytree metadata: add/remove retraces once per
+    # scene shape, move/retune/toggle never does.
+    force_fields: object = None
 
 
-def make_frame_input(dt, translation=(0.0, 0.0, 0.0), rotation=(0.0, 0.0, 0.0, 1.0), parent_velocity=(0.0, 0.0, 0.0), modifier_scale=1.0, modifier_speed=1.0) -> FrameInput:
+def make_frame_input(dt, translation=(0.0, 0.0, 0.0), rotation=(0.0, 0.0, 0.0, 1.0), parent_velocity=(0.0, 0.0, 0.0), modifier_scale=1.0, modifier_speed=1.0, force_fields=None) -> FrameInput:
     """Host-side (numpy) on purpose: each jnp leaf here would be an EAGER
     device_put — ~0.5-2 ms per op on a tunneled attach, times 6 leaves per
     spawner per frame (measured: a 12-spawner Scene.step spent ~150 ms/frame
@@ -181,4 +186,5 @@ def make_frame_input(dt, translation=(0.0, 0.0, 0.0), rotation=(0.0, 0.0, 0.0, 1
         parent_velocity=np.asarray(parent_velocity, np.float32),
         modifier_scale=f(modifier_scale),
         modifier_speed=f(modifier_speed),
+        force_fields=force_fields,
     )

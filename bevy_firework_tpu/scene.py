@@ -33,6 +33,7 @@ import numpy as np
 from functools import partial
 
 from .colliders import Collider, ColliderTable, empty_collider_table
+from .force_fields import ForceField
 from .compiled import CompiledSpawner, compile_spawner
 from .ops.fused_step import (
     multi_step_auto_packed,
@@ -302,16 +303,34 @@ class _ColliderSlot:
     active: bool
 
 
+@dataclasses.dataclass
+class _FieldSlot:
+    """Host-side master copy of one force-field row: `kind` is the static
+    (retrace-keying) property; everything else is traced."""
+
+    kind: int
+    position: Tuple[float, float, float]
+    axis: Tuple[float, float, float]
+    strength: float
+    radius: float
+    active: bool
+
+
 def _is_identity_rot(rotation) -> bool:
     return tuple(float(r) for r in rotation) == (0.0, 0.0, 0.0, 1.0)
 
 
 class Scene:
-    def __init__(self, colliders: Optional[List[Collider]] = None, seed: int = 0):
+    def __init__(self, colliders: Optional[List[Collider]] = None, seed: int = 0,
+                 force_fields: Optional[List[ForceField]] = None):
         self._collider_slots: List[_ColliderSlot] = []
         self._collider_ids: Dict[int, int] = {}  # cid -> slot index
         self._next_collider_id = 0
         self._collider_table: Optional[ColliderTable] = None  # cache; None = dirty
+        self._field_slots: List[_FieldSlot] = []
+        self._field_ids: Dict[int, int] = {}  # fid -> slot index
+        self._next_field_id = 0
+        self._field_table = None  # cached FieldTable; None = dirty
         self._spawners: Dict[int, _SpawnerSlot] = {}
         self._next_id = 0
         self._seed = seed
@@ -320,6 +339,8 @@ class Scene:
         self._batches: Dict[tuple, _GroupBatch] = {}  # stacked group authority
         for col in colliders or []:
             self.add_collider(col)
+        for ff in force_fields or []:
+            self.add_force_field(ff)
 
     # ------------------------------------------------------------- authoring
     def add_spawner(
@@ -493,6 +514,82 @@ class Scene:
             active=jnp.asarray(np.array([s.active for s in slots], dtype=np.float32)),
         )
 
+    # ------------------------------------------------------- force fields
+    def add_force_field(self, field: ForceField) -> int:
+        """Add a scene force field (force_fields.py — beyond the reference);
+        returns a handle for remove/set_force_field. Same zero-recompile
+        discipline as colliders: a freed slot of the same kind is reused, so
+        despawn/respawn cycles keep the table's static layout."""
+        idx = None
+        for i, slot in enumerate(self._field_slots):
+            if not slot.active and i not in self._field_ids.values() and slot.kind == field.kind:
+                idx = i
+                break
+        new_slot = _FieldSlot(
+            kind=int(field.kind),
+            position=tuple(float(v) for v in field.position),
+            axis=tuple(float(v) for v in field.axis),
+            strength=float(field.strength),
+            radius=float(field.radius),
+            active=True,
+        )
+        if idx is None:
+            idx = len(self._field_slots)
+            self._field_slots.append(new_slot)
+        else:
+            self._field_slots[idx] = new_slot
+        fid = self._next_field_id
+        self._next_field_id += 1
+        self._field_ids[fid] = idx
+        self._field_table = None
+        return fid
+
+    def remove_force_field(self, fid: int):
+        """Disable a field (traced active mask -> no recompile); the slot is
+        retained for a later add_force_field of the same kind."""
+        idx = self._field_ids.pop(fid)
+        self._field_slots[idx].active = False
+        self._field_table = None
+
+    def set_force_field(self, fid: int, position=None, axis=None, strength=None, radius=None):
+        """Move/re-tune a field in place — all traced, never recompiles."""
+        slot = self._field_slots[self._field_ids[fid]]
+        if position is not None:
+            slot.position = tuple(float(v) for v in position)
+        if axis is not None:
+            a = np.asarray(axis, np.float64)
+            n = float(np.linalg.norm(a))
+            if n < 1e-9:
+                raise ValueError("vortex axis must be non-zero")
+            slot.axis = tuple((a / n).astype(float))
+        if strength is not None:
+            slot.strength = float(strength)
+        if radius is not None:
+            if radius <= 0:
+                raise ValueError("radius must be > 0")
+            slot.radius = float(radius)
+        self._field_table = None
+
+    @property
+    def _force_fields(self):
+        """FieldTable or None (no fields ever added). Disabled slots stay in
+        the table with active=0 — same static layout, zero contribution."""
+        if not self._field_slots:
+            return None
+        if self._field_table is None:
+            f32 = np.float32
+            from .force_fields import FieldTable
+
+            s = self._field_slots
+            self._field_table = FieldTable(
+                kinds=tuple(x.kind for x in s),
+                position=np.asarray([x.position for x in s], f32).reshape(-1, 3),
+                axis=np.asarray([x.axis for x in s], f32).reshape(-1, 3),
+                params=np.asarray([(x.strength, x.radius) for x in s], f32).reshape(-1, 2),
+                active=np.asarray([1.0 if x.active else 0.0 for x in s], f32),
+            )
+        return self._field_table
+
     def set_transform(self, sid: int, transform: Transform, global_transform: Optional[Transform] = None):
         slot = self._spawners[sid]
         slot.transform = transform
@@ -539,6 +636,7 @@ class Scene:
             parent_velocity=slot.parent_velocity,
             modifier_scale=slot.modifier.scale,
             modifier_speed=slot.modifier.speed,
+            force_fields=self._force_fields,
         )
 
     def step(self, dt: float):

@@ -570,6 +570,20 @@ def step(
     ax = _select_by_type(params.acceleration[:, 0], ptype, T)
     ay = _select_by_type(params.acceleration[:, 1], ptype, T)
     az = _select_by_type(params.acceleration[:, 2], ptype, T)
+    ff = frame.force_fields
+    if ff is not None and len(ff.kinds) > 0:
+        # scene force fields (beyond the reference; force_fields.py): add
+        # onto the per-type constant accel, evaluated at the post-move
+        # position, before drag — the A.4 op order with position-dependent
+        # acceleration
+        from .force_fields import field_accel
+
+        ffx, ffy, ffz = field_accel(
+            ff.kinds, jnp.asarray(ff.position), jnp.asarray(ff.axis),
+            jnp.asarray(ff.params), jnp.asarray(ff.active).reshape(-1, 1),
+            npx, npy, npz,
+        )
+        ax, ay, az = ax + ffx, ay + ffy, az + ffz
     lin_drag = _select_by_type(params.linear_drag, ptype, T)
     aax = _select_by_type(params.angular_acceleration[:, 0], ptype, T)
     aay = _select_by_type(params.angular_acceleration[:, 1], ptype, T)

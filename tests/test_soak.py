@@ -25,6 +25,7 @@ from bevy_firework_tpu import (
     Transform,
     instances_to_bytes,
 )
+from bevy_firework_tpu import ForceField
 from bevy_firework_tpu.checkpoint import load_scene, save_scene
 from bevy_firework_tpu.settings import ParticleCollisionSettings
 
@@ -165,6 +166,24 @@ def test_scene_soak(seed, tmp_path):
             scene.queue_particles(sid, int(rng.randint(1, 20)))
             scene.set_enabled(sid, bool(rng.rand() < 0.8))
 
+    field_ids = []
+
+    def op_field():
+        r = rng.rand()
+        if r < 0.45 or not field_ids:
+            maker = [
+                lambda: ForceField.point(tuple(rng.uniform(-3, 3, 3)), float(rng.uniform(-6, 6)), float(rng.uniform(2, 8))),
+                lambda: ForceField.vortex(tuple(rng.uniform(-3, 3, 3)), (0.0, 1.0, 0.0), float(rng.uniform(-5, 5)), float(rng.uniform(2, 8))),
+                lambda: ForceField.axial(tuple(rng.uniform(-3, 3, 3)), (0.0, 1.0, 0.0), float(rng.uniform(-5, 5)), float(rng.uniform(2, 8))),
+            ][int(rng.randint(3))]
+            field_ids.append(scene.add_force_field(maker()))
+        elif r < 0.8:
+            scene.set_force_field(field_ids[int(rng.randint(len(field_ids)))],
+                                  position=tuple(rng.uniform(-3, 3, 3)),
+                                  strength=float(rng.uniform(-6, 6)))
+        else:
+            scene.remove_force_field(field_ids.pop(int(rng.randint(len(field_ids)))))
+
     def op_step():
         scene.step(float(rng.choice([1 / 120, 1 / 60, 1 / 30])))
 
@@ -185,9 +204,9 @@ def test_scene_soak(seed, tmp_path):
 
     ops = [op_add_spawner, op_remove_spawner, op_set_spawner, op_add_collider,
            op_remove_collider, op_move_collider, op_transform_modifier,
-           op_queue_and_toggle, op_step, op_step, op_step, op_step_n,
+           op_queue_and_toggle, op_field, op_step, op_step, op_step, op_step_n,
            op_checkpoint_roundtrip]
-    weights = np.array([2, 1, 1, 1.5, 1, 1.5, 1.5, 1.5, 6, 6, 6, 2, 0.5], float)
+    weights = np.array([2, 1, 1, 1.5, 1, 1.5, 1.5, 1.5, 1.5, 6, 6, 6, 2, 0.5], float)
     weights /= weights.sum()
 
     op_add_spawner()  # never start empty

@@ -337,6 +337,48 @@ def check_unrolled_chain(capacity=3 * 8192, n_frames=38):
     return None
 
 
+def check_force_fields(capacity=3 * 8192, n_frames=30):
+    """Force fields (point + vortex) through the COMPILED kernel: exact-match
+    vs the XLA path, plus the unrolled chain with fields (each sub-frame
+    evaluates fields at its own post-move positions)."""
+    from bevy_firework_tpu import ForceField, compile_force_fields
+    from bevy_firework_tpu.ops.fused_step import multi_step_auto
+
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(
+            lifetime=RandF32.constant(0.4), initial_scale=RandF32.constant(0.1))],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.rate(20000.0),
+            initial_velocity=RandVec3.constant((1.0, 3.0, 0.2)))],
+    )
+    c = compile_spawner(sp)
+    table = compile_force_fields([
+        ForceField.point((0.5, 1.0, 0.0), 8.0, 6.0),
+        ForceField.vortex((0.0, 0.0, 0.0), (0.3, 0.9, 0.1), 4.0, 8.0),
+    ])
+    frame = make_frame_input(1 / 50, force_fields=table)
+    sA = init_pool_for(c, capacity, 0)
+    sB = init_pool_for(c, capacity, 0)
+    for _ in range(n_frames):
+        sA, oA = step_jit(c.static, c.params, None, sA, frame)
+        sB, oB = fused_jit(c.static, c.params, None, sB, frame)
+    a_alive = np.asarray(sA.alive)
+    b_alive = np.asarray(sB.alive)
+    if a_alive.sum() != b_alive.sum() or a_alive.sum() == 0:
+        return f"COUNT {a_alive.sum()} vs {b_alive.sum()}"
+    for f in ("px", "py", "pz", "vx", "vy", "vz", "age"):
+        xa = np.sort(np.asarray(getattr(sA, f))[a_alive])
+        xb = np.sort(np.asarray(getattr(sB, f))[b_alive])
+        if not np.allclose(xa, xb, atol=5e-4):
+            return f"FIELD {f} max err {np.abs(xa - xb).max():.2e}"
+    # unrolled chain with fields vs per-frame fused
+    sC, _ = multi_step_auto(c.static, c.params, None, init_pool_for(c, capacity, 0), frame, n_frames)
+    for f in ("px", "py", "vx", "age"):
+        if not np.array_equal(np.asarray(getattr(sB, f)), np.asarray(getattr(sC, f))):
+            return f"UNROLL+FIELDS {f} mismatch"
+    return None
+
+
 def main(n_configs=8):
     failures = 0
     total = 0
@@ -388,6 +430,13 @@ def main(n_configs=8):
         failures += 1
     else:
         print("unrolled-chain: OK (U=8 plain + U=2 collision + vmapped fleet U=8, exact vs per-frame)")
+    total += 1
+    err = check_force_fields()
+    if err:
+        print(f"force-fields: {err}")
+        failures += 1
+    else:
+        print("force-fields: OK (point + vortex, compiled + unrolled chain)")
     total += 1
     err = check_many_collider_broadphase()
     if err:

@@ -66,6 +66,17 @@ def _comets():
     return s
 
 
+def _tornado():
+    from bevy_firework_tpu import ForceField
+
+    s = Scene(force_fields=[
+        ForceField.vortex((0.0, 0.0, 0.0), (0.0, 1.0, 0.0), strength=12.0, radius=6.0),
+        ForceField.axial((0.0, 0.0, 0.0), (0.0, 1.0, 0.0), strength=25.0, radius=7.0),
+    ])
+    s.add_spawner(library.dust(updraft=2.5, drag=2.0, emit_radius=1.2), capacity=8192)
+    return s
+
+
 def _render_fireworks():
     """The fireworks burst is periodic (~3 rockets/s, each exploding at its
     apex): step until a burst is young and dense (>140 live sparkles), then
@@ -95,6 +106,7 @@ JOBS = {
     "explosion": (_explosion, 20, Camera((0, 2.5, 8), (0, 2, 0)), dict(exposure=1.5)),
     "snow": (_snow, 240, Camera((0, 3.5, 11), (0, 3, 0)), dict()),
     "comets": (_comets, 140, Camera((0, 3.2, 10), (0, 2.6, 0)), dict(exposure=1.6)),
+    "tornado": (_tornado, 300, Camera((0, 4.5, 12), (0, 2.5, 0)), dict(exposure=1.8)),
     "fireworks": None,  # special-cased: burst-seeking warmup
 }
 
