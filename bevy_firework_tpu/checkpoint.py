@@ -173,7 +173,10 @@ def load_scene(path: str, colliders=None):
             scene._field_slots = [
                 _FieldSlot(
                     kind=s["kind"], position=tuple(s["position"]), axis=tuple(s["axis"]),
-                    strength=s["strength"], radius=s["radius"], active=s["active"],
+                    strength=s["strength"], radius=s["radius"],
+                    # pre-turbulence checkpoints lack these two
+                    frequency=s.get("frequency", 1.0), phase=s.get("phase", 0.0),
+                    active=s["active"],
                 )
                 for s in ffm["slots"]
             ]

@@ -20,6 +20,13 @@ Field kinds:
   * AXIAL — radial acceleration toward (strength > 0) or away from the
     axis line, same d_ax falloff: a = -strength * w * r_perp / d_ax.
     Vortex + axial + an updraft acceleration = the classic tornado funnel.
+  * TURBULENCE — divergence-free swirl everywhere: the analytic CURL of a
+    3-octave sine vector potential, a = strength * w(d) * curl psi(p * ...),
+    with fixed incommensurate wave directions and per-octave amplitudes
+    1/f, 0.5/(2f), 0.25/(4f) so each octave contributes equal velocity.
+    Divergence-free by construction (div curl = 0) — turbulence advects
+    without creating sinks/sources; `frequency` sets the spatial scale and
+    `phase` decorrelates multiple fields (or animates when stepped).
 
 Fields contribute to the frame's acceleration term, evaluated at the
 POST-MOVE position, and add onto the per-type constant acceleration before
@@ -44,6 +51,7 @@ import numpy as np
 FIELD_POINT = 0  # params: (strength, radius)
 FIELD_VORTEX = 1  # params: (strength, radius); axis = unit vector
 FIELD_AXIAL = 2  # params: (strength, radius); pull toward the axis line
+FIELD_TURBULENCE = 3  # params: (strength, radius, frequency, phase)
 
 _EPS = np.float32(1e-6)
 
@@ -63,6 +71,8 @@ class ForceField:
     axis: Tuple[float, float, float] = (0.0, 1.0, 0.0)
     strength: float = 1.0
     radius: float = 5.0
+    frequency: float = 1.0  # turbulence spatial scale
+    phase: float = 0.0  # turbulence decorrelation / animation offset
 
     def __post_init__(self):
         if self.radius <= 0.0:
@@ -86,6 +96,16 @@ class ForceField:
         return ForceField(FIELD_AXIAL, tuple(position),
                           _unit(axis), float(strength), float(radius))
 
+    @staticmethod
+    def turbulence(position, strength, radius, frequency=1.0, phase=0.0):
+        """Divergence-free curl-noise swirl (spherical falloff from
+        `position` over `radius`; make radius large for "everywhere")."""
+        if frequency <= 0.0:
+            raise ValueError("ForceField.turbulence frequency must be > 0")
+        return ForceField(FIELD_TURBULENCE, tuple(position), (0.0, 1.0, 0.0),
+                          float(strength), float(radius),
+                          frequency=float(frequency), phase=float(phase))
+
 
 @dataclasses.dataclass(frozen=True)
 class FieldTable:
@@ -95,8 +115,8 @@ class FieldTable:
 
     kinds: Tuple[int, ...]  # static, per field
     position: np.ndarray  # [F, 3]
-    axis: np.ndarray  # [F, 3] unit (vortex)
-    params: np.ndarray  # [F, 2]: strength, radius
+    axis: np.ndarray  # [F, 3] unit (vortex/axial)
+    params: np.ndarray  # [F, 4]: strength, radius, frequency, phase
     active: np.ndarray  # [F] f32 — 1.0 live, 0.0 disabled (traced toggle)
 
     @property
@@ -117,9 +137,53 @@ def compile_force_fields(fields: List[ForceField]) -> FieldTable:
         kinds=tuple(f.kind for f in fields),
         position=np.asarray([f.position for f in fields], f32).reshape(-1, 3),
         axis=np.asarray([f.axis for f in fields], f32).reshape(-1, 3),
-        params=np.asarray([(f.strength, f.radius) for f in fields], f32).reshape(-1, 2),
+        params=np.asarray(
+            [(f.strength, f.radius, f.frequency, f.phase) for f in fields], f32
+        ).reshape(-1, 4),
         active=np.ones((len(fields),), f32),
     )
+
+
+# Turbulence wave basis: 3 octaves x 3 potential components of fixed,
+# incommensurate, non-axis-aligned unit directions (chosen once; scaled by
+# the traced frequency at eval time). Deliberately irrational-looking so no
+# lattice/axis artifact survives the curl.
+_TURB_DIRS = np.float32([
+    # octave 0: psi_x, psi_y, psi_z wave vectors
+    [[0.537, 0.721, -0.438], [-0.631, 0.442, 0.637], [0.289, -0.817, 0.499]],
+    # octave 1
+    [[-0.758, 0.288, 0.585], [0.421, -0.693, -0.585], [0.652, 0.598, 0.466]],
+    # octave 2
+    [[0.118, -0.937, 0.329], [-0.869, -0.159, -0.468], [0.504, 0.434, -0.747]],
+])
+_TURB_PHASE = np.float32([
+    [0.7, 2.3, 4.1], [1.9, 5.2, 0.4], [3.3, 1.1, 5.8],
+])  # per (octave, component), plus the field's own phase offset
+_TURB_AMP = np.float32([1.0, 0.5, 0.25])  # per octave, divided by |k| below
+
+
+def _curl_sine_noise(freq, phase, rx, ry, rz):
+    """Analytic curl of psi_c = sum_o A_o sin(k_{c,o} . r + phi_{c,o}):
+    each partial d psi_c / d axis = A_o k_axis cos(...). Divergence-free by
+    construction. A_o = amp_o / |k_o| keeps per-octave velocity equal."""
+    cx = jnp.zeros_like(rx)
+    cy = jnp.zeros_like(rx)
+    cz = jnp.zeros_like(rx)
+    for o in range(3):
+        ko = freq * np.float32(2.0 ** o)
+        amp = np.float32(_TURB_AMP[o]) / ko  # A_o * (cos pulls k back out)
+        dpsi = []
+        for c in range(3):
+            d = _TURB_DIRS[o, c]
+            arg = ko * (np.float32(d[0]) * rx + np.float32(d[1]) * ry + np.float32(d[2]) * rz) \
+                + np.float32(_TURB_PHASE[o, c]) + phase
+            g = amp * ko * jnp.cos(arg)  # = amp_o * cos(arg)
+            dpsi.append((g * np.float32(d[0]), g * np.float32(d[1]), g * np.float32(d[2])))
+        # curl: (dpsi_z/dy - dpsi_y/dz, dpsi_x/dz - dpsi_z/dx, dpsi_y/dx - dpsi_x/dy)
+        cx = cx + dpsi[2][1] - dpsi[1][2]
+        cy = cy + dpsi[0][2] - dpsi[2][0]
+        cz = cz + dpsi[1][0] - dpsi[0][1]
+    return cx, cy, cz
 
 
 def field_accel(kinds, fpos, faxis, fpar, factive, px, py, pz):
@@ -136,7 +200,16 @@ def field_accel(kinds, fpos, faxis, fpar, factive, px, py, pz):
         rx = px - fpos[i, 0]
         ry = py - fpos[i, 1]
         rz = pz - fpos[i, 2]
-        if k == FIELD_POINT:
+        if k == FIELD_TURBULENCE:
+            d2 = rx * rx + ry * ry + rz * rz
+            d = jnp.sqrt(d2)
+            w = jnp.maximum(0.0, 1.0 - d * (1.0 / radius))
+            tx, ty, tz = _curl_sine_noise(fpar[i, 2], fpar[i, 3], rx, ry, rz)
+            g = s * w
+            ax = ax + g * tx
+            ay = ay + g * ty
+            az = az + g * tz
+        elif k == FIELD_POINT:
             d2 = rx * rx + ry * ry + rz * rz
             d = jnp.sqrt(d2)
             w = jnp.maximum(0.0, 1.0 - d * (1.0 / radius))

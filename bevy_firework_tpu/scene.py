@@ -313,6 +313,8 @@ class _FieldSlot:
     axis: Tuple[float, float, float]
     strength: float
     radius: float
+    frequency: float
+    phase: float
     active: bool
 
 
@@ -531,6 +533,8 @@ class Scene:
             axis=tuple(float(v) for v in field.axis),
             strength=float(field.strength),
             radius=float(field.radius),
+            frequency=float(field.frequency),
+            phase=float(field.phase),
             active=True,
         )
         if idx is None:
@@ -551,9 +555,17 @@ class Scene:
         self._field_slots[idx].active = False
         self._field_table = None
 
-    def set_force_field(self, fid: int, position=None, axis=None, strength=None, radius=None):
-        """Move/re-tune a field in place — all traced, never recompiles."""
+    def set_force_field(self, fid: int, position=None, axis=None, strength=None,
+                        radius=None, frequency=None, phase=None):
+        """Move/re-tune a field in place — all traced, never recompiles.
+        Stepping `phase` each frame animates turbulence."""
         slot = self._field_slots[self._field_ids[fid]]
+        if frequency is not None:
+            if frequency <= 0:
+                raise ValueError("frequency must be > 0")
+            slot.frequency = float(frequency)
+        if phase is not None:
+            slot.phase = float(phase)
         if position is not None:
             slot.position = tuple(float(v) for v in position)
         if axis is not None:
@@ -585,7 +597,9 @@ class Scene:
                 kinds=tuple(x.kind for x in s),
                 position=np.asarray([x.position for x in s], f32).reshape(-1, 3),
                 axis=np.asarray([x.axis for x in s], f32).reshape(-1, 3),
-                params=np.asarray([(x.strength, x.radius) for x in s], f32).reshape(-1, 2),
+                params=np.asarray(
+                    [(x.strength, x.radius, x.frequency, x.phase) for x in s], f32
+                ).reshape(-1, 4),
                 active=np.asarray([1.0 if x.active else 0.0 for x in s], f32),
             )
         return self._field_table

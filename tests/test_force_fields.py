@@ -230,3 +230,81 @@ def test_fields_with_collision_and_batched_groups():
         assert np.asarray(st.py)[alive].min() >= -0.6  # floor still holds
         Ly = (np.asarray(st.pz) * np.asarray(st.vx) - np.asarray(st.px) * np.asarray(st.vz))[alive]
         assert Ly.mean() != 0.0  # swirl present
+
+
+def test_turbulence_divergence_free_and_animates():
+    """Curl-noise turbulence: numerically divergence-free (div curl = 0 —
+    swirls never create sinks/sources), falls off to zero past radius, and
+    the phase knob decorrelates/animates the pattern."""
+    import jax.numpy as jnp
+
+    from bevy_firework_tpu.force_fields import field_accel
+
+    t = compile_force_fields([ForceField.turbulence(
+        (0.0, 0.0, 0.0), strength=2.0, radius=1000.0, frequency=0.7)])
+
+    def acc(p):
+        a = field_accel(t.kinds, jnp.asarray(t.position), jnp.asarray(t.axis),
+                        jnp.asarray(t.params), jnp.asarray(t.active).reshape(-1, 1),
+                        p[..., 0], p[..., 1], p[..., 2])
+        return np.asarray(jnp.stack(a, -1))
+
+    rng = np.random.default_rng(0)
+    pts = (rng.normal(size=(64, 3)) * 3).astype(np.float32)
+    eps = 1e-3
+    div = np.zeros(64)
+    for axi in range(3):
+        e = np.zeros(3, np.float32)
+        e[axi] = eps
+        div += (acc(pts + e)[:, axi] - acc(pts - e)[:, axi]) / (2 * eps)
+    mag = np.linalg.norm(acc(pts), axis=1)
+    assert mag.mean() > 0.5  # actually swirling
+    assert np.abs(div).max() < 0.02 * mag.mean()
+
+    t2 = compile_force_fields([ForceField.turbulence(
+        (0.0, 0.0, 0.0), strength=2.0, radius=1.0, frequency=0.7)])
+    far = np.float32([[50.0, 0.0, 0.0]])
+    a2 = field_accel(t2.kinds, jnp.asarray(t2.position), jnp.asarray(t2.axis),
+                     jnp.asarray(t2.params), jnp.asarray(t2.active).reshape(-1, 1),
+                     far[:, 0], far[:, 1], far[:, 2])
+    np.testing.assert_allclose(np.stack(a2, -1), 0.0, atol=1e-6)  # falloff cutoff
+
+    t3 = compile_force_fields([ForceField.turbulence(
+        (0.0, 0.0, 0.0), strength=2.0, radius=1000.0, frequency=0.7, phase=2.0)])
+
+    def acc3(p):
+        a = field_accel(t3.kinds, jnp.asarray(t3.position), jnp.asarray(t3.axis),
+                        jnp.asarray(t3.params), jnp.asarray(t3.active).reshape(-1, 1),
+                        p[..., 0], p[..., 1], p[..., 2])
+        return np.asarray(jnp.stack(a, -1))
+
+    assert np.abs(acc3(pts) - acc(pts)).max() > 0.1  # phase changes the pattern
+
+
+def test_fused_matches_xla_with_turbulence():
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(
+            lifetime=RandF32.constant(0.3), initial_scale=RandF32.constant(0.1))],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.rate(2000.0),
+            initial_velocity=RandVec3.constant((1.0, 3.0, 0.2)))],
+    )
+    c = compile_spawner(sp)
+    table = compile_force_fields([
+        ForceField.turbulence((0.0, 1.0, 0.0), strength=5.0, radius=50.0, frequency=1.3),
+        ForceField.axial((0.0, 0.0, 0.0), (0.0, 1.0, 0.0), 3.0, 8.0),
+    ])
+    frame = make_frame_input(1 / 50, force_fields=table)
+    fj = jax.jit(fused_step, static_argnums=(0,))
+    sA = init_pool_for(c, 8192, 0)
+    sB = init_pool_for(c, 8192, 0)
+    for _ in range(10):
+        sA, _ = step_jit(c.static, c.params, None, sA, frame)
+        with pltpu.force_tpu_interpret_mode():
+            sB, _ = fj(c.static, c.params, None, sB, frame)
+    a, b = np.asarray(sA.alive), np.asarray(sB.alive)
+    assert a.sum() == b.sum() > 0
+    for f in ("px", "py", "pz", "vx", "vy", "vz"):
+        xa = np.sort(np.asarray(getattr(sA, f))[a])
+        xb = np.sort(np.asarray(getattr(sB, f))[b])
+        np.testing.assert_allclose(xa, xb, atol=3e-5, err_msg=f)

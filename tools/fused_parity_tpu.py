@@ -355,6 +355,7 @@ def check_force_fields(capacity=3 * 8192, n_frames=30):
     table = compile_force_fields([
         ForceField.point((0.5, 1.0, 0.0), 8.0, 6.0),
         ForceField.vortex((0.0, 0.0, 0.0), (0.3, 0.9, 0.1), 4.0, 8.0),
+        ForceField.turbulence((0.0, 0.0, 0.0), 3.0, 40.0, frequency=1.1),
     ])
     frame = make_frame_input(1 / 50, force_fields=table)
     sA = init_pool_for(c, capacity, 0)
@@ -436,7 +437,7 @@ def main(n_configs=8):
         print(f"force-fields: {err}")
         failures += 1
     else:
-        print("force-fields: OK (point + vortex, compiled + unrolled chain)")
+        print("force-fields: OK (point + vortex + turbulence, compiled + unrolled chain)")
     total += 1
     err = check_many_collider_broadphase()
     if err:
