@@ -167,6 +167,7 @@ class SpawnerParams:
     friction: jax.Array  # [T]
     destroy_on_collision: jax.Array  # [T] f32 0/1
     collision_mask: jax.Array  # [T] uint32
+    field_mask: jax.Array  # [T] f32 0/1: affected_by_fields
     # --- per emitter [E] ----------------------------------------------------
     count: jax.Array  # [E] f32 (particles per cycle, or one-shot count)
     duration: jax.Array  # [E]
@@ -306,6 +307,7 @@ def compile_spawner(spawner: ParticleSpawner, nested_buffer: int = 4096) -> Comp
         emis_color0=farr([t.emissive_color.sample_clamped(0.0) for t in types]),
         pbr=farr([1.0 if t.pbr else 0.0 for t in types]),
         restitution=farr([(t.collision_settings.restitution if t.collision_settings else 0.0) for t in types]),
+        field_mask=farr([1.0 if t.affected_by_fields else 0.0 for t in types]),
         friction=farr([(t.collision_settings.friction if t.collision_settings else 0.0) for t in types]),
         destroy_on_collision=farr([(1.0 if (t.collision_settings and t.collision_settings.destroy_on_collision) else 0.0) for t in types]),
         collision_mask=jnp.asarray(

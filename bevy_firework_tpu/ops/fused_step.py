@@ -1080,12 +1080,14 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             if field_kinds:
                 # scene force fields: add onto the per-type accel at the
                 # post-move position, before drag (force_fields.py; same
-                # helper as the XLA path, indexing the small VMEM tables)
+                # helper as the XLA path, indexing the small VMEM tables).
+                # trand col 4 = per-type affected_by_fields mask.
                 ffx, ffy, ffz = field_accel(
                     field_kinds, ffpos_ref, ffaxis_ref, ffpar_ref, ffact_ref,
                     npx, npy, npz,
                 )
-                ax, ay, az = ax + ffx, ay + ffy, az + ffz
+                fm = by_type(trand_ref, 4)
+                ax, ay, az = ax + fm * ffx, ay + fm * ffy, az + fm * ffz
             lin_drag = by_type(tphys_ref, 3)
             aax, aay, aaz = by_type(tphys_ref, 4), by_type(tphys_ref, 5), by_type(tphys_ref, 6)
             ang_drag = by_type(tphys_ref, 7)
@@ -1223,6 +1225,7 @@ def _pack_fused_smalls(static: SpawnerStatic, params: SpawnerParams, colliders, 
     trand = trand.at[:, 1].set(params.initial_scale_hi)
     trand = trand.at[:, 2].set(params.lifetime_lo)
     trand = trand.at[:, 3].set(params.lifetime_hi)
+    trand = trand.at[:, 4].set(params.field_mask)  # affected_by_fields
 
     tphys = jnp.zeros((T, 8), jnp.float32)
     tphys = tphys.at[:, 0:3].set(params.acceleration)

@@ -161,6 +161,9 @@ class ParticleSettings:
     blend_mode: BlendMode = BlendMode.BLEND
     pbr: bool = False
     collision_settings: Optional[ParticleCollisionSettings] = None
+    # scene force fields apply to this type (beyond the reference; lets a
+    # smoke layer ignore a vortex the sparks ride, etc.)
+    affected_by_fields: bool = True
     event_handlers: ParticleEventHandlers = ParticleEventHandlers()
 
 
@@ -237,6 +240,7 @@ def settings_to_dict(p: ParticleSettings) -> dict:
         "fade_scene": p.fade_scene,
         "blend_mode": p.blend_mode.value,
         "pbr": p.pbr,
+        "affected_by_fields": p.affected_by_fields,
         "collision_settings": None
         if p.collision_settings is None
         else {
@@ -269,6 +273,7 @@ def settings_from_dict(d: dict) -> ParticleSettings:
         fade_scene=float(d["fade_scene"]),
         blend_mode=BlendMode(d["blend_mode"]),
         pbr=bool(d["pbr"]),
+        affected_by_fields=bool(d.get("affected_by_fields", True)),
         collision_settings=None
         if cs is None
         else ParticleCollisionSettings(

@@ -583,7 +583,8 @@ def step(
             jnp.asarray(ff.params), jnp.asarray(ff.active).reshape(-1, 1),
             npx, npy, npz,
         )
-        ax, ay, az = ax + ffx, ay + ffy, az + ffz
+        fm = _select_by_type(params.field_mask, ptype, T)  # per-type opt-out
+        ax, ay, az = ax + fm * ffx, ay + fm * ffy, az + fm * ffz
     lin_drag = _select_by_type(params.linear_drag, ptype, T)
     aax = _select_by_type(params.angular_acceleration[:, 0], ptype, T)
     aay = _select_by_type(params.angular_acceleration[:, 1], ptype, T)

@@ -308,3 +308,74 @@ def test_fused_matches_xla_with_turbulence():
         xa = np.sort(np.asarray(getattr(sA, f))[a])
         xb = np.sort(np.asarray(getattr(sB, f))[b])
         np.testing.assert_allclose(xa, xb, atol=3e-5, err_msg=f)
+
+
+def test_per_type_field_opt_out():
+    """affected_by_fields=False exempts a type: in a two-type spawner under
+    a strong repulsor, only the opted-in type accelerates (both paths:
+    XLA via Scene, fused via interpret parity below)."""
+    sp = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(5.0),
+                             acceleration=(0.0, 0.0, 0.0), linear_drag=0.0),
+            ParticleSettings(lifetime=RandF32.constant(5.0),
+                             acceleration=(0.0, 0.0, 0.0), linear_drag=0.0,
+                             affected_by_fields=False),
+        ],
+        emission_settings=[
+            EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.one_shot(16),
+                             emission_shape=EmissionShape.sphere(1.0)),
+            EmissionSettings(particle_index=1, emission_pacing=EmissionPacing.one_shot(16),
+                             emission_shape=EmissionShape.sphere(1.0)),
+        ],
+    )
+    scene = Scene(force_fields=[ForceField.point((0.0, 0.0, 0.0), -10.0, 50.0)])
+    sid = scene.add_spawner(sp, capacity=256)
+    for _ in range(30):
+        scene.step(DT)
+    st = scene._spawners[sid].state
+    alive = np.asarray(st.alive)
+    pt = np.asarray(st.ptype)[alive]
+    speed = np.sqrt(np.asarray(st.vx) ** 2 + np.asarray(st.vy) ** 2 + np.asarray(st.vz) ** 2)[alive]
+    assert (speed[pt == 0] > 0.5).all()  # repelled
+    np.testing.assert_allclose(speed[pt == 1], 0.0, atol=1e-6)  # exempt
+
+    # serde round-trips the new flag (legacy JSON loads with default True)
+    from bevy_firework_tpu import spawner_from_json, spawner_to_json
+
+    sp2 = spawner_from_json(spawner_to_json(sp))
+    assert sp2.particle_settings[0].affected_by_fields is True
+    assert sp2.particle_settings[1].affected_by_fields is False
+
+    # fused interpret parity for the multi-type masked config: DETERMINISTIC
+    # draws (point shape + constant velocities; fused PRNG is distribution-
+    # parity only), launched off-origin so the repulsor acts from frame 1
+    spd = ParticleSpawner(
+        particle_settings=sp.particle_settings,
+        emission_settings=[
+            EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.one_shot(16),
+                             initial_velocity=RandVec3.constant((0.5, 0.2, 0.0))),
+            EmissionSettings(particle_index=1, emission_pacing=EmissionPacing.one_shot(16),
+                             initial_velocity=RandVec3.constant((-0.5, 0.1, 0.0))),
+        ],
+    )
+    c = compile_spawner(spd)
+    table = compile_force_fields([ForceField.point((0.0, -1.0, 0.0), -10.0, 50.0)])
+    frame = make_frame_input(DT, force_fields=table)
+    fj = jax.jit(fused_step, static_argnums=(0,))
+    sA = init_pool_for(c, 8192, 0)
+    sB = init_pool_for(c, 8192, 0)
+    for _ in range(6):
+        sA, _ = step_jit(c.static, c.params, None, sA, frame)
+        with pltpu.force_tpu_interpret_mode():
+            sB, _ = fj(c.static, c.params, None, sB, frame)
+    a, b = np.asarray(sA.alive), np.asarray(sB.alive)
+    assert a.sum() == b.sum() > 0
+    for f in ("px", "vx", "vy"):
+        xa = np.sort(np.asarray(getattr(sA, f))[a])
+        xb = np.sort(np.asarray(getattr(sB, f))[b])
+        np.testing.assert_allclose(xa, xb, atol=2e-5, err_msg=f)
+    # the exempt type's speed is exactly its launch speed in BOTH paths
+    pt_b = np.asarray(sB.ptype)[b]
+    sp_b = np.sqrt(np.asarray(sB.vx) ** 2 + np.asarray(sB.vy) ** 2 + np.asarray(sB.vz) ** 2)[b]
+    np.testing.assert_allclose(sp_b[pt_b == 1], np.sqrt(0.5**2 + 0.1**2), atol=1e-5)
