@@ -84,9 +84,13 @@ def _render_fireworks():
     frame the camera on the particles' median position."""
     import numpy as np
 
+    from bevy_firework_tpu import TrailSettings
+
     spawner, tf = effects.fireworks()
     s = Scene()
-    s.add_spawner(spawner, capacity=8192, transform=tf, nested_buffer=8192)
+    # trails give the rockets launch streaks and the sparkles comet tails
+    s.add_spawner(spawner, capacity=8192, transform=tf, nested_buffer=8192,
+                  trail=TrailSettings(length=8, width=0.35))
     sid = s.spawner_ids()[0]
     for f in range(400):
         s.step(1.0 / 60.0)
@@ -97,7 +101,8 @@ def _render_fireworks():
     items = s.render_items()
     inst = np.concatenate([np.asarray(it.instances).reshape(-1, 16) for it in items])
     cx, cy = float(np.median(inst[:, 0])), float(np.median(inst[:, 1]))
-    img = render_frame(items, Camera((cx, cy + 0.4, 6), (cx, cy, 0)), exposure=2.0)
+    img = render_frame(items, Camera((cx, cy + 0.4, 6), (cx, cy, 0)), exposure=2.0,
+                       trail_items=s.trail_items())
     return img, s
 
 
