@@ -49,7 +49,7 @@ from .render import (
     planes_to_rows,
     sort_instances_back_to_front,
 )
-from .trails import TrailSettings, init_trail_state, update_trails
+from .trails import TrailSettings, init_trail_state, update_trails, update_trails_stacked
 from .settings import EffectModifier, ParticleSpawner, SpawnTransformMode
 from .step import StepOutputs
 
@@ -73,7 +73,8 @@ from .step import StepOutputs
 class _GroupBatch:
     """Stacked authority for one archetype group after a batched step."""
 
-    __slots__ = ("sids", "params", "states", "outputs", "planes", "dirty")
+    __slots__ = ("sids", "params", "states", "outputs", "planes", "dirty",
+                 "trails", "tdirty")
 
     def __init__(self, sids, params, states, outputs, planes):
         self.sids = sids
@@ -82,6 +83,8 @@ class _GroupBatch:
         self.outputs = outputs  # stacked StepOutputs
         self.planes = planes  # stacked render planes or None
         self.dirty = False  # True => a member was mutated; restack next step
+        self.trails = None  # stacked TrailState (all members trailed alike)
+        self.tdirty = False  # True => a member's trail was replaced; restack
 
 
 def _stack_frames_np(frames):
@@ -203,7 +206,7 @@ class _SpawnerSlot:
         self.finished_fired = finished_fired
         self.seed = seed
         self.trail_settings = trail_settings
-        self.trail_state = trail_state
+        self._trail_state = trail_state
         self._state = state
         self._outputs = outputs
         self._render_planes = render_planes
@@ -231,6 +234,22 @@ class _SpawnerSlot:
         batch, _i = self._batch
         batch.dirty = True
         self._batch = None
+
+    @property
+    def trail_state(self):
+        """Lazy over the group batch (like state): when the group updated
+        trails STACKED this frame, slice this slot's column on first read."""
+        if self._trail_state is None and self._batch is not None:
+            bt = self._batch[0].trails
+            if bt is not None:
+                self._trail_state = self._slice(bt, self._batch[1])
+        return self._trail_state
+
+    @trail_state.setter
+    def trail_state(self, v):
+        self._trail_state = v
+        if self._batch is not None:  # external replacement: restack next step
+            self._batch[0].tdirty = True
 
     @property
     def state(self) -> PoolState:
@@ -712,8 +731,26 @@ class Scene:
                 for i, slot in enumerate(slots):
                     slot.attach_batch(nb, i)
             elapsed = np.float32(dt * n_frames)
+            group_trails = False
+            if len(slots) > 1:
+                ts_set = {s.trail_settings for s in slots}
+                if None not in ts_set and len(ts_set) == 1:
+                    # every member trailed alike: ONE vmapped trail dispatch
+                    # (trails.py "known cost note" lever). Steady state
+                    # donates the previous stacked authority in place;
+                    # (re)formation stacks per-slot states on the host.
+                    old_b = self._batches.get(key)
+                    if (old_b is not None and old_b.sids == sids_t
+                            and old_b.trails is not None and not old_b.tdirty):
+                        t_prev = old_b.trails
+                    else:
+                        t_prev = _stack_trees_np([s.trail_state for s in slots])
+                    nb.trails = update_trails_stacked(t_prev, nb.states, elapsed)
+                    for slot in slots:
+                        slot._trail_state = None  # read lazily off the batch
+                    group_trails = True
             for sid, slot in zip(sids, slots):
-                if slot.trail_settings is not None:
+                if slot.trail_settings is not None and not group_trails:
                     # one history point per step()/step_n() call (a step_n
                     # fast-forward records only its final frame's point);
                     # elapsed lets update_trails catch slots re-tenanted

@@ -27,11 +27,11 @@ ribbon half-widths; the color is the particle's CURRENT base color with the
 alpha tapered toward the tail (a consumer draws a camera-facing quad per
 segment, interpolating width and alpha along it).
 
-Known cost note: trailed members of a vmapped archetype group each pay
-their own update_trails dispatch per frame (the group's SIM is one
-launch). Stacking TrailStates across a group is a future lever; at trail
-effect scales (a handful of trailed spawners) the per-dispatch cost is
-what it is on the attach and negligible on a co-located host.
+Group batching: when every member of a vmapped archetype group is trailed
+with EQUAL TrailSettings, Scene updates the whole group's trails in ONE
+vmapped dispatch (`update_trails_stacked`; the stacked authority lives in
+the group batch and slots slice it lazily, like pool state). Mixed or
+unequal-settings groups fall back to per-slot updates.
 """
 
 from __future__ import annotations
@@ -103,8 +103,7 @@ def init_trail_state(settings: TrailSettings, capacity: int) -> TrailState:
     )
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def update_trails(trail: TrailState, state: PoolState, elapsed=None) -> TrailState:
+def _update_trails_impl(trail: TrailState, state: PoolState, elapsed=None) -> TrailState:
     """Record one history point from the post-step pool state.
 
     Call AFTER stepping (Scene does this for trailed spawners). Slots that
@@ -149,6 +148,18 @@ def update_trails(trail: TrailState, state: PoolState, elapsed=None) -> TrailSta
         hx=hx, hy=hy, hz=hz, hcount=hcount, head=head,
         prev_age=state.age, prev_alive=state.alive,
     )
+
+
+update_trails = partial(jax.jit, donate_argnums=(0,))(_update_trails_impl)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def update_trails_stacked(trails: TrailState, states: PoolState, elapsed=None) -> TrailState:
+    """One dispatch for a whole archetype group: vmap of _update_trails_impl
+    over stacked [S, ...] trail/pool trees (Scene's group batching). Same
+    donation semantics as update_trails — the stacked argument updates in
+    place and must not be reused."""
+    return jax.vmap(lambda t, s: _update_trails_impl(t, s, elapsed))(trails, states)
 
 
 @partial(jax.jit, static_argnums=(0, 4))

@@ -238,3 +238,48 @@ def test_step_n_window_retenant_does_not_bridge_history():
     d = seg[:, 0:3] - seg[:, 4:7]
     np.testing.assert_allclose(
         np.sqrt((d * d).sum(1)), 10 * dt, rtol=1e-4)  # 10-frame spans
+
+
+def test_group_stacked_trails_match_per_slot_path():
+    """A fully-trailed archetype group updates trails in ONE vmapped
+    dispatch (batch.trails authority); results must equal the per-slot
+    update path exactly, survive member mutation (restack), and slice
+    correctly for checkpoint/trail_items readers."""
+    from bevy_firework_tpu import Transform
+
+    def build(seed):
+        sc = Scene(seed=seed)
+        a = sc.add_spawner(ballistic_spawner(n=6), capacity=256,
+                           trail=TrailSettings(length=5, width=0.3))
+        b = sc.add_spawner(ballistic_spawner(n=6), capacity=256,
+                           transform=Transform(translation=(0.0, 7.0, 0.0)),
+                           trail=TrailSettings(length=5, width=0.3))
+        return sc, a, b
+
+    scene, a, b = build(9)
+    for _ in range(8):
+        scene.step(1 / 60)
+    batch = next(iter(scene._batches.values()))
+    assert batch.trails is not None  # the stacked path engaged
+
+    # reference: identical scene but defeat stacking via distinct settings
+    ref, ra, rb = build(9)
+    ref._spawners[rb].trail_settings = TrailSettings(length=5, width=0.3, taper=False)
+    for _ in range(8):
+        ref.step(1 / 60)
+    assert next(iter(ref._batches.values())).trails is None  # per-slot path
+
+    got = {it.spawner_id: it.segments for it in scene.trail_items()}
+    # positions/widths of spawner `a` identical across paths (same sim)
+    want = {it.spawner_id: it.segments for it in ref.trail_items()}
+    np.testing.assert_array_equal(got[a], want[ra])
+    pos_cols = [0, 1, 2, 4, 5, 6]  # endpoint positions (widths differ: taper)
+    np.testing.assert_array_equal(got[b][:, pos_cols], want[rb][:, pos_cols])
+
+    # member mutation restacks without corruption
+    scene.set_spawner(b, ballistic_spawner(n=4))
+    for _ in range(4):
+        scene.step(1 / 60)
+    items = {it.spawner_id: it for it in scene.trail_items()}
+    assert items[b].segments.shape[0] == 4 * 3  # 4 records => 3 segments each
+    assert np.abs(items[a].segments[:, 1]).max() < 1.0  # a unaffected
