@@ -215,9 +215,17 @@ class _SpawnerSlot:
     def _slice(self, tree, idx):
         return jax.tree_util.tree_map(lambda x: x[idx], tree)
 
-    def attach_batch(self, batch: "_GroupBatch", idx: int):
+    def attach_batch(self, batch: "_GroupBatch", idx: int,
+                     materialize_trails: bool = True):
         """Hand authority to a freshly stepped group batch (no setter side
-        effects — the batch IS the new value of all three)."""
+        effects — the batch IS the new value of all three).
+
+        materialize_trails: slice this slot's trail state off the OLD batch
+        before re-pointing (the new batch starts with trails=None). Pass
+        False only when the caller will install a new stacked trail
+        authority on the new batch this same frame."""
+        if materialize_trails and self.trail_settings is not None:
+            _ = self.trail_state  # resolves against the old batch
         self._batch = (batch, idx)
         self._state = None
         self._outputs = None
@@ -231,6 +239,7 @@ class _SpawnerSlot:
         _ = self.state
         _ = self.outputs
         _ = self.render_planes
+        _ = self.trail_state
         batch, _i = self._batch
         batch.dirty = True
         self._batch = None
@@ -711,7 +720,8 @@ class Scene:
                 F = _stack_frames_np(frames)
                 sids_t = tuple(sids)
                 batch = self._batches.get(key)
-                if batch is not None and batch.sids == sids_t and not batch.dirty:
+                steady = batch is not None and batch.sids == sids_t and not batch.dirty
+                if steady:
                     # steady state: the previous frame's stacked trees feed
                     # the next dispatch directly — no per-member handles
                     P, S = batch.params, batch.states
@@ -720,6 +730,22 @@ class Scene:
                     # _stack_trees_np) and pin the params on device once
                     P = jax.device_put(_stack_trees_np([s.compiled.params for s in slots]))
                     S = _stack_trees_np([s.state for s in slots])  # materializes lazies
+
+                # trail plan, decided BEFORE slots re-point at the new batch:
+                # all-trailed-alike groups update trails in one vmapped
+                # dispatch; t_prev must come from the OLD authority (steady:
+                # the old batch's stacked trees, donated in place; else:
+                # per-slot states, whose lazy reads still resolve against
+                # the old batch here)
+                ts_set = {s.trail_settings for s in slots}
+                group_trails = None not in ts_set and len(ts_set) == 1
+                t_prev = None
+                if group_trails:
+                    if steady and batch.trails is not None and not batch.tdirty:
+                        t_prev = batch.trails
+                    else:
+                        t_prev = _stack_trees_np([s.trail_state for s in slots])
+
                 if n_frames == 1:
                     S2, O, planes = _group_step_stacked(static, P, colliders, S, F)
                 else:
@@ -729,26 +755,16 @@ class Scene:
                 nb = _GroupBatch(sids_t, P, S2, O, planes)
                 new_batches[key] = nb
                 for i, slot in enumerate(slots):
-                    slot.attach_batch(nb, i)
+                    # a slot leaving the stacked-trail regime must carry its
+                    # trail slice with it (materialized off the old batch)
+                    slot.attach_batch(nb, i, materialize_trails=not group_trails)
             elapsed = np.float32(dt * n_frames)
-            group_trails = False
-            if len(slots) > 1:
-                ts_set = {s.trail_settings for s in slots}
-                if None not in ts_set and len(ts_set) == 1:
-                    # every member trailed alike: ONE vmapped trail dispatch
-                    # (trails.py "known cost note" lever). Steady state
-                    # donates the previous stacked authority in place;
-                    # (re)formation stacks per-slot states on the host.
-                    old_b = self._batches.get(key)
-                    if (old_b is not None and old_b.sids == sids_t
-                            and old_b.trails is not None and not old_b.tdirty):
-                        t_prev = old_b.trails
-                    else:
-                        t_prev = _stack_trees_np([s.trail_state for s in slots])
-                    nb.trails = update_trails_stacked(t_prev, nb.states, elapsed)
-                    for slot in slots:
-                        slot._trail_state = None  # read lazily off the batch
-                    group_trails = True
+            if len(slots) > 1 and group_trails:
+                nb.trails = update_trails_stacked(t_prev, nb.states, elapsed)
+                for slot in slots:
+                    slot._trail_state = None  # read lazily off the new batch
+            else:
+                group_trails = False
             for sid, slot in zip(sids, slots):
                 if slot.trail_settings is not None and not group_trails:
                     # one history point per step()/step_n() call (a step_n

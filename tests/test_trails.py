@@ -283,3 +283,62 @@ def test_group_stacked_trails_match_per_slot_path():
     items = {it.spawner_id: it for it in scene.trail_items()}
     assert items[b].segments.shape[0] == 4 * 3  # 4 records => 3 segments each
     assert np.abs(items[a].segments[:, 1]).max() < 1.0  # a unaffected
+
+
+def test_group_trail_authority_survives_transitions():
+    """The stacked trail authority must hand off correctly at every group
+    transition (each case crashed or silently lost history before the fix):
+    member removal (survivor goes single-slot), member addition (restack),
+    settings divergence (stacked -> per-slot), and set_spawner mid-group
+    (detach must invalidate the stale stacked authority)."""
+    from bevy_firework_tpu import Transform
+
+    def trailed(n=4):
+        return ballistic_spawner(n=n, lifetime=10.0)
+
+    TS = TrailSettings(length=5, width=0.3)
+
+    # 1. removal: survivor keeps its history through the single-slot path
+    sc = Scene(seed=1)
+    a = sc.add_spawner(trailed(), capacity=256, trail=TS)
+    b = sc.add_spawner(trailed(), capacity=256, trail=TS,
+                       transform=Transform(translation=(0.0, 7.0, 0.0)))
+    for _ in range(3):
+        sc.step(1 / 60)
+    sc.remove_spawner(b)
+    sc.step(1 / 60)  # was: AttributeError on None trail state
+    seg = {it.spawner_id: it.segments for it in sc.trail_items()}[a]
+    assert seg.shape[0] == 4 * 3  # 4 records preserved => 3 segments each
+
+    # 2. addition: restack stacks lazy trail states off the OLD authority
+    c = sc.add_spawner(trailed(), capacity=256, trail=TS,
+                       transform=Transform(translation=(0.0, 14.0, 0.0)))
+    sc.step(1 / 60)  # group of 2 re-forms (a + c); was: ValueError in stack
+    sc.step(1 / 60)
+    seg = {it.spawner_id: it.segments for it in sc.trail_items()}
+    assert seg[a].shape[0] == 4 * 4  # a's history uninterrupted (K=5 cap)
+    assert seg[c].shape[0] == 4 * 1  # c: 2 records => 1 segment
+
+    # 3. divergence: switching one member's settings mid-run falls back to
+    # per-slot updates with materialized histories
+    sc._spawners[c].trail_settings = TrailSettings(length=5, width=0.3, taper=False)
+    sc.step(1 / 60)  # was: AttributeError on None trail state
+    seg = {it.spawner_id: it.segments for it in sc.trail_items()}
+    assert seg[a].shape[0] == 4 * 4 and seg[c].shape[0] == 4 * 2
+
+    # 4. set_spawner on a stacked-trail member: the fresh (reset) trail
+    # state must not be shadowed by the stale stacked authority
+    sc2 = Scene(seed=2)
+    d = sc2.add_spawner(trailed(), capacity=256, trail=TS)
+    e = sc2.add_spawner(trailed(), capacity=256, trail=TS,
+                        transform=Transform(translation=(0.0, 7.0, 0.0)))
+    for _ in range(4):
+        sc2.step(1 / 60)
+    sc2.set_spawner(e, trailed(n=2))
+    sc2.step(1 / 60)
+    seg = {it.spawner_id: it.segments for it in sc2.trail_items()}
+    assert d in seg and seg[d].shape[0] == 4 * 4  # d's history intact
+    assert e not in seg or seg[e].shape[0] == 0  # e reset: 1 record, no segs
+    sc2.step(1 / 60)
+    seg = {it.spawner_id: it.segments for it in sc2.trail_items()}
+    assert seg[e].shape[0] == 2 * 1  # 2 records after reset => 1 segment
