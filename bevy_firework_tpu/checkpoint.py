@@ -97,6 +97,14 @@ def save_scene(path: str, scene) -> None:
                 "ids": {str(k): v for k, v in scene._field_ids.items()},
                 "next_id": scene._next_field_id,
             },
+            # collider scene: slots (incl. disabled, preserving the static
+            # layout) + live handles, so set/remove_collider edits and ids
+            # survive the trip
+            "colliders": {
+                "slots": [dataclasses.asdict(s) for s in scene._collider_slots],
+                "ids": {str(k): v for k, v in scene._collider_ids.items()},
+                "next_id": scene._next_collider_id,
+            },
         }
         for sid, slot in scene._spawners.items():
             meta["spawners"][str(sid)] = {
@@ -127,13 +135,32 @@ def save_scene(path: str, scene) -> None:
 def load_scene(path: str, colliders=None):
     """Restore a Scene checkpoint. Event handlers/observers are not
     serializable (same restriction as the reference's #[reflect(ignore)]
-    handlers) — re-register them after loading."""
+    handlers) — re-register them after loading.
+
+    colliders: explicit override of the restored collider scene; leave None
+    to restore the checkpoint's own colliders (incl. dynamic-edit state and
+    live handles; legacy checkpoints without collider state restore none)."""
     from .scene import Scene, Transform
     from .settings import EffectModifier
 
     scene = Scene(colliders=colliders)
     with zipfile.ZipFile(path) as zf:
         meta = json.loads(zf.read("scene.json"))
+        cm = meta.get("colliders")
+        if colliders is None and cm:
+            from .scene import _ColliderSlot
+
+            scene._collider_slots = [
+                _ColliderSlot(
+                    kind=s["kind"], identity_rot=s["identity_rot"],
+                    position=tuple(s["position"]), rotation=tuple(s["rotation"]),
+                    params=tuple(s["params"]), layers=s["layers"], active=s["active"],
+                )
+                for s in cm["slots"]
+            ]
+            scene._collider_ids = {int(k): v for k, v in cm["ids"].items()}
+            scene._next_collider_id = cm["next_id"]
+            scene._collider_table = None
         scene.time = meta["time"]
         scene._seed = meta["seed"]
         for sid_s, m in meta["spawners"].items():

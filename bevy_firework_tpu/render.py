@@ -182,10 +182,12 @@ def pack_instances_dense(params, state: PoolState, type_index: int) -> Tuple[jax
 @partial(jax.jit, static_argnums=(2,))
 def pack_instances_dense_f16(params, state: PoolState, type_index: int) -> Tuple[jax.Array, jax.Array]:
     """`pack_instances_dense` in float16: halves the device->host render
-    traffic (32 B/particle). Rendering precision is ample in f16 (positions
-    within a few km of origin keep ~3 decimal digits; colors/quats are
-    fine); simulation state stays f32. Renderers bind float16x4 vertex
-    attributes directly."""
+    traffic (32 B/particle). Know the f16 position quantization before
+    choosing it: the ulp is ~2^-10 of magnitude — 1 mm at ~1 unit, 6 cm at
+    ~64 units, 0.5 AT 1 km — so it suits effects within ~tens of units of
+    the origin (or a local frame); past that, slow particles visibly snap.
+    Colors/quats in [0,1] are fine. Simulation state stays f32. Renderers
+    bind float16x4 vertex attributes directly."""
     planes, count = pack_instances_dense(params, state, type_index)
     return planes.astype(jnp.float16), count
 

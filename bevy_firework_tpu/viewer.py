@@ -49,9 +49,16 @@ class Camera:
     def __init__(self, position=(0.0, 3.0, 8.0), look_at=(0.0, 1.0, 0.0), up=(0, 1, 0), fov_deg=50.0):
         self.position = np.asarray(position, np.float32)
         fwd = np.asarray(look_at, np.float32) - self.position
-        self.forward = fwd / np.linalg.norm(fwd)
+        n = np.linalg.norm(fwd)
+        if n < 1e-9:
+            raise ValueError("Camera look_at coincides with position")
+        self.forward = fwd / n
         right = np.cross(self.forward, np.asarray(up, np.float32))
-        self.right = right / np.linalg.norm(right)
+        rn = np.linalg.norm(right)
+        if rn < 1e-6:  # straight up/down view: fall back to a stable basis
+            right = np.cross(self.forward, np.float32([0.0, 0.0, 1.0]))
+            rn = np.linalg.norm(right)
+        self.right = right / rn
         self.up = np.cross(self.right, self.forward)
         self.fov = np.deg2rad(fov_deg)
 
@@ -61,7 +68,25 @@ def _smoothstep(edge0: float, edge1: float, x: np.ndarray) -> np.ndarray:
     return t * t * (3.0 - 2.0 * t)
 
 
-def _draw_trail_segment(img, tbatch, pi, focal, width, height):
+def _composite(tile, alpha_mode, color, alpha):
+    """In-place blend into an image view, per alpha_mode (render contract
+    codes): 4 add (src+dst), 3 premultiplied over (src + dst*(1-a) — src is
+    already alpha-weighted, never re-multiplied), 5 multiply (dst modulated
+    toward src by coverage), else straight alpha blend."""
+    a = alpha[..., None]
+    if alpha_mode == 4:  # additive
+        tile += color * a
+    elif alpha_mode == 3:  # premultiplied: out = src + dst*(1-a)
+        tile *= 1.0 - a
+        tile += color
+    elif alpha_mode == 5:  # multiply: dst * lerp(1, src, a)
+        tile *= (1.0 - a) + color * a
+    else:  # straight alpha blend (2/opaque fallthrough)
+        tile *= 1.0 - a
+        tile += color * a
+
+
+def _draw_trail_segment(img, tbatch, pi, focal, width, height, ground=None):
     """Composite one ribbon segment (trails.py record layout) as a
     screen-space tapered line: per-pixel distance to the projected 2D
     segment against the width lerped along it, alpha lerped a0 -> a1."""
@@ -104,16 +129,27 @@ def _draw_trail_segment(img, tbatch, pi, focal, width, height):
     fade = uni.fade_edge
     if fade > 0:
         alpha = alpha * _smoothstep(0.0, fade, np.clip(1.0 - rr, 0.0, 1.0))
+    if ground is not None:
+        # ribbons obey the same ground depth test + scene fade as discs,
+        # with per-pixel depth lerped along the segment
+        cam, ground_y, near, focal_g, w_img, h_img = ground
+        depth_px = z0 + t * (z1 - z0)
+        ax = (xx + 0.5 - w_img * 0.5) / focal_g
+        ay = -(yy + 0.5 - h_img * 0.5) / focal_g
+        dy = cam.forward[1] + ax * cam.right[1] + ay * cam.up[1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_scene = (ground_y - cam.position[1]) / dy
+        hits = t_scene > 0.0
+        alpha = np.where(hits & (depth_px >= t_scene), 0.0, alpha)
+        if uni.fade_scene > 0:
+            # same smoothstep as the disc path, on inverse window depth
+            # (reverse-Z: 1/(near/d) = d/near)
+            alpha = alpha * _smoothstep(0.0, uni.fade_scene, np.abs(
+                depth_px / near - np.where(hits, t_scene / near, np.inf)))
     color0 = seg[pi, 8:11]
     color1 = seg[pi, 12:15]
     color = color0[None, None, :] + t[..., None] * (color1 - color0)[None, None, :]
-    tile = img[y0c:y1c, x0c:x1c]
-    if uni.alpha_mode == 4:  # additive
-        tile += color * alpha[..., None]
-    else:
-        tile *= (1.0 - alpha)[..., None]
-        tile += color * alpha[..., None]
-    img[y0c:y1c, x0c:x1c] = tile
+    _composite(img[y0c:y1c, x0c:x1c], uni.alpha_mode, color, alpha)
 
 
 def render_frame(
@@ -179,16 +215,19 @@ def render_frame(
             order.append((mid[pi], 1, bi, pi))
     order.sort(key=lambda t: -t[0])
 
+    ground_ctx = (cam, ground_y, near, focal, width, height) if ground_y is not None else None
     for depth, kind, bi, pi in order:
         if kind == 1:
-            _draw_trail_segment(img, tbatches[bi], pi, focal, width, height)
+            _draw_trail_segment(img, tbatches[bi], pi, focal, width, height, ground_ctx)
             continue
         inst, depths, xs, ys, uni = batches[bi]
         if depth <= 0.05:
             continue
         px = focal * xs[pi] / depth + width * 0.5
         py = -focal * ys[pi] / depth + height * 0.5
-        pr = focal * inst[pi, 3] / depth  # screen-space radius
+        # quad corners are +/-0.5 x scale in both the reference and shipped
+        # shaders (particles.wgsl), so the disc RADIUS is scale/2
+        pr = focal * 0.5 * inst[pi, 3] / depth  # screen-space radius
         if pr < 0.3:
             pr = 0.3
         x0, x1 = int(px - pr), int(px + pr) + 1
@@ -250,13 +289,7 @@ def render_frame(
         else:
             # unlit path: base color alone (reference particles.wgsl:162-163)
             color = base[0:3]
-        tile = img[y0c:y1c, x0c:x1c]
-        if uni.alpha_mode == 4:  # additive
-            tile += color * alpha[..., None]
-        else:  # alpha blend (2/3/...)
-            tile *= (1.0 - alpha)[..., None]
-            tile += color * alpha[..., None]
-        img[y0c:y1c, x0c:x1c] = tile
+        _composite(img[y0c:y1c, x0c:x1c], uni.alpha_mode, color, alpha)
 
     # Reinhard tonemap for HDR colors
     img = img * exposure

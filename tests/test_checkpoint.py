@@ -144,3 +144,44 @@ def test_scene_checkpoint_round_trips_trails_and_nested_buffer(tmp_path):
         b.step(1 / 60)
     np.testing.assert_array_equal(a.trail_items()[0].segments,
                                   b.trail_items()[0].segments)
+
+
+def test_scene_checkpoint_round_trips_colliders_and_fields(tmp_path):
+    """The collider scene (incl. dynamic edits, disabled slots, and live
+    handles) survives save+load — previously colliders were silently
+    dropped and restored scenes let particles fall through their floors."""
+    from bevy_firework_tpu import Collider
+    from bevy_firework_tpu.settings import ParticleCollisionSettings
+
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(
+            lifetime=RandF32.constant(1.0),
+            collision_settings=ParticleCollisionSettings(restitution=0.5, friction=0.1))],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.rate(400.0),
+            initial_velocity=RandVec3(RandF32(1.0, 2.0), (0, 1, 0), 0.4))],
+    )
+    a = Scene(colliders=[Collider.halfspace(position=(0.0, -0.5, 0.0))])
+    cid = a.add_collider(Collider.sphere(0.4, position=(0.5, 1.0, 0.0)))
+    a.add_spawner(sp, capacity=1024)
+    for _ in range(10):
+        a.step(1 / 60)
+    a.set_collider(cid, position=(0.7, 1.0, 0.0))  # dynamic edit pre-save
+    path = os.path.join(tmp_path, "col.ckpt")
+    save_scene(path, a)
+    b = load_scene(path)
+    # identical continuation: the floor + edited sphere are both there
+    for _ in range(40):
+        a.step(1 / 60)
+        b.step(1 / 60)
+    sa = next(iter(a._spawners.values())).state
+    sb = next(iter(b._spawners.values())).state
+    np.testing.assert_array_equal(np.asarray(sa.py), np.asarray(sb.py))
+    assert np.asarray(sa.py)[np.asarray(sa.alive)].min() >= -0.6  # floor holds
+    # handles survive: the restored scene can keep editing the same id
+    b.set_collider(cid, position=(0.0, 5.0, 0.0))
+    b.remove_collider(cid)
+    b.step(1 / 60)
+    # explicit override still wins when given
+    c = load_scene(path, colliders=[Collider.halfspace(position=(0.0, -2.0, 0.0))])
+    assert len(c._collider_slots) == 1
