@@ -173,7 +173,7 @@ class SpawnerParams:
     duration: jax.Array  # [E]
     off_start: jax.Array  # [E]
     off_end: jax.Array  # [E]
-    shape_params: jax.Array  # [E, 6]
+    shape_params: jax.Array  # [E, 8]
     ivel_params: jax.Array  # [E, 7]
     radial_lo: jax.Array  # [E]
     radial_hi: jax.Array  # [E]

@@ -13,8 +13,16 @@ Distributions replicated deliberately, quirks included (SURVEY.md A.3):
       offset = rotation_arc(+Y -> normal) ⊗ rot_y(u) ⊗ (r·radius, 0, 0)
     — a center-biased disk in the plane perpendicular to `normal`.
 
+Beyond the reference (its set is Point/Sphere/Circle,
+`emission_shape.rs:6-15`):
+  * Box{half_extents, normal}: offset = arc(+Y->normal) ⊗
+      ((2u-1)·hx, (2v-1)·hy, (2r-1)·hz) — UNIFORM in the oriented volume.
+  * Ring{normal, radius}: the circle's EDGE, uniform in angle (the disk's
+    deliberate center bias does not apply to the new shape).
+
 Each shape consumes up to 3 uniforms per spawn; the compiled form is
-(kind, radius, arc_quat) so one branchless kernel serves every emitter.
+(kind, radius, arc_quat, 2 extra extents) so one branchless kernel serves
+every emitter.
 """
 
 from __future__ import annotations
@@ -31,6 +39,8 @@ from .utils.quat import np_quat_from_rotation_arc, quat_rotate
 SHAPE_POINT = 0
 SHAPE_SPHERE = 1
 SHAPE_CIRCLE = 2
+SHAPE_BOX = 3  # beyond the reference: uniform in an oriented box volume
+SHAPE_RING = 4  # beyond the reference: uniform on the circle EDGE (no bias)
 
 PI = np.float32(np.pi)
 
@@ -38,8 +48,9 @@ PI = np.float32(np.pi)
 @dataclasses.dataclass(frozen=True)
 class EmissionShape:
     kind: int = SHAPE_POINT
-    radius: float = 0.0
+    radius: float = 0.0  # sphere/circle/ring radius; box half-extent x
     normal: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+    extents: Tuple[float, float] = (0.0, 0.0)  # box half-extents y, z
 
     @staticmethod
     def point() -> "EmissionShape":
@@ -53,21 +64,42 @@ class EmissionShape:
     def circle(normal, radius: float) -> "EmissionShape":
         return EmissionShape(SHAPE_CIRCLE, float(radius), tuple(float(x) for x in normal))
 
+    @staticmethod
+    def box(half_extents, normal=(0.0, 1.0, 0.0)) -> "EmissionShape":
+        """Uniform in an oriented box volume (+Y of the local frame maps to
+        `normal`). Beyond the reference's shape set."""
+        hx, hy, hz = (float(v) for v in half_extents)
+        return EmissionShape(SHAPE_BOX, hx, tuple(float(x) for x in normal), (hy, hz))
+
+    @staticmethod
+    def ring(normal, radius: float) -> "EmissionShape":
+        """Uniform on the circle EDGE in the plane perpendicular to
+        `normal` — no center bias. Beyond the reference's shape set."""
+        return EmissionShape(SHAPE_RING, float(radius), tuple(float(x) for x in normal))
+
     def to_dict(self):
-        return {"kind": ["point", "sphere", "circle"][self.kind], "radius": self.radius, "normal": list(self.normal)}
+        return {"kind": ["point", "sphere", "circle", "box", "ring"][self.kind],
+                "radius": self.radius, "normal": list(self.normal),
+                "extents": list(self.extents)}
 
     @staticmethod
     def from_dict(d):
-        kind = {"point": SHAPE_POINT, "sphere": SHAPE_SPHERE, "circle": SHAPE_CIRCLE}[d["kind"]]
-        return EmissionShape(kind, float(d.get("radius", 0.0)), tuple(float(x) for x in d.get("normal", (0, 1, 0))))
+        kind = {"point": SHAPE_POINT, "sphere": SHAPE_SPHERE, "circle": SHAPE_CIRCLE,
+                "box": SHAPE_BOX, "ring": SHAPE_RING}[d["kind"]]
+        return EmissionShape(kind, float(d.get("radius", 0.0)),
+                             tuple(float(x) for x in d.get("normal", (0, 1, 0))),
+                             tuple(float(x) for x in d.get("extents", (0.0, 0.0))))
 
     def compile(self) -> np.ndarray:
-        """Pack to f32[6]: [kind, radius, qx, qy, qz, qw] with q = arc(+Y->normal)."""
+        """Pack to f32[8]: [kind, radius, qx, qy, qz, qw, ey, ez] with
+        q = arc(+Y->normal); ey/ez are the box half-extents (unused
+        elsewhere)."""
         n = np.asarray(self.normal, dtype=np.float32)
         ln = np.linalg.norm(n)
         n = n / ln if ln > 0 else np.array([0, 1, 0], np.float32)
         q = np_quat_from_rotation_arc(np.array([0, 1, 0], np.float32), n)
-        return np.array([float(self.kind), self.radius, q[0], q[1], q[2], q[3]], dtype=np.float32)
+        return np.array([float(self.kind), self.radius, q[0], q[1], q[2], q[3],
+                         self.extents[0], self.extents[1]], dtype=np.float32)
 
 
 def sample_shape_comp(params, u0, u1, u2):
@@ -79,6 +111,9 @@ def sample_shape_comp(params, u0, u1, u2):
     params = jnp.asarray(params, jnp.float32)
     kind = params[..., 0]
     radius = params[..., 1]
+    u0 = jnp.asarray(u0, jnp.float32)
+    u1 = jnp.asarray(u1, jnp.float32)
+    u2 = jnp.asarray(u2, jnp.float32)
 
     # Sphere: PitchYaw(u*2π, v*π).to_unit_vec() * r * R
     u = jnp.asarray(u0, jnp.float32) * TWO_PI
@@ -91,14 +126,25 @@ def sample_shape_comp(params, u0, u1, u2):
 
     # Circle: arc(Y->normal) ⊗ rot_y(u·2π) applied to (r·R, 0, 0).
     # rot_y(a) * (x,0,0) = (x·cos a, 0, -x·sin a)
-    lx, ly, lz = rr * jnp.cos(u), jnp.zeros_like(rr), -rr * jnp.sin(u)
-    cx, cy, cz = quat_rotate_comp(params[..., 2], params[..., 3], params[..., 4], params[..., 5], lx, ly, lz)
+    lx, lz = rr * jnp.cos(u), -rr * jnp.sin(u)
 
+    # circle / ring / box share the one local->world rotation: select the
+    # LOCAL point by kind, rotate once (also keeps the spawn graph the same
+    # size as before the new shapes — a larger fan-out of rotates tripped an
+    # XLA CPU fusion anomaly where claim masks diverged between fusions)
     is_sphere = kind == SHAPE_SPHERE
     is_circle = kind == SHAPE_CIRCLE
-    ox = jnp.where(is_sphere, sx, jnp.where(is_circle, cx, 0.0))
-    oy = jnp.where(is_sphere, sy, jnp.where(is_circle, cy, 0.0))
-    oz = jnp.where(is_sphere, sz, jnp.where(is_circle, cz, 0.0))
+    is_box = kind == SHAPE_BOX
+    is_ring = kind == SHAPE_RING
+    llx = jnp.where(is_circle, lx, jnp.where(is_ring, radius * jnp.cos(u), (u0 * 2.0 - 1.0) * radius))
+    lly = jnp.where(is_box, (u1 * 2.0 - 1.0) * params[..., 6], 0.0)
+    llz = jnp.where(is_circle, lz, jnp.where(is_ring, -radius * jnp.sin(u), (u2 * 2.0 - 1.0) * params[..., 7]))
+    rx, ry, rz = quat_rotate_comp(params[..., 2], params[..., 3], params[..., 4], params[..., 5], llx, lly, llz)
+
+    rot_sel = is_circle | is_box | is_ring
+    ox = jnp.where(is_sphere, sx, jnp.where(rot_sel, rx, 0.0))
+    oy = jnp.where(is_sphere, sy, jnp.where(rot_sel, ry, 0.0))
+    oz = jnp.where(is_sphere, sz, jnp.where(rot_sel, rz, 0.0))
     return ox, oy, oz
 
 

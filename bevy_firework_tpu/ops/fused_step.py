@@ -190,7 +190,8 @@ def _randvec3_row(row, u_mag, u_dev, u_azim):
 
 
 def _shape_row(row, u0, u1, u2):
-    """EmissionShape.generate_point() from a compiled 6-float row."""
+    """EmissionShape.generate_point() from a compiled 8-float row
+    ([kind, radius, quat, box ey, ez] — emission_shape.compile)."""
     kind, radius = row[0], row[1]
     u = u0 * TWO_PI
     v = u1 * PI
@@ -199,12 +200,22 @@ def _shape_row(row, u0, u1, u2):
     sx, sy, sz = -jnp.sin(v) * cu * rr, jnp.sin(u) * rr, -jnp.cos(v) * cu * rr
     lx = rr * jnp.cos(u)
     lz = -rr * jnp.sin(u)
-    cx, cy, cz = quat_rotate_comp(row[2], row[3], row[4], row[5], lx, jnp.zeros_like(lx), lz)
+    # circle / ring (edge, r pinned) / box (uniform volume) share ONE
+    # local->world rotation: select the local point by kind first (same
+    # structure as emission_shape.sample_shape_comp — a 3-rotate fan-out
+    # tripped an XLA CPU fusion anomaly on the step path)
     is_sphere = kind == 1.0
     is_circle = kind == 2.0
-    ox = jnp.where(is_sphere, sx, jnp.where(is_circle, cx, 0.0))
-    oy = jnp.where(is_sphere, sy, jnp.where(is_circle, cy, 0.0))
-    oz = jnp.where(is_sphere, sz, jnp.where(is_circle, cz, 0.0))
+    is_box = kind == 3.0
+    is_ring = kind == 4.0
+    llx = jnp.where(is_circle, lx, jnp.where(is_ring, radius * jnp.cos(u), (u0 * 2.0 - 1.0) * radius))
+    lly = jnp.where(is_box, (u1 * 2.0 - 1.0) * row[6], 0.0)
+    llz = jnp.where(is_circle, lz, jnp.where(is_ring, -radius * jnp.sin(u), (u2 * 2.0 - 1.0) * row[7]))
+    rx, ry, rz = quat_rotate_comp(row[2], row[3], row[4], row[5], llx, lly, llz)
+    rot_sel = is_circle | is_box | is_ring
+    ox = jnp.where(is_sphere, sx, jnp.where(rot_sel, rx, 0.0))
+    oy = jnp.where(is_sphere, sy, jnp.where(rot_sel, ry, 0.0))
+    oz = jnp.where(is_sphere, sz, jnp.where(rot_sel, rz, 0.0))
     return ox, oy, oz
 
 
@@ -746,7 +757,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
     def kernel(*refs):
         (
             fscal_ref,  # [1, 16] f32: dt, mod_scale, mod_speed, pvel xyz, trans xyz, rot xyzw
-            shape_ref,  # [E, 6]
+            shape_ref,  # [E, 8] compiled emission-shape rows
             ivel_ref,  # [E, 7]
             iang_ref,  # [E, 7]
             emisc_ref,  # [E, 8]: radial_lo, radial_hi, inherit, init_rot xyzw

@@ -93,3 +93,59 @@ def test_shape_circle_y_normal_unrotated():
     u = _uniforms(3)
     v = np.asarray(sample_shape(p, u[0], u[1], u[2]))
     np.testing.assert_allclose(v[:, 1], 0.0, atol=1e-6)
+
+
+def test_shape_box_uniform_oriented():
+    """Box (beyond reference): uniform per axis in the oriented volume."""
+    import scipy.stats as st
+
+    from bevy_firework_tpu.emission_shape import EmissionShape, sample_shape
+
+    rng = np.random.default_rng(3)
+    u = rng.random((3, 20000), dtype=np.float32)
+    pts = np.asarray(sample_shape(EmissionShape.box((1.0, 2.0, 3.0)).compile(), *u))
+    for axis, h in zip(range(3), (1.0, 2.0, 3.0)):
+        x = pts[:, axis]
+        assert np.abs(x).max() <= h + 1e-5
+        p = st.kstest((x / h + 1.0) / 2.0, "uniform").pvalue
+        assert p > 1e-3, (axis, p)
+    # orientation: +Y of the local frame maps to the normal
+    pts2 = np.asarray(sample_shape(
+        EmissionShape.box((1.0, 2.0, 3.0), normal=(1.0, 0.0, 0.0)).compile(), *u))
+    assert np.abs(pts2[:, 0]).max() <= 2.0 + 1e-5  # local y (h=2) now on x
+
+
+def test_shape_ring_edge_uniform_angle():
+    """Ring (beyond reference): every sample ON the edge, angle uniform —
+    unlike the reference circle's deliberate center bias."""
+    import scipy.stats as st
+
+    from bevy_firework_tpu.emission_shape import EmissionShape, sample_shape
+
+    rng = np.random.default_rng(4)
+    u = rng.random((3, 20000), dtype=np.float32)
+    pts = np.asarray(sample_shape(EmissionShape.ring((0.0, 1.0, 0.0), 2.0).compile(), *u))
+    r = np.sqrt(pts[:, 0] ** 2 + pts[:, 2] ** 2)
+    np.testing.assert_allclose(r, 2.0, atol=1e-5)
+    np.testing.assert_allclose(pts[:, 1], 0.0, atol=1e-5)
+    ang = (np.arctan2(pts[:, 2], pts[:, 0]) / (2 * np.pi)) % 1.0
+    assert st.kstest(ang, "uniform").pvalue > 1e-3
+
+
+def test_new_shapes_serde_and_kernel_parity():
+    """Serde round-trip for box/ring, and the fused kernel's _shape_row
+    matches the XLA sampler on identical uniforms."""
+    from bevy_firework_tpu.emission_shape import EmissionShape, sample_shape_comp
+    from bevy_firework_tpu.ops.fused_step import _shape_row
+
+    for sh in (EmissionShape.box((0.5, 1.5, 2.5), normal=(0.3, 0.8, 0.1)),
+               EmissionShape.ring((0.2, 0.9, 0.4), 1.7)):
+        rt = EmissionShape.from_dict(sh.to_dict())
+        assert rt == sh
+        row = sh.compile()
+        rng = np.random.default_rng(5)
+        u = [jnp.asarray(rng.random(512, dtype=np.float32)) for _ in range(3)]
+        a = sample_shape_comp(row, *u)
+        b = _shape_row(jnp.asarray(row), *u)
+        for xa, xb in zip(a, b):
+            np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-6)
