@@ -168,3 +168,45 @@ def test_random_draw_distribution_through_step():
     assert _ks_uniform((life - 1.0) / 2.0) < 0.03
     iscale = np.asarray(state.initial_scale)[alive]
     assert _ks_uniform((iscale - 0.1) / 0.3) < 0.03
+
+
+def test_serde_round_trip_random_spawners():
+    """JSON serde is total over the random config space: to_json -> from_json
+    reproduces an EQUAL spawner (frozen dataclasses compare by value), and
+    the round-tripped config compiles to the identical static key — so a
+    scene file written by one process steps bit-identically in another.
+    Randomized shapes/textures/collision/fields-opt-out included."""
+    from bevy_firework_tpu import compile_spawner, spawner_from_json, spawner_to_json
+    from bevy_firework_tpu.emission_shape import EmissionShape
+    from bevy_firework_tpu.settings import ParticleCollisionSettings
+
+    rng = np.random.RandomState(77)
+    shapes = [
+        lambda: EmissionShape.point(),
+        lambda: EmissionShape.sphere(float(rng.uniform(0.1, 2.0))),
+        lambda: EmissionShape.circle(tuple(rng.uniform(-1, 1, 3) + 1e-3), float(rng.uniform(0.1, 2.0))),
+        lambda: EmissionShape.box(tuple(rng.uniform(0.1, 2.0, 3)), tuple(rng.uniform(-1, 1, 3) + 1e-3)),
+        lambda: EmissionShape.ring(tuple(rng.uniform(-1, 1, 3) + 1e-3), float(rng.uniform(0.1, 2.0))),
+    ]
+    for trial in range(25):
+        sp = random_spawner(rng)
+        # sprinkle the surfaces random_spawner doesn't vary
+        ps = list(sp.particle_settings)
+        import dataclasses as dc
+
+        if rng.rand() < 0.5:
+            ps[0] = dc.replace(
+                ps[0],
+                collision_settings=ParticleCollisionSettings(
+                    restitution=float(rng.uniform(0, 1)), friction=float(rng.uniform(0, 1)),
+                    destroy_on_collision=bool(rng.randint(0, 2))),
+                affected_by_fields=bool(rng.randint(0, 2)),
+                base_color_texture="textures/bullet_case/diffuse.png" if rng.rand() < 0.3 else None,
+            )
+        es = list(sp.emission_settings)
+        es[0] = dc.replace(es[0], emission_shape=shapes[rng.randint(len(shapes))]())
+        sp = dc.replace(sp, particle_settings=tuple(ps), emission_settings=tuple(es))
+
+        rt = spawner_from_json(spawner_to_json(sp))
+        assert rt == sp, f"trial {trial}: round-trip not value-equal"
+        assert compile_spawner(rt).static == compile_spawner(sp).static, trial

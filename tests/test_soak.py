@@ -26,6 +26,7 @@ from bevy_firework_tpu import (
     instances_to_bytes,
 )
 from bevy_firework_tpu import ForceField
+from bevy_firework_tpu.emission_shape import EmissionShape
 from bevy_firework_tpu.checkpoint import load_scene, save_scene
 from bevy_firework_tpu.settings import ParticleCollisionSettings
 
@@ -52,6 +53,15 @@ ARCHETYPES = [
     ParticleSpawner(
         particle_settings=[ParticleSettings(lifetime=RandF32.constant(0.6))],
         emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.on_demand())],
+    ),
+    ParticleSpawner(  # box + ring emission (beyond-reference shapes)
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(0.5))],
+        emission_settings=[
+            EmissionSettings(emission_pacing=EmissionPacing.rate(200.0),
+                             emission_shape=EmissionShape.box((0.5, 0.2, 0.8))),
+            EmissionSettings(emission_pacing=EmissionPacing.rate(200.0),
+                             emission_shape=EmissionShape.ring((0.0, 1.0, 0.0), 1.5)),
+        ],
     ),
     ParticleSpawner(  # nested: type-1 children off type-0 parents
         particle_settings=[
@@ -102,6 +112,17 @@ def check_invariants(scene, trailed):
         assert item.spawner_id in trailed
         assert np.isfinite(item.segments).all()
         assert (item.segments[:, 3] > 0).all()  # live segments only
+    # camera-sorted drains and AABB queries never corrupt anything
+    cam = (0.0, 2.0, -8.0)
+    for item in scene.render_items(camera_pos=cam):
+        assert np.isfinite(item.instances).all()
+    scene.trail_items(camera_pos=cam)
+    for sid in scene.spawner_ids():
+        if scene.alive_count(sid):
+            lo, hi = scene.aabb(sid)
+            assert np.isfinite(lo).all() and np.isfinite(hi).all()
+            lo2, hi2 = scene.aabb(sid, space="local")
+            assert np.isfinite(lo2).all() and np.isfinite(hi2).all()
 
 
 @pytest.mark.parametrize("seed", [0, 1])
@@ -113,7 +134,8 @@ def test_scene_soak(seed, tmp_path):
 
     def op_add_spawner():
         i = int(rng.randint(len(ARCHETYPES)))
-        trail = TrailSettings(length=int(rng.randint(2, 6))) if (i != 4 and rng.rand() < 0.3) else None
+        nested = len(ARCHETYPES) - 1  # the nested archetype (multi-type)
+        trail = TrailSettings(length=int(rng.randint(2, 6))) if (i != nested and rng.rand() < 0.3) else None
         sid = scene.add_spawner(
             ARCHETYPES[i], capacity=256,
             transform=Transform(translation=tuple(rng.uniform(-3, 3, 3))),
