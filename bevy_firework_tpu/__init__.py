@@ -21,6 +21,8 @@ from .rand import RandF32, RandVec3
 from .render import (
     FireworkUniform,
     RenderItem,
+    aabb_intersects_frustum,
+    frustum_planes,
     instances_to_bytes,
     make_uniform,
     pack_instances,
@@ -98,11 +100,13 @@ __all__ = [
     "TrailSettings",
     "TrailState",
     "Transform",
+    "aabb_intersects_frustum",
     "compile_colliders",
     "compile_force_fields",
     "compile_spawner",
     "compute_emission_count",
     "estimate_capacity",
+    "frustum_planes",
     "gradient_constant",
     "gradient_even_samples",
     "gradient_uneven_samples",

@@ -255,6 +255,44 @@ def sort_instances_back_to_front(instances: np.ndarray, camera_pos) -> np.ndarra
     return instances[np.argsort(-d2, kind="stable")]
 
 
+def frustum_planes(view_proj, depth_zero_one: bool = True) -> np.ndarray:
+    """Extract the 6 view-frustum planes from a 4x4 view-projection matrix
+    (Gribb–Hartmann). Convention: clip = view_proj @ [x, y, z, 1]^T (column
+    vectors, row-major matrix). Returns [6, 4] f32 rows (nx, ny, nz, d)
+    normalized so that plane · (x, y, z, 1) >= 0 means INSIDE.
+
+    depth_zero_one=True matches WebGPU/D3D clip space (0 <= z_clip <= w —
+    also correct for the reverse-Z projections the shipped viewer uses,
+    since the z in [0, w] bound is direction-agnostic); False selects the
+    OpenGL -w <= z_clip <= w convention.
+
+    This is the consumer side of the per-spawner AABB the step emits
+    (SURVEY §2 #22): the reference hands its `update_aabbs` box to Bevy's
+    frustum culling (`render.rs:677-703`); here the host culls whole systems
+    before building draw items (`Scene.render_items(view_proj=...)`)."""
+    m = np.asarray(view_proj, dtype=np.float32).reshape(4, 4)
+    rows = [m[3] + m[0], m[3] - m[0], m[3] + m[1], m[3] - m[1]]
+    rows.append(m[2] if depth_zero_one else m[3] + m[2])  # near
+    rows.append(m[3] - m[2])  # far
+    planes = np.stack(rows).astype(np.float32)
+    norm = np.linalg.norm(planes[:, :3], axis=1)
+    norm = np.where(norm > 0.0, norm, 1.0).astype(np.float32)
+    return planes / norm[:, None]
+
+
+def aabb_intersects_frustum(aabb_min, aabb_max, planes: np.ndarray) -> bool:
+    """Conservative AABB-vs-frustum test (p-vertex form): for each plane,
+    test the box corner farthest along the plane normal; the box is culled
+    only if that corner is outside some plane. Never false-culls a visible
+    box (may keep a hidden one near frustum corners — same guarantee Bevy's
+    culling gives the reference)."""
+    mn = np.asarray(aabb_min, dtype=np.float32).reshape(3)
+    mx = np.asarray(aabb_max, dtype=np.float32).reshape(3)
+    p_vertex = np.where(planes[:, :3] >= 0.0, mx[None, :], mn[None, :])
+    dist = (planes[:, :3] * p_vertex).sum(axis=1) + planes[:, 3]
+    return bool((dist >= 0.0).all())
+
+
 @dataclasses.dataclass(frozen=True)
 class RenderItem:
     """One draw call's worth of data: the analog of the reference's render

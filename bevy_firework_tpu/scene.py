@@ -906,7 +906,11 @@ class Scene:
 
     # ---------------------------------------------------------------- render
     def render_items(
-        self, method: str = "dense", camera_pos=None, sort_within: str = "auto"
+        self,
+        method: str = "dense",
+        camera_pos=None,
+        sort_within: str = "auto",
+        view_proj=None,
     ) -> List[RenderItem]:
         """The extract step: one item per (spawner x non-empty type)
         (`render.rs:439-461`), each carrying a dense instance array in the
@@ -933,12 +937,25 @@ class Scene:
         prefix-sum compaction (exact liveness, but the scatter costs ~6 ms
         at 1M lanes) — for consumers that must see zero-scale live
         particles. Pipelined rendering should use
-        render_pipeline.AsyncRenderReader instead of this synchronous call."""
-        from .native import compact_dense
-        from .render import pack_instances_dense
+        render_pipeline.AsyncRenderReader instead of this synchronous call.
 
+        view_proj (optional 4x4 view-projection matrix, WebGPU 0..1 clip-z
+        convention) enables frustum culling: spawners whose world-space AABB
+        (the step kernel's pos±scale reduction, SURVEY §2 #22) lies wholly
+        outside the frustum are skipped before any packing work — the
+        reference gets the same behavior from Bevy's culling of the
+        `update_aabbs` box (`render.rs:677-703`). The test is conservative
+        (never drops a visible system)."""
+        from .native import compact_dense
+        from .render import aabb_intersects_frustum, frustum_planes, pack_instances_dense
+
+        planes = frustum_planes(view_proj) if view_proj is not None else None
         items = []
         for sid, slot in self._spawners.items():
+            if planes is not None:
+                box = self.aabb(sid, space="world")
+                if box is not None and not aabb_intersects_frustum(box[0], box[1], planes):
+                    continue
             for t in range(slot.compiled.num_types):
                 if method == "dense" and slot.render_planes is not None and t == 0:
                     rows = planes_to_rows(slot.compiled.static, slot.state, slot.render_planes)

@@ -201,3 +201,70 @@ def test_sorted_render_items_back_to_front():
     assert (np.diff(d2a) <= 0).all()
     none_items = {it.spawner_id: it for it in scene.render_items(camera_pos=cam, sort_within="none")}
     np.testing.assert_array_equal(none_items[near].instances, plain[near].instances)
+
+
+def _perspective_01(fovy=1.0, aspect=1.0, zn=0.1, zf=100.0):
+    """Right-handed perspective, WebGPU 0..1 clip-z, looking down -Z."""
+    f = 1.0 / np.tan(fovy / 2.0)
+    return np.array(
+        [
+            [f / aspect, 0.0, 0.0, 0.0],
+            [0.0, f, 0.0, 0.0],
+            [0.0, 0.0, zf / (zn - zf), zn * zf / (zn - zf)],
+            [0.0, 0.0, -1.0, 0.0],
+        ],
+        dtype=np.float32,
+    )
+
+
+def test_frustum_cull_math():
+    """Plane extraction + p-vertex AABB test against an analytic frustum."""
+    from bevy_firework_tpu import aabb_intersects_frustum, frustum_planes
+
+    planes = frustum_planes(_perspective_01())
+    assert planes.shape == (6, 4)
+
+    def vis(c, h=0.5):
+        c = np.asarray(c, np.float32)
+        return aabb_intersects_frustum(c - h, c + h, planes)
+
+    assert vis((0, 0, -5))          # dead ahead
+    assert not vis((0, 0, +5))      # behind the camera
+    assert not vis((100, 0, -5))    # far off-axis
+    assert not vis((0, 0, -200))    # beyond the far plane
+    assert vis((0, 0, -50), h=60)   # huge box containing the frustum
+    # straddling the left plane at z=-10: tan(0.5)*10 ~ 5.46 half-width
+    assert vis((-5.46, 0, -10), h=1.0)
+    assert not vis((-8.0, 0, -10), h=1.0)
+
+
+def test_render_items_frustum_culls_offscreen_spawner():
+    """Scene.render_items(view_proj=...) skips spawners whose step-kernel
+    AABB (SURVEY §2 #22) is outside the frustum — the reference's
+    `update_aabbs` + Bevy-culling behavior (`render.rs:677-703`)."""
+    from bevy_firework_tpu import Scene, Transform
+
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(2.0))],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.rate(600.0))],
+    )
+    scene = Scene()
+    visible = scene.add_spawner(sp, capacity=2048)
+    hidden = scene.add_spawner(
+        sp, capacity=2048, transform=Transform(translation=(1000.0, 0.0, 0.0))
+    )
+    for _ in range(20):
+        scene.step(1.0 / 60.0)
+
+    # camera at (0, 0, 10) looking down -Z: view = translate by -eye
+    view = np.eye(4, dtype=np.float32)
+    view[2, 3] = -10.0
+    view_proj = _perspective_01() @ view
+
+    plain = scene.render_items()
+    assert {it.spawner_id for it in plain} == {visible, hidden}
+    culled = scene.render_items(view_proj=view_proj)
+    assert {it.spawner_id for it in culled} == {visible}
+    # culling composes with the distance sort path
+    sorted_culled = scene.render_items(view_proj=view_proj, camera_pos=(0.0, 0.0, 10.0))
+    assert {it.spawner_id for it in sorted_culled} == {visible}
