@@ -836,12 +836,26 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         orot = (fs[9], fs[10], fs[11], fs[12])
 
         tid = pl.program_id(0)
+        tile = block_rows * LANES
+        if cad:
+            # Shard-info scalars (dyn slots 11-13, zero when unsharded —
+            # see _pack_scalar_rows): under shard_map over the particle
+            # axis each device's kernel sees only its sub-pool, so claims
+            # must use GLOBAL lane indices and the GLOBAL capacity for the
+            # cursor ring / dead-rank math to match the unsharded kernel.
+            lane_base = dyn_ref[0, 11]  # global index of this shard's lane 0
+            npool_in = dyn_ref[0, 12]  # global pool capacity (0 => local)
+            local_npool = pl.num_programs(0) * tile
+            npool = jnp.where(npool_in > 0, npool_in, local_npool)
 
         if cad and not static.ring_claim:  # SMEM rank carry for prefix claim
 
             @pl.when(tid == 0)
             def _():
-                dead_carry[0] = 0
+                # Sharded: start from this shard's global dead-slot rank
+                # offset (exclusive prefix of prior shards' dead counts,
+                # computed by the shard_map caller); 0 when unsharded.
+                dead_carry[0] = dyn_ref[0, 13]
 
         ptype = None if single else ptype_ref[:, :]
         if cad:
@@ -868,7 +882,12 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             # SMEM scalars: every tile computes the same values; outputs are
             # written idempotently. Matches step.py's _spawn_phase math exactly.
             if cad:
-                pltpu.prng_seed(dyn_ref[0, _SEED_SLOTS[_u]] + tid * 1000003)
+                # Seed by GLOBAL tile id so sharded shards draw the same
+                # stream as the unsharded kernel's corresponding tiles
+                # (lane_base is tile-aligned by the shard_map contract;
+                # reduces to `tid` exactly when unsharded).
+                gtid = lane_base // tile + tid
+                pltpu.prng_seed(dyn_ref[0, _SEED_SLOTS[_u]] + gtid * 1000003)
                 en_in = en_s
                 # active() is nested-aware (core.rs:288-302): a nested emitter
                 # counts only while particles exist (pre-spawn flag in dyn[3],
@@ -916,7 +935,6 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
                         new_last.append(jnp.where(gate, next_last, last0))
                     bounds.append(bounds[-1] + n_sp)
                 total_spawn = bounds[-1]
-                npool = pl.num_programs(0) * block_rows * LANES
                 cursor_new = jnp.mod(cursor0 + total_spawn, npool) if static.ring_claim else cursor0
                 tic_s, last_s, en_s = new_tic, new_last, new_en
 
@@ -931,7 +949,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             #     (tile-local scan + SMEM carry; the grid runs sequentially on
             #     one core, so the carry is exact).
             if cad and static.ring_claim:
-                base = tid * (block_rows * LANES)
+                base = lane_base + tid * tile
                 row = jax.lax.broadcasted_iota(jnp.int32, dead.shape, 0)
                 lane = jax.lax.broadcasted_iota(jnp.int32, dead.shape, 1)
                 gidx = base + row * LANES + lane
@@ -1435,19 +1453,25 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
 
 
 def _pack_scalar_rows(static, manual_queued, ring_cursor, seeds, any_alive,
-                      time_in_cycle, last_emission, enabled):
+                      time_in_cycle, last_emission, enabled, shard_row=None):
     """Assemble the kernel's per-frame SMEM scalar rows. SINGLE source of
     truth for the dyn/estate column layout (matches the kernel unpack /
     _SEED_SLOTS: dyn = [manual_queued, ring_cursor, seed0, any_alive_pre,
     seed1, seed2, seed3, pad]; seeds is one PRNG seed per unrolled
     sub-frame; estate rows = [time_in_cycle, last_emission, enabled,
-    pad...])."""
+    pad...]).
+
+    shard_row: optional (lane_base, global_npool, dead_rank_offset) int32
+    scalars for shard_map-over-particle-axis execution (dyn slots 11-13);
+    zeros (= unsharded: local indexing, local capacity) when absent."""
     E = static.num_emitters
     z = jnp.zeros((), jnp.int32)
     s = list(seeds) + [z] * (8 - len(seeds))  # dyn row always has 8 seed slots
+    lb, npg, dro = shard_row if shard_row is not None else (z, z, z)
     dyn = jnp.stack(
         [manual_queued, ring_cursor, s[0], any_alive,
-         s[1], s[2], s[3], s[4], s[5], s[6], s[7], z, z, z, z, z]
+         s[1], s[2], s[3], s[4], s[5], s[6], s[7],
+         lb, npg, dro, z, z]
     ).reshape(1, 16)
     estate = jnp.concatenate(
         [
@@ -1469,6 +1493,8 @@ def fused_step(
     frame: FrameInput,
     pack_render: bool = False,
     unroll: int = 1,
+    shard_axis: Optional[str] = None,
+    _shard_override: Optional[tuple] = None,
 ):
     """Drop-in replacement for step() on global-only archetypes, with the
     per-lane pipeline in one Pallas kernel. Same state/outputs contract.
@@ -1481,10 +1507,52 @@ def fused_step(
     Bit-equal to U sequential calls — the per-frame RNG keys split in the
     same order and the kernel reseeds per sub-frame (outputs are the final
     frame's; intermediates are never materialized, exactly like a scan
-    whose intermediate outputs are dead)."""
+    whose intermediate outputs are dead).
+
+    shard_axis: set when called INSIDE a jax.shard_map whose named axis
+    shards the pool's particle dimension (parallel.sharding
+    make_sharded_step). state/destroyed_mask leaves then hold this shard's
+    slice; scalar state and frame/params are replicated. The kernel claims
+    with GLOBAL lane indices (dyn slots 11-13) so the set of slots claimed
+    per emitter matches the unsharded kernel exactly, and the epilogue's
+    AABB/count reductions turn into psum/pmin/pmax collectives (the one
+    small all-reduce SURVEY §2a predicts; everything per-lane stays
+    shard-local, riding zero communication).
+
+    _shard_override: testing seam — explicit (lane_base, global_npool,
+    dead_rank_offset) int32 scalars in place of the shard_map-derived ones,
+    so a single chip can validate the compiled kernel's global-index claim
+    math by manually splitting a pool (tools/fused_parity_tpu.py); the
+    epilogue reductions then stay LOCAL (the caller stitches shards)."""
     assert can_fuse(static)
     assert unroll == 1 or (can_unroll(static) and 1 < unroll <= MAX_UNROLL)
     E = static.num_emitters
+
+    shard_row = None
+    if _shard_override is not None:
+        lb, npg, dro = _shard_override
+        shard_row = (
+            jnp.asarray(lb, jnp.int32),
+            jnp.asarray(npg, jnp.int32),
+            jnp.asarray(dro, jnp.int32),
+        )
+    elif shard_axis is not None:
+        n_local = state.capacity
+        idx = jax.lax.axis_index(shard_axis)
+        n_shards = jax.lax.psum(jnp.int32(1), shard_axis)
+        lane_base = (idx * n_local).astype(jnp.int32)
+        npool_g = (jnp.int32(n_local) * n_shards).astype(jnp.int32)
+        if static.ring_claim:
+            dro = jnp.zeros((), jnp.int32)
+        else:
+            # exclusive prefix of prior shards' dead counts = this shard's
+            # starting global dead rank for the in-kernel prefix claim
+            local_dead = jnp.sum((~state.alive).astype(jnp.int32))
+            g = jax.lax.all_gather(local_dead, shard_axis)
+            dro = jnp.sum(
+                jnp.where(jnp.arange(g.shape[0]) < idx, g, 0)
+            ).astype(jnp.int32)
+        shard_row = (lane_base, npool_g, dro)
 
     # The whole emission pipeline (cadence, bookkeeping, claim, RNG, init)
     # runs in-kernel; the XLA prelude just assembles two small scalar rows.
@@ -1497,7 +1565,7 @@ def fused_step(
     new_key = key
     dyn, estate = _pack_scalar_rows(
         static, state.manual_queued, state.ring_cursor, seeds, jnp.zeros((), jnp.int32),
-        state.time_in_cycle, state.last_emission, state.enabled,
+        state.time_in_cycle, state.last_emission, state.enabled, shard_row=shard_row,
     )
 
     f32_fields = {name: getattr(state, name) for name in active_f32_fields(static)}
@@ -1523,7 +1591,7 @@ def fused_step(
     st, out = _fused_epilogue(
         static, params, state, alive_new, ptype_new, full_fields, dump_mask,
         state.last_emitted, enabled, time_in_cycle, last_emission, manual_queued,
-        new_cursor, new_key,
+        new_cursor, new_key, shard_axis=shard_axis,
     )
     if pack_render:
         return st, out, planes
@@ -1533,12 +1601,14 @@ def fused_step(
 def _fused_epilogue(
     static, params, state, alive_new, ptype_new, new_fields, dump_mask,
     last_emitted, enabled, time_in_cycle, last_emission, manual_queued,
-    ring_cursor, new_key, spawn_stats=None,
+    ring_cursor, new_key, spawn_stats=None, shard_axis=None,
 ):
     """Stats + finished flag (XLA; dead-code-eliminated when the caller only
     consumes the state, e.g. under a multi-frame scan). active() is
     nested-aware (core.rs:288-302): a nested emitter counts only while
-    particles exist."""
+    particles exist. shard_axis: inside a shard_map over the particle axis,
+    the AABB/count reductions become psum/pmin/pmax so outputs are the
+    GLOBAL values (replicated on every shard)."""
     from ..step import _eval_scalar_curve_by_type
 
     T = static.num_types
@@ -1558,6 +1628,11 @@ def _fused_epilogue(
     )
     alive_count = jnp.sum(alive_new.astype(jnp.int32))
     per_type = jnp.stack([jnp.sum((alive_new & (ptype_new == t)).astype(jnp.int32)) for t in range(T)])
+    if shard_axis is not None:  # global stats: SURVEY §2a's one small all-reduce
+        aabb_min = jax.lax.pmin(aabb_min, shard_axis)
+        aabb_max = jax.lax.pmax(aabb_max, shard_axis)
+        alive_count = jax.lax.psum(alive_count, shard_axis)
+        per_type = jax.lax.psum(per_type, shard_axis)
 
     all_empty = alive_count == 0
     any_particles = ~all_empty

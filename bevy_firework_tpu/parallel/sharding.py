@@ -31,13 +31,53 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..colliders import ColliderTable
 from ..pool import FrameInput, PoolState
 from ..compiled import SpawnerStatic
-from ..step import step
+from ..step import StepOutputs, step
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "d") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), (axis_name,))
+
+
+def _mesh_is_tpu(mesh: Mesh) -> bool:
+    return next(iter(mesh.devices.flat)).platform == "tpu"
+
+
+def pool_pspecs(axis_name: str = "d", lead: Optional[str] = None) -> PoolState:
+    """A PoolState-shaped pytree of PartitionSpecs for shard_map bodies:
+    particle-axis leaves sharded, per-emitter/scalar leaves replicated.
+    lead: optional extra leading fleet axis name prepended to every leaf
+    (fleet-of-pools trees with [S, ...] leaves)."""
+    import dataclasses
+
+    def spec(*names):
+        return P(lead, *names) if lead is not None else P(*names)
+
+    kw = {}
+    for f in dataclasses.fields(PoolState):
+        if f.name == "last_emitted":
+            kw[f.name] = spec(None, axis_name)
+        elif f.name in ("time_in_cycle", "last_emission", "enabled",
+                        "manual_queued", "finished_notified", "ring_cursor", "rng_key"):
+            kw[f.name] = spec()
+        else:
+            kw[f.name] = spec(axis_name)
+    return PoolState(**kw)
+
+
+def outputs_pspecs(axis_name: str = "d", lead: Optional[str] = None) -> StepOutputs:
+    """StepOutputs-shaped PartitionSpecs: destroyed_mask rides the particle
+    axis; all stats/flags are replicated (the epilogue psums them)."""
+    import dataclasses
+
+    def spec(*names):
+        return P(lead, *names) if lead is not None else P(*names)
+
+    kw = {}
+    for f in dataclasses.fields(StepOutputs):
+        kw[f.name] = spec(axis_name) if f.name == "destroyed_mask" else spec()
+    return StepOutputs(**kw)
 
 
 def pool_shardings(mesh: Mesh, axis_name: str = "d") -> PoolState:
@@ -62,34 +102,96 @@ def shard_pool(state: PoolState, mesh: Mesh, axis_name: str = "d") -> PoolState:
     return jax.tree_util.tree_map(jax.device_put, state, sh)
 
 
-def make_sharded_step(static: SpawnerStatic, mesh: Mesh, axis_name: str = "d"):
+def make_sharded_step(static: SpawnerStatic, mesh: Mesh, axis_name: str = "d",
+                      prefer_fused: Optional[bool] = None):
     """jit-compiled step with the pool's particle axis sharded over `mesh`
-    (sp-style). Params/colliders/frame are replicated."""
-    sh = pool_shardings(mesh, axis_name)
-    repl = NamedSharding(mesh, P())
+    (sp-style). Params/colliders/frame are replicated.
 
-    def fn(params, colliders, state, frame):
+    On TPU meshes with global-only archetypes, the body is the fused Pallas
+    kernel under `jax.shard_map`: each chip runs the kernel on its pool
+    shard with GLOBAL lane indexing (fused_step shard_axis — claims, ring
+    cursor, and prefix ranks match the unsharded kernel), and the only
+    cross-chip traffic is the epilogue's AABB/count all-reduce plus (for
+    non-ring archetypes) one tiny all_gather of per-shard dead counts.
+    Per-chip throughput is therefore the fused kernel's, not the XLA
+    step's (~8x gap at 131k lanes, docs/PERF_NOTES.md). Elsewhere (CPU
+    virtual meshes, nested archetypes, non-tile-aligned shard capacities)
+    it falls back to the GSPMD-jit XLA step, which preserves exact global
+    semantics by construction. prefer_fused forces the choice (tests).
+
+    Fused-path shard contract: capacity % n_devices == 0 and the per-shard
+    capacity a multiple of 8192 (BLOCK_ROWS * LANES)."""
+    from ..ops.fused_step import BLOCK_ROWS, LANES, can_fuse, fused_step
+
+    sh = pool_shardings(mesh, axis_name)
+    n_dev = mesh.shape[axis_name]
+
+    def xla_fn(params, colliders, state, frame):
         return step(static, params, colliders, state, frame)
 
-    return jax.jit(fn, in_shardings=(None, None, sh, None), out_shardings=(sh, None))
+    xla_jit = jax.jit(xla_fn, in_shardings=(None, None, sh, None), out_shardings=(sh, None))
+
+    use_fused = prefer_fused if prefer_fused is not None else (
+        _mesh_is_tpu(mesh) and can_fuse(static)
+    )
+    if not use_fused:
+        return xla_jit
+
+    state_specs = pool_pspecs(axis_name)
+    body = jax.shard_map(
+        lambda params, colliders, state, frame: fused_step(
+            static, params, colliders, state, frame, shard_axis=axis_name
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(), state_specs, P()),
+        out_specs=(state_specs, outputs_pspecs(axis_name)),
+        check_vma=False,
+    )
+    fused_jit = jax.jit(body)
+
+    def dispatch(params, colliders, state, frame):
+        n = state.capacity
+        if n % n_dev == 0 and (n // n_dev) % (BLOCK_ROWS * LANES) == 0:
+            return fused_jit(params, colliders, state, frame)
+        return xla_jit(params, colliders, state, frame)
+
+    return dispatch
 
 
-def make_fleet_step(static: SpawnerStatic, mesh: Mesh, axis_name: str = "d"):
+def make_fleet_step(static: SpawnerStatic, mesh: Mesh, axis_name: str = "d",
+                    prefer_fused: Optional[bool] = None):
     """vmapped step over a leading spawner axis, sharded across the mesh
     (dp-style): params and frame inputs carry a leading [S] axis; each
     spawner's pool is independent, so there is no cross-chip communication.
-    """
-    dp = NamedSharding(mesh, P(axis_name))
 
-    def one(params, state, frame):
-        return step(static, params, None, state, frame)
+    On TPU meshes the body is `step_auto` under `jax.shard_map` over the
+    fleet axis: each chip vmaps the fused Pallas kernel over its LOCAL
+    slots (exactly like multi_step_fleet on one chip) with zero collectives
+    — the per-chip kernel throughput carries to the whole fleet. On CPU
+    meshes (virtual-device tests) the body is the XLA step under the same
+    shard_map, bit-identical semantics per slot. prefer_fused=True forces
+    the fused kernel unconditionally (interpret-mode tests); None
+    auto-selects step_auto on TPU meshes (which self-checks capacity
+    alignment per slot)."""
+    from ..ops.fused_step import fused_step, step_auto
 
-    batched = jax.vmap(one, in_axes=(0, 0, 0))
+    if prefer_fused:
+        inner = fused_step
+    elif prefer_fused is None and _mesh_is_tpu(mesh):
+        inner = step_auto
+    else:
+        inner = step
 
-    def shard_leading(tree):
-        return jax.tree_util.tree_map(lambda _: dp, tree) if tree is not None else None
+    def body(params, states, frames):
+        return jax.vmap(
+            lambda p, s, f: inner(static, p, None, s, f)
+        )(params, states, frames)
 
-    return jax.jit(batched, in_shardings=(dp, dp, dp), out_shardings=(dp, dp))
+    dp = P(axis_name)
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(dp, dp, dp), out_specs=(dp, dp),
+        check_vma=False,
+    ))
 
 
 # --------------------------------------------------------------------------
@@ -149,11 +251,21 @@ def fleet_pool_shardings(mesh: Mesh, fleet_axis: str = "host", particle_axis: st
 
 
 def make_fleet_step_2d(static: SpawnerStatic, mesh: Mesh,
-                       fleet_axis: str = "host", particle_axis: str = "d"):
+                       fleet_axis: str = "host", particle_axis: str = "d",
+                       prefer_fused: Optional[bool] = None):
     """Fleet step on a 2D (hosts x chips) mesh: spawners data-parallel across
-    hosts, each pool's particle axis sharded across that host's chips. GSPMD
-    inserts collectives only along the particle axis (spawn prefix-sum, AABB
-    reduce) — they ride ICI; nothing crosses DCN after placement."""
+    hosts, each pool's particle axis sharded across that host's chips.
+    Collectives exist only along the particle axis (AABB/count reduce, and
+    the dead-count gather for non-ring claims) — they ride ICI; nothing
+    crosses DCN after placement.
+
+    On TPU meshes with global-only archetypes the body is the fused Pallas
+    kernel under a 2-axis `jax.shard_map`: vmapped over each device's local
+    fleet slots, sharded over the particle axis with global lane indexing
+    (fused_step shard_axis). Fallback (CPU virtual meshes, nested
+    archetypes, unaligned shard capacities): GSPMD-jit XLA step."""
+    from ..ops.fused_step import BLOCK_ROWS, LANES, can_fuse, fused_step
+
     sh = fleet_pool_shardings(mesh, fleet_axis, particle_axis)
     dp = NamedSharding(mesh, P(fleet_axis))
 
@@ -162,7 +274,37 @@ def make_fleet_step_2d(static: SpawnerStatic, mesh: Mesh,
 
     batched = jax.vmap(one, in_axes=(0, 0, 0))
     out_sh = NamedSharding(mesh, P(fleet_axis))
-    return jax.jit(batched, in_shardings=(dp, sh, dp), out_shardings=(sh, out_sh))
+    xla_jit = jax.jit(batched, in_shardings=(dp, sh, dp), out_shardings=(sh, out_sh))
+
+    use_fused = prefer_fused if prefer_fused is not None else (
+        _mesh_is_tpu(mesh) and can_fuse(static)
+    )
+    if not use_fused:
+        return xla_jit
+
+    state_specs = pool_pspecs(particle_axis, lead=fleet_axis)
+    fp = P(fleet_axis)
+    body = jax.shard_map(
+        lambda params, states, frames: jax.vmap(
+            lambda p, s, f: fused_step(static, p, None, s, f, shard_axis=particle_axis)
+        )(params, states, frames),
+        mesh=mesh,
+        in_specs=(fp, state_specs, fp),
+        out_specs=(state_specs, outputs_pspecs(particle_axis, lead=fleet_axis)),
+        check_vma=False,
+    )
+    fused_jit = jax.jit(body)
+    n_p = mesh.shape[particle_axis]
+    n_f = mesh.shape[fleet_axis]
+
+    def dispatch(params, states, frames):
+        s, n = states.alive.shape[0], states.capacity
+        if (s % n_f == 0 and n % n_p == 0
+                and (n // n_p) % (BLOCK_ROWS * LANES) == 0):
+            return fused_jit(params, states, frames)
+        return xla_jit(params, states, frames)
+
+    return dispatch
 
 
 def stack_pools(states):

@@ -380,6 +380,81 @@ def check_force_fields(capacity=3 * 8192, n_frames=30):
     return None
 
 
+def _split_state(state, n_shards):
+    """Slice one pool into n contiguous particle-axis shards (scalar state
+    replicated) — emulates shard_map placement on a single chip."""
+    from bevy_firework_tpu.pool import PoolState
+
+    outs = []
+    k = state.capacity // n_shards
+    scalars = ("time_in_cycle", "last_emission", "enabled", "manual_queued",
+               "finished_notified", "ring_cursor", "rng_key")
+    for i in range(n_shards):
+        kw = {}
+        for f in dataclasses.fields(PoolState):
+            v = getattr(state, f.name)
+            if f.name in scalars:
+                kw[f.name] = v
+            else:  # [N] fields and last_emitted [E, N] both slice the last axis
+                kw[f.name] = v[..., i * k : (i + 1) * k]
+        outs.append(PoolState(**kw))
+    return outs
+
+
+def check_sharded_claims(ring: bool, capacity=2 * 8192, n_shards=2, n_frames=18):
+    """The shard_axis global-index claim math, COMPILED on one chip: split
+    the pool into shards, step each with fused_step(_shard_override=
+    (lane_base, global_capacity, dead_rank_offset)), and the stitched
+    result must match the unsharded fused kernel SLOT-EXACTLY (claims use
+    global indices either way; deterministic draws make the trajectories
+    draw-independent, so differing tile sizes can't matter). ring=False
+    exercises the dead-rank offset under destroy-on-collision holes."""
+    ps = dict(lifetime=RandF32.constant(0.5), initial_scale=RandF32.constant(0.1),
+              linear_drag=0.0)
+    table = None
+    if not ring:
+        ps["collision_settings"] = ParticleCollisionSettings(
+            restitution=0.6, friction=0.2, destroy_on_collision=True)
+        table = compile_colliders([Collider.halfspace(position=(0.0, -0.5, 0.0))])
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(**ps)],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.rate(8000.0),
+            initial_velocity=RandVec3.constant((1.0, -3.0, 0.2)))],
+    )
+    c = compile_spawner(sp)
+    assert c.static.ring_claim == ring
+    k = capacity // n_shards
+    sFull = init_pool_for(c, capacity, 0)
+    shards = _split_state(init_pool_for(c, capacity, 0), n_shards)
+    frame = make_frame_input(1 / 50)
+    sharded_jit = jax.jit(
+        lambda p, t, s, f, ov: fused_step(c.static, p, t, s, f, _shard_override=ov))
+    for _ in range(n_frames):
+        sFull, _o = fused_jit(c.static, c.params, table, sFull, frame)
+        dead_counts = [int(np.asarray(~s.alive).sum()) for s in shards]
+        offs = np.cumsum([0] + dead_counts[:-1])
+        new_shards = []
+        for i, s in enumerate(shards):
+            ov = (np.int32(i * k), np.int32(capacity), np.int32(offs[i]))
+            s2, _o2 = sharded_jit(c.params, table, s, frame, ov)
+            new_shards.append(s2)
+        shards = new_shards
+    for f in ("alive", "px", "py", "pz", "vx", "vy", "vz", "age"):
+        stitched = np.concatenate([np.asarray(getattr(s, f)) for s in shards], axis=-1)
+        full = np.asarray(getattr(sFull, f))
+        if not np.array_equal(stitched, full):
+            d = np.abs(stitched.astype(np.float64) - full.astype(np.float64))
+            return f"{'ring' if ring else 'prefix'}: FIELD {f} max err {d.max():.2e}"
+    # replicated scalar state must agree across shards and with the full run
+    for i, s in enumerate(shards):
+        if int(np.asarray(s.ring_cursor)) != int(np.asarray(sFull.ring_cursor)):
+            return f"shard {i} ring_cursor drift"
+        if not np.allclose(np.asarray(s.time_in_cycle), np.asarray(sFull.time_in_cycle)):
+            return f"shard {i} time_in_cycle drift"
+    return None
+
+
 def main(n_configs=8):
     failures = 0
     total = 0
@@ -464,6 +539,15 @@ def main(n_configs=8):
         failures += 1
     else:
         print("dump+pack 128-row: OK (destroyed-dump + in-kernel render pack, wide block)")
+    for ring in (True, False):
+        total += 1
+        err = check_sharded_claims(ring)
+        name = f"sharded-claims-{'ring' if ring else 'prefix'}"
+        if err:
+            print(f"{name}: {err}")
+            failures += 1
+        else:
+            print(f"{name}: OK (manual 2-shard split, slot-exact vs unsharded kernel)")
     print(f"\n{total - failures}/{total} configs exact-match")
     return failures
 
