@@ -304,3 +304,6 @@ class RenderItem:
     count: int
     uniform: FireworkUniform
     textures: Tuple[Optional[str], Optional[str], Optional[str]]
+    # Set by Scene.render_async: which simulation frame these instances
+    # belong to (pipelined extract is one frame latent; None = synchronous).
+    frame_id: Optional[int] = None

@@ -367,6 +367,13 @@ class Scene:
         self.time = 0.0
         self._last_step_dispatches = 0  # archetype groups launched last step
         self._batches: Dict[tuple, _GroupBatch] = {}  # stacked group authority
+        # pipelined (async) render extract state — see enable_async_render
+        self._async_readers: Dict[int, object] = {}
+        self._async_enabled = False
+        self._async_slots = 3
+        self._async_frame_id = 0
+        self._async_acquired: List[tuple] = []
+        self._async_seen_fid: Dict[tuple, int] = {}
         for col in colliders or []:
             self.add_collider(col)
         for ff in force_fields or []:
@@ -431,6 +438,9 @@ class Scene:
 
     def remove_spawner(self, sid: int):
         del self._spawners[sid]
+        reader = self._async_readers.pop(sid, None)
+        if reader is not None:
+            reader.close()
 
     def set_spawner(self, sid: int, spawner: ParticleSpawner):
         """Settings change => full re-sync, clearing live particles
@@ -787,6 +797,8 @@ class Scene:
                 if slot.compiled.static.any_destroyed_dump:
                     self._dispatch_destroyed(sid, slot)
         self._batches = new_batches
+        if self._async_enabled:
+            self._async_submit_all()
 
     def step_n(self, dt: float, n_frames: int):
         """Fast-forward n frames in ONE device dispatch per spawner (the
@@ -949,20 +961,20 @@ class Scene:
         from .native import compact_dense
         from .render import aabb_intersects_frustum, frustum_planes, pack_instances_dense
 
-        planes = frustum_planes(view_proj) if view_proj is not None else None
+        cull_planes = frustum_planes(view_proj) if view_proj is not None else None
         items = []
         for sid, slot in self._spawners.items():
-            if planes is not None:
+            if cull_planes is not None:
                 box = self.aabb(sid, space="world")
-                if box is not None and not aabb_intersects_frustum(box[0], box[1], planes):
+                if box is not None and not aabb_intersects_frustum(box[0], box[1], cull_planes):
                     continue
             for t in range(slot.compiled.num_types):
                 if method == "dense" and slot.render_planes is not None and t == 0:
                     rows = planes_to_rows(slot.compiled.static, slot.state, slot.render_planes)
                     count = rows.shape[0]
                 elif method == "dense":
-                    planes, _count = pack_instances_dense(slot.compiled.params, slot.state, t)
-                    rows = compact_dense(np.asarray(planes))
+                    inst_planes, _count = pack_instances_dense(slot.compiled.params, slot.state, t)
+                    rows = compact_dense(np.asarray(inst_planes))
                     count = rows.shape[0]
                 else:
                     buf, count = pack_instances(slot.compiled.params, slot.state, t)
@@ -999,13 +1011,118 @@ class Scene:
             items.sort(key=_dist2)
         return items
 
+    # ------------------------------------------------- pipelined (async) render
+    def enable_async_render(self, n_slots: int = 3):
+        """Switch the render extract to the pipelined path: every step()
+        dispatches the instance pack asynchronously and a background reader
+        thread drains it into native C++ instance rings
+        (render_pipeline.AsyncRenderReader), so the device->host transfer
+        overlaps the NEXT frame's compute — the analog of Bevy's pipelined
+        extract (`render.rs:52-54`: render world draws frame N-1 while the
+        main world simulates N). Consume via render_async()/release_async().
+        Contract: items are up to one frame stale (latest-wins; a slow
+        consumer skips frames, never blocks the simulation)."""
+        self._async_enabled = True
+        self._async_slots = int(n_slots)
+        for sid in self._spawners:
+            self._async_reader_for(sid)
+
+    def disable_async_render(self):
+        self.release_async()
+        self._async_enabled = False
+        for reader in self._async_readers.values():
+            reader.close()
+        self._async_readers.clear()
+        self._async_seen_fid.clear()
+
+    def _async_reader_for(self, sid: int):
+        reader = self._async_readers.get(sid)
+        if reader is None:
+            from .render_pipeline import AsyncRenderReader
+
+            slot = self._spawners[sid]
+            reader = AsyncRenderReader(
+                slot.capacity, slot.compiled.num_types, n_slots=self._async_slots
+            )
+            self._async_readers[sid] = reader
+        return reader
+
+    def _async_submit_all(self):
+        """Enqueue this frame's (still on-device) pack results; non-blocking
+        — jax dispatch is async, the reader thread pays the transfer."""
+        self._async_frame_id += 1
+        fid = self._async_frame_id
+        for sid, slot in self._spawners.items():
+            reader = self._async_reader_for(sid)
+            if slot.render_planes is not None and slot.compiled.num_types == 1:
+                # in-kernel pack rode the step kernel: zero extra dispatch
+                reader.submit_packed(slot.compiled.static, slot.state,
+                                     slot.render_planes, fid)
+            else:
+                reader.submit(slot.compiled.params, slot.state, fid)
+
+    def render_async(self) -> List[RenderItem]:
+        """Drain the newest READY frame per (spawner x type) from the native
+        rings without blocking on the device: returns instantly with
+        whatever the reader thread has finished (usually frame N-1 while
+        frame N computes; possibly empty right after the first step).
+        Each simulation frame is delivered at most ONCE per (spawner x
+        type) and frame ids are strictly increasing (latest-wins: a slow
+        consumer skips frames; an empty result means nothing newer than
+        what was already delivered — keep drawing the last upload).
+        item.frame_id says which step() each buffer belongs to. The
+        returned arrays are zero-copy views into ring slots — call
+        release_async() when done uploading/drawing (acquiring again
+        without releasing is safe but holds slots, shrinking the ring)."""
+        self.release_async()
+        items = []
+        for sid, slot in self._spawners.items():
+            reader = self._async_readers.get(sid)
+            if reader is None:
+                continue
+            for t in range(slot.compiled.num_types):
+                got = reader.acquire(t)
+                if got is None:
+                    continue
+                buf, fid = got
+                self._async_acquired.append((reader, t))
+                if fid <= self._async_seen_fid.get((sid, t), 0):
+                    continue  # older ready slot lingering after a newer one
+                self._async_seen_fid[(sid, t)] = fid
+                if buf.shape[0] == 0:
+                    continue
+                items.append(RenderItem(
+                    spawner_id=sid,
+                    type_index=t,
+                    instances=buf,
+                    count=buf.shape[0],
+                    uniform=make_uniform(slot.compiled, t),
+                    textures=slot.compiled.textures[t],
+                    frame_id=fid,
+                ))
+        return items
+
+    def release_async(self):
+        """Release ring slots acquired by the last render_async() (views
+        become invalid; the reader can overwrite those slots again)."""
+        for reader, t in self._async_acquired:
+            reader.release(t)
+        self._async_acquired = []
+
     def trail_items(self, camera_pos=None) -> List["TrailItem"]:
         """Drain ribbon-trail segments for every trailed spawner: one item
         per (spawner x non-empty type) carrying dense [count, 16] f32
         segment records (trails.py module docstring for the layout), live
         segments compacted by the native bridge. camera_pos sorts segments
         back-to-front within non-commutative-blend items (midpoint key) —
-        ribbons are alpha-composited like particles."""
+        ribbons are alpha-composited like particles.
+
+        Trail items are intentionally NOT frustum-culled: the step kernel's
+        AABB covers live particle positions only (pos±scale), not the trail
+        history, so culling ribbons by that box could drop visible segments
+        trailing behind an off-box spawner. Consumers needing culling should
+        test segment bounds themselves (or inflate the spawner box by
+        trail length)."""
         from .native import compact_dense
         from .trails import TrailItem, pack_trail_segments, sort_segments_back_to_front
 

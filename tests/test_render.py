@@ -268,3 +268,59 @@ def test_render_items_frustum_culls_offscreen_spawner():
     # culling composes with the distance sort path
     sorted_culled = scene.render_items(view_proj=view_proj, camera_pos=(0.0, 0.0, 10.0))
     assert {it.spawner_id for it in sorted_culled} == {visible}
+
+
+def test_render_items_mixed_pack_paths_no_phantom_culling():
+    """Regression for the round-2 `planes` variable-shadowing bug
+    (scene.py render_items): after one spawner/type went through the dense
+    pack_instances_dense fallback, its packed instance planes clobbered the
+    frustum cull planes, so later spawners were culled against garbage —
+    even with NO view_proj passed. Exercise a mix of pack paths
+    (multi-type spawner forces the fallback branch for t>0; single-type
+    spawners may ride the in-kernel planes path) and assert:
+    (a) plain render_items() returns every non-empty (spawner, type),
+    (b) with view_proj, exactly the off-frustum spawner is culled,
+    regardless of spawner iteration order."""
+    from bevy_firework_tpu import Scene, Transform
+
+    multi = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(2.0)),
+            ParticleSettings(lifetime=RandF32.constant(2.0)),
+        ],
+        emission_settings=[
+            EmissionSettings(
+                particle_index=0, emission_pacing=EmissionPacing.rate(300.0)
+            ),
+            EmissionSettings(
+                particle_index=1, emission_pacing=EmissionPacing.rate(300.0)
+            ),
+        ],
+    )
+    single = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(2.0))],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.rate(300.0))],
+    )
+    scene = Scene()
+    # Order matters for the regression: the multi-type (fallback-branch)
+    # spawner comes FIRST so its pack ran before later spawners' cull test.
+    a = scene.add_spawner(multi, capacity=1024)
+    b = scene.add_spawner(single, capacity=1024)
+    c = scene.add_spawner(
+        single, capacity=1024, transform=Transform(translation=(1000.0, 0.0, 0.0))
+    )
+    for _ in range(20):
+        scene.step(1.0 / 60.0)
+
+    plain = scene.render_items()
+    assert {(it.spawner_id, it.type_index) for it in plain} == {
+        (a, 0), (a, 1), (b, 0), (c, 0)
+    }
+
+    view = np.eye(4, dtype=np.float32)
+    view[2, 3] = -10.0
+    view_proj = _perspective_01() @ view
+    culled = scene.render_items(view_proj=view_proj)
+    assert {(it.spawner_id, it.type_index) for it in culled} == {
+        (a, 0), (a, 1), (b, 0)
+    }
