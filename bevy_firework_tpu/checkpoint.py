@@ -117,6 +117,7 @@ def save_scene(path: str, scene) -> None:
                 "finished_fired": slot.finished_fired,
                 "seed": slot.seed,
                 "nested_buffer": slot.compiled.static.nested_m,
+                "render_layers": slot.layers,
             }
             if slot.trail_settings is not None:
                 meta["spawners"][str(sid)]["trail"] = dataclasses.asdict(slot.trail_settings)
@@ -178,6 +179,7 @@ def load_scene(path: str, colliders=None):
                 # legacy checkpoints predate the knob: default matches theirs
                 nested_buffer=m.get("nested_buffer", 4096),
                 trail=TrailSettings(**m["trail"]) if "trail" in m else None,
+                layers=m.get("render_layers", 1),
             )
             slot = scene._spawners[sid]
             slot.parent_velocity = tuple(m["parent_velocity"])

@@ -307,3 +307,6 @@ class RenderItem:
     # Set by Scene.render_async: which simulation frame these instances
     # belong to (pipelined extract is one frame latent; None = synchronous).
     frame_id: Optional[int] = None
+    # RenderLayers bitmask carried from the spawner (`render.rs:414-418`);
+    # a view drawing layer mask V renders this item iff (layers & V) != 0.
+    layers: int = 1

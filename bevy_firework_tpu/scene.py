@@ -194,7 +194,8 @@ class _SpawnerSlot:
     def __init__(self, spawner, compiled, state, outputs, capacity, transform,
                  global_transform, parent_velocity, modifier, finished_observers,
                  finished_fired, seed, render_planes=None,
-                 trail_settings=None, trail_state=None):
+                 trail_settings=None, trail_state=None, layers=1):
+        self.layers = layers  # RenderLayers bitmask (render.rs:414-418)
         self.spawner = spawner
         self.compiled = compiled
         self.capacity = capacity
@@ -390,6 +391,7 @@ class Scene:
         sid: Optional[int] = None,
         nested_buffer: int = 4096,
         trail: Optional["TrailSettings"] = None,
+        layers: int = 1,
     ) -> int:
         """capacity=None auto-sizes the pool from the spawner's steady-state
         estimate (see estimate_capacity); pass an explicit capacity for
@@ -405,7 +407,13 @@ class Scene:
 
         trail: TrailSettings enables ribbon trails for this spawner (beyond
         the reference's feature set; see trails.py). Each step() records one
-        history point; drain via Scene.trail_items()."""
+        history point; drain via Scene.trail_items().
+
+        layers: RenderLayers bitmask (default bit 0) — the reference
+        extracts `RenderLayers` per render entity and each view draws only
+        intersecting entities (`render.rs:414-418,503-506`). Filter with
+        render_items(view_layers=...) / trail_items(view_layers=...);
+        change later with set_layers."""
         if capacity is None:
             capacity = estimate_capacity(spawner)
         if sid is None:
@@ -433,8 +441,14 @@ class Scene:
             seed=seed,
             trail_settings=trail,
             trail_state=init_trail_state(trail, capacity) if trail else None,
+            layers=layers,
         )
         return sid
+
+    def set_layers(self, sid: int, layers: int):
+        """Move a spawner to different render layers (bitmask; pure host
+        metadata — no pool reset)."""
+        self._spawners[sid].layers = int(layers)
 
     def remove_spawner(self, sid: int):
         del self._spawners[sid]
@@ -923,6 +937,7 @@ class Scene:
         camera_pos=None,
         sort_within: str = "auto",
         view_proj=None,
+        view_layers: Optional[int] = None,
     ) -> List[RenderItem]:
         """The extract step: one item per (spawner x non-empty type)
         (`render.rs:439-461`), each carrying a dense instance array in the
@@ -957,13 +972,19 @@ class Scene:
         outside the frustum are skipped before any packing work — the
         reference gets the same behavior from Bevy's culling of the
         `update_aabbs` box (`render.rs:677-703`). The test is conservative
-        (never drops a visible system)."""
+        (never drops a visible system).
+
+        view_layers (optional bitmask): only spawners whose RenderLayers
+        mask intersects it are returned — the reference's per-view layer
+        filter (`render.rs:503-506`). None = all layers (single-view)."""
         from .native import compact_dense
         from .render import aabb_intersects_frustum, frustum_planes, pack_instances_dense
 
         cull_planes = frustum_planes(view_proj) if view_proj is not None else None
         items = []
         for sid, slot in self._spawners.items():
+            if view_layers is not None and not (slot.layers & view_layers):
+                continue
             if cull_planes is not None:
                 box = self.aabb(sid, space="world")
                 if box is not None and not aabb_intersects_frustum(box[0], box[1], cull_planes):
@@ -996,6 +1017,7 @@ class Scene:
                         count=count,
                         uniform=uniform,
                         textures=slot.compiled.textures[t],
+                        layers=slot.layers,
                     )
                 )
         if camera_pos is not None:
@@ -1099,6 +1121,7 @@ class Scene:
                     uniform=make_uniform(slot.compiled, t),
                     textures=slot.compiled.textures[t],
                     frame_id=fid,
+                    layers=slot.layers,
                 ))
         return items
 
@@ -1109,7 +1132,8 @@ class Scene:
             reader.release(t)
         self._async_acquired = []
 
-    def trail_items(self, camera_pos=None) -> List["TrailItem"]:
+    def trail_items(self, camera_pos=None,
+                    view_layers: Optional[int] = None) -> List["TrailItem"]:
         """Drain ribbon-trail segments for every trailed spawner: one item
         per (spawner x non-empty type) carrying dense [count, 16] f32
         segment records (trails.py module docstring for the layout), live
@@ -1130,6 +1154,8 @@ class Scene:
         for sid, slot in self._spawners.items():
             if slot.trail_settings is None:
                 continue
+            if view_layers is not None and not (slot.layers & view_layers):
+                continue
             for t in range(slot.compiled.num_types):
                 planes, _n = pack_trail_segments(
                     slot.trail_settings, slot.compiled.params, slot.state,
@@ -1143,6 +1169,6 @@ class Scene:
                     rows = sort_segments_back_to_front(rows, camera_pos)
                 items.append(TrailItem(
                     spawner_id=sid, type_index=t, segments=rows,
-                    count=rows.shape[0], uniform=uniform,
+                    count=rows.shape[0], uniform=uniform, layers=slot.layers,
                 ))
         return items

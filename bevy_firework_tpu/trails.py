@@ -228,6 +228,8 @@ class TrailItem:
     segments: np.ndarray  # [count, 16] f32 (see module docstring layout)
     count: int
     uniform: FireworkUniform
+    # RenderLayers bitmask carried from the spawner (render.rs:414-418)
+    layers: int = 1
 
 
 def sort_segments_back_to_front(segments: np.ndarray, camera_pos) -> np.ndarray:

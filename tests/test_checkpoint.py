@@ -129,12 +129,14 @@ def test_scene_checkpoint_round_trips_trails_and_nested_buffer(tmp_path):
     path = os.path.join(tmp_path, "trail.ckpt")
     a = Scene()
     sid = a.add_spawner(spawner(), capacity=512, nested_buffer=2048,
-                        trail=TrailSettings(length=5, width=0.4, taper=False))
+                        trail=TrailSettings(length=5, width=0.4, taper=False),
+                        layers=0b110)
     for _ in range(20):
         a.step(1 / 60)
     save_scene(path, a)
     b = load_scene(path)
     assert b._spawners[sid].compiled.static.nested_m == 2048
+    assert b._spawners[sid].layers == 0b110  # RenderLayers survive restore
     assert b._spawners[sid].trail_settings == TrailSettings(length=5, width=0.4, taper=False)
     ia, ib = a.trail_items(), b.trail_items()
     assert len(ia) == len(ib) == 1

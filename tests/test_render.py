@@ -324,3 +324,35 @@ def test_render_items_mixed_pack_paths_no_phantom_culling():
     assert {(it.spawner_id, it.type_index) for it in culled} == {
         (a, 0), (a, 1), (b, 0)
     }
+
+
+def test_render_layers_per_view_filter():
+    """RenderLayers: the reference extracts a layer mask per render entity
+    and each view draws only intersecting entities
+    (`render.rs:414-418,503-506`). Two spawners on different layers; a view
+    with each mask sees only its own, a multi-layer view sees both, and
+    set_layers moves a spawner between views without touching the pool."""
+    from bevy_firework_tpu import Scene
+
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(2.0))],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.rate(300.0))],
+    )
+    scene = Scene()
+    a = scene.add_spawner(sp, capacity=1024)              # default layer bit 0
+    b = scene.add_spawner(sp, capacity=1024, layers=0b10)  # layer bit 1
+    for _ in range(10):
+        scene.step(1.0 / 60.0)
+
+    assert {it.spawner_id for it in scene.render_items()} == {a, b}
+    assert {it.spawner_id for it in scene.render_items(view_layers=0b01)} == {a}
+    assert {it.spawner_id for it in scene.render_items(view_layers=0b10)} == {b}
+    assert {it.spawner_id for it in scene.render_items(view_layers=0b11)} == {a, b}
+    assert {it.spawner_id for it in scene.render_items(view_layers=0b100)} == set()
+    # items carry the mask for downstream consumers
+    masks = {it.spawner_id: it.layers for it in scene.render_items()}
+    assert masks == {a: 1, b: 0b10}
+
+    scene.set_layers(a, 0b10)
+    assert {it.spawner_id for it in scene.render_items(view_layers=0b10)} == {a, b}
+    assert scene.alive_count(a) > 0  # no pool reset
