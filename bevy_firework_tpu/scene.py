@@ -1083,7 +1083,7 @@ class Scene:
             else:
                 reader.submit(slot.compiled.params, slot.state, fid)
 
-    def render_async(self) -> List[RenderItem]:
+    def render_async(self, view_layers: Optional[int] = None) -> List[RenderItem]:
         """Drain the newest READY frame per (spawner x type) from the native
         rings without blocking on the device: returns instantly with
         whatever the reader thread has finished (usually frame N-1 while
@@ -1099,6 +1099,8 @@ class Scene:
         self.release_async()
         items = []
         for sid, slot in self._spawners.items():
+            if view_layers is not None and not (slot.layers & view_layers):
+                continue
             reader = self._async_readers.get(sid)
             if reader is None:
                 continue

@@ -131,3 +131,28 @@ def test_async_render_multi_type_and_removal():
     assert {(it.spawner_id, it.type_index) for it in items} == {(single, 0)}
     scene.release_async()
     scene.disable_async_render()
+
+
+def test_async_render_layers_filter():
+    """render_async(view_layers=...) applies the same RenderLayers filter
+    as the synchronous path (render.rs:503-506)."""
+    scene = Scene()
+    scene.enable_async_render()
+    a = scene.add_spawner(_sparks(), capacity=2048)
+    b = scene.add_spawner(_sparks(), capacity=2048, layers=0b10)
+    for _ in range(30):
+        scene.step(1 / 60)
+    deadline = time.time() + 10
+    got = set()
+    while time.time() < deadline and got != {a}:
+        got = {it.spawner_id for it in scene.render_async(view_layers=0b01)}
+        time.sleep(0.01)
+    assert got == {a}
+    deadline = time.time() + 10
+    got = set()
+    while time.time() < deadline and got != {b}:
+        got = {it.spawner_id for it in scene.render_async(view_layers=0b10)}
+        time.sleep(0.01)
+    assert got == {b}
+    scene.release_async()
+    scene.disable_async_render()
