@@ -216,6 +216,14 @@ def _claim_and_init(
 # tests/test_nested.py::test_fuzz_nested_buffer_conservation.
 MAX_NESTED_SPAWN_PER_FRAME = 4096
 
+# Testing seam: force the M-update scatter write-back even where the ring
+# double-window path applies, so equivalence of the two formulations can be
+# checked ON TPU (tools/fused_parity_tpu.py check_nested_ring_window).
+_FORCE_SCATTER_WRITEBACK = False
+# Perf seam: MXU one-hot row fetch inside _monotone_inverse (A/B-able
+# in-process; both formulations are exact).
+_ONEHOT_INVERSE = True
+
 
 def _monotone_inverse(cum, m: int):
     """Scatter-free inverse of a non-decreasing int array: for each query
@@ -239,7 +247,19 @@ def _monotone_inverse(cum, m: int):
     block_max = blocks[:, -1]  # non-decreasing
     r = jnp.arange(m, dtype=cum.dtype)
     nfull = jnp.sum((block_max[None, :] <= r[:, None]).astype(jnp.int32), axis=1)
-    blk = jnp.take(blocks, jnp.minimum(nfull, nb - 1), axis=0)  # [m, B]
+    sel = jnp.minimum(nfull, nb - 1)
+    if jax.default_backend() == "tpu" and _ONEHOT_INVERSE:
+        # row fetch on the MXU instead of XLA's ~36 ns/index gather: a
+        # one-hot matmul selects exactly one row per output (a single v*1.0
+        # product — no accumulation), and the 16-bit split makes the
+        # int32 -> f32 round-trip exact for ANY value (each half < 2^16).
+        oh = jax.nn.one_hot(sel, nb, dtype=jnp.float32)
+        hp = jax.lax.Precision.HIGHEST
+        lo = jnp.einsum("mn,nb->mb", oh, (blocks & 0xFFFF).astype(jnp.float32), precision=hp)
+        hi = jnp.einsum("mn,nb->mb", oh, (blocks >> 16).astype(jnp.float32), precision=hp)
+        blk = (hi.astype(jnp.int32) << 16) | lo.astype(jnp.int32)
+    else:
+        blk = jnp.take(blocks, sel, axis=0)  # [m, B]
     fine = jnp.sum((blk <= r[:, None]).astype(jnp.int32), axis=1)
     return nfull * B + jnp.where(nfull < nb, fine, 0)
 
@@ -306,13 +326,34 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     pnames = ("px", "py", "pz", "vx", "vy", "vz") if static.elide_rotation else (
         "px", "py", "pz", "qx", "qy", "qz", "qw", "vx", "vy", "vz")
     pstack = jnp.stack([fields[k] for k in pnames])
-    pg = pstack[:, child_parent]  # [len(pnames), M]
+    # XLA's TPU gather costs ~36 ns/index regardless of table size
+    # (docs/PERF_NOTES.md); riding the MXU instead — two one-hot matmuls
+    # (rows then lanes) at HIGHEST precision — is ~2x faster at M=4096 and
+    # BIT-EXACT (each output is a single v*1.0 product; the bf16x3
+    # decomposition reconstructs f32 products with 1.0 exactly;
+    # verified array_equal vs the gather in tests/test_nested.py).
+    if jax.default_backend() == "tpu" and N % 128 == 0:
+        rows_n = N // 128
+        pr, pl_ = child_parent // 128, child_parent % 128
+        oh_r = jax.nn.one_hot(pr, rows_n, dtype=jnp.float32)  # [M, rows]
+        picked = jnp.einsum(
+            "mr,frl->fml", oh_r, pstack.reshape(len(pnames), rows_n, 128),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [F, M, 128]
+        oh_l = jax.nn.one_hot(pl_, 128, dtype=jnp.float32)
+        pg = jnp.einsum("fml,ml->fm", picked, oh_l,
+                        precision=jax.lax.Precision.HIGHEST)
+    else:
+        pg = pstack[:, child_parent]  # [len(pnames), M]
     ppos = (pg[0], pg[1], pg[2])
     prot = None if static.elide_rotation else (pg[3], pg[4], pg[5], pg[6])
     pvel = (pg[-3], pg[-2], pg[-1])
 
     # --- initialize children in the [M] buffer (core.rs:506-544 semantics) ---
-    uni = jax.random.uniform(jax.random.fold_in(frame_key, 1000 + e), (12, M), jnp.float32)
+    # draw only the rows this archetype consumes (0-6 shape/vel/radial,
+    # 7 iscale, 8 lifetime unless const, 9-11 angvel unless rotation elided)
+    n_rows = 12 if not static.elide_rotation else (9 if static.const_lifetime is None else 8)
+    uni = jax.random.uniform(jax.random.fold_in(frame_key, 1000 + e), (n_rows, M), jnp.float32)
     offx, offy, offz = sample_shape_comp(params.shape_params[e], uni[0], uni[1], uni[2])
     ivx, ivy, ivz = sample_randvec3_comp(params.ivel_params[e], uni[3], uni[4], uni[5])
     radial = sample_randf32(uni[6], params.radial_lo[e], params.radial_hi[e])
@@ -349,8 +390,41 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     if static.const_lifetime is None:
         rows.append(("lifetime", sample_randf32(uni[8], params.lifetime_lo[ti], params.lifetime_hi[ti])))
     # --- write back: M-update scatters (f32) + claimed-mask wheres (rest) ----
-    for k, v in rows:
-        fields[k] = fields[k].at[slot].set(v, mode="drop")
+    if (static.ring_claim and jax.default_backend() == "tpu" and N > M
+            and not _FORCE_SCATTER_WRITEBACK):
+        # Ring claims are CONTIGUOUS mod N, so the M-row scatter (which XLA
+        # serializes over updates) becomes two masked dynamic-slice windows:
+        # window 1 at min(cursor, N-M) covers the unwrapped ranks (child
+        # values shifted into place with an M-sized concat+slice), window 2
+        # at 0 covers the wrap-around ranks. Both merge against the CURRENT
+        # window contents, so unclaimed/alive-target lanes keep their values
+        # (exact scatter semantics, incl. the dead-target drop) and the two
+        # windows compose when they overlap on small pools. Pure
+        # slice/elementwise ops — measured cheaper than M-update scatters
+        # per row in the chained nested bench.
+        cursor0 = cursor  # pre-advance cursor captured in the claim above
+        start1 = jnp.minimum(cursor0, N - M)
+        shift = cursor0 - start1
+        wrapped = jnp.maximum(cursor0 + M - N, 0)
+        nc = N - cursor0
+        p_ids = jnp.arange(M, dtype=jnp.int32)
+        win1_dead = jax.lax.dynamic_slice(di, (start1,), (M,)) != 0
+        rank1 = p_ids - shift
+        m1 = (rank1 >= 0) & (rank1 < n_spawn) & win1_dead
+        m2 = (p_ids < wrapped) & (nc + p_ids < n_spawn) & dead[:M]
+        zeros_m = jnp.zeros((M,), jnp.float32)
+        start2 = jnp.minimum(nc, M)
+        for k, v in rows:
+            f = fields[k]
+            sh1 = jax.lax.dynamic_slice(jnp.concatenate([zeros_m, v]), (M - shift,), (M,))
+            w1 = jax.lax.dynamic_slice(f, (start1,), (M,))
+            f = jax.lax.dynamic_update_slice(f, jnp.where(m1, sh1, w1), (start1,))
+            sh2 = jax.lax.dynamic_slice(jnp.concatenate([v, zeros_m]), (start2,), (M,))
+            f = jax.lax.dynamic_update_slice(f, jnp.where(m2, sh2, f[:M]), (0,))
+            fields[k] = f
+    else:
+        for k, v in rows:
+            fields[k] = fields[k].at[slot].set(v, mode="drop")
     if not static.single_type:
         fields["ptype"] = jnp.where(claimed, ti, fields["ptype"])
     fields["alive"] = fields["alive"] | claimed

@@ -455,6 +455,60 @@ def check_sharded_claims(ring: bool, capacity=2 * 8192, n_shards=2, n_frames=18)
     return None
 
 
+def check_nested_ring_window(capacity=8192, n_frames=240):
+    """The ring double-window write-back (step._nested_spawn, TPU-only) vs
+    the M-update scatter formulation, COMPILED, bit-exact over a run long
+    enough for the ring cursor to wrap repeatedly (same seed => identical
+    threefry draws, so any divergence is the write path). Small pool +
+    small nested buffer maximize wrap edge cases."""
+    import bevy_firework_tpu.step as stepmod
+    from bevy_firework_tpu import EmissionMode
+
+    sp = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(0.5), linear_drag=0.1),
+            ParticleSettings(lifetime=RandF32.constant(0.5), linear_drag=0.3),
+        ],
+        emission_settings=[
+            EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.rate(2000.0),
+                             initial_velocity=RandVec3.constant((0.5, 3.0, 0.0))),
+            EmissionSettings(particle_index=1, emission_mode=EmissionMode.nested(0),
+                             emission_pacing=EmissionPacing.count_over_duration(12.0, 1.0, 0.0, 1.0),
+                             initial_velocity=RandVec3.constant((0.0, 0.5, 0.0)),
+                             inherit_parent_velocity=True),
+        ],
+    )
+    c = compile_spawner(sp, nested_buffer=512)
+    assert c.static.ring_claim
+    frame = make_frame_input(1 / 50)
+
+    def run(force_scatter):
+        stepmod._FORCE_SCATTER_WRITEBACK = force_scatter
+        try:
+            from bevy_firework_tpu.step import step
+
+            # fresh jit identity per flag value (module flag is a trace-time
+            # constant; reusing one jit would reuse the first executable)
+            f = jax.jit(lambda p, s, fr: step(c.static, p, None, s, fr))
+            s = init_pool_for(c, capacity, 0)
+            for _ in range(n_frames):
+                s, _ = f(c.params, s, frame)
+            return s
+        finally:
+            stepmod._FORCE_SCATTER_WRITEBACK = False
+
+    sW = run(False)
+    sS = run(True)
+    for fname in ("alive", "px", "py", "pz", "vx", "vy", "vz", "age",
+                  "initial_scale", "ptype", "ring_cursor"):
+        a, b = np.asarray(getattr(sW, fname)), np.asarray(getattr(sS, fname))
+        if not np.array_equal(a, b):
+            return f"FIELD {fname} differs (max |d| {np.abs(a.astype(np.float64) - b.astype(np.float64)).max():.2e})"
+    if int(np.asarray(sW.alive).sum()) == 0:
+        return "no live particles - window path untested"
+    return None
+
+
 def main(n_configs=8):
     failures = 0
     total = 0
@@ -548,6 +602,13 @@ def main(n_configs=8):
             failures += 1
         else:
             print(f"{name}: OK (manual 2-shard split, slot-exact vs unsharded kernel)")
+    total += 1
+    err = check_nested_ring_window()
+    if err:
+        print(f"nested-ring-window: {err}")
+        failures += 1
+    else:
+        print("nested-ring-window: OK (double-window write-back bit-exact vs scatter, 240 frames incl. wraps)")
     print(f"\n{total - failures}/{total} configs exact-match")
     return failures
 
