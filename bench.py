@@ -257,6 +257,110 @@ def _measure_scene_batch(n_spawners=12, capacity=8192, rate=6000.0, n_frames=50)
     }
 
 
+def _measure_group_churn(n_spawners=12, capacity=8192, rate=6000.0, n_frames=40):
+    """Membership-churn cost in a batched group (VERDICT r2 next #9):
+    add+remove one spawner per frame in a 12-member archetype group. The
+    incremental restack (scene._restack_take_insert) re-gathers the 11 kept
+    members on device and transfers only the new member's state; the old
+    path round-tripped all 12 states through the host every churn frame.
+    Reports wall ms/frame churning vs steady."""
+    from bevy_firework_tpu import Scene, Transform
+
+    spawner, _tf = effects.sparks(rate=rate)
+    scene = Scene()
+    sids = [scene.add_spawner(spawner, capacity=capacity,
+                              transform=Transform(translation=(float(i), 0.0, 0.0)))
+            for i in range(n_spawners)]
+    for _ in range(30):
+        scene.step(1.0 / 60.0)
+    # pre-compile the churn shapes (k=1 restack + one fresh-member add)
+    scene.remove_spawner(sids.pop(0))
+    sids.append(scene.add_spawner(spawner, capacity=capacity,
+                                  transform=Transform(translation=(99.0, 0.0, 0.0))))
+    scene.step(1.0 / 60.0)
+    import numpy as np
+
+    for b in scene._batches.values():
+        np.asarray(b.states.px)
+    t0 = time.perf_counter()
+    for k in range(n_frames):
+        scene.remove_spawner(sids.pop(0))
+        sids.append(scene.add_spawner(
+            spawner, capacity=capacity,
+            transform=Transform(translation=(float(100 + k), 0.0, 0.0))))
+        scene.step(1.0 / 60.0)
+    for b in scene._batches.values():
+        np.asarray(b.states.px)
+    churn_ms = (time.perf_counter() - t0) / n_frames * 1e3
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        scene.step(1.0 / 60.0)
+    for b in scene._batches.values():
+        np.asarray(b.states.px)
+    steady_ms = (time.perf_counter() - t0) / n_frames * 1e3
+    return {
+        "spawners": n_spawners,
+        "live": scene.alive_count(),
+        "churn_ms_per_frame_wall": round(churn_ms, 4),
+        "steady_ms_per_frame_wall": round(steady_ms, 4),
+    }
+
+
+def _run_parity_sweep(n_configs=4):
+    """Run the on-TPU compiled-kernel parity sweep in-process (same device
+    attach — a second process cannot share the axon tunnel) and persist the
+    result as PARITY_r{NN}.json next to the driver's BENCH_r{NN}.json, so a
+    Mosaic-compile regression can't hide between manual sweeps (VERDICT r2
+    weak #5/next #10: CI's TPU job is permanently dead without a runner —
+    this bench invocation IS the per-round TPU automation). Returns a small
+    summary dict for the bench extras; never raises."""
+    import contextlib
+    import datetime
+    import importlib.util
+    import io
+    import pathlib
+    import subprocess
+
+    root = pathlib.Path(__file__).resolve().parent
+    out = {"skipped": True}
+    try:
+        if jax.default_backend() != "tpu":
+            out["reason"] = f"backend={jax.default_backend()}"
+            return out
+        spec = importlib.util.spec_from_file_location(
+            "fused_parity_tpu", root / "tools" / "fused_parity_tpu.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            failures = mod.main(n_configs=n_configs)
+        lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+        score = next((ln for ln in lines if ln.endswith("configs exact-match")), "?")
+        try:
+            sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=root,
+                                 capture_output=True, text=True, timeout=10).stdout.strip()
+        except Exception:
+            sha = "unknown"
+        rounds = [int(p.stem.split("_r")[1]) for p in root.glob("BENCH_r*.json")
+                  if p.stem.split("_r")[1].isdigit()]
+        nn = (max(rounds) + 1) if rounds else 0
+        record = {
+            "score": score,
+            "failures": failures,
+            "ok": failures == 0,
+            "n_configs": n_configs,
+            "git_sha": sha,
+            "date": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
+            "lines": lines,
+        }
+        (root / f"PARITY_r{nn:02d}.json").write_text(json.dumps(record, indent=1))
+        out = {"skipped": False, "score": score, "ok": failures == 0,
+               "file": f"PARITY_r{nn:02d}.json"}
+    except Exception as e:  # the sweep must never sink the headline metric
+        out = {"skipped": True, "reason": f"error: {str(e)[:160]}"}
+    return out
+
+
 def main():
     # headline: driver metric — 100k live, stress_test
     spawner, _tf = effects.stress_test()
@@ -287,6 +391,7 @@ def main():
         alive_f, ms_f = _measure_fleet()
         extras["fleet_16x55k"] = {"live": alive_f, "ms_per_frame": round(ms_f, 4)}
         extras["scene_batch_12"] = _measure_scene_batch()
+        extras["group_churn_12"] = _measure_group_churn()
         # single-chip scale headroom: one 10M-lane pool (multi-frame unroll
         # keeps it HBM-traffic bound; ~linear in capacity)
         _c, _s, _f, alive_10m, ms_10m = _measure(
@@ -294,6 +399,11 @@ def main():
         extras["10M"] = {"live": alive_10m, "ms_per_frame": round(ms_10m, 4)}
     except Exception as e:  # extras must never sink the headline metric
         extras["error"] = str(e)[:200]
+
+    import os
+
+    if os.environ.get("BENCH_SKIP_PARITY", "") != "1":
+        extras["parity_sweep"] = _run_parity_sweep()
 
     steps_per_sec = alive / (ms * 1e-3)
     print(

@@ -28,6 +28,7 @@ import dataclasses
 from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from functools import partial
@@ -99,8 +100,36 @@ def _stack_trees_np(trees):
     S x leaves parameters + as many concats — measured ~170 s of XLA compile
     for a 12-member group vs 1.6 s for the stacked-in/stacked-out program —
     so group (re)formation pays a one-time device->host->device copy of the
-    member states here instead."""
+    member states here instead. Membership CHURN avoids this path: see
+    _restack_take_insert."""
     return jax.tree_util.tree_map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *trees)
+
+
+# Testing seam: force full host restacking on every group (re)formation so
+# the incremental device path can be checked bit-exact against it
+# (tests/test_scene.py::test_group_churn_incremental_restack_exact).
+_INCREMENTAL_RESTACK = True
+
+
+@jax.jit
+def _restack_take_insert(old, idx_map, pos, changed):
+    """Incremental group (re)formation (VERDICT r2 next #9): build the new
+    [S_new, ...] stacked tree ON DEVICE from the previous batch's stacked
+    tree — one take along axis 0 re-gathers every member whose authority
+    still lives in the old batch — then overwrite the changed/new members'
+    rows from their standalone trees. Membership churn (add/remove one
+    spawner in a 12-member group) thus transfers only the changed members'
+    states instead of round-tripping all S through the host
+    (scene.py:96-103 trade).
+
+    idx_map [S_new] — old-batch row for each new position (don't-care 0 for
+    changed positions); pos [k] — positions overwritten from `changed`, a
+    k-tuple of member trees (k is part of the jit cache key)."""
+    base = jax.tree_util.tree_map(lambda x: jnp.take(x, idx_map, axis=0), old)
+    if len(changed) == 0:
+        return base
+    rows = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *changed)
+    return jax.tree_util.tree_map(lambda b, c: b.at[pos].set(c), base, rows)
 
 
 def _vmapped_packed_step(static, colliders):
@@ -750,10 +779,33 @@ class Scene:
                     # the next dispatch directly — no per-member handles
                     P, S = batch.params, batch.states
                 else:
-                    # (re)formation: stack member trees on the host (see
-                    # _stack_trees_np) and pin the params on device once
-                    P = jax.device_put(_stack_trees_np([s.compiled.params for s in slots]))
-                    S = _stack_trees_np([s.state for s in slots])  # materializes lazies
+                    # (re)formation. Members still attached to the previous
+                    # batch re-gather on device; only changed/new members'
+                    # trees transfer (one jitted take+insert). A slot is
+                    # unchanged iff its authority is still the old batch:
+                    # every mutation path goes through _detach().
+                    kept = {}
+                    if _INCREMENTAL_RESTACK and batch is not None:
+                        for i, s in enumerate(slots):
+                            if s._batch is not None and s._batch[0] is batch:
+                                kept[i] = s._batch[1]
+                    if kept:
+                        idx_map = np.zeros((len(slots),), np.int32)
+                        for i, j in kept.items():
+                            idx_map[i] = j
+                        pos = np.asarray(
+                            [i for i in range(len(slots)) if i not in kept], np.int32)
+                        S = _restack_take_insert(
+                            batch.states, idx_map, pos,
+                            tuple(slots[int(i)].state for i in pos))
+                        P = _restack_take_insert(
+                            batch.params, idx_map, pos,
+                            tuple(slots[int(i)].compiled.params for i in pos))
+                    else:
+                        # nothing reusable: stack member trees on the host
+                        # (see _stack_trees_np), pin the params once
+                        P = jax.device_put(_stack_trees_np([s.compiled.params for s in slots]))
+                        S = _stack_trees_np([s.state for s in slots])  # materializes lazies
 
                 # trail plan, decided BEFORE slots re-point at the new batch:
                 # all-trailed-alike groups update trails in one vmapped
@@ -768,7 +820,28 @@ class Scene:
                     if steady and batch.trails is not None and not batch.tdirty:
                         t_prev = batch.trails
                     else:
-                        t_prev = _stack_trees_np([s.trail_state for s in slots])
+                        # incremental trail restack: a slot's trail authority
+                        # is still the old batch iff it is attached AND its
+                        # _trail_state cache is empty (an external trail
+                        # replacement — the tdirty source — fills the cache
+                        # without detaching)
+                        tkept = {}
+                        if _INCREMENTAL_RESTACK and batch is not None and batch.trails is not None:
+                            for i, s in enumerate(slots):
+                                if (s._batch is not None and s._batch[0] is batch
+                                        and s._trail_state is None):
+                                    tkept[i] = s._batch[1]
+                        if tkept:
+                            t_idx = np.zeros((len(slots),), np.int32)
+                            for i, j in tkept.items():
+                                t_idx[i] = j
+                            t_pos = np.asarray(
+                                [i for i in range(len(slots)) if i not in tkept], np.int32)
+                            t_prev = _restack_take_insert(
+                                batch.trails, t_idx, t_pos,
+                                tuple(slots[int(i)].trail_state for i in t_pos))
+                        else:
+                            t_prev = _stack_trees_np([s.trail_state for s in slots])
 
                 if n_frames == 1:
                     S2, O, planes = _group_step_stacked(static, P, colliders, S, F)

@@ -370,6 +370,61 @@ def test_scene_batches_same_archetype_spawners():
     assert len(items) == 13
 
 
+def test_group_churn_incremental_restack_exact():
+    """Membership churn in a batched group (VERDICT r2 next #9): the
+    incremental device-side restack (_restack_take_insert — take kept
+    members off the old stacked batch, insert only changed/new ones) is
+    bit-exact vs the full host restack, across adds, removes, set_spawner
+    resets, and per-frame add+remove churn."""
+    import bevy_firework_tpu.scene as scenemod
+
+    def sparks_like(rate):
+        return ParticleSpawner(
+            particle_settings=[ParticleSettings(lifetime=RandF32.constant(0.5))],
+            emission_settings=[EmissionSettings(
+                emission_pacing=EmissionPacing.rate(rate),
+                initial_velocity=RandVec3(RandF32(1.0, 2.0), (0, 1, 0), 0.4))],
+        )
+
+    def run(incremental):
+        old = scenemod._INCREMENTAL_RESTACK
+        scenemod._INCREMENTAL_RESTACK = incremental
+        try:
+            scene = Scene(seed=3)
+            sids = [scene.add_spawner(sparks_like(100.0 + 20.0 * i), capacity=256,
+                                      transform=Transform(translation=(float(i), 0.0, 0.0)))
+                    for i in range(6)]
+            for _ in range(10):
+                scene.step(1 / 60)
+            # churn: remove one + add one per frame for a few frames
+            for k in range(4):
+                scene.remove_spawner(sids.pop(k % len(sids)))
+                sids.append(scene.add_spawner(
+                    sparks_like(300.0 + 10.0 * k), capacity=256,
+                    transform=Transform(translation=(0.0, float(k), 0.0))))
+                scene.step(1 / 60)
+            # a settings reset detaches one member mid-group
+            scene.set_spawner(sids[0], sparks_like(777.0))
+            for _ in range(6):
+                scene.step(1 / 60)
+            out = {}
+            for sid in scene.spawner_ids():
+                st = scene._spawners[sid].state
+                out[sid] = {f: np.asarray(getattr(st, f))
+                            for f in ("alive", "px", "py", "pz", "vx", "vy",
+                                      "vz", "age", "lifetime")}
+            return out
+        finally:
+            scenemod._INCREMENTAL_RESTACK = old
+
+    inc, full = run(True), run(False)
+    assert inc.keys() == full.keys()
+    for sid in inc:
+        for f in inc[sid]:
+            np.testing.assert_array_equal(inc[sid][f], full[sid][f],
+                                          err_msg=f"spawner {sid} field {f}")
+
+
 def test_scene_batched_events_fire_per_spawner():
     fired = []
     scene = Scene()

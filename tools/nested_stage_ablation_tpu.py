@@ -47,6 +47,7 @@ def make_variant(level):
             uni = jax.random.uniform(jax.random.fold_in(frame_key, 1000 + e), (12, M), jnp.float32)
             eps = eps + uni.sum() * 1e-30
         fields["age"] = fields["age"] + eps
+        return jnp.zeros((), jnp.int32)  # _nested_spawn's dropped-count contract
 
     return variant
 
