@@ -18,9 +18,14 @@ on the regressions that actually happen to hand-edited shaders —
     parameter — naga/tint reject this as a duplicate-builtin error),
   * instance-attribute locations drifting from the documented contract.
 
-It is NOT a full WGSL front end (no type inference, no generics checking);
-it is deliberately strict about *names* and *structure*, which is where a
-text-only shader regresses.
+Structure/name gating lives here; TYPE errors (wrong-width constructors,
+illegal swizzles, operand and builtin-signature mismatches, assignments to
+immutables, return-type drift) are caught by the `wgsl_types` front end,
+which `check_wgsl` runs whenever the structural pass is clean. Together
+they cover the regression classes a real compiler (naga/tint) would
+reject; still NOT covered: uniformity analysis, resource-binding layout
+validation, and constructs outside the documented subset (wgsl_types
+errors on those rather than passing them silently).
 """
 
 from __future__ import annotations
@@ -310,6 +315,15 @@ def check_wgsl(src: str, *, instance_locations: Optional[Dict[int, str]] = None)
         if frag in ("return", "let") or frag.endswith((",", "(", "+", "-", "*", "/", "=", "&", "|")):
             continue  # statement continues on the next line
         errors.append(f"line {_line_of(src, sm.start())}: statement missing ';'")
+
+    # full type inference over the subset (wgsl_types): wrong-width
+    # constructors, illegal swizzles, operand/signature/return mismatches,
+    # assignments to immutables. Only when the structural pass is clean —
+    # type errors cascade noisily from structural ones.
+    if not errors:
+        from .wgsl_types import type_check_wgsl
+
+        errors.extend(type_check_wgsl(src))
 
     # instance-attribute contract pin
     if instance_locations:
