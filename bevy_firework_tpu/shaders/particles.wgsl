@@ -23,6 +23,11 @@
 //     particles.wgsl:149-155).
 //   MULTISAMPLED  — the prepass texture is multisampled; textureLoad
 //     takes a sample index (reference particles.wgsl:241-249).
+//   SHADOW_MAP    — a directional shadow map is bound at group(2)
+//     bindings 8-10; pbr_shade attenuates the direct term by a 4-tap PCF
+//     factor (the reference gets shadows from Bevy's clustered PBR via
+//     apply_pbr_lighting, reference particles.wgsl:180-239; this def is
+//     the self-contained analog at the same seam).
 
 struct ViewLike {
     view_proj: mat4x4<f32>,
@@ -57,6 +62,35 @@ const FLAG_ORM_TEXTURE: u32 = 4u;
 @group(2) @binding(5) var normal_samp: sampler;
 @group(2) @binding(6) var orm_tex: texture_2d<f32>;
 @group(2) @binding(7) var orm_samp: sampler;
+#ifdef SHADOW_MAP
+struct ShadowUniform {
+    light_view_proj: mat4x4<f32>,  // world -> light clip (0..1 depth)
+    params: vec4<f32>,             // x = depth bias, y = strength in [0,1]
+};
+@group(2) @binding(8) var<uniform> shadow: ShadowUniform;
+@group(2) @binding(9) var shadow_map: texture_depth_2d;
+@group(2) @binding(10) var shadow_samp: sampler_comparison;
+
+// Directional shadow factor at a world position: 1 = fully lit, toward
+// (1 - strength) in shadow. 4-tap PCF with a comparison sampler
+// (sample passes when stored depth >= ref - bias, i.e. nothing nearer to
+// the light wrote the map there).
+fn shadow_factor(world_pos: vec3<f32>) -> f32 {
+    let lc = shadow.light_view_proj * vec4<f32>(world_pos, 1.0);
+    let ndc = lc.xyz / lc.w;
+    let uv = ndc.xy * vec2<f32>(0.5, -0.5) + vec2<f32>(0.5, 0.5);
+    if (uv.x < 0.0 || uv.x > 1.0 || uv.y < 0.0 || uv.y > 1.0 || ndc.z > 1.0) {
+        return 1.0;
+    }
+    let ref_depth = ndc.z - shadow.params.x;
+    let texel = 1.0 / vec2<f32>(textureDimensions(shadow_map));
+    var lit = textureSampleCompare(shadow_map, shadow_samp, uv + vec2<f32>(-0.5, -0.5) * texel, ref_depth);
+    lit = lit + textureSampleCompare(shadow_map, shadow_samp, uv + vec2<f32>(0.5, -0.5) * texel, ref_depth);
+    lit = lit + textureSampleCompare(shadow_map, shadow_samp, uv + vec2<f32>(-0.5, 0.5) * texel, ref_depth);
+    lit = lit + textureSampleCompare(shadow_map, shadow_samp, uv + vec2<f32>(0.5, 0.5) * texel, ref_depth);
+    return 1.0 - shadow.params.y * (1.0 - lit * 0.25);
+}
+#endif // SHADOW_MAP
 
 // ---------------------------------------------------------------------------
 // quaternion helpers
@@ -278,7 +312,12 @@ fn pbr_shade(in: VsOut, base: vec4<f32>, emissive: vec4<f32>) -> vec4<f32> {
     let f0 = mix(vec3<f32>(0.04, 0.04, 0.04), base.rgb, metallic);
     let specular = d_ggx(nh, a) * v_smith(nl, nv, a) * f_schlick(lh, f0);
     let diffuse = base.rgb * (1.0 - metallic) * (1.0 / 3.14159265);
-    let direct = (diffuse + specular) * LIGHT_COLOR * nl;
+    var direct = (diffuse + specular) * LIGHT_COLOR * nl;
+#ifdef SHADOW_MAP
+    // shadows attenuate the direct term only; ambient and emissive are
+    // unshadowed (matching Bevy's directional-light shadow application)
+    direct = direct * shadow_factor(in.world_position);
+#endif // SHADOW_MAP
     let indirect = base.rgb * AMBIENT;
     return vec4<f32>(direct + indirect + emissive.rgb, base.a);
 }

@@ -125,6 +125,10 @@ class PipelineKey:
     depth_prepass: bool = False
     hdr: bool = False
     blend_bit: Optional[str] = None  # one of the BLEND_*/MAY_DISCARD names
+    # a directional shadow map is available for sampling in pbr_shade (the
+    # reference inherits shadows from Bevy's clustered PBR; here it's an
+    # explicit key bit like the prepass)
+    shadow_map: bool = False
 
     def target_format(self) -> str:
         # `key.target_format()` (`render.rs:831`): the view's HDR choice.
@@ -137,6 +141,7 @@ def key_for(
     msaa_samples: int = 1,
     depth_prepass: bool = False,
     hdr: bool = False,
+    shadow_map: bool = False,
 ) -> PipelineKey:
     """`render.rs:519-535`: alpha_mode -> key blend bit. Premultiplied and
     Add share one key (their difference is applied post-lighting in the
@@ -153,6 +158,7 @@ def key_for(
         depth_prepass=bool(depth_prepass),
         hdr=bool(hdr),
         blend_bit=bit,
+        shadow_map=bool(shadow_map),
     )
 
 
@@ -161,7 +167,7 @@ def key_for(
 # ---------------------------------------------------------------------------
 
 
-def uniform_layout_entries(msaa: bool) -> List[dict]:
+def uniform_layout_entries(msaa: bool, shadow_map: bool = False) -> List[dict]:
     """The uniform bind-group layout; the msaa flavor swaps the depth
     entry's texture type (`render.rs:820-824` picks uniform_layout vs
     uniform_layout_msaa). The depth entry is ALWAYS in the layout — when
@@ -181,6 +187,12 @@ def uniform_layout_entries(msaa: bool) -> List[dict]:
     for i, name in ((2, "base"), (4, "normal"), (6, "orm")):
         entries.append({"binding": i, "type": "texture", "sample_type": "float", "multisampled": False, "name": name})
         entries.append({"binding": i + 1, "type": "sampler", "filtering": True, "name": name})
+    if shadow_map:
+        # SHADOW_MAP variant: light matrix uniform (mat4 + params vec4 =
+        # 80 B), depth map, comparison sampler — bindings 8-10 in the WGSL
+        entries.append({"binding": 8, "type": "uniform-buffer", "size": 80, "name": "shadow"})
+        entries.append({"binding": 9, "type": "texture", "sample_type": "depth", "multisampled": False, "name": "shadow"})
+        entries.append({"binding": 10, "type": "sampler", "comparison": True, "name": "shadow"})
     return entries
 
 
@@ -219,6 +231,8 @@ class PipelineCache:
             defs.append("MULTISAMPLED")  # render.rs:845-847
         if key.depth_prepass:
             defs.append("DEPTH_PREPASS")  # render.rs:848-850
+        if key.shadow_map:
+            defs.append("SHADOW_MAP")
         wgsl = preprocess(self._source, frozenset(defs))
         errors = check_wgsl(wgsl)
         if errors:
@@ -230,7 +244,7 @@ class PipelineCache:
             key=key,
             shader_defs=tuple(defs),
             shader_source=wgsl,
-            layout=uniform_layout_entries(key.msaa_samples > 1),
+            layout=uniform_layout_entries(key.msaa_samples > 1, key.shadow_map),
             target_format=key.target_format(),
             blend=ALPHA_BLENDING,
             multisample_count=key.msaa_samples,  # render.rs:864
@@ -270,6 +284,10 @@ class DummyTextures:
         self.orm_texture = white
         self.sampler = {"mag_filter": "linear", "min_filter": "linear", "address_mode": "clamp-to-edge"}
         self.depth_textures: Dict[int, np.ndarray] = {}
+        # shadow dummy: depth 1.0 everywhere => every compare (ref <= stored
+        # under less-equal) passes => fully lit when no real map is bound
+        self.shadow_texture = np.ones((1, 1), dtype=np.float32)
+        self.shadow_sampler = {"compare": "less-equal"}
 
     def ensure_has_samples(self, sample_count: int) -> np.ndarray:
         if sample_count not in self.depth_textures:
@@ -282,6 +300,7 @@ class DummyTextures:
         key: PipelineKey,
         textures: Optional[dict] = None,
         prepass_texture: Optional[np.ndarray] = None,
+        shadow_texture: Optional[np.ndarray] = None,
     ) -> List[dict]:
         """Assemble group(2): real resources where flag bits are set /
         the prepass exists, dummies elsewhere — the binding is never left
@@ -305,4 +324,11 @@ class DummyTextures:
             tex = textures[name] if real else getattr(self, f"{name}_texture")
             entries.append({"binding": base_binding, "resource": tex, "real": real})
             entries.append({"binding": base_binding + 1, "resource": self.sampler, "real": real})
+        if key.shadow_map:
+            real = shadow_texture is not None
+            entries.append({"binding": 8, "resource": "shadow-uniform"})
+            entries.append({"binding": 9,
+                            "resource": shadow_texture if real else self.shadow_texture,
+                            "real": real})
+            entries.append({"binding": 10, "resource": self.shadow_sampler, "real": real})
         return entries

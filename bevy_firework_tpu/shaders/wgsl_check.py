@@ -42,7 +42,7 @@ BUILTIN_FUNCS: Set[str] = {
     "select", "sign", "sin", "smoothstep", "sqrt", "step", "tan", "tanh",
     "transpose", "trunc",
     "textureLoad", "textureSample", "textureSampleBias", "textureSampleLevel",
-    "textureDimensions",
+    "textureSampleCompare", "textureSampleCompareLevel", "textureDimensions",
     "arrayLength", "pack4x8unorm", "unpack4x8unorm",
 }
 

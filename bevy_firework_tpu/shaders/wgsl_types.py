@@ -965,6 +965,13 @@ class _Checker:
             if name != "textureSample" and len(args) == 4 and not _conv(args[3], F32):
                 err(f"level/bias must be f32, got {args[3]}")
             return F32 if args[0].kind.startswith("depth") else Vec(4, F32)
+        if name in ("textureSampleCompare", "textureSampleCompareLevel"):
+            if (len(args) != 4 or not isinstance(args[0], Tex)
+                    or not args[0].kind.startswith("depth")
+                    or not (isinstance(args[1], SamplerT) and args[1].comparison)
+                    or not _conv(args[2], Vec(2, F32)) or not _conv(args[3], F32)):
+                err("needs (texture_depth_2d, sampler_comparison, vec2<f32>, f32)")
+            return F32
         if name == "textureLoad":
             if not args or not isinstance(args[0], Tex):
                 err("needs a texture first argument")

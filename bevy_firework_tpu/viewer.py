@@ -162,10 +162,23 @@ def render_frame(
     ground_y: Optional[float] = None,
     near: float = 0.1,
     trail_items: Sequence = (),
+    draw_ground: bool = False,
+    shadows: bool = False,
+    shadow_strength: float = 0.6,
+    light_dir: Tuple[float, float, float] = (0.4, 0.8, 0.3),
 ) -> np.ndarray:
     """Rasterize RenderItems to an [H, W, 3] float image (simple Reinhard
     tonemap for the HDR gradients). Implements the contract's billboard +
     edge-fade + blend semantics in screen space.
+
+    `draw_ground` shades the `ground_y` plane as visible opaque geometry
+    (the WebGPU page's opaque ground pass); `shadows` additionally darkens
+    it under particles — each particle's disc is projected along
+    `light_dir` onto the plane and composited as accumulated transmittance,
+    the software analog of the SHADOW_MAP pipeline variant's depth-map
+    lookup (a projective blob shadow instead of a rasterized light-view
+    depth pass; same light, same strength semantics: ground irradiance
+    scales by 1 - strength * occlusion).
 
     `ground_y` adds an analytic ground plane acting as the depth prepass:
     per-pixel reverse-Z test (Greater, like the reference pipeline
@@ -179,6 +192,51 @@ def render_frame(
     img[:] = background
 
     focal = 0.5 * width / np.tan(0.5 * cam.fov)
+
+    if draw_ground and ground_y is not None:
+        # opaque ground pass (the WebGPU page's groundPipeline color)
+        yy, xx = np.mgrid[0:height, 0:width]
+        ax = (xx + 0.5 - width * 0.5) / focal
+        ay = -(yy + 0.5 - height * 0.5) / focal
+        dy = cam.forward[1] + ax * cam.right[1] + ay * cam.up[1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_scene = (ground_y - cam.position[1]) / dy
+        hits = np.nan_to_num(t_scene, nan=-1.0) > 0.0
+        ground_color = np.array((0.075, 0.09, 0.11), np.float32)
+        img[hits] = ground_color
+        if shadows:
+            l = np.asarray(light_dir, np.float32)
+            l = l / max(float(np.linalg.norm(l)), 1e-6)
+            # transmittance along the light ray, accumulated per pixel over
+            # every particle disc projected onto the plane
+            trans = np.ones((height, width), np.float32)
+            for item in items:
+                inst = np.asarray(item.instances, np.float32).reshape(-1, 16)
+                fade = item.uniform.fade_edge
+                for p in inst:
+                    py_w = p[1] - ground_y
+                    if py_w <= 0.0 or l[1] <= 1e-6 or p[11] <= 0.0:
+                        continue  # below the plane / light from below / invisible
+                    gp = p[0:3] - l * (py_w / l[1])  # shadow center on the plane
+                    rel = gp - cam.position
+                    depth = float(rel @ cam.forward)
+                    if depth <= 0.05:
+                        continue
+                    sx = focal * float(rel @ cam.right) / depth + width * 0.5
+                    sy = -focal * float(rel @ cam.up) / depth + height * 0.5
+                    pr = max(focal * 0.5 * p[3] / depth, 0.3)
+                    x0, x1 = max(int(sx - pr), 0), min(int(sx + pr) + 1, width)
+                    y0, y1 = max(int(sy - pr), 0), min(int(sy + pr) + 1, height)
+                    if x1 <= x0 or y1 <= y0:
+                        continue
+                    gyy, gxx = np.mgrid[y0:y1, x0:x1]
+                    r = np.sqrt((gxx - sx) ** 2 + (gyy - sy) ** 2) / pr
+                    occ = np.where(r <= 1.0, p[11], 0.0).astype(np.float32)
+                    if fade > 0:
+                        occ = occ * _smoothstep(0.0, fade, np.clip(1.0 - r, 0.0, 1.0))
+                    trans[y0:y1, x0:x1] *= 1.0 - occ
+            shade = 1.0 - shadow_strength * (1.0 - trans)
+            img[hits] *= shade[hits, None]
 
     # gather all particles with per-item uniform params
     batches = []

@@ -125,8 +125,11 @@ for p in tex_paths:
 # The engine-side specialization: every reference example renders with a
 # depth prepass and no MSAA; alpha_mode only alters KEY bits, never the
 # pipeline state (blend is pinned to ALPHA_BLENDING, render.rs:855-859), so
-# one specialized variant serves every system on this page.
-variant = PipelineCache().specialize(key_for(ALPHA_BLEND, depth_prepass=True))
+# one specialized variant serves every system on this page. shadow_map=True
+# adds the SHADOW_MAP def: the page renders a directional light-view depth
+# pass and pbr_shade samples it (casing shadows in the textures scene).
+variant = PipelineCache().specialize(
+    key_for(ALPHA_BLEND, depth_prepass=True, shadow_map=True))
 desc = dataclasses.asdict(variant)
 del desc["key"]  # everything the consumer needs is in the descriptor fields
 
@@ -149,12 +152,67 @@ const cv = document.getElementById("c");
 // pipeline below uses only DESC.shader_source, the shipped WGSL.
 const GROUND_WGSL = `
 struct ViewLike { view_proj: mat4x4<f32>, inverse_view: mat4x4<f32>, world_position: vec3<f32> };
+struct ShadowUniform { light_view_proj: mat4x4<f32>, params: vec4<f32> };
 @group(0) @binding(0) var<uniform> view: ViewLike;
-@vertex fn vertex(@location(0) pos: vec3<f32>) -> @builtin(position) vec4<f32> {
-  return view.view_proj * vec4<f32>(pos, 1.0);
+@group(1) @binding(0) var<uniform> shadow: ShadowUniform;
+@group(1) @binding(1) var shadow_map: texture_depth_2d;
+@group(1) @binding(2) var shadow_samp: sampler_comparison;
+struct GOut { @builtin(position) clip: vec4<f32>, @location(0) world: vec3<f32> };
+@vertex fn vertex(@location(0) pos: vec3<f32>) -> GOut {
+  var o: GOut;
+  o.clip = view.view_proj * vec4<f32>(pos, 1.0);
+  o.world = pos;
+  return o;
 }
-@fragment fn fragment(@builtin(position) p: vec4<f32>) -> @location(0) vec4<f32> {
-  return vec4<f32>(0.075, 0.09, 0.11, 1.0);
+@fragment fn fragment(in: GOut) -> @location(0) vec4<f32> {
+  // the ground RECEIVES particle shadows (same lookup as the shipped
+  // shader's shadow_factor; the casings darken the plane under them)
+  let lc = shadow.light_view_proj * vec4<f32>(in.world, 1.0);
+  let ndc = lc.xyz / lc.w;
+  let uv = ndc.xy * vec2<f32>(0.5, -0.5) + vec2<f32>(0.5, 0.5);
+  var lit = 1.0;
+  if (uv.x >= 0.0 && uv.x <= 1.0 && uv.y >= 0.0 && uv.y <= 1.0 && ndc.z <= 1.0) {
+    let ref_depth = ndc.z - shadow.params.x;
+    let texel = 1.0 / vec2<f32>(textureDimensions(shadow_map));
+    var s = textureSampleCompare(shadow_map, shadow_samp, uv + vec2<f32>(-0.5, -0.5) * texel, ref_depth);
+    s = s + textureSampleCompare(shadow_map, shadow_samp, uv + vec2<f32>(0.5, -0.5) * texel, ref_depth);
+    s = s + textureSampleCompare(shadow_map, shadow_samp, uv + vec2<f32>(-0.5, 0.5) * texel, ref_depth);
+    s = s + textureSampleCompare(shadow_map, shadow_samp, uv + vec2<f32>(0.5, 0.5) * texel, ref_depth);
+    lit = 1.0 - shadow.params.y * (1.0 - s * 0.25);
+  }
+  return vec4<f32>(vec3<f32>(0.075, 0.09, 0.11) * lit, 1.0);
+}`;
+
+// Light-view depth pass for particle casters (host-engine-side, the analog
+// of Bevy's shadow-caster pipeline): quads billboarded toward the LIGHT,
+// alpha-tested to a disc so shadows are round like the particles.
+const SHADOW_CASTER_WGSL = `
+struct ShadowView { light_view_proj: mat4x4<f32>, right: vec4<f32>, up: vec4<f32> };
+@group(0) @binding(0) var<uniform> sv: ShadowView;
+struct VsIn {
+  @builtin(vertex_index) vertex_index: u32,
+  @location(3) pos_scale: vec4<f32>,
+  @location(4) rotation: vec4<f32>,
+  @location(5) base_color: vec4<f32>,
+  @location(6) emissive: vec4<f32>,
+};
+struct VsOut { @builtin(position) clip: vec4<f32>, @location(0) uv: vec2<f32>, @location(1) alpha: f32 };
+@vertex fn vertex(in: VsIn) -> VsOut {
+  var corners = array<vec2<f32>, 6>(
+    vec2<f32>(-0.5, -0.5), vec2<f32>(0.5, -0.5), vec2<f32>(0.5, 0.5),
+    vec2<f32>(-0.5, -0.5), vec2<f32>(0.5, 0.5), vec2<f32>(-0.5, 0.5),
+  );
+  let c = corners[in.vertex_index];
+  let world = in.pos_scale.xyz + (c.x * sv.right.xyz + c.y * sv.up.xyz) * in.pos_scale.w;
+  var o: VsOut;
+  o.clip = sv.light_view_proj * vec4<f32>(world, 1.0);
+  o.uv = c + vec2<f32>(0.5, 0.5);
+  o.alpha = in.base_color.a;
+  return o;
+}
+@fragment fn fragment(in: VsOut) {
+  let r = length(in.uv - vec2<f32>(0.5, 0.5)) * 2.0;
+  if (r > 1.0 || in.alpha < 0.25) { discard; }
 }`;
 
 function mat4mul(a, b) {  // column-major a*b
@@ -226,7 +284,8 @@ async function main() {
     if (e.type === "uniform-buffer") out.buffer = {type: "uniform"};
     else if (e.type === "texture")
       out.texture = {sampleType: e.sample_type, multisampled: !!e.multisampled};
-    else out.sampler = {type: e.filtering ? "filtering" : "non-filtering"};
+    else out.sampler = {type: e.comparison ? "comparison"
+                              : (e.filtering ? "filtering" : "non-filtering")};
     return out;
   });
   const g2Layout = device.createBindGroupLayout({entries: g2Entries});
@@ -290,18 +349,75 @@ async function main() {
     });
   }
 
+  // ---- host-engine-side: directional shadow map (the analog of Bevy's
+  // shadow pass feeding the reference's apply_pbr_lighting) ----
+  const SHADOW_SIZE = 1024;
+  const shadowDepth = device.createTexture({size: [SHADOW_SIZE, SHADOW_SIZE],
+    format: "depth32float",
+    usage: GPUTextureUsage.RENDER_ATTACHMENT | GPUTextureUsage.TEXTURE_BINDING});
+  const shadowDepthView = shadowDepth.createView();
+  const compSamp = device.createSampler({compare: "less-equal"});
+  // light matrices: ortho box around the scene, looking along -LIGHT_DIR
+  // (the shipped shader's const light (0.4, 0.8, 0.3))
+  const ll = Math.hypot(0.4, 0.8, 0.3);
+  const ldir = [0.4/ll, 0.8/ll, 0.3/ll];
+  const lightAt = [0, 1, 0];
+  const lightEye = [lightAt[0] + ldir[0]*20, lightAt[1] + ldir[1]*20, lightAt[2] + ldir[2]*20];
+  const lv = lookAt(lightEye, lightAt);
+  const HALF = 14, LNEAR = 1, LFAR = 45;  // standard 0..1 depth (not reverse)
+  const lproj = new Float32Array([1/HALF,0,0,0, 0,1/HALF,0,0,
+    0,0,-1/(LFAR-LNEAR),0, 0,0,-LNEAR/(LFAR-LNEAR),1]);
+  const lightVP = mat4mul(lproj, lv.view);
+  // group(2) bindings 8-10 consume this uniform: mat4 + (bias, strength)
+  const shadowUniBuf = device.createBuffer({size: 80, usage: GPUBufferUsage.UNIFORM | GPUBufferUsage.COPY_DST});
+  { const u = new Float32Array(20); u.set(lightVP, 0); u[16] = 0.004; u[17] = 0.6;
+    device.queue.writeBuffer(shadowUniBuf, 0, u); }
+  // caster-pass uniform: light vp + the light-facing quad basis
+  const lright = [lv.inv[0], lv.inv[1], lv.inv[2]];
+  const lup = [lv.inv[4], lv.inv[5], lv.inv[6]];
+  const shadowViewBuf = device.createBuffer({size: 96, usage: GPUBufferUsage.UNIFORM | GPUBufferUsage.COPY_DST});
+  { const u = new Float32Array(24); u.set(lightVP, 0);
+    u.set(lright, 16); u.set(lup, 20);
+    device.queue.writeBuffer(shadowViewBuf, 0, u); }
+  const smod = device.createShaderModule({code: SHADOW_CASTER_WGSL});
+  const svLayout = device.createBindGroupLayout({entries: [
+    {binding: 0, visibility: GPUShaderStage.VERTEX, buffer: {type: "uniform"}}]});
+  const svGroup = device.createBindGroup({layout: svLayout,
+    entries: [{binding: 0, resource: {buffer: shadowViewBuf}}]});
+  const casterPipeline = device.createRenderPipeline({
+    layout: device.createPipelineLayout({bindGroupLayouts: [svLayout]}),
+    vertex: {module: smod, entryPoint: "vertex",
+      buffers: [{arrayStride: 64, stepMode: "instance",
+        attributes: [3, 4, 5, 6].map((loc, i) =>
+          ({shaderLocation: loc, offset: 16*i, format: "float32x4"}))}]},
+    fragment: {module: smod, entryPoint: "fragment", targets: []},
+    primitive: {topology: "triangle-list"},
+    depthStencil: {format: "depth32float", depthWriteEnabled: true, depthCompare: "less"},
+  });
+
   // ---- host-engine-side: ground prepass + opaque pass pipelines ----
   const gmod = device.createShaderModule({code: GROUND_WGSL});
-  const groundLayout = device.createPipelineLayout({bindGroupLayouts: [g0Layout]});
+  const gShadowLayout = device.createBindGroupLayout({entries: [
+    {binding: 0, visibility: GPUShaderStage.FRAGMENT, buffer: {type: "uniform"}},
+    {binding: 1, visibility: GPUShaderStage.FRAGMENT, texture: {sampleType: "depth"}},
+    {binding: 2, visibility: GPUShaderStage.FRAGMENT, sampler: {type: "comparison"}},
+  ]});
+  const gShadowGroup = device.createBindGroup({layout: gShadowLayout, entries: [
+    {binding: 0, resource: {buffer: shadowUniBuf}},
+    {binding: 1, resource: shadowDepthView},
+    {binding: 2, resource: compSamp},
+  ]});
   const groundVertex = {module: gmod, entryPoint: "vertex",
     buffers: [{arrayStride: 12, attributes: [{shaderLocation: 0, offset: 0, format: "float32x3"}]}]};
   const prepassPipeline = device.createRenderPipeline({
-    layout: groundLayout, vertex: groundVertex,  // depth-only: no fragment
+    layout: device.createPipelineLayout({bindGroupLayouts: [g0Layout]}),
+    vertex: groundVertex,  // depth-only: no fragment
     primitive: {topology: "triangle-list"},
     depthStencil: {format: "depth32float", depthWriteEnabled: true, depthCompare: "greater"},
   });
   const groundPipeline = device.createRenderPipeline({
-    layout: groundLayout, vertex: groundVertex,
+    layout: device.createPipelineLayout({bindGroupLayouts: [g0Layout, gShadowLayout]}),
+    vertex: groundVertex,
     fragment: {module: gmod, entryPoint: "fragment", targets: [{format: targetFormat}]},
     primitive: {topology: "triangle-list"},
     depthStencil: {format: "depth32float", depthWriteEnabled: true, depthCompare: "greater"},
@@ -359,6 +475,7 @@ async function main() {
     const ubuf = device.createBuffer({size: 48, usage: GPUBufferUsage.UNIFORM | GPUBufferUsage.COPY_DST});
     device.queue.writeBuffer(ubuf, 0, m.uniform);
     const sys = {ubuf, textures: m.textures, ribbon: m.ribbon,
+      uniformBytes: m.uniform,  // host copy: the shadow pass gates on pbr
       ibuf: device.createBuffer({size: Math.max(1, m.max) * 64,
         usage: GPUBufferUsage.VERTEX | GPUBufferUsage.COPY_DST})};
     if (m.ribbon)  // prepass-independent: build once
@@ -388,6 +505,9 @@ async function main() {
         {binding: 2, resource: real(0)}, {binding: 3, resource: samp},
         {binding: 4, resource: real(1)}, {binding: 5, resource: samp},
         {binding: 6, resource: real(2)}, {binding: 7, resource: samp},
+        {binding: 8, resource: {buffer: shadowUniBuf}},   // SHADOW_MAP def:
+        {binding: 9, resource: shadowDepthView},          // pbr_shade samples
+        {binding: 10, resource: compSamp},                // the light-view map
       ]});
     }
   }
@@ -404,28 +524,47 @@ async function main() {
     vu.set(vp, 0); vu.set(inv, 16); vu.set(eye, 32);
     device.queue.writeBuffer(viewBuf, 0, vu);
 
+    // upload this frame's instance buffers once; all passes read them
+    let live = 0, ribbons = 0;
+    for (const s of bytes[fi]) {
+      if (!s.count) continue;
+      device.queue.writeBuffer(systems.get(s.key).ibuf, 0, s.buf, 0, s.count * 64);  // render.rs:568-584
+      if (s.ribbon) ribbons += s.count; else live += s.count;
+    }
     const enc = device.createCommandEncoder();
+    // 0) shadow pass: PBR casters depth-rendered from the light's view
+    const p0 = enc.beginRenderPass({colorAttachments: [], depthStencilAttachment: {
+      view: shadowDepthView, depthClearValue: 1, depthLoadOp: "clear", depthStoreOp: "store"}});
+    p0.setPipeline(casterPipeline); p0.setBindGroup(0, svGroup);
+    for (const s of bytes[fi]) {
+      if (!s.count || s.ribbon) continue;
+      const sys = systems.get(s.key);
+      // alpha-blended smoke shouldn't stamp solid discs: only PBR systems
+      // cast (uniform word 1 = pbr flag)
+      if (new DataView(sys.uniformBytes.buffer, sys.uniformBytes.byteOffset).getUint32(4, true) !== 1) continue;
+      p0.setVertexBuffer(0, sys.ibuf);
+      p0.draw(6, s.count);
+    }
+    p0.end();
     // 1) depth prepass (what Bevy's prepass provides the reference shader)
     const p1 = enc.beginRenderPass({colorAttachments: [], depthStencilAttachment: {
       view: prepassDepth.createView(), depthClearValue: 0, depthLoadOp: "clear", depthStoreOp: "store"}});
     p1.setPipeline(prepassPipeline); p1.setBindGroup(0, g0);
     p1.setVertexBuffer(0, groundBuf); p1.draw(6); p1.end();
-    // 2) main pass: opaque ground, then one instanced draw per system
+    // 2) main pass: opaque ground (shadow-receiving), then one instanced
+    //    draw per system
     const p2 = enc.beginRenderPass({
       colorAttachments: [{view: ctx.getCurrentTexture().createView({format: targetFormat}),
         clearValue: {r: 0.016, g: 0.02, b: 0.03, a: 1}, loadOp: "clear", storeOp: "store"}],
       depthStencilAttachment: {view: mainDepth.createView(),
         depthClearValue: 0, depthLoadOp: "clear", depthStoreOp: "store"}});
-    p2.setPipeline(groundPipeline); p2.setBindGroup(0, g0);
+    p2.setPipeline(groundPipeline); p2.setBindGroup(0, g0); p2.setBindGroup(1, gShadowGroup);
     p2.setVertexBuffer(0, groundBuf); p2.draw(6);
-    let live = 0, ribbons = 0;
     p2.setBindGroup(0, g0); p2.setBindGroup(1, g1);
     for (const s of bytes[fi]) {
       if (!s.count) continue;
       const sys = systems.get(s.key);
-      if (s.ribbon) ribbons += s.count; else live += s.count;
       p2.setPipeline(s.ribbon ? ribbonPipeline : particlePipeline);
-      device.queue.writeBuffer(sys.ibuf, 0, s.buf, 0, s.count * 64);  // render.rs:568-584
       p2.setBindGroup(2, sys.g2);
       p2.setVertexBuffer(0, sys.ibuf);
       p2.draw(6, s.count);  // render.rs:926 (ribbons: 6 verts x segments)

@@ -213,3 +213,37 @@ def test_flag_without_texture_falls_back_to_dummy():
     dummies = DummyTextures()
     entries = dummies.bind_group_entries(flags=1, key=PipelineKey(), textures={})
     assert next(e for e in entries if e["binding"] == 2)["real"] is False
+
+
+def test_shadow_map_key_bit_specializes():
+    """SHADOW_MAP (VERDICT r2 next #7): the key bit adds the def, the
+    shadow_factor sampling code, and group(2) bindings 8-10 (light uniform,
+    depth map, comparison sampler); without the bit none of them appear."""
+    cache = PipelineCache()
+    v = cache.specialize(key_for(ALPHA_BLEND, depth_prepass=True, shadow_map=True))
+    assert "SHADOW_MAP" in v.shader_defs
+    assert "shadow_factor" in v.shader_source
+    assert "textureSampleCompare" in v.shader_source
+    assert [e["binding"] for e in v.layout] == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    shadow_samp = next(e for e in v.layout if e["binding"] == 10)
+    assert shadow_samp.get("comparison") is True
+    plain = cache.specialize(key_for(ALPHA_BLEND, depth_prepass=True))
+    assert "SHADOW_MAP" not in plain.shader_defs
+    assert "shadow_factor" not in plain.shader_source
+    assert [e["binding"] for e in plain.layout] == [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def test_shadow_dummy_binds_fully_lit():
+    """With no real shadow map, the 1x1 depth-1.0 dummy binds at 9 (every
+    less-equal compare passes => fully lit), mirroring the prepass dummy."""
+    dummies = DummyTextures()
+    key = key_for(ALPHA_BLEND, shadow_map=True)
+    entries = dummies.bind_group_entries(flags=0, key=key)
+    by_binding = {e["binding"]: e for e in entries}
+    assert set(by_binding) == {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10}
+    assert by_binding[9]["real"] is False
+    np.testing.assert_array_equal(by_binding[9]["resource"], np.ones((1, 1), np.float32))
+    assert by_binding[10]["resource"] == {"compare": "less-equal"}
+    real = np.zeros((64, 64), np.float32)
+    entries = dummies.bind_group_entries(flags=0, key=key, shadow_texture=real)
+    assert next(e for e in entries if e["binding"] == 9)["real"] is True

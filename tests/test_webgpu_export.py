@@ -45,12 +45,30 @@ def test_page_embeds_engine_specialization(html):
     from bevy_firework_tpu.shaders.specialize import ALPHA_BLEND, PipelineCache, key_for
 
     desc = _embedded(html, "DESC")
-    want = PipelineCache().specialize(key_for(ALPHA_BLEND, depth_prepass=True))
+    want = PipelineCache().specialize(
+        key_for(ALPHA_BLEND, depth_prepass=True, shadow_map=True))
     assert desc["shader_source"] == want.shader_source  # verbatim
     assert desc["blend"] == want.blend
     assert desc["depth_compare"] == "greater" and desc["depth_write_enabled"] is False
     assert desc["multisample_count"] == 1
-    assert list(desc["shader_defs"]) == ["DEPTH_PREPASS"]
+    assert list(desc["shader_defs"]) == ["DEPTH_PREPASS", "SHADOW_MAP"]
+    # the SHADOW_MAP variant's group(2) shadow bindings ride the layout
+    assert [e["binding"] for e in desc["layout"]][-3:] == [8, 9, 10]
+
+
+def test_page_local_shadow_shaders_type_check(html):
+    """The page-local host-engine shaders (ground receiver + light-view
+    caster) pass the full checker, like the shipped WGSL — a typo'd
+    template literal must fail tests, not a user's browser."""
+    import re as _re
+
+    from bevy_firework_tpu.shaders.wgsl_check import check_wgsl
+
+    for name in ("GROUND_WGSL", "SHADOW_CASTER_WGSL"):
+        m = _re.search(rf"const {name} = `(.*?)`;", html, _re.DOTALL)
+        assert m, f"{name} missing from page"
+        assert check_wgsl(m.group(1)) == [], name
+    assert "shadow_factor" in _embedded(html, "DESC")["shader_source"]
 
 
 def test_embedded_shader_passes_checker(html):
