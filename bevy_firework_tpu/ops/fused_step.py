@@ -94,6 +94,13 @@ BLOCK_ROWS_WIDE = 128  # preferred tile when capacity allows (measured faster)
 # docs/PERF_NOTES.md "Collider-count scaling"); the loop is constant-code.
 LOOP_MIN_COLLIDERS = 5
 
+# Testing seams: disable the hybrid's in-kernel nested child merge so the
+# XLA write-back formulation can be A/B'd bit-exact on TPU
+# (tools/fused_parity_tpu.py check_nested_kernel_merge), or force it ON
+# off-TPU so interpret-mode CPU tests cover the merge kernel path.
+_NESTED_KERNEL_MERGE = True
+_FORCE_NESTED_MERGE_CPU = False
+
 _F32_FIELDS = (
     "px", "py", "pz", "vx", "vy", "vz",
     "qx", "qy", "qz", "qw", "wx", "wy", "wz",
@@ -727,7 +734,7 @@ def nested_cadence_pass(static, params, e, alive, ptype, age, lifetime, le_row, 
 
 def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump: bool,
                  kernel_spawn: bool, block_rows: int, pack_render: bool = False,
-                 unroll: int = 1, field_kinds: tuple = ()):
+                 unroll: int = 1, field_kinds: tuple = (), nested_merge: tuple = ()):
     E = static.num_emitters
     T = static.num_types
     C = len(collider_kinds)
@@ -789,6 +796,11 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         if field_kinds:  # scene force fields (force_fields.py)
             ffpos_ref, ffaxis_ref, ffpar_ref, ffact_ref = refs[pos : pos + 4]
             pos += 4
+        child_ref = nwin_ref = None
+        if nested_merge:  # hybrid in-kernel child merge (step._nested_spawn)
+            child_ref = refs[pos]      # VMEM [n*n_rows*rows_b, 128] f32
+            nwin_ref = refs[pos + 1]   # SMEM [n, 2] int32: cursor, n_spawn
+            pos += 2
         alive_ref = None
         if not derived:
             alive_ref = refs[pos]
@@ -876,6 +888,63 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             else:
                 alive0 = alive_ref[:, :] != 0
             dead = ~alive0
+
+            # ---------------- in-kernel nested child merge ------------------------
+            # Hybrid fast path: the XLA nested stage computed this frame's
+            # [M] child rows (step._nested_spawn merge_out); each child of
+            # rank r claims ring slot (cursor_e + r) mod N, so the ranks a
+            # tile owns are CONTIGUOUS and — because the buffer was
+            # pre-shifted by (cursor_e mod 128) — 128-row-ALIGNED: one
+            # dynamic sublane slice per (emitter x field), no gather. This
+            # replaces the XLA stage's pool-sized write-backs / claim-mask
+            # passes with reads the kernel already pays for. Runs BEFORE the
+            # global claim (matching _spawn_phase's nested-first order) so
+            # merged children are alive to the claim and integrate this
+            # frame like the reference's spawn->update order.
+            if nested_merge and _u == 0:
+                n_merge, merge_tis, child_names, rows_b = nested_merge
+                n_cr = len(child_names)
+                rowi = jax.lax.broadcasted_iota(jnp.int32, dead.shape, 0)
+                lanei = jax.lax.broadcasted_iota(jnp.int32, dead.shape, 1)
+                p_flat = rowi * LANES + lanei
+                t0g = lane_base + tid * tile
+                # unconditional per tile: a gating scf.if around loads with
+                # dynamic starts fails Mosaic legalization, and the child
+                # buffer is VMEM-resident anyway (constant index map => one
+                # HBM fetch for the whole grid) — off-window tiles read a
+                # clamped slice and mask everything out
+                for mi in range(n_merge):
+                    c_e = nwin_ref[mi, 0]
+                    n_e = nwin_ref[mi, 1]
+                    delta = jnp.mod(t0g - c_e, npool)
+                    sdelta = jnp.where(delta >= npool - tile, delta - npool, delta)
+                    ti_m = merge_tis[mi]
+                    c128 = jnp.mod(c_e, LANES)
+                    # rank = (slot - cursor) mod npool is linear in the slot
+                    # EXCEPT at slot == cursor, where it jumps by +npool. A
+                    # tile containing that point (always when the pool is a
+                    # single tile; the cursor tile otherwise) holds ranks
+                    # from BOTH linear segments, so try both shifts — their
+                    # rank windows are provably disjoint (they differ by
+                    # npool >= n_e) and off-segment lanes mask to false.
+                    for sd in (sdelta, sdelta + npool):
+                        start_row = jnp.clip(
+                            (sd + c128) // LANES + (block_rows + 1),
+                            0, rows_b - block_rows,
+                        )
+                        # the clamp only bites on tiles whose rank range has
+                        # no overlap with [0, n_e) — there the mask is all-
+                        # false and the (in-bounds) read is discarded
+                        rank = sd + p_flat
+                        m = (~alive0) & (rank >= 0) & (rank < n_e)
+                        for ri_, name in enumerate(child_names):
+                            base_row = (mi * n_cr + ri_) * rows_b
+                            sl = child_ref[pl.dslice(base_row + start_row, block_rows), :]
+                            f[name] = jnp.where(m, sl, f[name])
+                        alive0 = alive0 | m
+                        if not single:
+                            ptype = jnp.where(m, ti_m, ptype)
+                dead = ~alive0
 
             # ---------------- in-kernel cadence (global-only archetypes) ----------
             # spawn_particles' per-emitter count/bookkeeping (core.rs:395-427) on
@@ -1308,7 +1377,8 @@ def _pack_gmeta(params):
 
 
 def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptype, f32_fields,
-                      kernel_spawn: bool = True, pack_render: bool = False, unroll=1):
+                      kernel_spawn: bool = True, pack_render: bool = False, unroll=1,
+                      nested_payloads=None):
     """Invoke the fused Pallas kernel on one pool pass.
 
     alive: [N] bool, ptype: [N] i32, f32_fields: name -> [N] f32 covering
@@ -1343,8 +1413,42 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     E = static.num_emitters
     ff = frame.force_fields
     field_kinds = ff.kinds if (ff is not None and len(ff.kinds) > 0) else ()
+    # hybrid in-kernel nested merge: pre-shift each child buffer by
+    # (cursor mod 128) so the kernel's per-tile reads are row-aligned
+    # dynamic slices (see the kernel's merge block / step._nested_spawn)
+    n_merge = len(nested_payloads) if nested_payloads else 0
+    merge_info = ()
+    child_buf = nwin_arr = None
+    if n_merge:
+        assert kernel_spawn, "nested merge requires the in-kernel spawn path"
+        from ..step import nested_child_field_rows
+
+        child_names = nested_child_field_rows(static)
+        m_len = nested_payloads[0]["rows"][0][1].shape[0]
+        pad_rows = block_rows + 1
+        rows_b = pad_rows + (m_len + LANES) // LANES + block_rows
+        bufs = []
+        nwin = []
+        for p in nested_payloads:
+            names = tuple(nm for nm, _v in p["rows"])
+            assert names == child_names, (names, child_names)
+            c = p["cursor"].astype(jnp.int32)
+            c128 = jnp.mod(c, LANES)
+            zero_b = jnp.zeros((rows_b * LANES,), jnp.float32)
+            for _nm, v in p["rows"]:
+                bufs.append(
+                    jax.lax.dynamic_update_slice(
+                        zero_b, v, (pad_rows * LANES + c128,)
+                    ).reshape(rows_b, LANES)
+                )
+            nwin.append(jnp.stack([c, p["n_spawn"].astype(jnp.int32)]))
+        child_buf = jnp.concatenate(bufs, axis=0)  # [n*n_rows*rows_b, 128]
+        nwin_arr = jnp.stack(nwin)  # [n, 2] int32
+        merge_info = (n_merge, tuple(p["ti"] for p in nested_payloads),
+                      child_names, rows_b)
+
     kernel = _make_kernel(static, kinds, identity, dump, kernel_spawn, block_rows, pack_render,
-                          unroll=unroll, field_kinds=field_kinds)
+                          unroll=unroll, field_kinds=field_kinds, nested_merge=merge_info)
 
     smalls = _pack_fused_smalls(static, params, colliders, frame) + [dyn, estate]
     if looped:
@@ -1374,7 +1478,7 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     nf = len(fields)
 
     n_small = (N_SMALL + (1 if pack_render else 0) + (1 if looped else 0)
-               + (4 if field_kinds else 0))
+               + (4 if field_kinds else 0) + (2 if n_merge else 0))
     n_big_in = (0 if derived else 1) + (0 if single else 1) + nf  # [alive], [ptype], fields
     n_extra = (0 if derived else 1) + (0 if single else 1) + (1 if dump else 0)
     # looped narrow phase reads collider rows (cpos/crot/cpar/clay, smalls
@@ -1385,6 +1489,7 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
         + [smem_spec] * 2
         + ([small_spec] if pack_render else []) + ([smem_spec] if looped else [])
         + ([small_spec] * 4 if field_kinds else [])
+        + ([small_spec, smem_spec] if n_merge else [])
         + [blocked()] * n_big_in
     )
     out_specs = [blocked()] * (n_extra + nf)
@@ -1406,6 +1511,8 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
 
     field_arrays = [f32_fields[name].reshape(rows, LANES) for name in fields]
     inputs = smalls[:]
+    if n_merge:
+        inputs += [child_buf, nwin_arr]
     if not derived:
         inputs.append(alive.astype(jnp.int32).reshape(rows, LANES))
     if not single:
@@ -1700,10 +1807,34 @@ def fused_step_hybrid(
 
     # pre-spawn liveness for the in-kernel active() flag (core.rs:288-302)
     any_alive_pre = jnp.any(state.alive)
-    fields, enabled, time_in_cycle, last_emission, manual_queued, new_key, spawn_stats = _spawn_phase(
-        static, params, state, frame, skip_global=kernel_global,
-        kernel_cadence=kernel_global,
-    )
+    # The merge defers pool writes to the kernel, so a nested emitter can no
+    # longer see an EARLIER nested emitter's same-frame children. That only
+    # matters for chained nesting (emitter e2 targeting a type some earlier
+    # nested emitter spawns — reference semantics: sequential Vec pushes,
+    # core.rs:471-546); such archetypes keep the in-place write-back.
+    chained = False
+    seen_child_types = set()
+    for e in range(E):
+        if static.mode_kinds[e] == MODE_GLOBAL or not static.nested_valid[e]:
+            continue
+        if static.target_types[e] in seen_child_types:
+            chained = True
+        seen_child_types.add(static.particle_indices[e])
+    merging = (kernel_global and _NESTED_KERNEL_MERGE and static.ring_claim
+               and not chained
+               and (jax.default_backend() == "tpu" or _FORCE_NESTED_MERGE_CPU))
+    if merging:
+        (fields, enabled, time_in_cycle, last_emission, manual_queued, new_key,
+         spawn_stats, nested_payloads) = _spawn_phase(
+            static, params, state, frame, skip_global=True,
+            kernel_cadence=True, nested_merge=True,
+        )
+    else:
+        nested_payloads = None
+        fields, enabled, time_in_cycle, last_emission, manual_queued, new_key, spawn_stats = _spawn_phase(
+            static, params, state, frame, skip_global=kernel_global,
+            kernel_cadence=kernel_global,
+        )
 
     if kernel_global:
         # global emitters run fully in-kernel (cadence + claim + RNG init),
@@ -1724,6 +1855,7 @@ def fused_step_hybrid(
     alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new, planes = _run_fused_kernel(
         static, params, colliders, frame, dyn, estate, fields["alive"], fields["ptype"], f32_fields,
         kernel_spawn=kernel_global, pack_render=pack_render,
+        nested_payloads=nested_payloads,
     )
     if kernel_global:
         manual_queued = dyn_new[0, 0]

@@ -166,6 +166,10 @@ def _group_multi_step_stacked(static, P, colliders, S, F, n_frames):
 
 DEFAULT_CAPACITY = 16384
 _FUSED_TILE = 8192  # fused-kernel alignment (ops.fused_step BLOCK_ROWS*LANES)
+# estimate_capacity's allowance per ON-DEMAND emitter: on-demand volume is
+# caller-driven and unbounded, so this is only a default burst cushion —
+# size the pool explicitly (or raise headroom) for heavy on-demand use.
+_ON_DEMAND_ALLOWANCE = 256
 
 
 @dataclasses.dataclass
@@ -202,7 +206,7 @@ def estimate_capacity(spawner: ParticleSpawner, headroom: float = 1.5) -> int:
             else:
                 per_type[es.particle_index] += p.count / max(p.duration, 1e-6) * life
         else:  # on-demand: a modest default burst allowance
-            per_type[es.particle_index] += 256
+            per_type[es.particle_index] += _ON_DEMAND_ALLOWANCE
     total = int(sum(per_type) * headroom) + 64
     if total > _FUSED_TILE // 2:
         total = -(-total // _FUSED_TILE) * _FUSED_TILE  # round up to tile

@@ -264,7 +264,21 @@ def _monotone_inverse(cum, m: int):
     return nfull * B + jnp.where(nfull < nb, fine, 0)
 
 
-def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_key):
+def nested_child_field_rows(static) -> tuple:
+    """The child-buffer row order shared by _nested_spawn's write-back and
+    the fused kernel's in-kernel merge (ops/fused_step.py): exactly the f32
+    fields a nested spawn writes, elided fields excluded."""
+    names = ["px", "py", "pz", "vx", "vy", "vz"]
+    if not static.elide_rotation:
+        names += ["qx", "qy", "qz", "qw", "wx", "wy", "wz"]
+    names += ["initial_scale", "age"]
+    if static.const_lifetime is None:
+        names.append("lifetime")
+    return tuple(names)
+
+
+def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_key,
+                  merge_out=None):
     """Nested emission, two-stage (SURVEY.md #9), gather-light & scatter-light.
 
     Stage 1 (rank space): map each child rank to its parent slot and to the
@@ -273,7 +287,16 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     stacked gather sized by M, initialize children there, and write back with
     ONE stacked M-update scatter — no pool-sized gathers or scatter-update
     vectors anywhere.
-    """
+
+    merge_out (hybrid fast path, ring archetypes on TPU): instead of writing
+    the child f32 rows / alive / ptype into the pool here, append a payload
+    (child buffer + window scalars) for the fused kernel to merge per tile
+    — the kernel already streams every pool field, so the merge removes the
+    XLA stage's pool-sized write-backs and claim-mask passes entirely. The
+    buffer is pre-shifted by (cursor mod 128) so every kernel tile reads its
+    children with a 128-row-ALIGNED dynamic slice (rank and tile origin are
+    congruent mod 128; no in-kernel gather or lane rotate needed).
+    last_emitted / ring_cursor / dropped accounting stay here either way."""
     N = fields["alive"].shape[0]
     M = min(static.nested_m, N)
     ti = static.particle_indices[e]
@@ -325,26 +348,30 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     # 4 rows in the gather and the child-frame rotation below.
     pnames = ("px", "py", "pz", "vx", "vy", "vz") if static.elide_rotation else (
         "px", "py", "pz", "qx", "qy", "qz", "qw", "vx", "vy", "vz")
-    pstack = jnp.stack([fields[k] for k in pnames])
     # XLA's TPU gather costs ~36 ns/index regardless of table size
     # (docs/PERF_NOTES.md); riding the MXU instead — two one-hot matmuls
     # (rows then lanes) at HIGHEST precision — is ~2x faster at M=4096 and
     # BIT-EXACT (each output is a single v*1.0 product; the bf16x3
     # decomposition reconstructs f32 products with 1.0 exactly;
     # verified array_equal vs the gather in tests/test_nested.py).
+    # Per-FIELD einsums sharing the two one-hots: stacking the fields first
+    # materializes a [F, N] copy (~5 MB at 131k lanes) that the einsum
+    # formulation doesn't need.
     if jax.default_backend() == "tpu" and N % 128 == 0:
         rows_n = N // 128
         pr, pl_ = child_parent // 128, child_parent % 128
         oh_r = jax.nn.one_hot(pr, rows_n, dtype=jnp.float32)  # [M, rows]
-        picked = jnp.einsum(
-            "mr,frl->fml", oh_r, pstack.reshape(len(pnames), rows_n, 128),
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [F, M, 128]
         oh_l = jax.nn.one_hot(pl_, 128, dtype=jnp.float32)
-        pg = jnp.einsum("fml,ml->fm", picked, oh_l,
-                        precision=jax.lax.Precision.HIGHEST)
+        hp = jax.lax.Precision.HIGHEST
+        pg = [
+            jnp.einsum("ml,ml->m", jnp.einsum("mr,rl->ml", oh_r,
+                                              fields[k].reshape(rows_n, 128),
+                                              precision=hp),
+                       oh_l, precision=hp)
+            for k in pnames
+        ]
     else:
-        pg = pstack[:, child_parent]  # [len(pnames), M]
+        pg = jnp.stack([fields[k] for k in pnames])[:, child_parent]  # [F, M]
     ppos = (pg[0], pg[1], pg[2])
     prot = None if static.elide_rotation else (pg[3], pg[4], pg[5], pg[6])
     pvel = (pg[-3], pg[-2], pg[-1])
@@ -389,7 +416,42 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     rows += [("initial_scale", init_scale), ("age", zeros)]
     if static.const_lifetime is None:
         rows.append(("lifetime", sample_randf32(uni[8], params.lifetime_lo[ti], params.lifetime_hi[ti])))
-    # --- write back: M-update scatters (f32) + claimed-mask wheres (rest) ----
+    # --- write back ----------------------------------------------------------
+    # (merge_out is only passed by the hybrid fast path, which already
+    # gated on backend/ring/chaining — no backend check here so interpret-
+    # mode CPU tests can drive the merge kernel)
+    if (merge_out is not None and static.ring_claim and N > M
+            and not _FORCE_SCATTER_WRITEBACK):
+        # hybrid in-kernel merge: hand the [M] child rows + window scalars to
+        # the fused kernel; only last_emitted (not streamed by the kernel)
+        # is updated here, with two masked M-sized windows per emitter row
+        # (the same double-window math as below — never a pool-sized pass)
+        cursor0 = cursor
+        start1 = jnp.minimum(cursor0, N - M)
+        shift = cursor0 - start1
+        wrapped = jnp.maximum(cursor0 + M - N, 0)
+        nc = N - cursor0
+        p_ids = jnp.arange(M, dtype=jnp.int32)
+        win1_dead = jax.lax.dynamic_slice(di, (start1,), (M,)) != 0
+        rank1 = p_ids - shift
+        m1 = (rank1 >= 0) & (rank1 < n_spawn) & win1_dead
+        m2 = (p_ids < wrapped) & (nc + p_ids < n_spawn) & dead[:M]
+        fmin_m = jnp.full((M,), F32_MIN, jnp.float32)
+        le = fields["last_emitted"]
+        for er in range(le.shape[0]):
+            row_v = le[er]
+            w1 = jax.lax.dynamic_slice(row_v, (start1,), (M,))
+            row_v = jax.lax.dynamic_update_slice(row_v, jnp.where(m1, fmin_m, w1), (start1,))
+            row_v = jax.lax.dynamic_update_slice(row_v, jnp.where(m2, fmin_m, row_v[:M]), (0,))
+            le = le.at[er].set(row_v)
+        fields["last_emitted"] = le
+        merge_out.append({
+            "rows": tuple(rows),           # (name, [M] f32) in child-row order
+            "cursor": cursor0,             # window start (pre-advance)
+            "n_spawn": n_spawn,            # children claiming this frame
+            "ti": int(ti),                 # particle type of the children
+        })
+        return dropped
     if (static.ring_claim and jax.default_backend() == "tpu" and N > M
             and not _FORCE_SCATTER_WRITEBACK):
         # Ring claims are CONTIGUOUS mod N, so the M-row scatter (which XLA
@@ -440,6 +502,7 @@ def _spawn_phase(
     frame: FrameInput,
     skip_global: bool = False,
     kernel_cadence: bool = False,
+    nested_merge: bool = False,
 ):
     """spawn_particles (`core.rs:367-551`) on the SoA pool: all emitters in
     order (global claim-and-init + nested two-stage). Returns the post-spawn
@@ -477,6 +540,9 @@ def _spawn_phase(
     manual_queued = state.manual_queued
     nested_deferred = jnp.zeros((), jnp.int32)
     nested_dropped = jnp.zeros((), jnp.int32)
+    # hybrid in-kernel merge payloads (only the kernel-cadence fast path
+    # fills this; None keeps _nested_spawn on the in-place write-back)
+    merge_payloads = [] if nested_merge else None
 
     # Spawn origin per SpawnTransformMode (`core.rs:432-435`): the host passes
     # whichever transform applies in frame.transform_*.
@@ -534,7 +600,8 @@ def _spawn_phase(
                 nested_deferred = nested_deferred + (total - jnp.minimum(total, M))
                 fields["last_emitted"] = fields["last_emitted"].at[e].set(new_le)
                 nested_dropped = nested_dropped + _nested_spawn(
-                    static, params, frame, fields, e, None, cum, total, frame_key
+                    static, params, frame, fields, e, None, cum, total, frame_key,
+                    merge_out=merge_payloads,
                 )
                 continue
             parent_mask = fields["alive"] & (fields["ptype"] == target) & gate
@@ -582,6 +649,9 @@ def _spawn_phase(
             )
 
     stats = (nested_deferred, nested_dropped)
+    if nested_merge:
+        return (fields, enabled, time_in_cycle, last_emission, manual_queued,
+                new_key, stats, merge_payloads)
     return fields, enabled, time_in_cycle, last_emission, manual_queued, new_key, stats
 
 

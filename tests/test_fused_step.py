@@ -569,3 +569,62 @@ def test_unrolled_kernel_matches_sequential_exactly():
     np.testing.assert_array_equal(np.asarray(sA.enabled), np.asarray(sB.enabled))
     assert not bool(np.asarray(sB.enabled)[1])  # one-shot fired + disabled
     assert int(oA.alive_count) == int(oB.alive_count) > 0
+
+
+def test_hybrid_nested_kernel_merge_bit_exact():
+    """The in-kernel nested child merge (round-3 fast path: the fused kernel
+    reads this frame's [M] child rows through row-aligned dynamic slices of
+    a cursor-pre-shifted VMEM buffer and merges them per tile) is BIT-EXACT
+    vs the XLA double-window write-back, over enough frames for the ring
+    cursor to wrap repeatedly. Same seed => identical threefry nested draws
+    and identical in-kernel global PRNG streams, so any divergence is the
+    merge path itself."""
+    import bevy_firework_tpu.ops.fused_step as fs
+    from bevy_firework_tpu import EmissionMode
+
+    sp = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(0.5), linear_drag=0.1),
+            ParticleSettings(lifetime=RandF32.constant(0.5), linear_drag=0.3),
+        ],
+        emission_settings=[
+            EmissionSettings(
+                particle_index=0,
+                emission_pacing=EmissionPacing.rate(2000.0),
+                initial_velocity=RandVec3(magnitude=RandF32(1.0, 4.0), direction=(0, 1, 0), spread=0.6),
+            ),
+            EmissionSettings(
+                particle_index=1,
+                emission_mode=EmissionMode.nested(0),
+                emission_pacing=EmissionPacing.count_over_duration(12.0, 1.0, 0.0, 1.0),
+                initial_velocity=RandVec3(magnitude=RandF32(0.1, 0.8), direction=(0, 1, 0), spread=3.0),
+                inherit_parent_velocity=True,
+            ),
+        ],
+    )
+    c = compile_spawner(sp, nested_buffer=512)
+    assert c.static.ring_claim
+    frame = make_frame_input(1 / 50)
+
+    def run(merge_on, n_frames=70):
+        fs._FORCE_NESTED_MERGE_CPU = merge_on
+        fs._NESTED_KERNEL_MERGE = True
+        try:
+            # fresh jit identity per flag value (module flag is trace-time)
+            hybrid = jax.jit(lambda st, p, col, s, f: fs.fused_step_hybrid(st, p, col, s, f),
+                             static_argnums=(0,))
+            s = init_pool_for(c, N, 0)
+            for _ in range(n_frames):
+                with pltpu.force_tpu_interpret_mode():
+                    s, _o = hybrid(c.static, c.params, None, s, frame)
+            return s
+        finally:
+            fs._FORCE_NESTED_MERGE_CPU = False
+
+    sM = run(True)
+    sX = run(False)
+    for f in ("alive", "px", "py", "pz", "vx", "vy", "vz", "age",
+              "initial_scale", "ptype", "ring_cursor"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sM, f)), np.asarray(getattr(sX, f)), err_msg=f)
+    assert int(np.asarray(sM.alive).sum()) > 500  # the merge path ran for real

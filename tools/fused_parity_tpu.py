@@ -509,6 +509,58 @@ def check_nested_ring_window(capacity=8192, n_frames=240):
     return None
 
 
+def check_nested_kernel_merge(capacity=2 * 8192, n_frames=240):
+    """The in-kernel nested child merge (round 3: per-tile row-aligned
+    dynamic slices of the cursor-pre-shifted child buffer) vs the XLA
+    double-window write-back, COMPILED, bit-exact across repeated ring
+    wraps. 2-tile pool so the cursor tile / head tile split and the
+    single-segment tiles all occur; the single-tile case is covered by
+    tests/test_fused_step.py::test_hybrid_nested_kernel_merge_bit_exact."""
+    import bevy_firework_tpu.ops.fused_step as fs
+    from bevy_firework_tpu import EmissionMode
+
+    sp = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(0.5), linear_drag=0.1),
+            ParticleSettings(lifetime=RandF32.constant(0.5), linear_drag=0.3),
+        ],
+        emission_settings=[
+            EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.rate(4000.0),
+                             initial_velocity=RandVec3.constant((0.5, 3.0, 0.0))),
+            EmissionSettings(particle_index=1, emission_mode=EmissionMode.nested(0),
+                             emission_pacing=EmissionPacing.count_over_duration(12.0, 1.0, 0.0, 1.0),
+                             initial_velocity=RandVec3.constant((0.0, 0.5, 0.0)),
+                             inherit_parent_velocity=True),
+        ],
+    )
+    c = compile_spawner(sp, nested_buffer=512)
+    assert c.static.ring_claim
+    frame = make_frame_input(1 / 50)
+
+    def run(merge_on):
+        fs._NESTED_KERNEL_MERGE = merge_on
+        try:
+            f = jax.jit(lambda p, s, fr: fs.fused_step_hybrid(c.static, p, None, s, fr))
+            s = init_pool_for(c, capacity, 0)
+            for _ in range(n_frames):
+                s, _ = f(c.params, s, frame)
+            return s
+        finally:
+            fs._NESTED_KERNEL_MERGE = True
+
+    sM = run(True)
+    sX = run(False)
+    for fname in ("alive", "px", "py", "pz", "vx", "vy", "vz", "age",
+                  "initial_scale", "ptype", "ring_cursor"):
+        a, b = np.asarray(getattr(sM, fname)), np.asarray(getattr(sX, fname))
+        if not np.array_equal(a, b):
+            return (f"FIELD {fname} differs (n={int(np.sum(a != b))}, "
+                    f"max |d| {np.abs(a.astype(np.float64) - b.astype(np.float64)).max():.2e})")
+    if int(np.asarray(sM.alive).sum()) == 0:
+        return "no live particles - merge path untested"
+    return None
+
+
 def main(n_configs=8):
     failures = 0
     total = 0
@@ -609,6 +661,13 @@ def main(n_configs=8):
         failures += 1
     else:
         print("nested-ring-window: OK (double-window write-back bit-exact vs scatter, 240 frames incl. wraps)")
+    total += 1
+    err = check_nested_kernel_merge()
+    if err:
+        print(f"nested-kernel-merge: {err}")
+        failures += 1
+    else:
+        print("nested-kernel-merge: OK (in-kernel child merge bit-exact vs XLA write-back, 240 frames incl. wraps)")
     print(f"\n{total - failures}/{total} configs exact-match")
     return failures
 
