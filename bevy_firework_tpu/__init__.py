@@ -20,6 +20,7 @@ from .pool import FrameInput, PoolState, init_pool, init_pool_for, make_frame_in
 from .rand import RandF32, RandVec3
 from .render import (
     FireworkUniform,
+    FogSettings,
     RenderItem,
     aabb_intersects_frustum,
     frustum_planes,
@@ -80,6 +81,7 @@ __all__ = [
     "Fleet",
     "FieldTable",
     "FireworkUniform",
+    "FogSettings",
     "ForceField",
     "FrameInput",
     "ParticleCollisionSettings",

@@ -58,6 +58,62 @@ class FireworkUniform:
         return buf.tobytes()
 
 
+FOG_OFF, FOG_LINEAR, FOG_EXP, FOG_EXP2 = 0, 1, 2, 3
+
+
+@dataclasses.dataclass(frozen=True)
+class FogSettings:
+    """View-level distance fog (Bevy `DistanceFog` semantics — the reference
+    inherits the fog stage from `apply_pbr_lighting`; here it is the FOG
+    pipeline variant's uniform at group(2) binding 11). `color`'s alpha
+    scales the maximum fog opacity; `directional_light_color`'s alpha is the
+    inscattering strength around `light_dir` raised to
+    `directional_light_exponent`. Mode semantics:
+
+      FOG_LINEAR: amount = clamp((dist - start) / (end - start), 0, 1)
+      FOG_EXP:    amount = 1 - exp(-dist * density)
+      FOG_EXP2:   amount = 1 - exp(-(dist * density)^2)
+    """
+
+    mode: int = FOG_LINEAR
+    color: tuple = (0.6, 0.65, 0.7, 1.0)
+    start: float = 5.0          # FOG_LINEAR only
+    end: float = 50.0           # FOG_LINEAR only
+    density: float = 0.05       # FOG_EXP / FOG_EXP2 only
+    directional_light_color: tuple = (0.0, 0.0, 0.0, 0.0)
+    directional_light_exponent: float = 8.0
+    light_dir: tuple = (0.4, 0.8, 0.3)
+
+    def to_bytes(self) -> bytes:
+        """std140 packing mirroring the WGSL `FogUniform` (4 x vec4 = 64 B):
+        base_color, directional_light, light_dir.xyz + mode, params
+        (start-or-density, end, scatter exponent, 0)."""
+        buf = np.zeros(16, dtype=np.float32)
+        buf[0:4] = self.color
+        buf[4:8] = self.directional_light_color
+        buf[8:11] = self.light_dir
+        buf[11] = float(self.mode)
+        buf[12] = self.start if self.mode == FOG_LINEAR else self.density
+        buf[13] = self.end
+        buf[14] = self.directional_light_exponent
+        return buf.tobytes()
+
+    def amount(self, dist):
+        """The fog mix factor at view distance `dist` (numpy-friendly) —
+        the host-side oracle for the WGSL `fog_amount`, consumed by the
+        software viewer and the A/B image tests."""
+        d = np.asarray(dist, dtype=np.float32)
+        if self.mode == FOG_LINEAR:
+            a = np.clip((d - self.start) / max(self.end - self.start, 1e-5), 0.0, 1.0)
+        elif self.mode == FOG_EXP:
+            a = 1.0 - np.exp(-d * self.density)
+        elif self.mode == FOG_EXP2:
+            a = 1.0 - np.exp(-np.square(d * self.density))
+        else:
+            a = np.zeros_like(d)
+        return a * self.color[3]
+
+
 def make_uniform(compiled: CompiledSpawner, type_index: int) -> FireworkUniform:
     base_tex, normal_tex, orm_tex = compiled.textures[type_index]
     flags = 0

@@ -28,6 +28,12 @@
 //     factor (the reference gets shadows from Bevy's clustered PBR via
 //     apply_pbr_lighting, reference particles.wgsl:180-239; this def is
 //     the self-contained analog at the same seam).
+//   FOG           — a distance-fog uniform is bound at group(2) binding 11;
+//     the fragment's final color (unlit AND lit — fog is a view effect,
+//     applied after the lighting branch like Bevy's pbr.wgsl fragment) is
+//     mixed toward the fog color by a linear / exp / exp2 falloff with
+//     optional directional-light inscattering (Bevy DistanceFog semantics;
+//     the reference inherits this from apply_pbr_lighting's fog stage).
 
 struct ViewLike {
     view_proj: mat4x4<f32>,
@@ -91,6 +97,48 @@ fn shadow_factor(world_pos: vec3<f32>) -> f32 {
     return 1.0 - shadow.params.y * (1.0 - lit * 0.25);
 }
 #endif // SHADOW_MAP
+#ifdef FOG
+// Distance fog (Bevy DistanceFog semantics — the reference's fragment gets
+// this stage free from apply_pbr_lighting). mode selects the falloff:
+// 1 linear (params.x start, params.y end), 2 exponential (params.x density),
+// 3 exponential-squared (params.x density). base_color.a scales the maximum
+// fog opacity; directional_light.rgb * directional_light.a adds sun
+// inscattering raised to params.z around the light direction.
+struct FogUniform {
+    base_color: vec4<f32>,
+    directional_light: vec4<f32>,  // rgb color, a = scattering strength
+    light_dir: vec4<f32>,          // xyz toward the light, w = mode
+    params: vec4<f32>,             // x start/density, y end, z scatter exponent
+};
+@group(2) @binding(11) var<uniform> fog: FogUniform;
+
+fn fog_amount(dist: f32) -> f32 {
+    let mode = fog.light_dir.w;
+    var amount = 0.0;
+    if (mode == 1.0) {
+        amount = clamp((dist - fog.params.x) / max(fog.params.y - fog.params.x, 1e-5), 0.0, 1.0);
+    } else if (mode == 2.0) {
+        amount = 1.0 - 1.0 / exp(dist * fog.params.x);
+    } else if (mode == 3.0) {
+        let d = dist * fog.params.x;
+        amount = 1.0 - 1.0 / exp(d * d);
+    }
+    return amount * fog.base_color.a;
+}
+
+fn apply_fog(color: vec4<f32>, world_pos: vec3<f32>) -> vec4<f32> {
+    let to_frag = world_pos - view.world_position;
+    let dist = length(to_frag);
+    var fog_rgb = fog.base_color.rgb;
+    if (fog.directional_light.a > 0.0) {
+        let view_dir = to_frag / max(dist, 1e-5);
+        let alignment = max(dot(view_dir, normalize(fog.light_dir.xyz)), 0.0);
+        fog_rgb = fog_rgb
+            + pow(alignment, fog.params.z) * fog.directional_light.rgb * fog.directional_light.a;
+    }
+    return vec4<f32>(mix(color.rgb, fog_rgb, fog_amount(dist)), color.a);
+}
+#endif // FOG
 
 // ---------------------------------------------------------------------------
 // quaternion helpers
@@ -242,12 +290,18 @@ fn fragment(in: VsOut) -> @location(0) vec4<f32> {
         discard;
     }
 
-    if (system.pbr == 0u) {
-        // unlit path returns the base color alone (reference
-        // particles.wgsl:162-163); emissive only participates in PBR.
-        return color;
+    var out_color = color;
+    if (system.pbr != 0u) {
+        out_color = pbr_shade(in, color, emissive);
     }
-    return pbr_shade(in, color, emissive);
+    // else: unlit path keeps the base color alone (reference
+    // particles.wgsl:162-163); emissive only participates in PBR.
+#ifdef FOG
+    // fog is a view effect applied after the lighting branch for BOTH
+    // paths, matching Bevy's pbr.wgsl fragment ordering
+    out_color = apply_fog(out_color, in.world_position);
+#endif // FOG
+    return out_color;
 }
 
 // ---------------------------------------------------------------------------

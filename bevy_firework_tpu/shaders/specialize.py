@@ -129,6 +129,10 @@ class PipelineKey:
     # reference inherits shadows from Bevy's clustered PBR; here it's an
     # explicit key bit like the prepass)
     shadow_map: bool = False
+    # the view has distance fog (Bevy DistanceFog; the reference inherits
+    # the fog stage from apply_pbr_lighting — here an explicit key bit that
+    # binds a FogUniform at group(2) binding 11 and compiles the mix in)
+    fog: bool = False
 
     def target_format(self) -> str:
         # `key.target_format()` (`render.rs:831`): the view's HDR choice.
@@ -142,6 +146,7 @@ def key_for(
     depth_prepass: bool = False,
     hdr: bool = False,
     shadow_map: bool = False,
+    fog: bool = False,
 ) -> PipelineKey:
     """`render.rs:519-535`: alpha_mode -> key blend bit. Premultiplied and
     Add share one key (their difference is applied post-lighting in the
@@ -159,6 +164,7 @@ def key_for(
         hdr=bool(hdr),
         blend_bit=bit,
         shadow_map=bool(shadow_map),
+        fog=bool(fog),
     )
 
 
@@ -167,7 +173,8 @@ def key_for(
 # ---------------------------------------------------------------------------
 
 
-def uniform_layout_entries(msaa: bool, shadow_map: bool = False) -> List[dict]:
+def uniform_layout_entries(msaa: bool, shadow_map: bool = False,
+                           fog: bool = False) -> List[dict]:
     """The uniform bind-group layout; the msaa flavor swaps the depth
     entry's texture type (`render.rs:820-824` picks uniform_layout vs
     uniform_layout_msaa). The depth entry is ALWAYS in the layout — when
@@ -193,6 +200,10 @@ def uniform_layout_entries(msaa: bool, shadow_map: bool = False) -> List[dict]:
         entries.append({"binding": 8, "type": "uniform-buffer", "size": 80, "name": "shadow"})
         entries.append({"binding": 9, "type": "texture", "sample_type": "depth", "multisampled": False, "name": "shadow"})
         entries.append({"binding": 10, "type": "sampler", "comparison": True, "name": "shadow"})
+    if fog:
+        # FOG variant: FogUniform (4 x vec4 = 64 B) at binding 11 — fixed
+        # slot regardless of shadow_map so the two variants compose
+        entries.append({"binding": 11, "type": "uniform-buffer", "size": 64, "name": "fog"})
     return entries
 
 
@@ -233,6 +244,8 @@ class PipelineCache:
             defs.append("DEPTH_PREPASS")  # render.rs:848-850
         if key.shadow_map:
             defs.append("SHADOW_MAP")
+        if key.fog:
+            defs.append("FOG")
         wgsl = preprocess(self._source, frozenset(defs))
         errors = check_wgsl(wgsl)
         if errors:
@@ -244,7 +257,8 @@ class PipelineCache:
             key=key,
             shader_defs=tuple(defs),
             shader_source=wgsl,
-            layout=uniform_layout_entries(key.msaa_samples > 1, key.shadow_map),
+            layout=uniform_layout_entries(key.msaa_samples > 1, key.shadow_map,
+                                          key.fog),
             target_format=key.target_format(),
             blend=ALPHA_BLENDING,
             multisample_count=key.msaa_samples,  # render.rs:864
@@ -331,4 +345,8 @@ class DummyTextures:
                             "resource": shadow_texture if real else self.shadow_texture,
                             "real": real})
             entries.append({"binding": 10, "resource": self.shadow_sampler, "real": real})
+        if key.fog:
+            # the uniform itself carries mode/opacity, so there is no dummy
+            # resource — a host with fog disabled simply doesn't set the bit
+            entries.append({"binding": 11, "resource": "fog-uniform"})
         return entries

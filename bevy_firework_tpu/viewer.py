@@ -68,6 +68,29 @@ def _smoothstep(edge0: float, edge1: float, x: np.ndarray) -> np.ndarray:
     return t * t * (3.0 - 2.0 * t)
 
 
+def _fog_mix(fog, color, rel_world):
+    """Mix `color` ([..., 3]) toward the fog color by the falloff at each
+    fragment's view distance — the host analog of the FOG pipeline variant's
+    `apply_fog` (shaders/particles.wgsl), sharing `FogSettings.amount` as the
+    falloff oracle. `rel_world`: world-space offset camera -> fragment,
+    broadcastable against color's leading dims + (3,)."""
+    rel = np.asarray(rel_world, np.float32)
+    dist = np.linalg.norm(rel, axis=-1)
+    amount = fog.amount(dist)[..., None]
+    fog_rgb = np.asarray(fog.color[:3], np.float32)
+    dl = fog.directional_light_color
+    if dl[3] > 0.0:
+        ld = np.asarray(fog.light_dir, np.float32)
+        ld = ld / max(float(np.linalg.norm(ld)), 1e-6)
+        vd = rel / np.maximum(dist, 1e-5)[..., None]
+        align = np.maximum(vd @ ld, 0.0)
+        fog_rgb = fog_rgb + (
+            align[..., None] ** fog.directional_light_exponent
+            * np.asarray(dl[:3], np.float32) * dl[3]
+        )
+    return color * (1.0 - amount) + fog_rgb * amount
+
+
 def _composite(tile, alpha_mode, color, alpha):
     """In-place blend into an image view, per alpha_mode (render contract
     codes): 4 add (src+dst), 3 premultiplied over (src + dst*(1-a) — src is
@@ -166,6 +189,7 @@ def render_frame(
     shadows: bool = False,
     shadow_strength: float = 0.6,
     light_dir: Tuple[float, float, float] = (0.4, 0.8, 0.3),
+    fog=None,
 ) -> np.ndarray:
     """Rasterize RenderItems to an [H, W, 3] float image (simple Reinhard
     tonemap for the HDR gradients). Implements the contract's billboard +
@@ -179,6 +203,12 @@ def render_frame(
     lookup (a projective blob shadow instead of a rasterized light-view
     depth pass; same light, same strength semantics: ground irradiance
     scales by 1 - strength * occlusion).
+
+    `fog` (a `render.FogSettings`) mixes every particle fragment and the
+    drawn ground toward the fog color by view distance — the software analog
+    of the FOG pipeline variant (shaders/particles.wgsl `apply_fog`), using
+    `FogSettings.amount` as the shared falloff oracle. Trail ribbons are
+    intentionally unfogged: ribbons.wgsl ships no FOG variant.
 
     `ground_y` adds an analytic ground plane acting as the depth prepass:
     per-pixel reverse-Z test (Greater, like the reference pipeline
@@ -237,6 +267,13 @@ def render_frame(
                     trans[y0:y1, x0:x1] *= 1.0 - occ
             shade = 1.0 - shadow_strength * (1.0 - trans)
             img[hits] *= shade[hits, None]
+        if fog is not None:
+            # fog the ground like the WebGPU page's ground pass would —
+            # world offset along the (unnormalized) pixel ray at t_scene
+            ray = (cam.forward[None, None, :]
+                   + ax[..., None] * cam.right + ay[..., None] * cam.up)
+            rel = t_scene[..., None] * ray
+            img[hits] = _fog_mix(fog, img[hits], rel[hits])
 
     # gather all particles with per-item uniform params
     batches = []
@@ -347,6 +384,11 @@ def render_frame(
         else:
             # unlit path: base color alone (reference particles.wgsl:162-163)
             color = base[0:3]
+        if fog is not None:
+            # view effect after the lighting branch for BOTH paths, same
+            # ordering as the FOG variant's fragment
+            rel_w = xs[pi] * cam.right + ys[pi] * cam.up + depth * cam.forward
+            color = _fog_mix(fog, np.asarray(color, np.float32), rel_w)
         _composite(img[y0c:y1c, x0c:x1c], uni.alpha_mode, color, alpha)
 
     # Reinhard tonemap for HDR colors

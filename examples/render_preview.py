@@ -6,7 +6,7 @@ from _common import parse_args
 
 args = parse_args(__doc__, frames=90)
 
-from bevy_firework_tpu import Scene
+from bevy_firework_tpu import FogSettings, Scene
 from bevy_firework_tpu.models import effects
 from bevy_firework_tpu.viewer import Camera, render_scene_png
 
@@ -30,5 +30,11 @@ scenes["textures"] = (s, Camera(position=(0.0, 3.0, 9.0), look_at=(0, 1.0, 0)))
 for name, (scene, cam) in scenes.items():
     for _ in range(args.frames):
         scene.step(args.dt)
-    path = render_scene_png(scene, f"/tmp/firework_{name}.png", cam)
+    # textures: casings shadow the drawn ground plane and the scene recedes
+    # into distance fog (the software analogs of the SHADOW_MAP + FOG
+    # pipeline variants composed)
+    kw = dict(ground_y=0.0, draw_ground=True, shadows=True,
+              fog=FogSettings(start=6.0, end=35.0, color=(0.08, 0.10, 0.14, 1.0)),
+              ) if name == "textures" else {}
+    path = render_scene_png(scene, f"/tmp/firework_{name}.png", cam, **kw)
     print(f"{name}: {scene.alive_count()} live -> {path}")

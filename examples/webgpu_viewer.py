@@ -37,6 +37,9 @@ parser.add_argument("--cpu", action="store_true", help="force CPU backend")
 parser.add_argument("--scene", default="mixed", choices=["pbr", "sparks", "mixed", "textures", "comets"])
 parser.add_argument("--frames", type=int, default=120)
 parser.add_argument("--warmup", type=int, default=90)
+parser.add_argument("--fog", action="store_true",
+                    help="compile the FOG pipeline variant and bind a linear "
+                         "distance fog uniform at group(2) binding 11")
 args = parser.parse_args()
 if args.cpu:
     import jax
@@ -129,9 +132,20 @@ for p in tex_paths:
 # adds the SHADOW_MAP def: the page renders a directional light-view depth
 # pass and pbr_shade samples it (casing shadows in the textures scene).
 variant = PipelineCache().specialize(
-    key_for(ALPHA_BLEND, depth_prepass=True, shadow_map=True))
+    key_for(ALPHA_BLEND, depth_prepass=True, shadow_map=True, fog=args.fog))
 desc = dataclasses.asdict(variant)
 del desc["key"]  # everything the consumer needs is in the descriptor fields
+if args.fog:
+    # FOG variant (Bevy DistanceFog analog): the page binds these 64 std140
+    # bytes at group(2) binding 11; apply_fog mixes every fragment by view
+    # distance, with a little sun inscattering along the shadow light.
+    from bevy_firework_tpu.render import FogSettings
+
+    desc["fog_uniform"] = base64.b64encode(FogSettings(
+        color=(0.10, 0.13, 0.19, 1.0), start=7.0, end=30.0,
+        directional_light_color=(0.9, 0.75, 0.5, 0.25),
+        directional_light_exponent=12.0, light_dir=(0.5, 0.7, 0.4),
+    ).to_bytes()).decode()
 
 HTML = r"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>bevy_firework_tpu - shipped-WGSL WebGPU viewer</title>
@@ -372,6 +386,14 @@ async function main() {
   const shadowUniBuf = device.createBuffer({size: 80, usage: GPUBufferUsage.UNIFORM | GPUBufferUsage.COPY_DST});
   { const u = new Float32Array(20); u.set(lightVP, 0); u[16] = 0.004; u[17] = 0.6;
     device.queue.writeBuffer(shadowUniBuf, 0, u); }
+  // FOG variant: the engine's 64 std140 FogSettings bytes -> binding 11
+  let fogUniBuf = null;
+  if (DESC.fog_uniform) {
+    fogUniBuf = device.createBuffer({size: 64, usage: GPUBufferUsage.UNIFORM | GPUBufferUsage.COPY_DST});
+    const fb = atob(DESC.fog_uniform); const fa = new Uint8Array(64);
+    for (let i = 0; i < fb.length; i++) fa[i] = fb.charCodeAt(i);
+    device.queue.writeBuffer(fogUniBuf, 0, fa);
+  }
   // caster-pass uniform: light vp + the light-facing quad basis
   const lright = [lv.inv[0], lv.inv[1], lv.inv[2]];
   const lup = [lv.inv[4], lv.inv[5], lv.inv[6]];
@@ -499,7 +521,7 @@ async function main() {
         const p = sys.textures[slot];
         return (p && texViews.get(p)) || white.createView();
       };
-      sys.g2 = device.createBindGroup({layout: g2Layout, entries: [
+      const g2e = [
         {binding: 0, resource: {buffer: sys.ubuf}},
         {binding: 1, resource: prepassDepth.createView()},
         {binding: 2, resource: real(0)}, {binding: 3, resource: samp},
@@ -508,7 +530,9 @@ async function main() {
         {binding: 8, resource: {buffer: shadowUniBuf}},   // SHADOW_MAP def:
         {binding: 9, resource: shadowDepthView},          // pbr_shade samples
         {binding: 10, resource: compSamp},                // the light-view map
-      ]});
+      ];
+      if (fogUniBuf) g2e.push({binding: 11, resource: {buffer: fogUniBuf}});
+      sys.g2 = device.createBindGroup({layout: g2Layout, entries: g2e});
     }
   }
 

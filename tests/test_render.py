@@ -356,3 +356,51 @@ def test_render_layers_per_view_filter():
     scene.set_layers(a, 0b10)
     assert {it.spawner_id for it in scene.render_items(view_layers=0b10)} == {a, b}
     assert scene.alive_count(a) > 0  # no pool reset
+
+
+def test_fog_settings_std140_bytes():
+    """FogSettings.to_bytes packs the WGSL FogUniform's 4 x vec4 (64 B):
+    base_color, directional_light, light_dir.xyz + mode, params
+    (start-or-density, end, scatter exponent)."""
+    from bevy_firework_tpu.render import FOG_EXP, FOG_LINEAR, FogSettings
+
+    f = FogSettings(mode=FOG_LINEAR, color=(0.1, 0.2, 0.3, 0.8),
+                    start=2.0, end=30.0,
+                    directional_light_color=(1.0, 0.9, 0.7, 0.5),
+                    directional_light_exponent=16.0, light_dir=(0.0, 1.0, 0.0))
+    b = f.to_bytes()
+    assert len(b) == 64
+    v = np.frombuffer(b, np.float32)
+    np.testing.assert_allclose(v[0:4], (0.1, 0.2, 0.3, 0.8), rtol=1e-6)
+    np.testing.assert_allclose(v[4:8], (1.0, 0.9, 0.7, 0.5), rtol=1e-6)
+    np.testing.assert_allclose(v[8:11], (0.0, 1.0, 0.0))
+    assert v[11] == float(FOG_LINEAR)
+    assert v[12] == np.float32(2.0) and v[13] == np.float32(30.0)
+    assert v[14] == np.float32(16.0)
+    # exp modes ship density in params.x, matching the WGSL fog_amount
+    e = FogSettings(mode=FOG_EXP, density=0.25)
+    assert np.frombuffer(e.to_bytes(), np.float32)[12] == np.float32(0.25)
+
+
+def test_fog_amount_falloffs():
+    """The host fog oracle matches the WGSL fog_amount math per mode and
+    scales by the fog color's alpha (maximum opacity)."""
+    from bevy_firework_tpu.render import (
+        FOG_EXP,
+        FOG_EXP2,
+        FOG_LINEAR,
+        FOG_OFF,
+        FogSettings,
+    )
+
+    d = np.array([0.0, 5.0, 15.0, 25.0, 100.0], np.float32)
+    lin = FogSettings(mode=FOG_LINEAR, start=5.0, end=25.0, color=(0, 0, 0, 1.0))
+    np.testing.assert_allclose(lin.amount(d), [0.0, 0.0, 0.5, 1.0, 1.0], atol=1e-6)
+    half = FogSettings(mode=FOG_LINEAR, start=5.0, end=25.0, color=(0, 0, 0, 0.5))
+    np.testing.assert_allclose(half.amount(d), [0.0, 0.0, 0.25, 0.5, 0.5], atol=1e-6)
+    exp = FogSettings(mode=FOG_EXP, density=0.1)
+    np.testing.assert_allclose(exp.amount(d), 1.0 - np.exp(-d * 0.1), rtol=1e-6)
+    exp2 = FogSettings(mode=FOG_EXP2, density=0.1)
+    np.testing.assert_allclose(exp2.amount(d), 1.0 - np.exp(-np.square(d * 0.1)), rtol=1e-6)
+    off = FogSettings(mode=FOG_OFF)
+    np.testing.assert_allclose(off.amount(d), np.zeros_like(d))

