@@ -695,6 +695,14 @@ def nested_cadence_pass(static, params, e, alive, ptype, age, lifetime, le_row, 
                         lazy_reset: bool, M: int):
     """Run the nested-cadence kernel; returns (new_le [N] f32, cum [N] i32
     inclusive, total i32 scalar). Inputs are pool-shaped [N] arrays."""
+    from ..step import _ABLATE
+
+    if "cadence" in _ABLATE:  # timing stub: keep inputs consumed, skip the pass
+        N = alive.shape[0]
+        z = (age[0] + lifetime[0] + le_row[0]) * 0.0 + gate.astype(jnp.float32) * 0.0
+        return (le_row + z,
+                jnp.zeros((N,), jnp.int32) + alive[0].astype(jnp.int32) * 0,
+                jnp.zeros((), jnp.int32))
     N = alive.shape[0]
     rows = N // LANES
     block_rows = BLOCK_ROWS_WIDE if rows % BLOCK_ROWS_WIDE == 0 else BLOCK_ROWS
@@ -1421,7 +1429,7 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     child_buf = nwin_arr = None
     if n_merge:
         assert kernel_spawn, "nested merge requires the in-kernel spawn path"
-        from ..step import nested_child_field_rows
+        from ..step import _ABLATE, nested_child_field_rows
 
         child_names = nested_child_field_rows(static)
         m_len = nested_payloads[0]["rows"][0][1].shape[0]
@@ -1435,6 +1443,8 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
             c = p["cursor"].astype(jnp.int32)
             c128 = jnp.mod(c, LANES)
             zero_b = jnp.zeros((rows_b * LANES,), jnp.float32)
+            if "preshift" in _ABLATE:  # timing stub: static-offset placement
+                c128 = 0
             for _nm, v in p["rows"]:
                 bufs.append(
                     jax.lax.dynamic_update_slice(
@@ -1446,6 +1456,14 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
         nwin_arr = jnp.stack(nwin)  # [n, 2] int32
         merge_info = (n_merge, tuple(p["ti"] for p in nested_payloads),
                       child_names, rows_b)
+        if "kmerge" in _ABLATE:  # timing stub: pay the XLA payload build but
+            # drop the kernel-side merge block (consume the buffer so the
+            # build isn't dead-code-eliminated)
+            f32_fields = dict(f32_fields)
+            f32_fields["age"] = f32_fields["age"] + child_buf.sum() * 1e-38
+            n_merge = 0
+            merge_info = ()
+            child_buf = nwin_arr = None
 
     kernel = _make_kernel(static, kinds, identity, dump, kernel_spawn, block_rows, pack_render,
                           unroll=unroll, field_kinds=field_kinds, nested_merge=merge_info)

@@ -223,6 +223,12 @@ _FORCE_SCATTER_WRITEBACK = False
 # Perf seam: MXU one-hot row fetch inside _monotone_inverse (A/B-able
 # in-process; both formulations are exact).
 _ONEHOT_INVERSE = True
+# Perf-ablation seam (tools/nested_hybrid_ablation_tpu.py): names of nested
+# stages to stub out when TIMING the hybrid chain — stubs break semantics
+# (they keep shapes and dataflow so nothing dead-code-eliminates) and must
+# stay empty in production. Recognized: "inverse", "gather", "rng", "lewin"
+# (here) and "cadence", "preshift", "kmerge" (ops/fused_step.py).
+_ABLATE: frozenset = frozenset()
 
 
 def _monotone_inverse(cum, m: int):
@@ -308,7 +314,10 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     # child rank -> parent slot: first lane whose inclusive count-cumsum
     # exceeds the rank (zero-count lanes never win: their cum equals their
     # predecessor's, which is <= r whenever they'd be considered)
-    parent_for_rank = _monotone_inverse(cum, M)
+    if "inverse" in _ABLATE:  # timing stub: keep cum consumed, skip the inverse
+        parent_for_rank = jnp.arange(M, dtype=jnp.int32) + jnp.minimum(cum[-1], 0)
+    else:
+        parent_for_rank = _monotone_inverse(cum, M)
 
     n_spawn = jnp.minimum(total, M)
     child_parent = jnp.clip(parent_for_rank, 0, N - 1)
@@ -357,7 +366,9 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     # Per-FIELD einsums sharing the two one-hots: stacking the fields first
     # materializes a [F, N] copy (~5 MB at 131k lanes) that the einsum
     # formulation doesn't need.
-    if jax.default_backend() == "tpu" and N % 128 == 0:
+    if "gather" in _ABLATE:  # timing stub: slice instead of gather
+        pg = [fields[k][:M] + child_parent.astype(jnp.float32) * 1e-30 for k in pnames]
+    elif jax.default_backend() == "tpu" and N % 128 == 0:
         rows_n = N // 128
         pr, pl_ = child_parent // 128, child_parent % 128
         oh_r = jax.nn.one_hot(pr, rows_n, dtype=jnp.float32)  # [M, rows]
@@ -380,7 +391,10 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     # draw only the rows this archetype consumes (0-6 shape/vel/radial,
     # 7 iscale, 8 lifetime unless const, 9-11 angvel unless rotation elided)
     n_rows = 12 if not static.elide_rotation else (9 if static.const_lifetime is None else 8)
-    uni = jax.random.uniform(jax.random.fold_in(frame_key, 1000 + e), (n_rows, M), jnp.float32)
+    if "rng" in _ABLATE:  # timing stub: skip the threefry draws
+        uni = jnp.zeros((n_rows, M), jnp.float32)
+    else:
+        uni = jax.random.uniform(jax.random.fold_in(frame_key, 1000 + e), (n_rows, M), jnp.float32)
     offx, offy, offz = sample_shape_comp(params.shape_params[e], uni[0], uni[1], uni[2])
     ivx, ivy, ivz = sample_randvec3_comp(params.ivel_params[e], uni[3], uni[4], uni[5])
     radial = sample_randf32(uni[6], params.radial_lo[e], params.radial_hi[e])
@@ -438,12 +452,13 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
         m2 = (p_ids < wrapped) & (nc + p_ids < n_spawn) & dead[:M]
         fmin_m = jnp.full((M,), F32_MIN, jnp.float32)
         le = fields["last_emitted"]
-        for er in range(le.shape[0]):
-            row_v = le[er]
-            w1 = jax.lax.dynamic_slice(row_v, (start1,), (M,))
-            row_v = jax.lax.dynamic_update_slice(row_v, jnp.where(m1, fmin_m, w1), (start1,))
-            row_v = jax.lax.dynamic_update_slice(row_v, jnp.where(m2, fmin_m, row_v[:M]), (0,))
-            le = le.at[er].set(row_v)
+        if "lewin" not in _ABLATE:  # (timing stub skips the window updates)
+            for er in range(le.shape[0]):
+                row_v = le[er]
+                w1 = jax.lax.dynamic_slice(row_v, (start1,), (M,))
+                row_v = jax.lax.dynamic_update_slice(row_v, jnp.where(m1, fmin_m, w1), (start1,))
+                row_v = jax.lax.dynamic_update_slice(row_v, jnp.where(m2, fmin_m, row_v[:M]), (0,))
+                le = le.at[er].set(row_v)
         fields["last_emitted"] = le
         merge_out.append({
             "rows": tuple(rows),           # (name, [M] f32) in child-row order
