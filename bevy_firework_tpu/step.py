@@ -226,8 +226,10 @@ _ONEHOT_INVERSE = True
 # Perf-ablation seam (tools/nested_hybrid_ablation_tpu.py): names of nested
 # stages to stub out when TIMING the hybrid chain — stubs break semantics
 # (they keep shapes and dataflow so nothing dead-code-eliminates) and must
-# stay empty in production. Recognized: "inverse", "gather", "rng", "lewin"
-# (here) and "cadence", "preshift", "kmerge" (ops/fused_step.py).
+# stay empty in production. Recognized: "inverse", "gather", "rng" (here)
+# and "cadence", "preshift", "kmerge" (ops/fused_step.py). ("lewin" is
+# retired: the merge branch's last_emitted windows were proven redundant
+# under the lazy reset and removed.)
 _ABLATE: frozenset = frozenset()
 
 
@@ -437,32 +439,21 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     if (merge_out is not None and static.ring_claim and N > M
             and not _FORCE_SCATTER_WRITEBACK):
         # hybrid in-kernel merge: hand the [M] child rows + window scalars to
-        # the fused kernel; only last_emitted (not streamed by the kernel)
-        # is updated here, with two masked M-sized windows per emitter row
-        # (the same double-window math as below — never a pool-sized pass)
-        cursor0 = cursor
-        start1 = jnp.minimum(cursor0, N - M)
-        shift = cursor0 - start1
-        wrapped = jnp.maximum(cursor0 + M - N, 0)
-        nc = N - cursor0
-        p_ids = jnp.arange(M, dtype=jnp.int32)
-        win1_dead = jax.lax.dynamic_slice(di, (start1,), (M,)) != 0
-        rank1 = p_ids - shift
-        m1 = (rank1 >= 0) & (rank1 < n_spawn) & win1_dead
-        m2 = (p_ids < wrapped) & (nc + p_ids < n_spawn) & dead[:M]
-        fmin_m = jnp.full((M,), F32_MIN, jnp.float32)
-        le = fields["last_emitted"]
-        if "lewin" not in _ABLATE:  # (timing stub skips the window updates)
-            for er in range(le.shape[0]):
-                row_v = le[er]
-                w1 = jax.lax.dynamic_slice(row_v, (start1,), (M,))
-                row_v = jax.lax.dynamic_update_slice(row_v, jnp.where(m1, fmin_m, w1), (start1,))
-                row_v = jax.lax.dynamic_update_slice(row_v, jnp.where(m2, fmin_m, row_v[:M]), (0,))
-                le = le.at[er].set(row_v)
-        fields["last_emitted"] = le
+        # the fused kernel. No last_emitted reset is needed here (the
+        # reference's per-emitter f32::MIN init, core.rs:467): a merge-claimed
+        # slot is dead at EVERY valid nested emitter's cadence pass this frame
+        # (merging defers all pool writes to the kernel, so alive is identical
+        # across the passes), and each pass's lazy reset already wrote
+        # F32_MIN to its own row for dead lanes (merging implies
+        # kernel_cadence + skip_global). Rows of global/invalid emitters are
+        # never read and start at F32_MIN. Bit-exact vs the write-back
+        # formulation's claimed-mask reset — swept on TPU
+        # (tools/fused_parity_tpu.py check_nested_kernel_merge) and measured
+        # ~0.018 ms/frame at the bench config (the windows ran per emitter,
+        # E x 2 dynamic-update-slices each).
         merge_out.append({
             "rows": tuple(rows),           # (name, [M] f32) in child-row order
-            "cursor": cursor0,             # window start (pre-advance)
+            "cursor": cursor,              # window start (pre-advance)
             "n_spawn": n_spawn,            # children claiming this frame
             "ti": int(ti),                 # particle type of the children
         })

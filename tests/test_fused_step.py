@@ -623,8 +623,11 @@ def test_hybrid_nested_kernel_merge_bit_exact():
 
     sM = run(True)
     sX = run(False)
+    # last_emitted included deliberately: the merge path performs NO claim-
+    # time le reset — each emitter's lazy cadence reset must make both
+    # formulations land bit-equal (step._nested_spawn merge branch).
     for f in ("alive", "px", "py", "pz", "vx", "vy", "vz", "age",
-              "initial_scale", "ptype", "ring_cursor"):
+              "initial_scale", "ptype", "ring_cursor", "last_emitted"):
         np.testing.assert_array_equal(
             np.asarray(getattr(sM, f)), np.asarray(getattr(sX, f)), err_msg=f)
     assert int(np.asarray(sM.alive).sum()) > 500  # the merge path ran for real

@@ -550,8 +550,11 @@ def check_nested_kernel_merge(capacity=2 * 8192, n_frames=240):
 
     sM = run(True)
     sX = run(False)
+    # last_emitted included deliberately: the merge path performs NO claim-
+    # time le reset (the write-back path's claimed-mask F32_MIN) — the lazy
+    # reset in each emitter's cadence pass must make them land bit-equal.
     for fname in ("alive", "px", "py", "pz", "vx", "vy", "vz", "age",
-                  "initial_scale", "ptype", "ring_cursor"):
+                  "initial_scale", "ptype", "ring_cursor", "last_emitted"):
         a, b = np.asarray(getattr(sM, fname)), np.asarray(getattr(sX, fname))
         if not np.array_equal(a, b):
             return (f"FIELD {fname} differs (n={int(np.sum(a != b))}, "

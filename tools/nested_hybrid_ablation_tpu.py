@@ -9,7 +9,6 @@ break semantics — timing only. full - variant isolates each stage's cost:
   inverse   _monotone_inverse rank->parent map (block cummax + MXU row fetch)
   gather    the MXU one-hot parent-state einsums ([M,N] one-hots, HIGHEST)
   rng       the threefry uniform draws for child init
-  lewin     the last_emitted double-window update
   preshift  the (cursor mod 128) dynamic placement of the child buffers
   kmerge    the kernel-side per-tile merge block (XLA payload still built)
   floor     all of the above stubbed — global kernel + epilogue remnant
@@ -44,10 +43,9 @@ VARIANTS = [
     ("no_inverse", frozenset({"inverse"})),
     ("no_gather", frozenset({"gather"})),
     ("no_rng", frozenset({"rng"})),
-    ("no_lewin", frozenset({"lewin"})),
     ("no_preshift", frozenset({"preshift"})),
     ("no_kmerge", frozenset({"kmerge"})),
-    ("floor", frozenset({"cadence", "inverse", "gather", "rng", "lewin",
+    ("floor", frozenset({"cadence", "inverse", "gather", "rng",
                          "preshift", "kmerge"})),
 ]
 
