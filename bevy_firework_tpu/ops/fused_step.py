@@ -623,7 +623,28 @@ def _n_render_planes(static: SpawnerStatic, pack_render) -> int:
     return 9
 
 
-def _make_nested_cadence_kernel(static: SpawnerStatic, e: int, lazy_reset: bool, M: int):
+def _exact_row_fetch(oh, mat_i32):
+    """Bit-exact MXU row selection: out[lane, r] = mat_i32[prow[r], lane],
+    where oh[row, r] = (row == prow[r]) as f32. Mosaic's f32 dots are NOT
+    exact at any precision (measured ~2.6e-6 rel even at HIGHEST), so the
+    value matrix is split into four byte planes — each byte in [0, 255] is
+    exactly representable in bf16, every product is b*1.0 or b*0.0, and the
+    f32 accumulator adds at most one nonzero — making each plane dot exact
+    by construction; the int32 reassembly is lossless for any bit pattern."""
+    acc = None
+    for k in range(4):
+        plane = ((mat_i32 >> (8 * k)) & 0xFF).astype(jnp.float32)
+        d = jax.lax.dot_general(
+            plane, oh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32) << (8 * k)
+        acc = d if acc is None else acc | d
+    return acc
+
+
+def _make_nested_cadence_kernel(static: SpawnerStatic, e: int, lazy_reset: bool, M: int,
+                                fetch_names: tuple = ()):
     """One Pallas pass computing a nested emitter's ENTIRE per-parent cadence
     (core.rs:490-498) over the pool: lazy dead-lane anchor reset, emission
     counts, the cross-tile inclusive count cumsum (Hillis-Steele + SMEM
@@ -631,13 +652,28 @@ def _make_nested_cadence_kernel(static: SpawnerStatic, e: int, lazy_reset: bool,
     `last_emitted` advance, and the spawn total. The XLA form of this math
     was ~30 fusions per nested emitter per frame (cadence chain + [N]
     cumsum + masked wheres), the dominant kernel-count cost of the nested
-    stress scene; only the [M]-sized child gather/init/scatter stays in XLA
-    (cross-tile dynamic addressing needs XLA gathers).
+    stress scene.
+
+    fetch_names (merge fast path): ALSO emit each child rank's parent state
+    for the named fields, eliminating the XLA stage's rank->parent monotone
+    inverse and pool-wide one-hot gathers (measured ~half the nested premium,
+    docs/PERF_NOTES.md ablation) — the r-th child's parent lives in exactly
+    the tile whose global rank window [c0, c0+tile_tot) contains r, where its
+    state is VMEM-LOCAL. Per 128-rank chunk overlapping the window (@pl.when
+    skips the rest): parent row = #(row-last cum <= r) over sublanes, the
+    row's lane cums + field rows are fetched bit-exactly on the MXU
+    (_exact_row_fetch byte planes), parent lane = #(lane cum <= r), and the
+    chunk row of each [M/128, 128] rank-major output is merged read-modify-
+    write (outputs use a constant index map; tile 0 zero-inits). Ranks
+    outside every window keep 0 — downstream masks by n_spawn.
 
     Bit-exact with step._spawn_phase's XLA branch: identical op order for
-    compute_emission_count and cadence.emission_next_last."""
+    compute_emission_count and cadence.emission_next_last; parent fetch
+    verified lane-exact vs the XLA one-hot gathers (tests/test_fused_step.py,
+    tools/fused_parity_tpu.py check_nested_kernel_merge)."""
     single = static.single_type
     target = static.target_types[e]
+    nf = len(fetch_names)
 
     def kernel(prow_ref, alive_ref, *rest):
         idx = 0
@@ -648,9 +684,13 @@ def _make_nested_cadence_kernel(static: SpawnerStatic, e: int, lazy_reset: bool,
         life_ref = rest[idx]; idx += 1
         age_ref = rest[idx]; idx += 1
         le_ref = rest[idx]; idx += 1
+        pf_refs = rest[idx : idx + nf]; idx += nf
         out_le = rest[idx]; idx += 1
-        out_cum = rest[idx]; idx += 1
+        out_cum = None
+        if not nf:  # cum feeds the XLA monotone inverse only in non-fetch mode
+            out_cum = rest[idx]; idx += 1
         out_total = rest[idx]; idx += 1
+        out_pf = rest[idx : idx + nf]; idx += nf
         carry = rest[idx]  # SMEM scratch: counts seen in prior tiles
 
         tid = pl.program_id(0)
@@ -658,6 +698,8 @@ def _make_nested_cadence_kernel(static: SpawnerStatic, e: int, lazy_reset: bool,
         @pl.when(tid == 0)
         def _():
             carry[0] = 0
+            for o in out_pf:
+                o[:, :] = jnp.zeros(o.shape, jnp.float32)
 
         off_s, off_e, cnt = prow_ref[0, 0], prow_ref[0, 1], prow_ref[0, 2]
         gate = prow_ref[0, 4] != 0.0
@@ -686,24 +728,67 @@ def _make_nested_cadence_kernel(static: SpawnerStatic, e: int, lazy_reset: bool,
         trunc = (clamped + emitted.astype(jnp.float32) * between) * life
         nl = jnp.where(emitted < counts, trunc, next_full)
         out_le[:, :] = jnp.where(pm, nl, base_le)
-        out_cum[:, :] = cum
+        if out_cum is not None:
+            out_cum[:, :] = cum
+
+        if nf:
+            rows_t = cum.shape[0]
+            # per-row inclusive totals (lane 127 of each row, row-major order)
+            rowlast = cum[:, LANES - 1 :]  # [rows_t, 1]
+            row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows_t, LANES), 0)
+            lane_iota_s = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+            rank_lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+            pf_i32 = [jax.lax.bitcast_convert_type(r[:, :], jnp.int32) for r in pf_refs]
+            for c in range(M // LANES):
+                lo = c * LANES
+
+                @pl.when((c0 < lo + LANES) & (c0 + tile_tot > lo))
+                def _(c=c, lo=lo):
+                    ranks = rank_lane + lo  # [1, 128] global ranks of chunk c
+                    # parent row: count of rows fully consumed before rank r
+                    prow = jnp.sum((rowlast <= ranks).astype(jnp.int32), axis=0,
+                                   keepdims=True)  # [1, 128]
+                    oh = (row_iota == prow).astype(jnp.float32)  # [rows_t, 128r]
+                    # the parent row's lane cums, then lane within the row
+                    lc = _exact_row_fetch(oh, cum)  # [128 lanes, 128 ranks]
+                    fine = jnp.sum((lc <= ranks).astype(jnp.int32), axis=0,
+                                   keepdims=True)  # [1, 128]
+                    lane_oh = lane_iota_s == fine  # [128 lanes, 128 ranks]
+                    m = (ranks >= c0) & (ranks < c0 + tile_tot)
+                    for o, vi in zip(out_pf, pf_i32):
+                        vals = jax.lax.bitcast_convert_type(
+                            _exact_row_fetch(oh, vi), jnp.float32)
+                        v = jnp.sum(jnp.where(lane_oh, vals, 0.0), axis=0,
+                                    keepdims=True)  # [1, 128]
+                        o[c : c + 1, :] = jnp.where(m, v, o[c : c + 1, :])
 
     return kernel
 
 
 def nested_cadence_pass(static, params, e, alive, ptype, age, lifetime, le_row, gate,
-                        lazy_reset: bool, M: int):
+                        lazy_reset: bool, M: int, parent_fields=None):
     """Run the nested-cadence kernel; returns (new_le [N] f32, cum [N] i32
-    inclusive, total i32 scalar). Inputs are pool-shaped [N] arrays."""
+    inclusive or None, total i32 scalar, parent_vals dict or None). Inputs
+    are pool-shaped [N] arrays. parent_fields (merge fast path, requires
+    M % 128 == 0): dict name -> [N] f32 of parent-state fields; the kernel
+    then also returns parent_vals name -> [M] f32 (the r-th child's parent
+    state, zeros for ranks >= total) and skips the cum output, which only
+    feeds the XLA monotone inverse the fetch replaces."""
     from ..step import _ABLATE
 
+    fetch_names = tuple(parent_fields) if parent_fields else ()
     if "cadence" in _ABLATE:  # timing stub: keep inputs consumed, skip the pass
         N = alive.shape[0]
         z = (age[0] + lifetime[0] + le_row[0]) * 0.0 + gate.astype(jnp.float32) * 0.0
+        pv = None
+        if fetch_names:
+            pv = {k: jnp.zeros((M,), jnp.float32) + parent_fields[k][0] * 0.0
+                  for k in fetch_names}
         return (le_row + z,
-                jnp.zeros((N,), jnp.int32) + alive[0].astype(jnp.int32) * 0,
-                jnp.zeros((), jnp.int32))
+                None if fetch_names else jnp.zeros((N,), jnp.int32) + alive[0].astype(jnp.int32) * 0,
+                jnp.zeros((), jnp.int32), pv)
     N = alive.shape[0]
+    assert not fetch_names or M % LANES == 0, (M, "parent fetch needs 128-aligned M")
     rows = N // LANES
     block_rows = BLOCK_ROWS_WIDE if rows % BLOCK_ROWS_WIDE == 0 else BLOCK_ROWS
     grid = rows // block_rows
@@ -712,10 +797,13 @@ def nested_cadence_pass(static, params, e, alive, ptype, age, lifetime, le_row, 
         [params.off_start[e], params.off_end[e], params.count[e], z,
          gate.astype(jnp.float32), z, z, z]
     ).reshape(1, 8)
-    kernel = _make_nested_cadence_kernel(static, e, lazy_reset, M)
+    kernel = _make_nested_cadence_kernel(static, e, lazy_reset, M, fetch_names)
 
     def blocked(dtype=jnp.float32):
         return pl.BlockSpec((block_rows, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM)
+
+    def const_block(r):  # whole-array block, same for every grid step
+        return pl.BlockSpec((r, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM)
 
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     inputs = [prow, alive.astype(jnp.int32).reshape(rows, LANES)]
@@ -725,19 +813,33 @@ def nested_cadence_pass(static, params, e, alive, ptype, age, lifetime, le_row, 
         in_specs.append(blocked())
     inputs += [lifetime.reshape(rows, LANES), age.reshape(rows, LANES), le_row.reshape(rows, LANES)]
     in_specs += [blocked(), blocked(), blocked()]
-    new_le, cum, total = pl.pallas_call(
+    for k in fetch_names:
+        inputs.append(parent_fields[k].reshape(rows, LANES))
+        in_specs.append(blocked())
+    m_rows = M // LANES if fetch_names else 0
+    out_specs = [blocked()]
+    out_shape = [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)]
+    if not fetch_names:
+        out_specs.append(blocked())
+        out_shape.append(jax.ShapeDtypeStruct((rows, LANES), jnp.int32))
+    out_specs.append(smem_spec)
+    out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))
+    out_specs += [const_block(m_rows)] * len(fetch_names)
+    out_shape += [jax.ShapeDtypeStruct((m_rows, LANES), jnp.float32)] * len(fetch_names)
+    outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=[blocked(), blocked(), smem_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )(*inputs)
-    return new_le.reshape(N), cum.reshape(N), total[0, 0]
+    if fetch_names:
+        new_le, total = outs[0], outs[1]
+        parent_vals = {k: v.reshape(M) for k, v in zip(fetch_names, outs[2:])}
+        return new_le.reshape(N), None, total[0, 0], parent_vals
+    new_le, cum, total = outs
+    return new_le.reshape(N), cum.reshape(N), total[0, 0], None
 
 
 def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump: bool,

@@ -285,8 +285,18 @@ def nested_child_field_rows(static) -> tuple:
     return tuple(names)
 
 
+def nested_parent_fields(static) -> tuple:
+    """The parent-state fields a nested spawn reads (core.rs:502-518):
+    position, velocity, and — unless elided pool-wide — rotation. Shared by
+    _nested_spawn's gather and the cadence kernel's in-kernel parent fetch
+    (ops/fused_step.nested_cadence_pass parent_fields)."""
+    if static.elide_rotation:
+        return ("px", "py", "pz", "vx", "vy", "vz")
+    return ("px", "py", "pz", "qx", "qy", "qz", "qw", "vx", "vy", "vz")
+
+
 def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_key,
-                  merge_out=None):
+                  merge_out=None, parent_vals=None):
     """Nested emission, two-stage (SURVEY.md #9), gather-light & scatter-light.
 
     Stage 1 (rank space): map each child rank to its parent slot and to the
@@ -304,7 +314,12 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     buffer is pre-shifted by (cursor mod 128) so every kernel tile reads its
     children with a 128-row-ALIGNED dynamic slice (rank and tile origin are
     congruent mod 128; no in-kernel gather or lane rotate needed).
-    last_emitted / ring_cursor / dropped accounting stay here either way."""
+    last_emitted / ring_cursor / dropped accounting stay here either way.
+
+    parent_vals (merge fast path, 128-aligned M): name -> [M] parent state
+    already fetched tile-locally by the cadence kernel — skips the
+    rank->parent monotone inverse and the pool-wide one-hot gathers here
+    entirely (together ~half the nested premium, docs/PERF_NOTES.md)."""
     N = fields["alive"].shape[0]
     M = min(static.nested_m, N)
     ti = static.particle_indices[e]
@@ -313,16 +328,16 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     dead = ~fields["alive"]
     di = dead.astype(jnp.int32)
 
-    # child rank -> parent slot: first lane whose inclusive count-cumsum
-    # exceeds the rank (zero-count lanes never win: their cum equals their
-    # predecessor's, which is <= r whenever they'd be considered)
-    if "inverse" in _ABLATE:  # timing stub: keep cum consumed, skip the inverse
-        parent_for_rank = jnp.arange(M, dtype=jnp.int32) + jnp.minimum(cum[-1], 0)
-    else:
-        parent_for_rank = _monotone_inverse(cum, M)
-
     n_spawn = jnp.minimum(total, M)
-    child_parent = jnp.clip(parent_for_rank, 0, N - 1)
+    if parent_vals is None:
+        # child rank -> parent slot: first lane whose inclusive count-cumsum
+        # exceeds the rank (zero-count lanes never win: their cum equals their
+        # predecessor's, which is <= r whenever they'd be considered)
+        if "inverse" in _ABLATE:  # timing stub: keep cum consumed, skip it
+            parent_for_rank = jnp.arange(M, dtype=jnp.int32) + jnp.minimum(cum[-1], 0)
+        else:
+            parent_for_rank = _monotone_inverse(cum, M)
+        child_parent = jnp.clip(parent_for_rank, 0, N - 1)
 
     # child rank -> pool slot. Ring archetypes (const lifetime): the r-th
     # child takes slot (cursor + r) mod N — pure index math, no dead-rank
@@ -340,7 +355,10 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     if static.ring_claim:
         cursor = fields["ring_cursor"]
         slot_raw = jnp.mod(cursor + rank_ids, N)
-        target_dead = dead[slot_raw]  # [M] gather, cheap
+        # ring slots are contiguous mod N, so the dead-status fetch is a
+        # dynamic slice of a wrap-padded copy, not an [M] gather
+        target_dead = jax.lax.dynamic_slice(
+            jnp.concatenate([di, di[:M]]), (cursor,), (M,)) != 0
         slot = jnp.where((rank_ids < n_spawn) & target_dead, slot_raw, N)
         idx = jnp.arange(N, dtype=jnp.int32)
         claimed = dead & (jnp.mod(idx - cursor, N) < n_spawn)
@@ -357,8 +375,7 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     # --- gather parent state: one stacked gather sized by M ------------------
     # With rotation elided, parent rotation is identity pool-wide — skip its
     # 4 rows in the gather and the child-frame rotation below.
-    pnames = ("px", "py", "pz", "vx", "vy", "vz") if static.elide_rotation else (
-        "px", "py", "pz", "qx", "qy", "qz", "qw", "vx", "vy", "vz")
+    pnames = nested_parent_fields(static)
     # XLA's TPU gather costs ~36 ns/index regardless of table size
     # (docs/PERF_NOTES.md); riding the MXU instead — two one-hot matmuls
     # (rows then lanes) at HIGHEST precision — is ~2x faster at M=4096 and
@@ -368,7 +385,9 @@ def _nested_spawn(static, params, frame, fields, e, counts, cum, total, frame_ke
     # Per-FIELD einsums sharing the two one-hots: stacking the fields first
     # materializes a [F, N] copy (~5 MB at 131k lanes) that the einsum
     # formulation doesn't need.
-    if "gather" in _ABLATE:  # timing stub: slice instead of gather
+    if parent_vals is not None:  # fetched tile-locally by the cadence kernel
+        pg = [parent_vals[k] for k in pnames]
+    elif "gather" in _ABLATE:  # timing stub: slice instead of gather
         pg = [fields[k][:M] + child_parent.astype(jnp.float32) * 1e-30 for k in pnames]
     elif jax.default_backend() == "tpu" and N % 128 == 0:
         rows_n = N // 128
@@ -595,19 +614,27 @@ def _spawn_phase(
             M = min(static.nested_m, N)
             if kernel_cadence:
                 # whole per-parent cadence + count cumsum in ONE Pallas pass
-                # (bit-exact with the XLA branch below; hybrid fast path)
+                # (bit-exact with the XLA branch below; hybrid fast path).
+                # When the in-kernel merge will consume the children, the
+                # same pass also fetches each rank's parent state tile-
+                # locally (gate mirrors _nested_spawn's merge branch).
                 from .ops.fused_step import nested_cadence_pass
 
-                new_le, cum, total = nested_cadence_pass(
+                fetch = None
+                if (merge_payloads is not None and static.ring_claim
+                        and N > M and not _FORCE_SCATTER_WRITEBACK
+                        and M % 128 == 0):
+                    fetch = {k: fields[k] for k in nested_parent_fields(static)}
+                new_le, cum, total, pvals = nested_cadence_pass(
                     static, params, e, fields["alive"], fields["ptype"],
                     fields["age"], fields["lifetime"], fields["last_emitted"][e],
-                    gate, skip_global, M,
+                    gate, skip_global, M, parent_fields=fetch,
                 )
                 nested_deferred = nested_deferred + (total - jnp.minimum(total, M))
                 fields["last_emitted"] = fields["last_emitted"].at[e].set(new_le)
                 nested_dropped = nested_dropped + _nested_spawn(
                     static, params, frame, fields, e, None, cum, total, frame_key,
-                    merge_out=merge_payloads,
+                    merge_out=merge_payloads, parent_vals=pvals,
                 )
                 continue
             parent_mask = fields["alive"] & (fields["ptype"] == target) & gate
