@@ -23,6 +23,11 @@ from bevy_firework_tpu.settings import EmissionPacing
 BASELINE_STEPS_PER_SEC = 9.6e6  # BASELINE.md frame-rate-parity estimate
 TARGET_LIVE = 100_000
 
+# v5e HBM speed-of-light for the drift probe (GB/s). The probe's expected
+# time is bytes_moved / this; the ratio measured/expected is the attach's
+# drift factor for the current bench invocation (VERDICT r3 next #1a).
+HBM_SOL_GBPS = 819.0
+
 
 def _fence(arr) -> float:
     """Device fence: on this environment's axon attach jax.block_until_ready
@@ -34,6 +39,45 @@ def _fence(arr) -> float:
     import numpy as np
 
     return float(np.asarray(arr.sum()))
+
+
+def _measure_hbm_probe(n_iters=64, reps=7, mib=512):
+    """Fixed-device-work drift probe (VERDICT r3 next #1a): a scan-chained
+    elementwise multiply over a `mib`-MiB f32 array moves exactly
+    2 * mib MiB of HBM traffic per iteration, timed with the SAME
+    differential (t_2n - t_n)/n harness as every metric. Its expected time
+    at HBM speed-of-light is a hardware constant, so
+    drift = measured / expected isolates the attach's slowdown factor for
+    THIS invocation; every metric is also reported normalized by it.
+    Returns (ms_per_iter, drift_factor)."""
+    from functools import partial
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = mib * (1 << 20) // 4
+    x = jnp.ones((n,), jnp.float32)
+
+    @partial(jax.jit, static_argnums=(1,))
+    def chain(x, k):
+        def body(c, _):
+            return c * np.float32(1.0000001), None
+        out, _ = jax.lax.scan(body, x, None, length=k)
+        return out
+
+    run = lambda k: _fence(chain(x, k)[:1])
+    run(n_iters)
+    run(2 * n_iters)
+    diffs = []
+    for _ in range(reps):
+        t0 = time.perf_counter(); run(n_iters)
+        t1 = time.perf_counter(); run(2 * n_iters)
+        t2 = time.perf_counter()
+        diffs.append(((t2 - t1) - (t1 - t0)) / n_iters * 1e3)
+    diffs.sort()
+    ms = diffs[len(diffs) // 2]
+    expected_ms = (2 * mib / 1024) / HBM_SOL_GBPS * 1e3
+    return ms, ms / expected_ms
 
 
 def _measure(spawner, rate, capacity, colliders=None, warmup=140, n_frames=100, reps=5):
@@ -257,6 +301,85 @@ def _measure_scene_batch(n_spawners=12, capacity=8192, rate=6000.0, n_frames=50)
     }
 
 
+def _measure_scene_hetero(n_spawners=100, capacity=8192, n_frames=40):
+    """The game-integration path at scale (VERDICT r3 next #2): 100
+    heterogeneous spawners across 4 archetypes stepped through the public
+    Scene.step. The reference steps hundreds of spawners per frame via
+    par_iter_mut (core.rs:583-585); here each archetype group is one vmapped
+    dispatch and the whole frame is a handful of launches. Reports wall
+    ms/frame (dispatch-inclusive)."""
+    import numpy as np
+
+    from bevy_firework_tpu import Collider, Scene, Transform
+    from bevy_firework_tpu.settings import RandF32
+
+    sparks, _tf = effects.sparks(rate=2000.0)
+    pbr, _tf2 = effects.pbr()
+    smoke = dataclasses.replace(
+        pbr,
+        emission_settings=tuple(
+            dataclasses.replace(e, emission_pacing=EmissionPacing.rate(800.0))
+            for e in pbr.emission_settings
+        ),
+    )
+    bouncy = ParticleSpawner_bounce()
+    oneshotish = dataclasses.replace(
+        sparks,
+        particle_settings=tuple(
+            dataclasses.replace(p, lifetime=RandF32(0.5, 1.5))
+            for p in sparks.particle_settings
+        ),
+    )
+    archetypes = [sparks, smoke, bouncy, oneshotish]
+
+    scene = Scene(colliders=[Collider.halfspace(position=(0.0, -1.0, 0.0))])
+    for i in range(n_spawners):
+        scene.add_spawner(
+            archetypes[i % len(archetypes)], capacity=capacity,
+            transform=Transform(translation=(float(i % 10), 0.0, float(i // 10))))
+    for _ in range(30):
+        scene.step(1.0 / 60.0)
+    for b in scene._batches.values():
+        np.asarray(b.states.px)  # drain warmup before t0
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        scene.step(1.0 / 60.0)
+    for b in scene._batches.values():
+        np.asarray(b.states.px)
+    ms = (time.perf_counter() - t0) / n_frames * 1e3
+    return {
+        "spawners": n_spawners,
+        "archetypes": len(archetypes),
+        "live": scene.alive_count(),
+        "dispatch_groups": scene._last_step_dispatches,
+        "ms_per_frame_wall": round(ms, 4),
+    }
+
+
+def ParticleSpawner_bounce():
+    """Collision-enabled archetype for the hetero scene (distinct
+    SpawnerStatic: any_collision=True)."""
+    from bevy_firework_tpu.settings import (
+        EmissionSettings,
+        ParticleCollisionSettings,
+        ParticleSettings,
+        ParticleSpawner,
+        RandF32,
+        RandVec3,
+    )
+
+    return ParticleSpawner(
+        particle_settings=[ParticleSettings(
+            lifetime=RandF32.constant(2.0),
+            collision_settings=ParticleCollisionSettings(restitution=0.6, friction=0.2),
+        )],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.rate(500.0),
+            initial_velocity=RandVec3(magnitude=RandF32(2.0, 5.0), direction=(0, 1, 0), spread=0.6),
+        )],
+    )
+
+
 def _measure_group_churn(n_spawners=12, capacity=8192, rate=6000.0, n_frames=40):
     """Membership-churn cost in a batched group (VERDICT r2 next #9):
     add+remove one spawner per frame in a 12-member archetype group. The
@@ -344,11 +467,16 @@ def _run_parity_sweep(n_configs=4):
         rounds = [int(p.stem.split("_r")[1]) for p in root.glob("BENCH_r*.json")
                   if p.stem.split("_r")[1].isdigit()]
         nn = (max(rounds) + 1) if rounds else 0
+        # n_checks counts every OK/FAIL line the sweep printed (fuzz seeds +
+        # named checks); n_fuzz_configs is just the seed-sweep width. The two
+        # were conflated as "n_configs" through round 3 (VERDICT r3 weak #5).
+        n_checks = sum(1 for ln in lines if ": OK" in ln or ": FAIL" in ln)
         record = {
             "score": score,
             "failures": failures,
             "ok": failures == 0,
-            "n_configs": n_configs,
+            "n_checks": n_checks,
+            "n_fuzz_configs": n_configs,
             "git_sha": sha,
             "date": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
             "lines": lines,
@@ -362,6 +490,18 @@ def _run_parity_sweep(n_configs=4):
 
 
 def main():
+    # drift probe FIRST (fixed device work; normalizes everything below)
+    try:
+        probe_ms, drift = _measure_hbm_probe()
+    except Exception:
+        probe_ms, drift = None, 1.0
+
+    def _norm(ms):
+        """Drift-normalized ms: what this metric would read at probe
+        speed-of-light (assumes the attach slowdown is multiplicative on
+        device time, which the probe's own run-to-run spread supports)."""
+        return round(ms / drift, 4)
+
     # headline: driver metric — 100k live, stress_test
     spawner, _tf = effects.stress_test()
     compiled, state, frame, alive, ms = _measure(spawner, TARGET_LIVE, 1 << 17, n_frames=400, reps=7)
@@ -378,25 +518,32 @@ def main():
     wall_call = (time.perf_counter() - t0) / 50
 
     extras = {}
+    if probe_ms is not None:
+        extras["hbm_probe"] = {
+            "ms_per_iter": round(probe_ms, 4),
+            "drift_vs_sol": round(drift, 4),
+            "gbps": round((2 * 512 * (1 << 20)) / 1e9 / (probe_ms * 1e-3), 1),
+        }
     try:
         _c, _s, _f, alive_1m, ms_1m = _measure(spawner, 1_000_000, 160 * 8192, n_frames=150)
-        extras["1M"] = {"live": alive_1m, "ms_per_frame": round(ms_1m, 4)}
+        extras["1M"] = {"live": alive_1m, "ms_per_frame": round(ms_1m, 4), "ms_norm": _norm(ms_1m)}
         ms_extract = _measure_extract(_c, _s, _f)
         extras["render_extract_1M"] = {"live": alive_1m, "ms_device": round(ms_extract, 4)}
         spc, _t2, cols = effects.stress_test_collision()
         _c, _s, _f, alive_c, ms_c = _measure(spc, 500_000, 160 * 8192, colliders=cols, n_frames=150)
-        extras["1M_collision"] = {"live": alive_c, "ms_per_frame": round(ms_c, 4)}
+        extras["1M_collision"] = {"live": alive_c, "ms_per_frame": round(ms_c, 4), "ms_norm": _norm(ms_c)}
         alive_n, ms_n = _measure_nested()
-        extras["nested_60k"] = {"live": alive_n, "ms_per_frame": round(ms_n, 4)}
+        extras["nested_60k"] = {"live": alive_n, "ms_per_frame": round(ms_n, 4), "ms_norm": _norm(ms_n)}
         alive_f, ms_f = _measure_fleet()
-        extras["fleet_16x55k"] = {"live": alive_f, "ms_per_frame": round(ms_f, 4)}
+        extras["fleet_16x55k"] = {"live": alive_f, "ms_per_frame": round(ms_f, 4), "ms_norm": _norm(ms_f)}
         extras["scene_batch_12"] = _measure_scene_batch()
+        extras["scene_hetero_100"] = _measure_scene_hetero()
         extras["group_churn_12"] = _measure_group_churn()
         # single-chip scale headroom: one 10M-lane pool (multi-frame unroll
         # keeps it HBM-traffic bound; ~linear in capacity)
         _c, _s, _f, alive_10m, ms_10m = _measure(
             spawner, 10_000_000, 1280 * 8192, warmup=100, n_frames=80)
-        extras["10M"] = {"live": alive_10m, "ms_per_frame": round(ms_10m, 4)}
+        extras["10M"] = {"live": alive_10m, "ms_per_frame": round(ms_10m, 4), "ms_norm": _norm(ms_10m)}
     except Exception as e:  # extras must never sink the headline metric
         extras["error"] = str(e)[:200]
 
@@ -404,6 +551,23 @@ def main():
 
     if os.environ.get("BENCH_SKIP_PARITY", "") != "1":
         extras["parity_sweep"] = _run_parity_sweep()
+
+    # In-session A/B vs the round-2 kernel (VERDICT r3 next #1b): both
+    # kernels timed interleaved in THIS process, so attach drift cancels and
+    # head_over_r02 is a drift-proof regression detector.
+    if os.environ.get("BENCH_SKIP_AB", "") != "1" and jax.default_backend() == "tpu":
+        try:
+            import importlib.util
+            import pathlib
+
+            spec = importlib.util.spec_from_file_location(
+                "ab_kernel_tpu",
+                pathlib.Path(__file__).resolve().parent / "tools" / "ab_kernel_tpu.py")
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            extras["ab_vs_r02"] = mod.run(reps=5, base_frames=150)
+        except Exception as e:
+            extras["ab_vs_r02"] = {"skipped": True, "reason": str(e)[:160]}
 
     steps_per_sec = alive / (ms * 1e-3)
     print(
@@ -414,6 +578,8 @@ def main():
                 "unit": "particle-steps/s",
                 "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
                 "ms_per_frame": round(ms, 4),
+                "ms_per_frame_norm": _norm(ms),
+                "steps_per_sec_norm": round(alive / (_norm(ms) * 1e-3)),
                 "ms_per_frame_with_dispatch": round(wall_call * 1e3, 4),
                 "live_particles": alive,
                 "extras": extras,

@@ -77,7 +77,6 @@ from ..compiled import (
     SpawnerParams,
     SpawnerStatic,
 )
-from ..curve import K_MAX
 from ..pool import FrameInput, PoolState
 from ..step import StepOutputs
 from ..utils.f32 import F32_MIN, rem_euclid
@@ -844,7 +843,8 @@ def nested_cadence_pass(static, params, e, alive, ptype, age, lifetime, le_row, 
 
 def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump: bool,
                  kernel_spawn: bool, block_rows: int, pack_render: bool = False,
-                 unroll: int = 1, field_kinds: tuple = (), nested_merge: tuple = ()):
+                 unroll: int = 1, field_kinds: tuple = (), nested_merge: tuple = (),
+                 shard_npool: Optional[int] = None):
     E = static.num_emitters
     T = static.num_types
     C = len(collider_kinds)
@@ -959,16 +959,20 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
 
         tid = pl.program_id(0)
         tile = block_rows * LANES
+        sharded = shard_npool is not None
         if cad:
-            # Shard-info scalars (dyn slots 11-13, zero when unsharded —
-            # see _pack_scalar_rows): under shard_map over the particle
-            # axis each device's kernel sees only its sub-pool, so claims
-            # must use GLOBAL lane indices and the GLOBAL capacity for the
-            # cursor ring / dead-rank math to match the unsharded kernel.
-            lane_base = dyn_ref[0, 11]  # global index of this shard's lane 0
-            npool_in = dyn_ref[0, 12]  # global pool capacity (0 => local)
-            local_npool = pl.num_programs(0) * tile
-            npool = jnp.where(npool_in > 0, npool_in, local_npool)
+            # Shardedness is a COMPILE-TIME property (shard_npool static):
+            # under shard_map over the particle axis each device's kernel
+            # sees only its sub-pool, so claims must use GLOBAL lane indices
+            # (dyn slot 11) and the GLOBAL capacity for the cursor ring /
+            # dead-rank math to match the unsharded kernel. npool stays a
+            # Python int either way — the per-lane ring-rank modulo below
+            # strength-reduces to multiply+shift only when its divisor is a
+            # compile-time constant; a dynamic SMEM divisor is a true
+            # per-lane integer division and cost round 3 a 1.8x hot-path
+            # regression (tools/bisect_kernel_tpu.py, commit 0e70d84).
+            npool = shard_npool if sharded else pl.num_programs(0) * tile
+            lane_base = dyn_ref[0, 11] if sharded else 0
 
         if cad and not static.ring_claim:  # SMEM rank carry for prefix claim
 
@@ -977,7 +981,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
                 # Sharded: start from this shard's global dead-slot rank
                 # offset (exclusive prefix of prior shards' dead counts,
                 # computed by the shard_map caller); 0 when unsharded.
-                dead_carry[0] = dyn_ref[0, 13]
+                dead_carry[0] = dyn_ref[0, 13] if sharded else 0
 
         ptype = None if single else ptype_ref[:, :]
         if cad:
@@ -1488,7 +1492,7 @@ def _pack_gmeta(params):
 
 def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptype, f32_fields,
                       kernel_spawn: bool = True, pack_render: bool = False, unroll=1,
-                      nested_payloads=None):
+                      nested_payloads=None, shard_npool: Optional[int] = None):
     """Invoke the fused Pallas kernel on one pool pass.
 
     alive: [N] bool, ptype: [N] i32, f32_fields: name -> [N] f32 covering
@@ -1568,7 +1572,8 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
             child_buf = nwin_arr = None
 
     kernel = _make_kernel(static, kinds, identity, dump, kernel_spawn, block_rows, pack_render,
-                          unroll=unroll, field_kinds=field_kinds, nested_merge=merge_info)
+                          unroll=unroll, field_kinds=field_kinds, nested_merge=merge_info,
+                          shard_npool=shard_npool)
 
     smalls = _pack_fused_smalls(static, params, colliders, frame) + [dyn, estate]
     if looped:
@@ -1688,17 +1693,20 @@ def _pack_scalar_rows(static, manual_queued, ring_cursor, seeds, any_alive,
     sub-frame; estate rows = [time_in_cycle, last_emission, enabled,
     pad...]).
 
-    shard_row: optional (lane_base, global_npool, dead_rank_offset) int32
-    scalars for shard_map-over-particle-axis execution (dyn slots 11-13);
-    zeros (= unsharded: local indexing, local capacity) when absent."""
+    shard_row: optional (lane_base, dead_rank_offset) int32 scalars for
+    shard_map-over-particle-axis execution (dyn slots 11 and 13; the global
+    capacity is a compile-time constant of the kernel build, NOT a dyn
+    slot — see _make_kernel shard_npool); zeros (= unsharded: local
+    indexing) when absent. Slot 12 is reserved (held the global capacity
+    through round 3)."""
     E = static.num_emitters
     z = jnp.zeros((), jnp.int32)
     s = list(seeds) + [z] * (8 - len(seeds))  # dyn row always has 8 seed slots
-    lb, npg, dro = shard_row if shard_row is not None else (z, z, z)
+    lb, dro = shard_row if shard_row is not None else (z, z)
     dyn = jnp.stack(
         [manual_queued, ring_cursor, s[0], any_alive,
          s[1], s[2], s[3], s[4], s[5], s[6], s[7],
-         lb, npg, dro, z, z]
+         lb, z, dro, z, z]
     ).reshape(1, 16)
     estate = jnp.concatenate(
         [
@@ -1740,35 +1748,37 @@ def fused_step(
     shards the pool's particle dimension (parallel.sharding
     make_sharded_step). state/destroyed_mask leaves then hold this shard's
     slice; scalar state and frame/params are replicated. The kernel claims
-    with GLOBAL lane indices (dyn slots 11-13) so the set of slots claimed
-    per emitter matches the unsharded kernel exactly, and the epilogue's
-    AABB/count reductions turn into psum/pmin/pmax collectives (the one
-    small all-reduce SURVEY §2a predicts; everything per-lane stays
-    shard-local, riding zero communication).
+    with GLOBAL lane indices (dyn slots 11/13 + a STATIC global capacity —
+    the mesh axis size is a trace-time constant, so the per-lane ring-rank
+    modulo keeps its constant divisor; see _make_kernel shard_npool) so the
+    set of slots claimed per emitter matches the unsharded kernel exactly,
+    and the epilogue's AABB/count reductions turn into psum/pmin/pmax
+    collectives (the one small all-reduce SURVEY §2a predicts; everything
+    per-lane stays shard-local, riding zero communication).
 
     _shard_override: testing seam — explicit (lane_base, global_npool,
-    dead_rank_offset) int32 scalars in place of the shard_map-derived ones,
-    so a single chip can validate the compiled kernel's global-index claim
-    math by manually splitting a pool (tools/fused_parity_tpu.py); the
+    dead_rank_offset) in place of the shard_map-derived ones, so a single
+    chip can validate the compiled kernel's global-index claim math by
+    manually splitting a pool (tools/fused_parity_tpu.py); global_npool
+    must be a Python int (it is a compile-time kernel constant); the
     epilogue reductions then stay LOCAL (the caller stitches shards)."""
     assert can_fuse(static)
     assert unroll == 1 or (can_unroll(static) and 1 < unroll <= MAX_UNROLL)
     E = static.num_emitters
 
     shard_row = None
+    shard_npool = None
     if _shard_override is not None:
         lb, npg, dro = _shard_override
-        shard_row = (
-            jnp.asarray(lb, jnp.int32),
-            jnp.asarray(npg, jnp.int32),
-            jnp.asarray(dro, jnp.int32),
-        )
+        assert isinstance(npg, int), "_shard_override global_npool must be a Python int"
+        shard_npool = npg
+        shard_row = (jnp.asarray(lb, jnp.int32), jnp.asarray(dro, jnp.int32))
     elif shard_axis is not None:
         n_local = state.capacity
         idx = jax.lax.axis_index(shard_axis)
-        n_shards = jax.lax.psum(jnp.int32(1), shard_axis)
+        n_shards = jax.lax.axis_size(shard_axis)  # Python int (static mesh)
         lane_base = (idx * n_local).astype(jnp.int32)
-        npool_g = (jnp.int32(n_local) * n_shards).astype(jnp.int32)
+        shard_npool = n_local * n_shards
         if static.ring_claim:
             dro = jnp.zeros((), jnp.int32)
         else:
@@ -1779,7 +1789,7 @@ def fused_step(
             dro = jnp.sum(
                 jnp.where(jnp.arange(g.shape[0]) < idx, g, 0)
             ).astype(jnp.int32)
-        shard_row = (lane_base, npool_g, dro)
+        shard_row = (lane_base, dro)
 
     # The whole emission pipeline (cadence, bookkeeping, claim, RNG, init)
     # runs in-kernel; the XLA prelude just assembles two small scalar rows.
@@ -1798,7 +1808,7 @@ def fused_step(
     f32_fields = {name: getattr(state, name) for name in active_f32_fields(static)}
     alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new, planes = _run_fused_kernel(
         static, params, colliders, frame, dyn, estate, state.alive, state.ptype, f32_fields,
-        pack_render=pack_render, unroll=unroll,
+        pack_render=pack_render, unroll=unroll, shard_npool=shard_npool,
     )
     manual_queued = dyn_new[0, 0]
     new_cursor = dyn_new[0, 1]

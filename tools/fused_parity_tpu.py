@@ -428,16 +428,20 @@ def check_sharded_claims(ring: bool, capacity=2 * 8192, n_shards=2, n_frames=18)
     sFull = init_pool_for(c, capacity, 0)
     shards = _split_state(init_pool_for(c, capacity, 0), n_shards)
     frame = make_frame_input(1 / 50)
+    # the global capacity is a compile-time kernel constant (static npool —
+    # the per-lane ring-rank modulo must keep a constant divisor); only
+    # lane_base and the dead-rank offset are runtime scalars
     sharded_jit = jax.jit(
-        lambda p, t, s, f, ov: fused_step(c.static, p, t, s, f, _shard_override=ov))
+        lambda p, t, s, f, lb, dro: fused_step(
+            c.static, p, t, s, f, _shard_override=(lb, capacity, dro)))
     for _ in range(n_frames):
         sFull, _o = fused_jit(c.static, c.params, table, sFull, frame)
         dead_counts = [int(np.asarray(~s.alive).sum()) for s in shards]
         offs = np.cumsum([0] + dead_counts[:-1])
         new_shards = []
         for i, s in enumerate(shards):
-            ov = (np.int32(i * k), np.int32(capacity), np.int32(offs[i]))
-            s2, _o2 = sharded_jit(c.params, table, s, frame, ov)
+            s2, _o2 = sharded_jit(c.params, table, s, frame,
+                                  np.int32(i * k), np.int32(offs[i]))
             new_shards.append(s2)
         shards = new_shards
     for f in ("alive", "px", "py", "pz", "vx", "vy", "vz", "age"):
