@@ -278,9 +278,15 @@ def compile_spawner(spawner: ParticleSpawner, nested_buffer: int = 4096) -> Comp
     def iarr(vals):
         return jnp.asarray(np.asarray(vals, dtype=np.int32))
 
-    scale_tabs = [compile_curve(t.scale_curve, channels=0) for t in types]
-    base_tabs = [compile_curve(t.base_color, channels=4) for t in types]
-    emis_tabs = [compile_curve(t.emissive_color, channels=4) for t in types]
+    # per-archetype table width: the largest knot count across ALL of this
+    # spawner's curves (>= K_MAX so common archetypes share shapes); still a
+    # compile-time constant under jit, so arbitrary authoring-side keyframe
+    # counts are supported (reference: unbounded sample vecs, curve.rs:8-75)
+    k_pad = max([K_MAX] + [t.scale_curve.n for t in types]
+                + [t.base_color.n for t in types] + [t.emissive_color.n for t in types])
+    scale_tabs = [compile_curve(t.scale_curve, channels=0, k_pad=k_pad) for t in types]
+    base_tabs = [compile_curve(t.base_color, channels=4, k_pad=k_pad) for t in types]
+    emis_tabs = [compile_curve(t.emissive_color, channels=4, k_pad=k_pad) for t in types]
 
     params = SpawnerParams(
         lifetime_lo=farr([t.lifetime.min for t in types]),

@@ -31,9 +31,12 @@ CURVE_CONSTANT = 0
 CURVE_EVEN = 1
 CURVE_UNEVEN = 2
 
-# Fixed keyframe-table width. All curves compile to exactly K_MAX knots so an
-# archetype's curves stack into one [T, K_MAX(, C)] array. 8 covers every
-# reference example (max observed: 5 keyframes in sparks' gradient).
+# Default keyframe-table width. Within one archetype all curves compile to
+# the SAME width so they stack into one [T, K(, C)] array; the width is a
+# per-archetype compile constant (compiled.py passes k_pad = the archetype's
+# largest knot count) so authoring-side curves may hold any number of knots —
+# the reference's sample vecs are unbounded (/root/reference/src/curve.rs:8-75).
+# 8 covers every reference example (max observed: 5 keyframes in sparks).
 K_MAX = 8
 
 
@@ -145,25 +148,28 @@ def _tup(v) -> Any:
 # ---------------------------------------------------------------------------
 
 
-def compile_curve(curve: FireworkCurve, channels: int = 0):
-    """Pack a curve into fixed-width (ts[K_MAX], vs[K_MAX(,C)], n) f32 arrays.
+def compile_curve(curve: FireworkCurve, channels: int = 0, k_pad: int = None):
+    """Pack a curve into fixed-width (ts[K], vs[K(,C)], n) f32 arrays, where
+    K = k_pad (defaults to max(K_MAX, n) — callers stacking several curves
+    into one table pass their common width).
 
     Padding: ts beyond n-1 are +inf (so segment search never selects them);
     vs beyond n-1 repeat the last value (so clamping to the end is free).
     """
     n = curve.n
-    if n > K_MAX:
-        raise ValueError(f"curve has {n} knots; K_MAX={K_MAX}")
+    if k_pad is None:
+        k_pad = max(K_MAX, n)
+    assert n <= k_pad, (n, k_pad)
     if curve.kind == CURVE_EVEN:
         ts = np.array([i / (n - 1) for i in range(n)], dtype=np.float32)
     else:
         ts = np.asarray(curve.ts, dtype=np.float32)
-    ts_pad = np.full((K_MAX,), np.inf, dtype=np.float32)
+    ts_pad = np.full((k_pad,), np.inf, dtype=np.float32)
     ts_pad[:n] = ts
     vs = np.asarray(curve.vs, dtype=np.float32)
     if channels and vs.ndim == 1:
         vs = np.broadcast_to(vs[:, None], (n, channels)).copy()
-    shape = (K_MAX, channels) if channels else (K_MAX,)
+    shape = (k_pad, channels) if channels else (k_pad,)
     vs_pad = np.zeros(shape, dtype=np.float32)
     vs_pad[:n] = vs
     vs_pad[n:] = vs[-1]
