@@ -21,6 +21,8 @@ from .rand import RandF32, RandVec3
 from .render import (
     FireworkUniform,
     FogSettings,
+    Light,
+    LightTable,
     RenderItem,
     aabb_intersects_frustum,
     frustum_planes,
@@ -82,6 +84,8 @@ __all__ = [
     "FieldTable",
     "FireworkUniform",
     "FogSettings",
+    "Light",
+    "LightTable",
     "ForceField",
     "FrameInput",
     "ParticleCollisionSettings",

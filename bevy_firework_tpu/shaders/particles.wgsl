@@ -28,6 +28,12 @@
 //     factor (the reference gets shadows from Bevy's clustered PBR via
 //     apply_pbr_lighting, reference particles.wgsl:180-239; this def is
 //     the self-contained analog at the same seam).
+//   LIGHTS        — a light table is bound at group(2) binding 12 and
+//     pbr_shade loops it (N directional + point + spot lights with Bevy's
+//     attenuation/cone semantics + table ambient), replacing the built-in
+//     single-directional environment. The reference inherits exactly this
+//     from Bevy's clustered apply_pbr_lighting
+//     (reference particles.wgsl:180-239).
 //   FOG           — a distance-fog uniform is bound at group(2) binding 11;
 //     the fragment's final color (unlit AND lit — fog is a view effect,
 //     applied after the lighting branch like Bevy's pbr.wgsl fragment) is
@@ -97,6 +103,34 @@ fn shadow_factor(world_pos: vec3<f32>) -> f32 {
     return 1.0 - shadow.params.y * (1.0 - lit * 0.25);
 }
 #endif // SHADOW_MAP
+#ifdef LIGHTS
+// Light table (Bevy PBR environment semantics — the reference's fragment
+// inherits point/spot/directional lights + ambient from apply_pbr_lighting;
+// this def is the self-contained analog). kind: 0 directional, 1 point,
+// 2 spot. Point/spot use Bevy's smooth-window inverse-square attenuation
+// (getDistanceAttenuation) and spot cone falloff
+// (saturate((cos - cos_outer) / (cos_inner - cos_outer))^2).
+struct TableLight {
+    position_range: vec4<f32>,   // xyz world position (unused for dir), w = range
+    color_kind: vec4<f32>,       // rgb = color * premultiplied intensity, a = kind
+    direction_outer: vec4<f32>,  // xyz TOWARD the scene (dir/spot), w = cos outer
+    extra: vec4<f32>,            // x = cos inner (spot), yzw pad
+};
+struct LightsUniform {
+    counts: vec4<u32>,           // x = number of live rows
+    ambient: vec4<f32>,          // rgb ambient, a unused
+    lights: array<TableLight, 8>,
+};
+@group(2) @binding(12) var<uniform> light_table: LightsUniform;
+
+// Bevy's getDistanceAttenuation: smooth window falloff times inverse square
+fn distance_attenuation(dist_sq: f32, inv_range_sq: f32) -> f32 {
+    let factor = dist_sq * inv_range_sq;
+    let smooth_factor = clamp(1.0 - factor * factor, 0.0, 1.0);
+    return smooth_factor * smooth_factor / max(dist_sq, 0.0001);
+}
+#endif // LIGHTS
+
 #ifdef FOG
 // Distance fog (Bevy DistanceFog semantics — the reference's fragment gets
 // this stage free from apply_pbr_lighting). mode selects the falloff:
@@ -372,6 +406,51 @@ fn pbr_shade(in: VsOut, base: vec4<f32>, emissive: vec4<f32>) -> vec4<f32> {
     // unshadowed (matching Bevy's directional-light shadow application)
     direct = direct * shadow_factor(in.world_position);
 #endif // SHADOW_MAP
-    let indirect = base.rgb * AMBIENT;
+    var indirect = base.rgb * AMBIENT;
+#ifdef LIGHTS
+    // The light table REPLACES the built-in environment: loop N lights with
+    // Bevy's attenuation/cone semantics, ambient from the table. The
+    // single-light math above is recomputed per light via pbr_light_contrib.
+    direct = vec3<f32>(0.0, 0.0, 0.0);
+    let n_lights = min(light_table.counts.x, 8u);
+    for (var i = 0u; i < n_lights; i = i + 1u) {
+        let lt = light_table.lights[i];
+        let kind = lt.color_kind.a;
+        var l_dir = -normalize(lt.direction_outer.xyz);
+        var radiance = lt.color_kind.rgb;
+        if (kind > 0.5) {
+            // point / spot: radiance falls off by distance (Bevy
+            // getDistanceAttenuation) within position_range.w
+            let to_light = lt.position_range.xyz - in.world_position;
+            let d2 = dot(to_light, to_light);
+            l_dir = to_light / max(sqrt(d2), 1e-5);
+            let rng = max(lt.position_range.w, 1e-4);
+            radiance = radiance * distance_attenuation(d2, 1.0 / (rng * rng));
+            if (kind > 1.5) {
+                // spot cone: squared smooth falloff between outer and inner
+                let cd = dot(-l_dir, normalize(lt.direction_outer.xyz));
+                let cone = clamp(
+                    (cd - lt.direction_outer.w)
+                        / max(lt.extra.x - lt.direction_outer.w, 1e-4),
+                    0.0, 1.0);
+                radiance = radiance * cone * cone;
+            }
+        }
+        let hl = normalize(v + l_dir);
+        let nl_i = max(dot(n, l_dir), 0.0);
+        let nh_i = max(dot(n, hl), 0.0);
+        let lh_i = max(dot(l_dir, hl), 0.0);
+        let spec_i = d_ggx(nh_i, a) * v_smith(nl_i, nv, a) * f_schlick(lh_i, f0);
+        var contrib = (diffuse + spec_i) * radiance * nl_i;
+#ifdef SHADOW_MAP
+        // the shadow map belongs to the FIRST directional light
+        if (i == 0u && kind < 0.5) {
+            contrib = contrib * shadow_factor(in.world_position);
+        }
+#endif // SHADOW_MAP
+        direct = direct + contrib;
+    }
+    indirect = base.rgb * light_table.ambient.rgb;
+#endif // LIGHTS
     return vec4<f32>(direct + indirect + emissive.rgb, base.a);
 }

@@ -133,6 +133,12 @@ class PipelineKey:
     # the fog stage from apply_pbr_lighting — here an explicit key bit that
     # binds a FogUniform at group(2) binding 11 and compiles the mix in)
     fog: bool = False
+    # the view carries a light table (N directional/point/spot lights +
+    # ambient, Bevy clustered-PBR semantics — the reference inherits the
+    # whole environment from apply_pbr_lighting; here an explicit key bit
+    # that binds a LightsUniform at group(2) binding 12 and compiles the
+    # light loop into pbr_shade)
+    lights: bool = False
 
     def target_format(self) -> str:
         # `key.target_format()` (`render.rs:831`): the view's HDR choice.
@@ -147,6 +153,7 @@ def key_for(
     hdr: bool = False,
     shadow_map: bool = False,
     fog: bool = False,
+    lights: bool = False,
 ) -> PipelineKey:
     """`render.rs:519-535`: alpha_mode -> key blend bit. Premultiplied and
     Add share one key (their difference is applied post-lighting in the
@@ -165,6 +172,7 @@ def key_for(
         blend_bit=bit,
         shadow_map=bool(shadow_map),
         fog=bool(fog),
+        lights=bool(lights),
     )
 
 
@@ -174,7 +182,7 @@ def key_for(
 
 
 def uniform_layout_entries(msaa: bool, shadow_map: bool = False,
-                           fog: bool = False) -> List[dict]:
+                           fog: bool = False, lights: bool = False) -> List[dict]:
     """The uniform bind-group layout; the msaa flavor swaps the depth
     entry's texture type (`render.rs:820-824` picks uniform_layout vs
     uniform_layout_msaa). The depth entry is ALWAYS in the layout — when
@@ -204,6 +212,10 @@ def uniform_layout_entries(msaa: bool, shadow_map: bool = False,
         # FOG variant: FogUniform (4 x vec4 = 64 B) at binding 11 — fixed
         # slot regardless of shadow_map so the two variants compose
         entries.append({"binding": 11, "type": "uniform-buffer", "size": 64, "name": "fog"})
+    if lights:
+        # LIGHTS variant: LightsUniform (uvec4 + vec4 + 8 x 4 vec4 = 544 B)
+        # at binding 12 — fixed slot so it composes with shadow/fog
+        entries.append({"binding": 12, "type": "uniform-buffer", "size": 544, "name": "lights"})
     return entries
 
 
@@ -246,6 +258,8 @@ class PipelineCache:
             defs.append("SHADOW_MAP")
         if key.fog:
             defs.append("FOG")
+        if key.lights:
+            defs.append("LIGHTS")
         wgsl = preprocess(self._source, frozenset(defs))
         errors = check_wgsl(wgsl)
         if errors:
@@ -258,7 +272,7 @@ class PipelineCache:
             shader_defs=tuple(defs),
             shader_source=wgsl,
             layout=uniform_layout_entries(key.msaa_samples > 1, key.shadow_map,
-                                          key.fog),
+                                          key.fog, key.lights),
             target_format=key.target_format(),
             blend=ALPHA_BLENDING,
             multisample_count=key.msaa_samples,  # render.rs:864
@@ -349,4 +363,8 @@ class DummyTextures:
             # the uniform itself carries mode/opacity, so there is no dummy
             # resource — a host with fog disabled simply doesn't set the bit
             entries.append({"binding": 11, "resource": "fog-uniform"})
+        if key.lights:
+            # the uniform carries the light count (0 = ambient-only), so no
+            # dummy resource exists for this slot either
+            entries.append({"binding": 12, "resource": "lights-uniform"})
         return entries

@@ -190,6 +190,7 @@ def render_frame(
     shadow_strength: float = 0.6,
     light_dir: Tuple[float, float, float] = (0.4, 0.8, 0.3),
     fog=None,
+    lights=None,
 ) -> np.ndarray:
     """Rasterize RenderItems to an [H, W, 3] float image (simple Reinhard
     tonemap for the HDR gradients). Implements the contract's billboard +
@@ -356,31 +357,45 @@ def render_frame(
                 diff = np.abs(1.0 / (near / depth) - np.where(hits, 1.0 / (near / t_scene), np.inf))
                 alpha = alpha * _smoothstep(0.0, uni.fade_scene, diff)
         if uni.pbr:
-            # mirrors shaders/particles.wgsl pbr_shade: Cook-Torrance GGX,
-            # one directional light + ambient; billboard normal = to-camera,
-            # untextured defaults roughness 1.0 / metallic 0.
+            # mirrors shaders/particles.wgsl pbr_shade: Cook-Torrance GGX;
+            # billboard normal = to-camera, untextured defaults roughness
+            # 1.0 / metallic 0. Environment: the built-in single directional
+            # light, or — when a LightTable is passed — the LIGHTS
+            # variant's loop (LightTable.radiance_at is the shared oracle).
             n = -np.array([xs[pi], ys[pi], depth], np.float32)
             n = n / max(np.linalg.norm(n), 1e-6)
             v = n  # camera-facing quad: normal == view direction
-            light_w = np.array([0.4, 0.8, 0.3], np.float32)
-            light_w = light_w / np.linalg.norm(light_w)
-            l = np.stack([cam.right, cam.up, cam.forward]) @ light_w  # view basis
-            h = v + l
-            h = h / max(np.linalg.norm(h), 1e-6)
-            nl = max(float(n @ l), 0.0)
+            basis = np.stack([cam.right, cam.up, cam.forward])
             nv = max(float(n @ v), 1e-4)
-            nh = max(float(n @ h), 0.0)
-            lh = max(float(l @ h), 0.0)
             a = 1.0  # perceptual_roughness 1.0 squared
-            d = a * a / (np.pi * (nh * nh * (a * a - 1.0) + 1.0) ** 2)
-            gv = nl * np.sqrt(nv * nv * (1.0 - a * a) + a * a)
-            gl = nv * np.sqrt(nl * nl * (1.0 - a * a) + a * a)
-            vis = 0.5 / max(gv + gl, 1e-5)
-            f0 = 0.04
-            fr = f0 + (1.0 - f0) * (1.0 - lh) ** 5
-            spec = d * vis * fr
-            ambient = np.array([0.09, 0.09, 0.1], np.float32)
-            color = (base[0:3] / np.pi + spec) * nl + base[0:3] * ambient + emis[0:3]
+
+            def ggx_direct(l, radiance):
+                h = v + l
+                h = h / max(np.linalg.norm(h), 1e-6)
+                nl = max(float(n @ l), 0.0)
+                nh = max(float(n @ h), 0.0)
+                lh = max(float(l @ h), 0.0)
+                d = a * a / (np.pi * (nh * nh * (a * a - 1.0) + 1.0) ** 2)
+                gv = nl * np.sqrt(nv * nv * (1.0 - a * a) + a * a)
+                gl = nv * np.sqrt(nl * nl * (1.0 - a * a) + a * a)
+                vis = 0.5 / max(gv + gl, 1e-5)
+                f0 = 0.04
+                fr = f0 + (1.0 - f0) * (1.0 - lh) ** 5
+                return (base[0:3] / np.pi + d * vis * fr) * np.asarray(radiance, np.float32) * nl
+
+            if lights is None:
+                light_w = np.array([0.4, 0.8, 0.3], np.float32)
+                light_w = light_w / np.linalg.norm(light_w)
+                direct = ggx_direct(basis @ light_w, (1.0, 1.0, 1.0))
+                ambient = np.array([0.09, 0.09, 0.1], np.float32)
+            else:
+                world_pos = (cam.position + xs[pi] * cam.right + ys[pi] * cam.up
+                             + depth * cam.forward)
+                direct = np.zeros(3, np.float32)
+                for l_w, radiance in lights.radiance_at(world_pos):
+                    direct = direct + ggx_direct(basis @ np.asarray(l_w, np.float32), radiance)
+                ambient = np.asarray(lights.ambient[:3], np.float32)
+            color = direct + base[0:3] * ambient + emis[0:3]
         else:
             # unlit path: base color alone (reference particles.wgsl:162-163)
             color = base[0:3]

@@ -1,0 +1,37 @@
+"""PBR smoke under a light TABLE (LIGHTS pipeline variant, VERDICT r3 #5):
+one warm directional sun + a blue point light + an orange spot, Bevy
+clustered-PBR semantics. The reference inherits this whole environment from
+`apply_pbr_lighting` (`/root/reference/src/particles.wgsl:180-239`); here the
+table is an explicit uniform at group(2) binding 12 and the software viewer
+shares `LightTable.radiance_at` as the oracle.
+
+Writes lights.png (light table) and lights_builtin.png (the built-in
+single-directional environment) for a side-by-side.
+"""
+
+from _common import parse_args, run
+
+args = parse_args(__doc__, frames=240)
+
+from bevy_firework_tpu import Light, LightTable, Scene
+from bevy_firework_tpu.models import effects
+from bevy_firework_tpu.viewer import Camera, render_scene_png
+
+spawner, tf = effects.pbr()
+scene = Scene()
+scene.add_spawner(spawner, capacity=2048, transform=tf)
+run(scene, args)
+
+table = LightTable(
+    lights=(
+        Light.directional((-0.5, -0.7, -0.4), color=(1.0, 0.95, 0.85), illuminance=0.6),
+        Light.point((2.0, 2.5, 0.0), color=(0.2, 0.5, 1.0), intensity=150.0, range=18.0),
+        Light.spot((-3.0, 4.0, 2.0), (0.5, -1.0, -0.3), color=(1.0, 0.4, 0.2),
+                   intensity=250.0, range=25.0, inner_angle=0.35, outer_angle=0.55),
+    ),
+    ambient=(0.03, 0.03, 0.05),
+)
+cam = Camera(position=(0.0, 3.0, 10.0), look_at=(0.0, 2.0, 0.0))
+render_scene_png(scene, "lights.png", camera=cam, lights=table)
+render_scene_png(scene, "lights_builtin.png", camera=cam)
+print("wrote lights.png (light table) and lights_builtin.png (built-in env)")

@@ -40,6 +40,10 @@ parser.add_argument("--warmup", type=int, default=90)
 parser.add_argument("--fog", action="store_true",
                     help="compile the FOG pipeline variant and bind a linear "
                          "distance fog uniform at group(2) binding 11")
+parser.add_argument("--lights", action="store_true",
+                    help="compile the LIGHTS pipeline variant and bind a "
+                         "light table (1 directional + 1 point + 1 spot, "
+                         "Bevy clustered-PBR semantics) at group(2) binding 12")
 args = parser.parse_args()
 if args.cpu:
     import jax
@@ -132,7 +136,8 @@ for p in tex_paths:
 # adds the SHADOW_MAP def: the page renders a directional light-view depth
 # pass and pbr_shade samples it (casing shadows in the textures scene).
 variant = PipelineCache().specialize(
-    key_for(ALPHA_BLEND, depth_prepass=True, shadow_map=True, fog=args.fog))
+    key_for(ALPHA_BLEND, depth_prepass=True, shadow_map=True, fog=args.fog,
+            lights=args.lights))
 desc = dataclasses.asdict(variant)
 del desc["key"]  # everything the consumer needs is in the descriptor fields
 if args.fog:
@@ -145,6 +150,21 @@ if args.fog:
         color=(0.10, 0.13, 0.19, 1.0), start=7.0, end=30.0,
         directional_light_color=(0.9, 0.75, 0.5, 0.25),
         directional_light_exponent=12.0, light_dir=(0.5, 0.7, 0.4),
+    ).to_bytes()).decode()
+if args.lights:
+    # LIGHTS variant (Bevy clustered-PBR analog): the page binds these 544
+    # std140 bytes at group(2) binding 12; pbr_shade loops the table instead
+    # of the built-in single directional environment.
+    from bevy_firework_tpu.render import Light, LightTable
+
+    desc["lights_uniform"] = base64.b64encode(LightTable(
+        lights=(
+            Light.directional((-0.5, -0.7, -0.4), color=(1.0, 0.95, 0.85), illuminance=0.8),
+            Light.point((2.0, 2.5, 0.0), color=(0.2, 0.5, 1.0), intensity=120.0, range=18.0),
+            Light.spot((-3.0, 4.0, 2.0), (0.5, -1.0, -0.3), color=(1.0, 0.4, 0.2),
+                       intensity=250.0, range=25.0, inner_angle=0.35, outer_angle=0.55),
+        ),
+        ambient=(0.05, 0.05, 0.07),
     ).to_bytes()).decode()
 
 HTML = r"""<!DOCTYPE html>
@@ -394,6 +414,14 @@ async function main() {
     for (let i = 0; i < fb.length; i++) fa[i] = fb.charCodeAt(i);
     device.queue.writeBuffer(fogUniBuf, 0, fa);
   }
+  // LIGHTS variant: the engine's 544 std140 LightTable bytes -> binding 12
+  let lightsUniBuf = null;
+  if (DESC.lights_uniform) {
+    lightsUniBuf = device.createBuffer({size: 544, usage: GPUBufferUsage.UNIFORM | GPUBufferUsage.COPY_DST});
+    const lb = atob(DESC.lights_uniform); const la = new Uint8Array(544);
+    for (let i = 0; i < lb.length; i++) la[i] = lb.charCodeAt(i);
+    device.queue.writeBuffer(lightsUniBuf, 0, la);
+  }
   // caster-pass uniform: light vp + the light-facing quad basis
   const lright = [lv.inv[0], lv.inv[1], lv.inv[2]];
   const lup = [lv.inv[4], lv.inv[5], lv.inv[6]];
@@ -532,6 +560,7 @@ async function main() {
         {binding: 10, resource: compSamp},                // the light-view map
       ];
       if (fogUniBuf) g2e.push({binding: 11, resource: {buffer: fogUniBuf}});
+      if (lightsUniBuf) g2e.push({binding: 12, resource: {buffer: lightsUniBuf}});
       sys.g2 = device.createBindGroup({layout: g2Layout, entries: g2e});
     }
   }

@@ -273,3 +273,54 @@ def test_fog_key_bit_specializes():
     # the uniform itself carries mode/opacity)
     entries = DummyTextures().bind_group_entries(flags=0, key=key_for(ALPHA_BLEND, fog=True))
     assert any(e["binding"] == 11 for e in entries)
+
+
+def test_lights_key_bit_specializes():
+    """LIGHTS (VERDICT r3 next #5): the key bit adds the def, the light
+    loop in pbr_shade, and the LightsUniform at group(2) binding 12 — a
+    fixed slot composing with shadow/fog; without the bit none appear."""
+    cache = PipelineCache()
+    v = cache.specialize(key_for(ALPHA_BLEND, lights=True))
+    assert "LIGHTS" in v.shader_defs
+    assert "light_table" in v.shader_source
+    assert "distance_attenuation" in v.shader_source
+    le = next(e for e in v.layout if e["binding"] == 12)
+    assert le["type"] == "uniform-buffer" and le["size"] == 544
+    plain = cache.specialize(key_for(ALPHA_BLEND))
+    assert "LIGHTS" not in plain.shader_defs
+    assert "light_table" not in plain.shader_source
+    everything = cache.specialize(key_for(
+        ALPHA_BLEND, depth_prepass=True, shadow_map=True, fog=True, lights=True))
+    assert [e["binding"] for e in everything.layout] == [
+        0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]
+    entries = DummyTextures().bind_group_entries(flags=0, key=key_for(ALPHA_BLEND, lights=True))
+    assert any(e["binding"] == 12 for e in entries)
+
+
+def test_light_table_bytes_layout():
+    """std140 packing: 544 B total — counts uvec4, ambient vec4, 8 rows of
+    4 vec4 (position+range, color+kind, direction+cos_outer, cos_inner)."""
+    import numpy as np
+
+    from bevy_firework_tpu import Light, LightTable
+
+    t = LightTable(
+        lights=(Light.directional((0.0, -1.0, 0.0), illuminance=2.0),
+                Light.point((1.0, 2.0, 3.0), intensity=4.0 * np.pi, range=10.0),
+                Light.spot((0.0, 5.0, 0.0), (0.0, -1.0, 0.0),
+                           inner_angle=0.3, outer_angle=0.5)),
+        ambient=(0.1, 0.2, 0.3),
+    )
+    raw = t.to_bytes()
+    assert len(raw) == 544
+    head = np.frombuffer(raw[:32], np.float32)
+    assert head[:4].view(np.uint32)[0] == 3
+    np.testing.assert_allclose(head[4:7], [0.1, 0.2, 0.3])
+    rows = np.frombuffer(raw[32:], np.float32).reshape(8, 16)
+    np.testing.assert_allclose(rows[0, 4:7], [2.0, 2.0, 2.0])  # illuminance premul
+    assert rows[0, 7] == 0.0 and rows[1, 7] == 1.0 and rows[2, 7] == 2.0
+    np.testing.assert_allclose(rows[1, 0:4], [1.0, 2.0, 3.0, 10.0])
+    np.testing.assert_allclose(rows[1, 4:7], [1.0, 1.0, 1.0])  # 4pi lumens / 4pi
+    np.testing.assert_allclose(rows[2, 11], np.cos(0.5), rtol=1e-6)
+    np.testing.assert_allclose(rows[2, 12], np.cos(0.3), rtol=1e-6)
+    assert np.all(rows[3:] == 0.0)

@@ -331,3 +331,85 @@ def test_fog_inscattering_brightens_toward_light():
     covered = np.abs(a - render_frame([], CAM, 160, 120)).max(axis=2) > 1e-6
     # camera at +z looking -z: the disc pixels look INTO the light
     assert float(b[covered][:, 0].mean()) > float(a[covered][:, 0].mean()) + 0.05
+
+
+# ---------------------------------------------------------------------------
+# LIGHTS variant: light-table semantics in the software viewer (the WGSL
+# light loop's host oracle — VERDICT r3 next #5)
+# ---------------------------------------------------------------------------
+
+
+def test_point_light_brightness_falls_with_distance():
+    """One PBR particle, one point light at two distances: the near light
+    renders the particle's pixels brighter (Bevy getDistanceAttenuation:
+    smooth-window inverse square). Compared on the particle's own pixels so
+    the background doesn't dilute the signal."""
+    from bevy_firework_tpu import Light, LightTable
+
+    def lit_mean(light_pos):
+        table = LightTable(
+            lights=(Light.point(light_pos, intensity=200.0, range=30.0),),
+            ambient=(0.0, 0.0, 0.0),
+        )
+        img = render_frame([_item((0.0, 1.0, 0.0), pbr=1)], camera=CAM,
+                           width=160, height=120, lights=table)
+        empty = render_frame([], camera=CAM, width=160, height=120)
+        covered = np.abs(img - empty).max(axis=2) > 1e-6
+        return float(img[covered].mean()) if covered.any() else 0.0
+
+    near = lit_mean((0.5, 1.0, 0.5))
+    far = lit_mean((4.0, 1.0, 4.0))
+    assert near > 2.0 * far, (near, far)
+
+
+def _covered_mean(lights):
+    """Mean brightness over the particle's own pixels under `lights`
+    (None => built-in environment)."""
+    img = render_frame([_item((0.0, 1.0, 0.0), pbr=1)], camera=CAM,
+                       width=160, height=120, lights=lights)
+    empty = render_frame([], camera=CAM, width=160, height=120)
+    covered = np.abs(img - empty).max(axis=2) > 1e-6
+    return float(img[covered].mean()) if covered.any() else 0.0
+
+
+def test_light_table_replaces_builtin_environment():
+    """With an empty light table (and zero ambient) a PBR particle's pixels
+    go black; without a table the built-in directional environment lights
+    them."""
+    from bevy_firework_tpu import LightTable
+
+    lit = _covered_mean(None)
+    dark = _covered_mean(LightTable(lights=(), ambient=(0.0, 0.0, 0.0)))
+    assert dark < 0.2 * lit, (dark, lit)
+
+
+def test_spot_cone_gates_lighting():
+    """A spot light aimed AT the particle lights it; aimed away, the squared
+    cone falloff kills the contribution (Bevy spot semantics)."""
+    from bevy_firework_tpu import Light, LightTable
+
+    def spot(direction):
+        return LightTable(
+            lights=(Light.spot((0.0, 4.0, 0.0), direction, intensity=300.0,
+                               range=30.0, inner_angle=0.3, outer_angle=0.5),),
+            ambient=(0.0, 0.0, 0.0),
+        )
+
+    at = _covered_mean(spot((0.0, -1.0, 0.0)))
+    away = _covered_mean(spot((1.0, 0.3, 0.0)))
+    assert at > 10.0 * max(away, 1e-6), (at, away)
+
+
+def test_directional_rows_match_builtin_when_equivalent():
+    """A table holding exactly the built-in environment (one directional
+    light dir (0.4, 0.8, 0.3), white, ambient (0.09, 0.09, 0.1)) reproduces
+    the non-LIGHTS render pixel-exactly — the loop is a superset, not a
+    different shading model."""
+    from bevy_firework_tpu import Light, LightTable
+
+    d = np.asarray((0.4, 0.8, 0.3), np.float32)
+    d = d / np.linalg.norm(d)
+    table = LightTable(lights=(Light.directional(tuple(-d)),), ambient=(0.09, 0.09, 0.1))
+    a = render_frame([_item((0.0, 1.0, 0.0), pbr=1)], camera=CAM)
+    b = render_frame([_item((0.0, 1.0, 0.0), pbr=1)], camera=CAM, lights=table)
+    np.testing.assert_allclose(a, b, atol=1e-6)
