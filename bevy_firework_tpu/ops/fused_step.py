@@ -61,12 +61,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..cadence import compute_emission_count
 from ..colliders import ColliderTable
+from ..colliders import COLLIDER_HULL
 from ..collision import (
     _ray_capsule,
     _ray_cone,
     _ray_cuboid,
     _ray_cylinder,
     _ray_halfspace,
+    _ray_hull,
     _ray_sphere,
 )
 from ..compiled import (
@@ -339,7 +341,7 @@ def _collider_groups(kinds, identity_rot):
 
 def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, vy, vz, dt,
                   restitution, friction, destroy_flag, lane_mask, participating,
-                  scratch=None, loop_groups=None, cidx=None):
+                  scratch=None, loop_groups=None, cidx=None, chul=None):
     """particle_collision (core.rs:744-800) on one tile; mirrors
     collision.particle_collision lane-for-lane for `participating` lanes
     (alive + collision-enabled type; other lanes' outputs are ignored by the
@@ -399,7 +401,12 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
             ox, oy, oz = conj_rot(qx, qy, qz, qw, px - cpos[ci, 0], py - cpos[ci, 1], pz - cpos[ci, 2])
             rdx, rdy, rdz = conj_rot(qx, qy, qz, qw, dx, dy, dz)
         p0, p1, p2 = cpar[ci, 0], cpar[ci, 1], cpar[ci, 2]
-        dist, nx, ny, nz = _ray_kind(k, ox, oy, oz, rdx, rdy, rdz, p0, p1, p2)
+        if k == COLLIDER_HULL:
+            # plane-set hull: rows [HULL_MAX_PLANES, 4] from the chul small
+            dist, nx, ny, nz = _ray_hull(
+                ox, oy, oz, rdx, rdy, rdz, chul[ci].reshape(-1, 4))
+        else:
+            dist, nx, ny, nz = _ray_kind(k, ox, oy, oz, rdx, rdy, rdz, p0, p1, p2)
         layer_ok = (lane_mask & clay[ci, 0]) != 0
         dist = jnp.where(layer_ok, dist, BIG)
         if identity_rot[ci]:
@@ -841,10 +848,41 @@ def nested_cadence_pass(static, params, e, alive, ptype, age, lifetime, le_row, 
     return new_le.reshape(N), cum.reshape(N), total[0, 0], None
 
 
+class _SlotView:
+    """Pallas-ref proxy prepending a fixed leading index (fleet kernel mode).
+
+    The fleet kernel runs a whole same-archetype spawner GROUP in one
+    pallas_call: grid = (S slots, tiles), per-slot small tables stacked
+    [S, ...] and whole-array VMEM/SMEM resident (constant index map => ONE
+    HBM fetch for the entire grid — a separately vmapped kernel re-fetches
+    every small per slot, measured ~36 us/slot of pure latency at 8192-lane
+    pools, docs/PERF_NOTES.md round 4). The kernel body's existing indexing
+    (`ref[e]`, `ref[0, k]`, `ref[:, :]`, writes) works unchanged through
+    this proxy, which prepends the slot id (per-slot smalls) or the blocked
+    leading 0 (per-slot [1, rows, lanes] field blocks)."""
+
+    __slots__ = ("ref", "sid")
+
+    def __init__(self, ref, sid):
+        self.ref = ref
+        self.sid = sid
+
+    def _key(self, idx):
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        return (self.sid,) + idx
+
+    def __getitem__(self, idx):
+        return self.ref[self._key(idx)]
+
+    def __setitem__(self, idx, val):
+        self.ref[self._key(idx)] = val
+
+
 def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump: bool,
                  kernel_spawn: bool, block_rows: int, pack_render: bool = False,
                  unroll: int = 1, field_kinds: tuple = (), nested_merge: tuple = (),
-                 shard_npool: Optional[int] = None):
+                 shard_npool: Optional[int] = None, fleet: bool = False):
     E = static.num_emitters
     T = static.num_types
     C = len(collider_kinds)
@@ -867,6 +905,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
     # skip_global). With kernel_spawn False the kernel is a pure integrator
     # (the lane-exact-parity testing configuration).
     cad = kernel_spawn
+    any_hull = COLLIDER_HULL in collider_kinds
     # RNG draw budget: 3 shape + 3 velocity + 1 radial + 1 scale, then
     # lifetime and angular-velocity draws only if those fields are live.
     n_draws = 8 + (0 if const_life is not None else 1) + (0 if elide_rot else 3)
@@ -897,7 +936,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             gmeta_ref = refs[pos]
             pos += 1
         has_coll = C > 0 and static.any_collision
-        looped = has_coll and C >= LOOP_MIN_COLLIDERS
+        looped = has_coll and C >= LOOP_MIN_COLLIDERS and not any_hull
         cidx_ref = None
         if looped:  # SMEM [C, 1] i32: original table index per permuted row
             cidx_ref = refs[pos]
@@ -906,6 +945,10 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         if field_kinds:  # scene force fields (force_fields.py)
             ffpos_ref, ffaxis_ref, ffpar_ref, ffact_ref = refs[pos : pos + 4]
             pos += 4
+        chul_ref = None
+        if any_hull:  # [C, HULL_MAX_PLANES*4] hull plane rows (colliders.py)
+            chul_ref = refs[pos]
+            pos += 1
         child_ref = nwin_ref = None
         if nested_merge:  # hybrid in-kernel child merge (step._nested_spawn)
             child_ref = refs[pos]      # VMEM [n*n_rows*rows_b, 128] f32
@@ -949,6 +992,36 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         n_render = _n_render_planes(static, pack_render)
         render_outs = outs[-n_render:] if n_render else None
 
+        if fleet:
+            # fleet mode: grid = (S, tiles). Per-slot smalls are [S, ...]
+            # whole-array resident; blocked big refs carry a leading block
+            # dim of 1. Wrap both so the body below stays identical.
+            sid = pl.program_id(0)
+
+            def _w(r, i=sid):
+                return _SlotView(r, i) if r is not None else None
+
+            fscal_ref = _w(fscal_ref); shape_ref = _w(shape_ref)  # noqa: E702
+            ivel_ref = _w(ivel_ref); iang_ref = _w(iang_ref)  # noqa: E702
+            emisc_ref = _w(emisc_ref); trand_ref = _w(trand_ref)  # noqa: E702
+            tphys_ref = _w(tphys_ref); tcoll_ref = _w(tcoll_ref)  # noqa: E702
+            tmask_ref = _w(tmask_ref); cmeta_ref = _w(cmeta_ref)  # noqa: E702
+            cadp_ref = _w(cadp_ref); dyn_ref = _w(dyn_ref)  # noqa: E702
+            estate_ref = _w(estate_ref); gmeta_ref = _w(gmeta_ref)  # noqa: E702
+            ffpos_ref = _w(ffpos_ref); ffaxis_ref = _w(ffaxis_ref)  # noqa: E702
+            ffpar_ref = _w(ffpar_ref); ffact_ref = _w(ffact_ref)  # noqa: E702
+            out_dyn_ref = _w(out_dyn_ref); out_estate_ref = _w(out_estate_ref)  # noqa: E702
+            # blocked refs: [1, block_rows, LANES] blocks -> fixed leading 0
+            alive_ref = _w(alive_ref, 0); ptype_ref = _w(ptype_ref, 0)  # noqa: E702
+            out_alive_ref = _w(out_alive_ref, 0); out_ptype_ref = _w(out_ptype_ref, 0)  # noqa: E702
+            out_dump_ref = _w(out_dump_ref, 0)
+            field_in = [_w(r, 0) for r in field_in]
+            out_field = [_w(r, 0) for r in out_field]
+            if render_outs is not None:
+                render_outs = [_w(r, 0) for r in render_outs]
+            # colliders (cpos/crot/cpar/clay/cidx) stay SHARED — one scene
+            # table serves every slot (the group's colliders are identical).
+
         f = {name: field_in[i][:, :] for i, name in enumerate(fields)}
         fs = fscal_ref[0]
         dt = fs[0]
@@ -957,7 +1030,8 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         trans = (fs[6], fs[7], fs[8])
         orot = (fs[9], fs[10], fs[11], fs[12])
 
-        tid = pl.program_id(0)
+        tid = pl.program_id(1) if fleet else pl.program_id(0)
+        n_tiles = pl.num_programs(1) if fleet else pl.num_programs(0)
         tile = block_rows * LANES
         sharded = shard_npool is not None
         if cad:
@@ -971,7 +1045,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             # compile-time constant; a dynamic SMEM divisor is a true
             # per-lane integer division and cost round 3 a 1.8x hot-path
             # regression (tools/bisect_kernel_tpu.py, commit 0e70d84).
-            npool = shard_npool if sharded else pl.num_programs(0) * tile
+            npool = shard_npool if sharded else n_tiles * tile
             lane_base = dyn_ref[0, 11] if sharded else 0
 
         if cad and not static.ring_claim:  # SMEM rank carry for prefix claim
@@ -998,7 +1072,8 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             # each sub-frame recomputes liveness from the current fields
             # (derived: alive == age < lifetime; unroll > 1 requires it)
             if derived:
-                alive0 = f["age"] < np.float32(const_life)
+                alive0 = f["age"] < (np.float32(const_life) if const_life is not None
+                                     else f["lifetime"])
             else:
                 alive0 = alive_ref[:, :] != 0
             dead = ~alive0
@@ -1272,6 +1347,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
                     alive_sp & ~dead_by_age & has_col, coll_scratch,
                     loop_groups=_collider_groups(collider_kinds, collider_identity) if looped else None,
                     cidx=cidx_ref,
+                    chul=(chul_ref[:, :] if any_hull else None),
                 )
                 npx = jnp.where(has_col, cpx, px + vx * dt)
                 npy = jnp.where(has_col, cpy, py + vy * dt)
@@ -1310,8 +1386,9 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
 
             if derived:
                 # collision-destroys must read dead next frame: age := lifetime
+                # (the per-lane `lifetime` — a constant or the streamed field)
                 f["age"] = jnp.where(
-                    moved & should_destroy, np.float32(const_life),
+                    moved & should_destroy, lifetime,
                     jnp.where(alive_sp, age_new, f["age"]),
                 )
             else:
@@ -1492,7 +1569,8 @@ def _pack_gmeta(params):
 
 def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptype, f32_fields,
                       kernel_spawn: bool = True, pack_render: bool = False, unroll=1,
-                      nested_payloads=None, shard_npool: Optional[int] = None):
+                      nested_payloads=None, shard_npool: Optional[int] = None,
+                      fleet_S: Optional[int] = None):
     """Invoke the fused Pallas kernel on one pool pass.
 
     alive: [N] bool, ptype: [N] i32, f32_fields: name -> [N] f32 covering
@@ -1503,8 +1581,17 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     the updated rows; for hybrid (nested) archetypes the kernel is a pure
     integrator and dyn/estate are ignored dummies. Returns (alive_new,
     ptype_new_or_None, dump_mask, new_fields, dyn_new_or_None,
-    estate_new_or_None)."""
-    N = alive.shape[0]
+    estate_new_or_None).
+
+    fleet_S: run a whole same-archetype GROUP in this one pallas_call —
+    grid (S, tiles), per-slot smalls stacked [S, ...] and whole-array
+    resident (see _SlotView). params/frame/dyn/estate and every pool array
+    then carry a leading [S] axis; colliders stay a single shared table.
+    Slot-for-slot bit-exact with S separate fused_step calls (the fleet
+    parity check), ~10-30x cheaper per slot than vmapping the solo kernel
+    (which re-fetches every small per slot)."""
+    fleet = fleet_S is not None
+    N = alive.shape[-1]
     assert N % (BLOCK_ROWS * LANES) == 0, (
         f"pool capacity {N} must be a multiple of {BLOCK_ROWS * LANES} for the fused kernel"
     )
@@ -1513,10 +1600,17 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     # than 64 at 131k; 8192-lane pools keep the 64-row minimum tile)
     block_rows = BLOCK_ROWS_WIDE if rows % BLOCK_ROWS_WIDE == 0 else BLOCK_ROWS
     grid = rows // block_rows
+    if fleet:
+        assert nested_payloads is None and shard_npool is None, (
+            "fleet kernel covers global-only unsharded archetypes")
 
     kinds = colliders.kinds if (colliders is not None and static.any_collision) else ()
     identity = colliders.identity_rot if (colliders is not None and static.any_collision) else ()
-    looped = len(kinds) >= LOOP_MIN_COLLIDERS
+    any_hull = COLLIDER_HULL in kinds
+    # hulls keep the unrolled narrow phase (their plane rows are read by
+    # static collider index; practical hull counts stay below the unroll
+    # blowup threshold, docs/PERF_NOTES.md "Collider-count scaling")
+    looped = len(kinds) >= LOOP_MIN_COLLIDERS and not any_hull
     perm = None
     if looped:  # group by (kind, identity) for the fori_loop narrow phase
         perm, kinds, identity, _groups = _collider_perm(kinds, identity)
@@ -1573,9 +1667,18 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
 
     kernel = _make_kernel(static, kinds, identity, dump, kernel_spawn, block_rows, pack_render,
                           unroll=unroll, field_kinds=field_kinds, nested_merge=merge_info,
-                          shard_npool=shard_npool)
+                          shard_npool=shard_npool, fleet=fleet)
 
-    smalls = _pack_fused_smalls(static, params, colliders, frame) + [dyn, estate]
+    if fleet:
+        # per-slot smalls stacked [S, ...]; colliders shared (the group's
+        # table is identical per slot, so drop the vmapped copies)
+        smalls = jax.vmap(
+            lambda p, f: _pack_fused_smalls(static, p, colliders, f)
+        )(params, frame) + [dyn, estate]
+        for si in (CPOS_IDX, CPOS_IDX + 1, CPOS_IDX + 2, CPOS_IDX + 3):
+            smalls[si] = smalls[si][0]
+    else:
+        smalls = _pack_fused_smalls(static, params, colliders, frame) + [dyn, estate]
     if looped:
         # permute the collider rows to match (static gather, tiny [C, _]
         # arrays; positions may be traced for dynamic colliders)
@@ -1583,18 +1686,27 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
         for si in (CPOS_IDX, CPOS_IDX + 1, CPOS_IDX + 2, CPOS_IDX + 3):
             smalls[si] = smalls[si][pidx, :]
     if pack_render:
-        smalls.append(_pack_gmeta(params))
+        smalls.append(jax.vmap(_pack_gmeta)(params) if fleet else _pack_gmeta(params))
     if looped:  # original table index per permuted row (exact tie-break)
         smalls.append(jnp.asarray(np.asarray(perm, np.int32).reshape(-1, 1)))
     if field_kinds:  # force-field tables (position / axis / params / active)
+        act = jnp.asarray(ff.active, jnp.float32)
         smalls += [
             jnp.asarray(ff.position, jnp.float32),
             jnp.asarray(ff.axis, jnp.float32),
             jnp.asarray(ff.params, jnp.float32),
-            jnp.asarray(ff.active, jnp.float32).reshape(-1, 1),
+            act.reshape(act.shape + (1,)) if fleet else act.reshape(-1, 1),
         ]
+    if any_hull:  # hull plane rows, SHARED across fleet slots like cpos
+        hp = colliders.hull_planes
+        if looped:
+            hp = hp[pidx]
+        smalls.append(hp.reshape(hp.shape[0], -1))
 
     def blocked():
+        if fleet:
+            return pl.BlockSpec((1, block_rows, LANES), lambda s, g: (s, g, 0),
+                                memory_space=pltpu.VMEM)
         return pl.BlockSpec((block_rows, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM)
 
     small_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1603,7 +1715,8 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     nf = len(fields)
 
     n_small = (N_SMALL + (1 if pack_render else 0) + (1 if looped else 0)
-               + (4 if field_kinds else 0) + (2 if n_merge else 0))
+               + (4 if field_kinds else 0) + (1 if any_hull else 0)
+               + (2 if n_merge else 0))
     n_big_in = (0 if derived else 1) + (0 if single else 1) + nf  # [alive], [ptype], fields
     n_extra = (0 if derived else 1) + (0 if single else 1) + (1 if dump else 0)
     # looped narrow phase reads collider rows (cpos/crot/cpar/clay, smalls
@@ -1614,34 +1727,38 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
         + [smem_spec] * 2
         + ([small_spec] if pack_render else []) + ([smem_spec] if looped else [])
         + ([small_spec] * 4 if field_kinds else [])
+        + ([small_spec] if any_hull else [])
         + ([small_spec, smem_spec] if n_merge else [])
         + [blocked()] * n_big_in
     )
+    big = (fleet_S, rows, LANES) if fleet else (rows, LANES)
     out_specs = [blocked()] * (n_extra + nf)
     out_shape = (
-        [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] * n_extra
-        + [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * nf
+        [jax.ShapeDtypeStruct(big, jnp.int32)] * n_extra
+        + [jax.ShapeDtypeStruct(big, jnp.float32)] * nf
     )
     if cad:  # SMEM scalar outputs: updated bookkeeping (dyn', estate')
         out_specs = out_specs + [smem_spec, smem_spec]
+        dyn_shape = (fleet_S, 1, 16) if fleet else (1, 16)
+        est_shape = (fleet_S, E, 8) if fleet else (E, 8)
         out_shape = out_shape + [
-            jax.ShapeDtypeStruct((1, 16), jnp.int32),
-            jax.ShapeDtypeStruct((E, 8), jnp.float32),
+            jax.ShapeDtypeStruct(dyn_shape, jnp.int32),
+            jax.ShapeDtypeStruct(est_shape, jnp.float32),
         ]
     n_render = _n_render_planes(static, pack_render)
     if n_render:
         rdtype = jnp.float16 if pack_render == "f16" else jnp.float32
         out_specs = out_specs + [blocked()] * n_render
-        out_shape = out_shape + [jax.ShapeDtypeStruct((rows, LANES), rdtype)] * n_render
+        out_shape = out_shape + [jax.ShapeDtypeStruct(big, rdtype)] * n_render
 
-    field_arrays = [f32_fields[name].reshape(rows, LANES) for name in fields]
+    field_arrays = [f32_fields[name].reshape(big) for name in fields]
     inputs = smalls[:]
     if n_merge:
         inputs += [child_buf, nwin_arr]
     if not derived:
-        inputs.append(alive.astype(jnp.int32).reshape(rows, LANES))
+        inputs.append(alive.astype(jnp.int32).reshape(big))
     if not single:
-        inputs.append(ptype.reshape(rows, LANES))
+        inputs.append(ptype.reshape(big))
     inputs = inputs + field_arrays
 
     # alias field inputs onto field outputs (in-place update)
@@ -1651,7 +1768,7 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
 
     results = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=(fleet_S, grid) if fleet else (grid,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -1665,22 +1782,25 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
         input_output_aliases=aliases,
     )(*inputs)
 
+    out_n = (fleet_S, N) if fleet else (N,)
     ri = 0
     alive_new = None
     if not derived:
-        alive_new = results[ri].reshape(N) != 0
+        alive_new = results[ri].reshape(out_n) != 0
         ri += 1
     ptype_new = None
     if not single:
-        ptype_new = results[ri].reshape(N)
+        ptype_new = results[ri].reshape(out_n)
         ri += 1
-    dump_mask = (results[ri].reshape(N) != 0) if dump else jnp.zeros((N,), bool)
-    new_fields = {name: results[n_extra + i].reshape(N) for i, name in enumerate(fields)}
+    dump_mask = (results[ri].reshape(out_n) != 0) if dump else jnp.zeros(out_n, bool)
+    new_fields = {name: results[n_extra + i].reshape(out_n) for i, name in enumerate(fields)}
     if derived:  # alive == age < lifetime (cheap XLA epilogue, DCE-able in scans)
-        alive_new = new_fields["age"] < np.float32(static.const_lifetime)
+        alive_new = new_fields["age"] < (
+            np.float32(static.const_lifetime) if static.const_lifetime is not None
+            else new_fields["lifetime"])
     dyn_new = results[n_extra + nf] if cad else None
     estate_new = results[n_extra + nf + 1] if cad else None
-    render_planes = tuple(r.reshape(N) for r in results[-n_render:]) if n_render else None
+    render_planes = tuple(r.reshape(out_n) for r in results[-n_render:]) if n_render else None
     return alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new, render_planes
 
 
@@ -1846,16 +1966,24 @@ def _fused_epilogue(
     particles exist. shard_axis: inside a shard_map over the particle axis,
     the AABB/count reductions become psum/pmin/pmax so outputs are the
     GLOBAL values (replicated on every shard)."""
-    from ..step import _eval_scalar_curve_by_type
-
     T = static.num_types
     if static.const_lifetime is not None:
         age_pct = new_fields["age"] / np.float32(static.const_lifetime)
     else:
         age_pct = new_fields["age"] / new_fields["lifetime"]
-    scale = new_fields["initial_scale"] * _eval_scalar_curve_by_type(
-        params.scale_ts, params.scale_vs, params.scale_n, params.scale_kind, ptype_new, age_pct, T
-    )
+    # Gather-free curve eval: (kind, n) are compile-time constants, so the
+    # segment select unrolls to compare-selects. The previous [N]-index
+    # jnp.take form cost ~36 ns/index on TPU (three gathers over the whole
+    # pool PER FRAME just for the AABB scale), which made this epilogue the
+    # dominant device cost of the interactive per-frame Scene path
+    # (~0.2 ms/spawner at 8192 lanes — docs/PERF_NOTES.md round 4).
+    k0, n0 = static.scale_curve_meta[0]
+    sf = _eval_curve_static(params.scale_ts[0], params.scale_vs[0], k0, n0, age_pct)
+    for t in range(1, T):
+        kt, nt = static.scale_curve_meta[t]
+        sft = _eval_curve_static(params.scale_ts[t], params.scale_vs[t], kt, nt, age_pct)
+        sf = jnp.where(ptype_new == t, sft, sf)
+    scale = new_fields["initial_scale"] * sf
     inf = jnp.float32(jnp.inf)
     aabb_min = jnp.stack(
         [jnp.min(jnp.where(alive_new, new_fields[c] - scale, inf)) for c in ("px", "py", "pz")]
@@ -1908,6 +2036,76 @@ def _fused_epilogue(
         nested_dropped=spawn_stats[1] if spawn_stats else zero,
     )
     return new_state, outputs
+
+
+def fused_step_fleet(
+    static: SpawnerStatic,
+    params,  # [S]-stacked SpawnerParams
+    colliders: Optional[ColliderTable],  # ONE shared scene table
+    states,  # [S]-stacked PoolState (equal capacities)
+    frames,  # [S]-stacked FrameInput
+    pack_render: bool = False,
+    unroll: int = 1,
+):
+    """Step a whole same-archetype spawner GROUP in ONE kernel invocation
+    (VERDICT r3 next #2): grid = (S, tiles) with per-slot smalls stacked and
+    whole-array VMEM/SMEM resident. vmap of fused_step re-fetches every
+    small table per slot (~36 us of fetch latency per 8192-lane slot,
+    docs/PERF_NOTES.md round 4 — 100 spawners paid ~3.6 ms/frame of pure
+    overhead); here the whole group's tables are fetched once.
+
+    Slot-for-slot BIT-EXACT with vmap(fused_step): the per-slot key splits,
+    dyn seeds, and in-kernel tile seeds (tid is the within-slot tile id)
+    are identical. The reference analog is par_iter_mut over spawners
+    (/root/reference/src/core.rs:583-585)."""
+    assert can_fuse(static)
+    assert unroll == 1 or (can_unroll(static) and 1 < unroll <= MAX_UNROLL)
+    S = states.alive.shape[0]
+
+    def prelude(state):
+        key = state.rng_key
+        seeds = []
+        for _ in range(unroll):
+            key, frame_key = jax.random.split(key)
+            seeds.append(jax.lax.bitcast_convert_type(frame_key[0], jnp.int32))
+        dyn, estate = _pack_scalar_rows(
+            static, state.manual_queued, state.ring_cursor, seeds,
+            jnp.zeros((), jnp.int32),
+            state.time_in_cycle, state.last_emission, state.enabled,
+        )
+        return dyn, estate, key
+
+    dyn, estate, new_key = jax.vmap(prelude)(states)
+
+    f32_fields = {name: getattr(states, name) for name in active_f32_fields(static)}
+    alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new, planes = _run_fused_kernel(
+        static, params, colliders, frames, dyn, estate, states.alive, states.ptype,
+        f32_fields, pack_render=pack_render, unroll=unroll, fleet_S=S,
+    )
+    manual_queued = dyn_new[:, 0, 0]
+    new_cursor = dyn_new[:, 0, 1]
+    time_in_cycle = estate_new[:, :, 0]
+    last_emission = estate_new[:, :, 1]
+    enabled = estate_new[:, :, 2] != 0.0
+
+    full_fields = {name: getattr(states, name) for name in _F32_FIELDS}
+    full_fields.update(new_fields)
+    if ptype_new is None:
+        ptype_new = states.ptype
+
+    def epi(p, st, alive, pt, fields_row, dmask, le, en, tic, le2, mq, cur, nk):
+        return _fused_epilogue(
+            static, p, st, alive, pt, fields_row, dmask, le, en, tic, le2, mq, cur, nk,
+        )
+
+    st, out = jax.vmap(epi)(
+        params, states, alive_new, ptype_new, full_fields, dump_mask,
+        states.last_emitted, enabled, time_in_cycle, last_emission, manual_queued,
+        new_cursor, new_key,
+    )
+    if pack_render:
+        return st, out, planes
+    return st, out
 
 
 def fused_step_hybrid(
@@ -2110,7 +2308,9 @@ def _scan_hoist(static, state):
         kw = dict(c)
         kw.update(invariant)
         if derived:  # alive is derived state (see SpawnerStatic.derived_alive)
-            kw["alive"] = kw["age"] < np.float32(static.const_lifetime)
+            kw["alive"] = kw["age"] < (
+                np.float32(static.const_lifetime) if static.const_lifetime is not None
+                else kw["lifetime"])
         return PoolState(**kw)
 
     return to_carry, from_carry
@@ -2185,21 +2385,56 @@ def multi_step_auto(static, params, colliders, state, frame, n_frames: int):
     return _multi_step_impl(static, params, colliders, state, frame, n_frames)
 
 
+def _fleet_kernel_ok(static, states) -> bool:
+    """The fleet-native kernel applies where the solo fused kernel would:
+    TPU backend, tile-aligned per-slot capacity, global-only archetype."""
+    return (
+        jax.default_backend() == "tpu"
+        and states.capacity % (BLOCK_ROWS * LANES) == 0
+        and can_fuse(static)
+    )
+
+
 @partial(jax.jit, static_argnums=(0, 5))
-def multi_step_fleet(static, params, colliders, states, frames, n_frames: int):
-    """n frames of a whole fleet (leading [S] slot axis on states/frames) in
-    one dispatch: lax.scan over the vmapped step_auto — on TPU with
-    tile-aligned capacities every slot runs the fused Pallas kernel in a
-    single launch per frame — with the same in-kernel multi-frame unroll
-    policy as multi_step_auto (the unrolled kernel vmaps like the single-
-    frame one: ring claims index off the tile axis only)."""
+def multi_step_fleet_stacked(static, params, colliders, states, frames, n_frames: int):
+    """n frames of a whole fleet ([S]-stacked params/states/frames) in one
+    dispatch. On TPU with tile-aligned capacities every FRAME is one
+    fleet-native kernel launch for the whole group (fused_step_fleet) with
+    the usual in-kernel multi-frame unroll; elsewhere the vmapped XLA step."""
     if n_frames < 1:
-        raise ValueError("multi_step_fleet needs n_frames >= 1")
-    vstep = jax.vmap(lambda s, f: step_auto(static, params, colliders, s, f))
+        raise ValueError("multi_step_fleet_stacked needs n_frames >= 1")
+    if _fleet_kernel_ok(static, states):
+        return _chain_with_unroll(
+            static, colliders, states, n_frames,
+            lambda s: fused_step_fleet(static, params, colliders, s, frames),
+            lambda U: lambda s: fused_step_fleet(
+                static, params, colliders, s, frames, unroll=U),
+        )
+    vstep = jax.vmap(lambda p, s, f: step_auto(static, p, colliders, s, f))
     return _chain_with_unroll(
         static, colliders, states, n_frames,
-        lambda s: vstep(s, frames),
+        lambda s: vstep(params, s, frames),
         lambda U: lambda s: jax.vmap(
-            lambda st, f: fused_step(static, params, colliders, st, f, unroll=U)
-        )(s, frames),
+            lambda p, st, f: fused_step(static, p, colliders, st, f, unroll=U)
+        )(params, s, frames),
     )
+
+
+def step_auto_fleet(static, params, colliders, states, frames):
+    """One frame of an [S]-stacked fleet: the fleet-native kernel where it
+    applies, else the vmapped step_auto (bit-identical per slot)."""
+    if _fleet_kernel_ok(static, states):
+        return fused_step_fleet(static, params, colliders, states, frames)
+    return jax.vmap(
+        lambda p, s, f: step_auto(static, p, colliders, s, f)
+    )(params, states, frames)
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def multi_step_fleet(static, params, colliders, states, frames, n_frames: int):
+    """multi_step_fleet_stacked with ONE shared params tree (the common
+    fleet shape: S spawners of one configuration; broadcast once here)."""
+    S = states.alive.shape[0]
+    P = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (S,) + jnp.shape(x)), params)
+    return multi_step_fleet_stacked(static, P, colliders, states, frames, n_frames)

@@ -164,28 +164,31 @@ def make_fleet_step(static: SpawnerStatic, mesh: Mesh, axis_name: str = "d",
     (dp-style): params and frame inputs carry a leading [S] axis; each
     spawner's pool is independent, so there is no cross-chip communication.
 
-    On TPU meshes the body is `step_auto` under `jax.shard_map` over the
-    fleet axis: each chip vmaps the fused Pallas kernel over its LOCAL
-    slots (exactly like multi_step_fleet on one chip) with zero collectives
-    — the per-chip kernel throughput carries to the whole fleet. On CPU
-    meshes (virtual-device tests) the body is the XLA step under the same
+    On TPU meshes the body is `step_auto_fleet` under `jax.shard_map` over
+    the fleet axis: each chip runs its LOCAL slots through the fleet-native
+    kernel (ONE pallas_call per chip per frame — grid (S_local, tiles),
+    per-slot smalls whole-array resident) with zero collectives — the
+    per-chip kernel throughput carries to the whole fleet. On CPU meshes
+    (virtual-device tests) the body is the XLA step under the same
     shard_map, bit-identical semantics per slot. prefer_fused=True forces
-    the fused kernel unconditionally (interpret-mode tests); None
-    auto-selects step_auto on TPU meshes (which self-checks capacity
+    the solo fused kernel unconditionally (interpret-mode tests); None
+    auto-selects step_auto_fleet on TPU meshes (which self-checks capacity
     alignment per slot)."""
-    from ..ops.fused_step import fused_step, step_auto
+    from ..ops.fused_step import fused_step, step_auto_fleet
 
     if prefer_fused:
-        inner = fused_step
+        def body(params, states, frames):
+            return jax.vmap(
+                lambda p, s, f: fused_step(static, p, None, s, f)
+            )(params, states, frames)
     elif prefer_fused is None and _mesh_is_tpu(mesh):
-        inner = step_auto
+        def body(params, states, frames):
+            return step_auto_fleet(static, params, None, states, frames)
     else:
-        inner = step
-
-    def body(params, states, frames):
-        return jax.vmap(
-            lambda p, s, f: inner(static, p, None, s, f)
-        )(params, states, frames)
+        def body(params, states, frames):
+            return jax.vmap(
+                lambda p, s, f: step(static, p, None, s, f)
+            )(params, states, frames)
 
     dp = P(axis_name)
     return jax.jit(jax.shard_map(

@@ -106,28 +106,34 @@ def init_pool(
     for such archetypes. This raw constructor is the low-level escape hatch
     (tests, custom fills); Scene/Fleet use init_pool_for everywhere.
     """
+    # Host-side (numpy) leaves on purpose, like make_frame_input: each jnp
+    # leaf here would be an EAGER device op (~0.5-2 ms per op on a tunneled
+    # attach, x17 leaves) — as numpy they ride the first step's own argument
+    # transfer. The rng_key stays a jax array (PRNGKey semantics).
+    import numpy as np
+
     n = int(capacity)
-    z = jnp.zeros((n,), jnp.float32)
+    z = np.zeros((n,), np.float32)
     return PoolState(
         px=z, py=z, pz=z,
         vx=z, vy=z, vz=z,
-        qx=z, qy=z, qz=z, qw=jnp.ones((n,), jnp.float32),
+        qx=z, qy=z, qz=z, qw=np.ones((n,), np.float32),
         wx=z, wy=z, wz=z,
         initial_scale=z,
         # dead lanes read as dead under BOTH conventions: the alive array
         # (False) and the derived form age >= lifetime (see
         # SpawnerStatic.derived_alive), hence age starts AT the fill.
-        age=jnp.full((n,), float(lifetime_fill), jnp.float32),
-        lifetime=jnp.full((n,), float(lifetime_fill), jnp.float32),
-        ptype=jnp.zeros((n,), jnp.int32),
-        alive=jnp.zeros((n,), bool),
-        last_emitted=jnp.full((num_emitters, n), F32_MIN, jnp.float32),
-        time_in_cycle=jnp.zeros((num_emitters,), jnp.float32),
-        last_emission=jnp.zeros((num_emitters,), jnp.float32),
-        enabled=jnp.full((num_emitters,), bool(starts_enabled)),
-        manual_queued=jnp.zeros((), jnp.int32),
-        finished_notified=jnp.zeros((), bool),
-        ring_cursor=jnp.zeros((), jnp.int32),
+        age=np.full((n,), float(lifetime_fill), np.float32),
+        lifetime=np.full((n,), float(lifetime_fill), np.float32),
+        ptype=np.zeros((n,), np.int32),
+        alive=np.zeros((n,), bool),
+        last_emitted=np.full((num_emitters, n), F32_MIN, np.float32),
+        time_in_cycle=np.zeros((num_emitters,), np.float32),
+        last_emission=np.zeros((num_emitters,), np.float32),
+        enabled=np.full((num_emitters,), bool(starts_enabled)),
+        manual_queued=np.zeros((), np.int32),
+        finished_notified=np.zeros((), bool),
+        ring_cursor=np.zeros((), np.int32),
         rng_key=jax.random.PRNGKey(seed),
     )
 

@@ -133,9 +133,23 @@ def _restack_take_insert(old, idx_map, pos, changed):
 
 
 def _vmapped_packed_step(static, colliders):
-    return lambda P, S, F: jax.vmap(
-        lambda p, s, f: step_auto_packed(static, p, colliders, s, f)
-    )(P, S, F)
+    """Stacked group step + render planes: the fleet-native kernel where it
+    applies (ONE pallas_call for the whole group — vmapping the solo kernel
+    re-fetches every small table per slot, ~36 us/slot of pure latency,
+    docs/PERF_NOTES.md round 4), else the vmapped solo path."""
+    from .ops.fused_step import _fleet_kernel_ok, can_pack_render, fused_step_fleet
+
+    def run(P, S, F):
+        if _fleet_kernel_ok(static, S):
+            if can_pack_render(static, S.capacity):
+                return fused_step_fleet(static, P, colliders, S, F, pack_render=True)
+            st, out = fused_step_fleet(static, P, colliders, S, F)
+            return st, out, None
+        return jax.vmap(
+            lambda p, s, f: step_auto_packed(static, p, colliders, s, f)
+        )(P, S, F)
+
+    return run
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -146,23 +160,43 @@ def _group_step_stacked(static, P, colliders, S, F):
 
 
 def _group_scan(static, colliders, P, S, F, n_frames):
-    from .ops.fused_step import _chain_with_unroll, fused_step, step_auto
+    from .ops.fused_step import multi_step_fleet_stacked
 
     if n_frames > 1:
-        vstep = jax.vmap(lambda p, s, f: step_auto(static, p, colliders, s, f))
-        S, _o = _chain_with_unroll(
-            static, colliders, S, n_frames - 1,
-            lambda s: vstep(P, s, F),
-            lambda U: lambda s: jax.vmap(
-                lambda p, st, f: fused_step(static, p, colliders, st, f, unroll=U)
-            )(P, s, F),
-        )
+        S, _o = multi_step_fleet_stacked(static, P, colliders, S, F, n_frames - 1)
     return _vmapped_packed_step(static, colliders)(P, S, F)
 
 
 @partial(jax.jit, static_argnums=(0, 5))
 def _group_multi_step_stacked(static, P, colliders, S, F, n_frames):
     return _group_scan(static, colliders, P, S, F, n_frames)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _scene_step_combined(statics, sizes, n_frames, colliders, Ps, Ss, Fs):
+    """ONE device dispatch stepping EVERY archetype group (VERDICT r3 next
+    #2): the per-group (vmapped) step programs are traced into a single
+    jitted computation, so a scene with K archetypes costs one launch per
+    frame instead of K. On a tunneled attach each dispatch costs ~1.5-2 ms
+    of host round-trip — with 4+ archetypes that overhead dominated the
+    whole frame. Device work serializes inside the program, but it is <1 ms
+    total at game scales; the round-trips were the wall.
+
+    statics/sizes are the jit cache key alongside the tree shapes; size 1
+    means an UNSTACKED solo group (same trees the solo path always used)."""
+    from .ops.fused_step import multi_step_auto_packed, step_auto_packed
+
+    outs = []
+    for static, n, P, S, F in zip(statics, sizes, Ps, Ss, Fs):
+        col = colliders if static.any_collision else None
+        if n == 1:
+            if n_frames == 1:
+                outs.append(step_auto_packed(static, P, col, S, F))
+            else:
+                outs.append(multi_step_auto_packed(static, P, col, S, F, n_frames))
+        else:
+            outs.append(_group_scan(static, col, P, S, F, n_frames))
+    return tuple(outs)
 
 DEFAULT_CAPACITY = 16384
 _FUSED_TILE = 8192  # fused-kernel alignment (ops.fused_step BLOCK_ROWS*LANES)
@@ -245,6 +279,11 @@ class _SpawnerSlot:
         self._outputs = outputs
         self._render_planes = render_planes
         self._batch = None  # (batch, idx) when a _GroupBatch holds authority
+        # cached (dt, field_table, FrameInput): rebuilt only when dt, this
+        # slot's transform/velocity/modifier, or the scene's force fields
+        # change (Scene._frame_for) — frame-input construction is pure host
+        # numpy but costs real python at 100 spawners x 60 Hz
+        self._frame_cache = None
 
     def _slice(self, tree, idx):
         return jax.tree_util.tree_map(lambda x: x[idx], tree)
@@ -363,6 +402,7 @@ class _ColliderSlot:
     params: Tuple[float, ...]
     layers: int
     active: bool
+    planes: Tuple[Tuple[float, float, float, float], ...] = ()  # hull only
 
 
 @dataclasses.dataclass
@@ -401,6 +441,7 @@ class Scene:
         self.time = 0.0
         self._last_step_dispatches = 0  # archetype groups launched last step
         self._batches: Dict[tuple, _GroupBatch] = {}  # stacked group authority
+        self._frame_stacks: Dict[tuple, tuple] = {}  # group key -> (frames, F)
         # pipelined (async) render extract state — see enable_async_render
         self._async_readers: Dict[int, object] = {}
         self._async_enabled = False
@@ -537,6 +578,7 @@ class Scene:
             rotation=tuple(float(v) for v in collider.rotation),
             params=tuple(float(v) for v in collider.params),
             layers=int(collider.layers),
+            planes=tuple(tuple(float(x) for x in pl) for pl in collider.planes),
             active=True,
         )
         if idx is None:
@@ -591,6 +633,15 @@ class Scene:
         params = np.zeros((c, 3), dtype=np.float32)
         for i, s in enumerate(slots):
             params[i, : len(s.params)] = s.params
+        from .colliders import COLLIDER_HULL, HULL_MAX_PLANES, _HULL_PAD_D
+
+        any_hull = any(s.kind == COLLIDER_HULL for s in slots)
+        hp = np.zeros((c, HULL_MAX_PLANES if any_hull else 1, 4), np.float32)
+        if any_hull:
+            hp[:, :, 3] = _HULL_PAD_D
+            for i, s in enumerate(slots):
+                if s.kind == COLLIDER_HULL and s.planes:
+                    hp[i, : len(s.planes)] = np.asarray(s.planes, np.float32)
         return ColliderTable(
             kinds=tuple(s.kind for s in slots),
             identity_rot=tuple(s.identity_rot for s in slots),
@@ -599,6 +650,7 @@ class Scene:
             params=jnp.asarray(params),
             layers=jnp.asarray(np.array([s.layers for s in slots], dtype=np.uint32)),
             active=jnp.asarray(np.array([s.active for s in slots], dtype=np.float32)),
+            hull_planes=jnp.asarray(hp),
         )
 
     # ------------------------------------------------------- force fields
@@ -693,15 +745,20 @@ class Scene:
         slot = self._spawners[sid]
         slot.transform = transform
         slot.global_transform = global_transform or transform
+        slot._frame_cache = None
 
     def set_parent_velocity(self, sid: int, velocity):
         """Host-side analog of `sync_parent_velocity` (`core.rs:705-742`): the
         caller computes v = v_lin + omega x r for the rigid-body ancestor."""
-        self._spawners[sid].parent_velocity = tuple(float(v) for v in velocity)
+        slot = self._spawners[sid]
+        slot.parent_velocity = tuple(float(v) for v in velocity)
+        slot._frame_cache = None
 
     def set_modifier(self, sid: int, modifier: EffectModifier):
         """Analog of `propagate_particle_spawner_modifier` (`core.rs:690-703`)."""
-        self._spawners[sid].modifier = modifier
+        slot = self._spawners[sid]
+        slot.modifier = modifier
+        slot._frame_cache = None
 
     def queue_particles(self, sid: int, count: int):
         """`ParticleSpawnerData::queue_particles` (`core.rs:284-286`)."""
@@ -723,20 +780,26 @@ class Scene:
 
     # ------------------------------------------------------------------ step
     def _frame_for(self, slot: _SpawnerSlot, dt: float):
+        ff = self._force_fields  # cached table object; new identity on change
+        cache = slot._frame_cache
+        if cache is not None and cache[0] == dt and cache[1] is ff:
+            return cache[2]
         tf = (
             slot.transform
             if slot.spawner.spawn_transform_mode == SpawnTransformMode.LOCAL
             else slot.global_transform
         )
-        return make_frame_input(
+        frame = make_frame_input(
             dt,
             translation=tf.translation,
             rotation=tf.rotation,
             parent_velocity=slot.parent_velocity,
             modifier_scale=slot.modifier.scale,
             modifier_speed=slot.modifier.speed,
-            force_fields=self._force_fields,
+            force_fields=ff,
         )
+        slot._frame_cache = (dt, ff, frame)
+        return frame
 
     def step(self, dt: float):
         """Advance every spawner one frame (spawn -> integrate -> notify).
@@ -751,109 +814,137 @@ class Scene:
         self._run_groups(dt, n_frames=1)
 
     def _run_groups(self, dt: float, n_frames: int):
+        """Two phases around ONE device dispatch: phase A assembles every
+        group's stacked inputs (restacks, trail plans — all host/small-op
+        work), then `_scene_step_combined` launches the whole scene's step
+        as a single jitted program, then phase B re-points slots at the
+        results and surfaces events. Host round-trips per frame are thus
+        O(1) in the number of archetypes (VERDICT r3 next #2)."""
         groups: Dict[tuple, List[int]] = {}
         for sid, slot in self._spawners.items():
             key = (slot.compiled.static, slot.capacity)
             groups.setdefault(key, []).append(sid)
         self._last_step_dispatches = 0
         new_batches: Dict[tuple, _GroupBatch] = {}
+        prep = []  # phase-A record per group
+        any_collision = False
+
+        # ---- phase A: assemble every group's inputs (host work + small
+        # restack ops only; no step dispatch, no device reads) -------------
         for key, sids in groups.items():
             static, _cap = key
-            colliders = self._colliders if static.any_collision else None
+            any_collision = any_collision or static.any_collision
             slots = [self._spawners[sid] for sid in sids]
             frames = [self._frame_for(s, dt) for s in slots]
             self._last_step_dispatches += 1
             if len(slots) == 1:
-                slot = slots[0]
-                if n_frames == 1:
-                    slot.state, slot.outputs, slot.render_planes = step_auto_packed_jit(
-                        static, slot.compiled.params, colliders, slot.state, frames[0]
-                    )
-                else:
-                    slot.state, slot.outputs, slot.render_planes = multi_step_auto_packed(
-                        static, slot.compiled.params, colliders, slot.state, frames[0], n_frames
-                    )
+                prep.append((key, sids, slots, slots[0].compiled.params,
+                             slots[0].state, frames[0], False, None))
+                continue
+            # stacked-frame cache: valid while every member returned the SAME
+            # cached FrameInput object (holding the refs prevents id reuse)
+            fc = self._frame_stacks.get(key)
+            if (fc is not None and len(fc[0]) == len(frames)
+                    and all(a is b for a, b in zip(fc[0], frames))):
+                F = fc[1]
             else:
                 F = _stack_frames_np(frames)
-                sids_t = tuple(sids)
-                batch = self._batches.get(key)
-                steady = batch is not None and batch.sids == sids_t and not batch.dirty
-                if steady:
-                    # steady state: the previous frame's stacked trees feed
-                    # the next dispatch directly — no per-member handles
-                    P, S = batch.params, batch.states
+                self._frame_stacks[key] = (frames, F)
+            sids_t = tuple(sids)
+            batch = self._batches.get(key)
+            steady = batch is not None and batch.sids == sids_t and not batch.dirty
+            if steady:
+                # steady state: the previous frame's stacked trees feed
+                # the next dispatch directly — no per-member handles
+                P, S = batch.params, batch.states
+            else:
+                # (re)formation. Members still attached to the previous
+                # batch re-gather on device; only changed/new members'
+                # trees transfer (one jitted take+insert). A slot is
+                # unchanged iff its authority is still the old batch:
+                # every mutation path goes through _detach().
+                kept = {}
+                if _INCREMENTAL_RESTACK and batch is not None:
+                    for i, s in enumerate(slots):
+                        if s._batch is not None and s._batch[0] is batch:
+                            kept[i] = s._batch[1]
+                if kept:
+                    idx_map = np.zeros((len(slots),), np.int32)
+                    for i, j in kept.items():
+                        idx_map[i] = j
+                    pos = np.asarray(
+                        [i for i in range(len(slots)) if i not in kept], np.int32)
+                    S = _restack_take_insert(
+                        batch.states, idx_map, pos,
+                        tuple(slots[int(i)].state for i in pos))
+                    P = _restack_take_insert(
+                        batch.params, idx_map, pos,
+                        tuple(slots[int(i)].compiled.params for i in pos))
                 else:
-                    # (re)formation. Members still attached to the previous
-                    # batch re-gather on device; only changed/new members'
-                    # trees transfer (one jitted take+insert). A slot is
-                    # unchanged iff its authority is still the old batch:
-                    # every mutation path goes through _detach().
-                    kept = {}
-                    if _INCREMENTAL_RESTACK and batch is not None:
+                    # nothing reusable: stack member trees on the host
+                    # (see _stack_trees_np), pin the params once
+                    P = jax.device_put(_stack_trees_np([s.compiled.params for s in slots]))
+                    S = _stack_trees_np([s.state for s in slots])  # materializes lazies
+
+            # trail plan, decided BEFORE slots re-point at the new batch:
+            # all-trailed-alike groups update trails in one vmapped
+            # dispatch; t_prev must come from the OLD authority (steady:
+            # the old batch's stacked trees, donated in place; else:
+            # per-slot states, whose lazy reads still resolve against
+            # the old batch here)
+            ts_set = {s.trail_settings for s in slots}
+            group_trails = None not in ts_set and len(ts_set) == 1
+            t_prev = None
+            if group_trails:
+                if steady and batch.trails is not None and not batch.tdirty:
+                    t_prev = batch.trails
+                else:
+                    # incremental trail restack: a slot's trail authority
+                    # is still the old batch iff it is attached AND its
+                    # _trail_state cache is empty (an external trail
+                    # replacement — the tdirty source — fills the cache
+                    # without detaching)
+                    tkept = {}
+                    if _INCREMENTAL_RESTACK and batch is not None and batch.trails is not None:
                         for i, s in enumerate(slots):
-                            if s._batch is not None and s._batch[0] is batch:
-                                kept[i] = s._batch[1]
-                    if kept:
-                        idx_map = np.zeros((len(slots),), np.int32)
-                        for i, j in kept.items():
-                            idx_map[i] = j
-                        pos = np.asarray(
-                            [i for i in range(len(slots)) if i not in kept], np.int32)
-                        S = _restack_take_insert(
-                            batch.states, idx_map, pos,
-                            tuple(slots[int(i)].state for i in pos))
-                        P = _restack_take_insert(
-                            batch.params, idx_map, pos,
-                            tuple(slots[int(i)].compiled.params for i in pos))
+                            if (s._batch is not None and s._batch[0] is batch
+                                    and s._trail_state is None):
+                                tkept[i] = s._batch[1]
+                    if tkept:
+                        t_idx = np.zeros((len(slots),), np.int32)
+                        for i, j in tkept.items():
+                            t_idx[i] = j
+                        t_pos = np.asarray(
+                            [i for i in range(len(slots)) if i not in tkept], np.int32)
+                        t_prev = _restack_take_insert(
+                            batch.trails, t_idx, t_pos,
+                            tuple(slots[int(i)].trail_state for i in t_pos))
                     else:
-                        # nothing reusable: stack member trees on the host
-                        # (see _stack_trees_np), pin the params once
-                        P = jax.device_put(_stack_trees_np([s.compiled.params for s in slots]))
-                        S = _stack_trees_np([s.state for s in slots])  # materializes lazies
+                        t_prev = _stack_trees_np([s.trail_state for s in slots])
+            prep.append((key, sids, slots, P, S, F, group_trails, t_prev))
 
-                # trail plan, decided BEFORE slots re-point at the new batch:
-                # all-trailed-alike groups update trails in one vmapped
-                # dispatch; t_prev must come from the OLD authority (steady:
-                # the old batch's stacked trees, donated in place; else:
-                # per-slot states, whose lazy reads still resolve against
-                # the old batch here)
-                ts_set = {s.trail_settings for s in slots}
-                group_trails = None not in ts_set and len(ts_set) == 1
-                t_prev = None
-                if group_trails:
-                    if steady and batch.trails is not None and not batch.tdirty:
-                        t_prev = batch.trails
-                    else:
-                        # incremental trail restack: a slot's trail authority
-                        # is still the old batch iff it is attached AND its
-                        # _trail_state cache is empty (an external trail
-                        # replacement — the tdirty source — fills the cache
-                        # without detaching)
-                        tkept = {}
-                        if _INCREMENTAL_RESTACK and batch is not None and batch.trails is not None:
-                            for i, s in enumerate(slots):
-                                if (s._batch is not None and s._batch[0] is batch
-                                        and s._trail_state is None):
-                                    tkept[i] = s._batch[1]
-                        if tkept:
-                            t_idx = np.zeros((len(slots),), np.int32)
-                            for i, j in tkept.items():
-                                t_idx[i] = j
-                            t_pos = np.asarray(
-                                [i for i in range(len(slots)) if i not in tkept], np.int32)
-                            t_prev = _restack_take_insert(
-                                batch.trails, t_idx, t_pos,
-                                tuple(slots[int(i)].trail_state for i in t_pos))
-                        else:
-                            t_prev = _stack_trees_np([s.trail_state for s in slots])
+        # ---- ONE device dispatch for the whole scene ----------------------
+        if prep:
+            table = self._colliders if any_collision else None
+            results = _scene_step_combined(
+                tuple(p[0][0] for p in prep),
+                tuple(len(p[2]) for p in prep),
+                n_frames,
+                table,
+                tuple(p[3] for p in prep),
+                tuple(p[4] for p in prep),
+                tuple(p[5] for p in prep),
+            )
+        else:
+            results = ()
 
-                if n_frames == 1:
-                    S2, O, planes = _group_step_stacked(static, P, colliders, S, F)
-                else:
-                    S2, O, planes = _group_multi_step_stacked(
-                        static, P, colliders, S, F, n_frames
-                    )
-                nb = _GroupBatch(sids_t, P, S2, O, planes)
+        # ---- phase B: re-point authority, trails, events -------------------
+        for (key, sids, slots, P, S, F, group_trails, t_prev), (S2, O, planes) in zip(prep, results):
+            if len(slots) == 1:
+                slot = slots[0]
+                slot.state, slot.outputs, slot.render_planes = S2, O, planes
+            else:
+                nb = _GroupBatch(tuple(sids), P, S2, O, planes)
                 new_batches[key] = nb
                 for i, slot in enumerate(slots):
                     # a slot leaving the stacked-trail regime must carry its

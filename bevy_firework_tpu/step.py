@@ -712,7 +712,18 @@ def step(
     dead_by_age = age_new >= fields["lifetime"]
     age_pct = age_new / fields["lifetime"]
 
-    scale_factor = _eval_scalar_curve_by_type(params.scale_ts, params.scale_vs, params.scale_n, params.scale_kind, ptype, age_pct, T)
+    # Gather-free scale-curve eval (same unrolled compare-select the fused
+    # kernel uses — (kind, n) are compile-time constants): the jnp.take form
+    # costs ~36 ns/index on TPU, a full-pool gather tax per frame. Bit-equal
+    # math (identical clamp/floor/lerp), verified by goldens + the sweep.
+    from .ops.fused_step import _eval_curve_static
+
+    k0, n0 = static.scale_curve_meta[0]
+    scale_factor = _eval_curve_static(params.scale_ts[0], params.scale_vs[0], k0, n0, age_pct)
+    for t in range(1, T):
+        kt, nt = static.scale_curve_meta[t]
+        sft = _eval_curve_static(params.scale_ts[t], params.scale_vs[t], kt, nt, age_pct)
+        scale_factor = jnp.where(ptype == t, sft, scale_factor)
     scale_new = fields["initial_scale"] * scale_factor
 
     vx, vy, vz = fields["vx"], fields["vy"], fields["vz"]
@@ -785,8 +796,10 @@ def step(
     if static.derived_alive:
         # keep the derived-alive invariant (alive == age < lifetime) across
         # engine paths: collision-destroyed lanes read dead via age
+        life = (jnp.float32(static.const_lifetime)
+                if static.const_lifetime is not None else fields["lifetime"])
         fields["age"] = jnp.where(
-            moved & should_destroy, jnp.float32(static.const_lifetime),
+            moved & should_destroy, life,
             jnp.where(alive0, age_new, fields["age"]),
         )
     else:

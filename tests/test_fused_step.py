@@ -631,3 +631,113 @@ def test_hybrid_nested_kernel_merge_bit_exact():
         np.testing.assert_array_equal(
             np.asarray(getattr(sM, f)), np.asarray(getattr(sX, f)), err_msg=f)
     assert int(np.asarray(sM.alive).sum()) > 500  # the merge path ran for real
+
+
+def test_fleet_kernel_matches_vmapped_solo():
+    """fused_step_fleet (grid = (S, tiles), per-slot smalls whole-array
+    resident) is slot-for-slot BIT-EXACT with vmap(fused_step): identical
+    key splits, dyn seeds, and within-slot tile seeds (VERDICT r3 next #2 —
+    this kernel is what makes 100-spawner scenes cheap). Covers pack_render
+    and collision."""
+    from bevy_firework_tpu import Collider, compile_colliders
+    from bevy_firework_tpu.ops.fused_step import fused_step, fused_step_fleet
+    from bevy_firework_tpu.parallel.sharding import (
+        stack_frames,
+        stack_params,
+        stack_pools,
+    )
+
+    S = 2
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(
+            lifetime=RandF32.constant(0.4), initial_scale=RandF32.constant(0.1),
+            collision_settings=ParticleCollisionSettings(restitution=0.5, friction=0.1),
+        )],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.rate(9000.0),
+            initial_velocity=RandVec3.constant((1.0, -3.0, 0.2)))],
+    )
+    c = compile_spawner(sp)
+    table = compile_colliders([Collider.halfspace(position=(0.0, -0.5, 0.0))])
+    states = stack_pools([init_pool_for(c, N, i) for i in range(S)])
+    frames = stack_frames([make_frame_input(1 / 50, translation=(float(i), 0.0, 0.0))
+                           for i in range(S)])
+    P = stack_params([c.params] * S)
+
+    with pltpu.force_tpu_interpret_mode():
+        sA, sB = states, states
+        for _ in range(3):
+            sA, oA, plA = jax.vmap(
+                lambda p, s, f: fused_step(c.static, p, table, s, f, pack_render=True)
+            )(P, sA, frames)
+            sB, oB, plB = fused_step_fleet(c.static, P, table, sB, frames, pack_render=True)
+    for name in ("alive", "px", "py", "pz", "vx", "vy", "vz", "age",
+                 "initial_scale", "ring_cursor", "time_in_cycle"):
+        a, b = np.asarray(getattr(sA, name)), np.asarray(getattr(sB, name))
+        assert np.array_equal(a, b), name
+    assert np.array_equal(np.asarray(oA.alive_count), np.asarray(oB.alive_count))
+    for pa, pb in zip(plA, plB):
+        assert np.array_equal(np.asarray(pa), np.asarray(pb))
+    assert int(np.asarray(oB.alive_count).sum()) > 0
+
+
+def test_fleet_kernel_unroll_matches_singles():
+    """multi_step_fleet_stacked's in-kernel unroll (fleet kernel, U frames
+    per launch) is bit-exact vs per-frame fleet steps."""
+    from bevy_firework_tpu.ops.fused_step import (
+        fused_step_fleet,
+        multi_step_fleet_stacked,
+    )
+    from bevy_firework_tpu.parallel.sharding import (
+        stack_frames,
+        stack_params,
+        stack_pools,
+    )
+
+    S, n_frames = 2, 5
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(
+            lifetime=RandF32.constant(0.3), initial_scale=RandF32.constant(0.1))],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.rate(8000.0))],
+    )
+    c = compile_spawner(sp)
+    states = stack_pools([init_pool_for(c, N, i) for i in range(S)])
+    frames = stack_frames([make_frame_input(1 / 50) for _ in range(S)])
+    P = stack_params([c.params] * S)
+    with pltpu.force_tpu_interpret_mode():
+        sA = states
+        for _ in range(n_frames):
+            sA, _o = fused_step_fleet(c.static, P, None, sA, frames)
+        sB = states
+        for _ in range(n_frames // 2):  # unroll=2 explicitly
+            sB, _o = fused_step_fleet(c.static, P, None, sB, frames, unroll=2)
+        sB, _o = fused_step_fleet(c.static, P, None, sB, frames)
+    for name in ("alive", "px", "vx", "age", "ring_cursor"):
+        a, b = np.asarray(getattr(sA, name)), np.asarray(getattr(sB, name))
+        assert np.array_equal(a, b), name
+
+
+def test_fused_collision_parity_hull():
+    """Convex-hull colliders (plane-set rows through the chul small) in the
+    fused kernel match the XLA path lane-for-lane — incl. a rotated hull
+    (local-space plane transform) and a box-equivalent one."""
+    sp = det_spawner(
+        ps=dict(
+            linear_drag=0.0,
+            collision_settings=ParticleCollisionSettings(restitution=0.6, friction=0.2),
+        ),
+        pacing=EmissionPacing.one_shot(40),
+    )
+    s8 = float(np.sin(np.pi / 8))
+    c8 = float(np.cos(np.pi / 8))
+    colliders = [
+        Collider.hull([(1, 0, 0, 50.0), (-1, 0, 0, 50.0), (0, 1, 0, 1.0),
+                       (0, -1, 0, 1.0), (0, 0, 1, 50.0), (0, 0, -1, 50.0)],
+                      position=(0.0, -1.5, 0.0)),
+        Collider.hull_from_points(
+            [(0, 0, 0), (1.5, 0, 0), (0, 1.5, 0), (0, 0, 1.5)],
+            position=(0.6, -0.4, 0.2), rotation=(0.0, 0.0, s8, c8)),
+    ]
+    sA, oA, sB, oB = run_both(sp, n_frames=12, colliders=colliders)
+    assert int(oA.alive_count) == int(oB.alive_count) > 0
+    assert_state_match(sA, sB, atol=1e-4)
