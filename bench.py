@@ -186,6 +186,72 @@ def _measure_nested(warmup=150, n_frames=100, reps=5):
     return int(out.alive_count), diffs[len(diffs) // 2]
 
 
+def _measure_nested_chained(warmup=150, n_frames=100, reps=5):
+    """CHAINED nested stress (VERDICT r3 next #3b): a fireworks-style
+    3-stage chain — rate-spawned rockets, nested trail particles on rockets,
+    nested micro-sparks on the trail — now running the in-kernel child
+    merge (round 3 gated chained archetypes onto the slow pool-sized
+    write-back path)."""
+    from bevy_firework_tpu.ops.fused_step import multi_step_auto
+    from bevy_firework_tpu.settings import (
+        EmissionMode,
+        EmissionSettings,
+        ParticleSettings,
+        ParticleSpawner,
+        RandF32,
+        RandVec3,
+    )
+
+    spawner = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(1.5), linear_drag=0.2),
+            ParticleSettings(lifetime=RandF32.constant(1.0), linear_drag=0.3),
+            ParticleSettings(lifetime=RandF32.constant(0.5), linear_drag=0.5),
+        ],
+        emission_settings=[
+            EmissionSettings(
+                particle_index=0,
+                emission_pacing=EmissionPacing.rate(2000.0),
+                initial_velocity=RandVec3(magnitude=RandF32(3.0, 8.0), direction=(0, 1, 0), spread=0.4),
+            ),
+            EmissionSettings(
+                particle_index=1,
+                emission_mode=EmissionMode.nested(0),
+                emission_pacing=EmissionPacing.count_over_duration(8.0, 1.0, 0.0, 1.0),
+                inherit_parent_velocity=True,
+            ),
+            EmissionSettings(
+                particle_index=2,
+                emission_mode=EmissionMode.nested(1),
+                emission_pacing=EmissionPacing.count_over_duration(3.0, 1.0, 0.1, 0.9),
+                inherit_parent_velocity=True,
+            ),
+        ],
+    )
+    compiled = compile_spawner(spawner, nested_buffer=1024)
+    state = init_pool_for(compiled, 16 * 8192, seed=0)
+    frame = make_frame_input(1.0 / 60.0)
+    state, out = multi_step_auto(compiled.static, compiled.params, None, state, frame, warmup)
+    _fence(state.px)
+
+    def run(n):
+        s, _o = multi_step_auto(compiled.static, compiled.params, None, state, frame, n)
+        _fence(s.px)
+
+    run(n_frames)
+    run(2 * n_frames)
+    diffs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run(n_frames)
+        t1 = time.perf_counter()
+        run(2 * n_frames)
+        t2 = time.perf_counter()
+        diffs.append(((t2 - t1) - (t1 - t0)) / n_frames * 1e3)
+    diffs.sort()
+    return int(out.alive_count), diffs[len(diffs) // 2]
+
+
 def _measure_fleet(n_slots=16, capacity=8 * 8192, rate=55_000.0, warmup=140, n_frames=100, reps=5):
     """DP-over-spawners throughput: S independent stress spawners stepped as
     ONE vmapped fused-kernel dispatch (the reference's par_iter_mut analog,
@@ -561,6 +627,8 @@ def main():
             "live": alive_rl, "ms_per_frame": round(ms_rl, 4), "ms_norm": _norm(ms_rl)}
         alive_n, ms_n = _measure_nested()
         extras["nested_60k"] = {"live": alive_n, "ms_per_frame": round(ms_n, 4), "ms_norm": _norm(ms_n)}
+        alive_nc, ms_nc = _measure_nested_chained()
+        extras["nested_chained"] = {"live": alive_nc, "ms_per_frame": round(ms_nc, 4), "ms_norm": _norm(ms_nc)}
         alive_f, ms_f = _measure_fleet()
         extras["fleet_16x55k"] = {"live": alive_f, "ms_per_frame": round(ms_f, 4), "ms_norm": _norm(ms_f)}
         extras["scene_batch_12"] = _measure_scene_batch()

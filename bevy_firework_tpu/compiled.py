@@ -282,11 +282,15 @@ def compile_spawner(spawner: ParticleSpawner, nested_buffer: int = 4096) -> Comp
         ),
     )
 
+    # Host-side (numpy) params on purpose: each jnp.asarray here is an EAGER
+    # device op (~0.5-2 ms on a tunneled attach, x~30 leaves per compile) —
+    # as numpy the leaves ride the first step's argument transfer, and group
+    # formation pins them once with device_put (scene.py).
     def farr(vals):
-        return jnp.asarray(np.asarray(vals, dtype=np.float32))
+        return np.asarray(vals, dtype=np.float32)
 
     def iarr(vals):
-        return jnp.asarray(np.asarray(vals, dtype=np.int32))
+        return np.asarray(vals, dtype=np.int32)
 
     # per-archetype table width: the largest knot count across ALL of this
     # spawner's curves (>= K_MAX so common archetypes share shapes); still a
@@ -326,8 +330,9 @@ def compile_spawner(spawner: ParticleSpawner, nested_buffer: int = 4096) -> Comp
         field_mask=farr([1.0 if t.affected_by_fields else 0.0 for t in types]),
         friction=farr([(t.collision_settings.friction if t.collision_settings else 0.0) for t in types]),
         destroy_on_collision=farr([(1.0 if (t.collision_settings and t.collision_settings.destroy_on_collision) else 0.0) for t in types]),
-        collision_mask=jnp.asarray(
-            np.asarray([(t.collision_settings.filter_mask if t.collision_settings else 0) for t in types], dtype=np.uint32)
+        collision_mask=np.asarray(
+            [(t.collision_settings.filter_mask if t.collision_settings else 0) for t in types],
+            dtype=np.uint32,
         ),
         count=farr([e.emission_pacing.count for e in emitters]),
         duration=farr([e.emission_pacing.duration for e in emitters]),

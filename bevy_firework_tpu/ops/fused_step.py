@@ -2135,21 +2135,25 @@ def fused_step_hybrid(
 
     # pre-spawn liveness for the in-kernel active() flag (core.rs:288-302)
     any_alive_pre = jnp.any(state.alive)
-    # The merge defers pool writes to the kernel, so a nested emitter can no
-    # longer see an EARLIER nested emitter's same-frame children. That only
-    # matters for chained nesting (emitter e2 targeting a type some earlier
-    # nested emitter spawns — reference semantics: sequential Vec pushes,
-    # core.rs:471-546); such archetypes keep the in-place write-back.
-    chained = False
-    seen_child_types = set()
-    for e in range(E):
-        if static.mode_kinds[e] == MODE_GLOBAL or not static.nested_valid[e]:
-            continue
-        if static.target_types[e] in seen_child_types:
-            chained = True
-        seen_child_types.add(static.particle_indices[e])
+    # The merge defers pool writes to the kernel, so a nested emitter does
+    # not see an EARLIER nested emitter's same-frame children (reference
+    # semantics: sequential Vec pushes, core.rs:471-546). That visibility is
+    # PROVABLY unobservable, so chained nesting merges too (VERDICT r3 next
+    # #3b; round 3 gated it off): a same-frame child always has age = 0 and
+    # last_emitted = F32_MIN, so its cadence (core.rs:490-498 / SURVEY A.1)
+    # computes passed_since = min(0, off_end) - max(MIN/dur, off_start)
+    # = -off_start <= 0, hence emission count 0 (Rust's saturating usize
+    # cast; cadence.compute_emission_count clamps identically) — an age-0
+    # parent NEVER emits on its spawn frame. The only other effect, its
+    # last_emitted advancing F32_MIN -> (a value <= off_start*duration), is
+    # observably idempotent: every future cadence clamps the anchor with
+    # max(last/dur, off_start), so all anchors below the clamp form ONE
+    # equivalence class — the merge path leaves F32_MIN where the write-back
+    # path stores the clamped-away value. Merge-on vs write-back parity on a
+    # chained archetype (exact for every field; last_emitted canonicalized
+    # into the clamp class) is pinned by tests/test_nested.py and the
+    # sweep's nested-chained-merge check.
     merging = (kernel_global and _NESTED_KERNEL_MERGE and static.ring_claim
-               and not chained
                and (jax.default_backend() == "tpu" or _FORCE_NESTED_MERGE_CPU))
     if merging:
         (fields, enabled, time_in_cycle, last_emission, manual_queued, new_key,

@@ -109,7 +109,9 @@ def init_pool(
     # Host-side (numpy) leaves on purpose, like make_frame_input: each jnp
     # leaf here would be an EAGER device op (~0.5-2 ms per op on a tunneled
     # attach, x17 leaves) — as numpy they ride the first step's own argument
-    # transfer. The rng_key stays a jax array (PRNGKey semantics).
+    # transfer. The rng_key too: threefry_seed(int) is exactly the
+    # (hi, lo) uint32 pair, so the numpy form is bit-identical to
+    # jax.random.PRNGKey(seed) without the eager op.
     import numpy as np
 
     n = int(capacity)
@@ -134,7 +136,7 @@ def init_pool(
         manual_queued=np.zeros((), np.int32),
         finished_notified=np.zeros((), bool),
         ring_cursor=np.zeros((), np.int32),
-        rng_key=jax.random.PRNGKey(seed),
+        rng_key=np.asarray([int(seed) >> 32, int(seed) & 0xFFFFFFFF], np.uint32),
     )
 
 

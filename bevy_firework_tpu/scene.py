@@ -442,6 +442,7 @@ class Scene:
         self._last_step_dispatches = 0  # archetype groups launched last step
         self._batches: Dict[tuple, _GroupBatch] = {}  # stacked group authority
         self._frame_stacks: Dict[tuple, tuple] = {}  # group key -> (frames, F)
+        self._compile_cache: Dict[tuple, CompiledSpawner] = {}
         # pipelined (async) render extract state — see enable_async_render
         self._async_readers: Dict[int, object] = {}
         self._async_enabled = False
@@ -497,7 +498,18 @@ class Scene:
             if sid in self._spawners:
                 raise ValueError(f"spawner id {sid} already in use")
             self._next_id = max(self._next_id, sid + 1)
-        compiled = compile_spawner(spawner, nested_buffer=nested_buffer)
+        # memoize compiles per (settings, nested_buffer): despawn/respawn
+        # churn re-adds identical spawners every frame, and a compile builds
+        # ~30 param leaves + the static descriptor each time
+        try:
+            ck = (spawner, int(nested_buffer))
+            compiled = self._compile_cache.get(ck)
+        except TypeError:  # unhashable (list-valued settings): compile fresh
+            ck, compiled = None, None
+        if compiled is None:
+            compiled = compile_spawner(spawner, nested_buffer=nested_buffer)
+            if ck is not None:
+                self._compile_cache[ck] = compiled
         seed = self._seed + sid
         t = transform or Transform()
         self._spawners[sid] = _SpawnerSlot(

@@ -301,3 +301,97 @@ def test_fuzz_nested_buffer_conservation():
         assert oracle_children - n_parents <= engine_children <= oracle_children, (
             f"trial {trial}: buf={buf} parents={n_parents} per={per_parent} "
             f"window={window}: {engine_children} vs oracle {oracle_children}")
+
+
+def test_chained_nested_merge_bit_exact():
+    """CHAINED nesting under the in-kernel merge (VERDICT r3 next #3b):
+    e2 targets the type e1 spawns. Deferring e1's children past e2's parent
+    scan is provably unobservable — an age-0 parent's cadence count is 0
+    and its last_emitted update idempotent (see fused_step_hybrid) — so the
+    merge formulation must stay BIT-EXACT with the write-back one."""
+    import jax
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    import bevy_firework_tpu.ops.fused_step as fs
+    from bevy_firework_tpu import (
+        EmissionMode,
+        EmissionPacing,
+        EmissionSettings,
+        ParticleSettings,
+        ParticleSpawner,
+        RandF32,
+        RandVec3,
+        compile_spawner,
+        init_pool_for,
+        make_frame_input,
+    )
+
+    sp = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(0.6), linear_drag=0.1),
+            ParticleSettings(lifetime=RandF32.constant(0.5), linear_drag=0.2),
+            ParticleSettings(lifetime=RandF32.constant(0.4), linear_drag=0.3),
+        ],
+        emission_settings=[
+            EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.rate(1200.0),
+                             initial_velocity=RandVec3(magnitude=RandF32(1.0, 3.0),
+                                                       direction=(0, 1, 0), spread=0.5)),
+            EmissionSettings(particle_index=1, emission_mode=EmissionMode.nested(0),
+                             emission_pacing=EmissionPacing.count_over_duration(6.0, 1.0, 0.1, 1.0),
+                             initial_velocity=RandVec3(magnitude=RandF32(0.1, 0.6),
+                                                       direction=(0, 1, 0), spread=2.0),
+                             inherit_parent_velocity=True),
+            EmissionSettings(particle_index=2, emission_mode=EmissionMode.nested(1),
+                             emission_pacing=EmissionPacing.count_over_duration(3.0, 1.0, 0.2, 0.9),
+                             initial_velocity=RandVec3(magnitude=RandF32(0.05, 0.3),
+                                                       direction=(0, 1, 0), spread=3.0),
+                             inherit_parent_velocity=True),
+        ],
+    )
+    c = compile_spawner(sp, nested_buffer=512)
+    assert c.static.ring_claim
+    frame = make_frame_input(1 / 50)
+
+    def run(merge_on, n_frames=70):
+        fs._FORCE_NESTED_MERGE_CPU = merge_on
+        fs._NESTED_KERNEL_MERGE = True
+        try:
+            hybrid = jax.jit(lambda st, p, col, s, f: fs.fused_step_hybrid(st, p, col, s, f),
+                             static_argnums=(0,))
+            s = init_pool_for(c, 8192, 0)
+            for _ in range(n_frames):
+                with pltpu.force_tpu_interpret_mode():
+                    s, _o = hybrid(c.static, c.params, None, s, frame)
+            return s
+        finally:
+            fs._FORCE_NESTED_MERGE_CPU = False
+
+    sM = run(True)
+    sX = run(False)
+    for f in ("alive", "px", "py", "pz", "vx", "vy", "vz", "age",
+              "initial_scale", "ptype", "ring_cursor"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sM, f)), np.asarray(getattr(sX, f)), err_msg=f)
+    # last_emitted: compared CANONICALIZED. The write-back path updates a
+    # same-frame child's anchor to a value <= off_start*lifetime on its spawn
+    # frame; the merge path leaves F32_MIN until the next pass. Both clamp to
+    # off_start in every future cadence (compute_emission_count's
+    # max(last/dur, off_start)), so anchors below the clamp are one
+    # observable equivalence class — canonicalize into it before comparing.
+    life = np.asarray(sM.lifetime)
+    ptype = np.asarray(sM.ptype)
+    alive = np.asarray(sM.alive)
+    offs = {1: 0.1, 2: 0.2}  # e -> off_start (the spawner config above)
+    targets = {1: 0, 2: 1}
+    for e in range(3):
+        a = np.asarray(sM.last_emitted)[e].copy()
+        b = np.asarray(sX.last_emitted)[e].copy()
+        if e in offs:
+            m = alive & (ptype == targets[e])
+            floor = offs[e] * life
+            a[m] = np.maximum(a[m], floor[m])
+            b[m] = np.maximum(b[m], floor[m])
+        np.testing.assert_array_equal(a, b, err_msg=f"last_emitted[{e}] (canonical)")
+    per_type = [int(((ptype == t) & alive).sum()) for t in range(3)]
+    assert min(per_type) > 0, per_type  # every chain stage live

@@ -716,6 +716,84 @@ def check_nested_kernel_merge(capacity=2 * 8192, n_frames=240):
     return None
 
 
+def check_nested_chained_merge(capacity=2 * 8192, n_frames=240):
+    """CHAINED nesting under the in-kernel merge (VERDICT r3 next #3b):
+    emitter e2 targets a type that e1 (an earlier nested emitter) spawns.
+    The merge defers e1's children past e2's parent scan — provably
+    unobservable (age-0 parents emit count 0 and their last_emitted update
+    is idempotent, see fused_step_hybrid) — so merge-on must stay bit-exact
+    with the write-back formulation over repeated ring wraps."""
+    import bevy_firework_tpu.ops.fused_step as fs
+    from bevy_firework_tpu import EmissionMode
+
+    sp = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(0.6), linear_drag=0.1),
+            ParticleSettings(lifetime=RandF32.constant(0.5), linear_drag=0.2),
+            ParticleSettings(lifetime=RandF32.constant(0.4), linear_drag=0.3),
+        ],
+        emission_settings=[
+            EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.rate(2500.0),
+                             initial_velocity=RandVec3.constant((0.5, 3.0, 0.0))),
+            EmissionSettings(particle_index=1, emission_mode=EmissionMode.nested(0),
+                             emission_pacing=EmissionPacing.count_over_duration(8.0, 1.0, 0.1, 1.0),
+                             initial_velocity=RandVec3.constant((0.0, 0.5, 0.0)),
+                             inherit_parent_velocity=True),
+            EmissionSettings(particle_index=2, emission_mode=EmissionMode.nested(1),
+                             emission_pacing=EmissionPacing.count_over_duration(3.0, 1.0, 0.2, 0.9),
+                             initial_velocity=RandVec3.constant((0.2, -0.3, 0.1)),
+                             inherit_parent_velocity=True),
+        ],
+    )
+    c = compile_spawner(sp, nested_buffer=512)
+    assert c.static.ring_claim
+    frame = make_frame_input(1 / 50)
+
+    def run(merge_on):
+        fs._NESTED_KERNEL_MERGE = merge_on
+        try:
+            f = jax.jit(lambda p, s, fr: fs.fused_step_hybrid(c.static, p, None, s, fr))
+            s = init_pool_for(c, capacity, 0)
+            for _ in range(n_frames):
+                s, _ = f(c.params, s, frame)
+            return s
+        finally:
+            fs._NESTED_KERNEL_MERGE = True
+
+    sM = run(True)
+    sX = run(False)
+    for fname in ("alive", "px", "py", "pz", "vx", "vy", "vz", "age",
+                  "initial_scale", "ptype", "ring_cursor"):
+        a, b = np.asarray(getattr(sM, fname)), np.asarray(getattr(sX, fname))
+        if not np.array_equal(a, b):
+            return (f"FIELD {fname} differs (n={int(np.sum(a != b))}, "
+                    f"max |d| {np.abs(a.astype(np.float64) - b.astype(np.float64)).max():.2e})")
+    # last_emitted compared CANONICALIZED: anchors below the off_start clamp
+    # are one observable equivalence class (see fused_step_hybrid's chained
+    # proof) — the write-back path stores <= off_start*lifetime on a child's
+    # spawn frame where the merge leaves F32_MIN; both clamp identically in
+    # every future cadence.
+    life = np.asarray(sM.lifetime)
+    ptype = np.asarray(sM.ptype)
+    alive = np.asarray(sM.alive)
+    offs = {1: 0.1, 2: 0.2}
+    targets = {1: 0, 2: 1}
+    for e in range(3):
+        a = np.asarray(sM.last_emitted)[e].copy()
+        b = np.asarray(sX.last_emitted)[e].copy()
+        if e in offs:
+            m = alive & (ptype == targets[e])
+            floor = offs[e] * life
+            a[m] = np.maximum(a[m], floor[m])
+            b[m] = np.maximum(b[m], floor[m])
+        if not np.array_equal(a, b):
+            return f"last_emitted[{e}] differs beyond the off_start clamp"
+    per_type = [int((( ptype == t) & alive).sum()) for t in range(3)]
+    if min(per_type) == 0:
+        return f"chain stage starved: per-type alive {per_type}"
+    return None
+
+
 def main(n_configs=8):
     failures = 0
     total = 0
@@ -792,6 +870,14 @@ def main(n_configs=8):
     else:
         print("hull-colliders: OK (plane-set hulls lane-exact vs XLA path, "
               "incl. rotated hull_from_points)")
+    total += 1
+    err = check_nested_chained_merge()
+    if err:
+        print(f"nested-chained-merge: {err}")
+        failures += 1
+    else:
+        print("nested-chained-merge: OK (3-stage chain, merge bit-exact vs "
+              "write-back, 240 frames incl. wraps)")
     total += 1
     err = check_force_fields()
     if err:
