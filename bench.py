@@ -590,14 +590,33 @@ def main():
             "drift_vs_sol": round(drift, 4),
             "gbps": round((2 * 512 * (1 << 20)) / 1e9 / (probe_ms * 1e-3), 1),
         }
-    try:
+
+    def extra(name, fn):
+        """Each extra is individually fenced: one transient tunnel error must
+        not sink the remaining extras (a remote_compile hiccup once wiped
+        five of them from a round artifact)."""
+        try:
+            extras[name] = fn()
+        except Exception as e:
+            extras[name] = {"error": str(e)[:160]}
+
+    def _1m():
         _c, _s, _f, alive_1m, ms_1m = _measure(spawner, 1_000_000, 160 * 8192, n_frames=150)
-        extras["1M"] = {"live": alive_1m, "ms_per_frame": round(ms_1m, 4), "ms_norm": _norm(ms_1m)}
-        ms_extract = _measure_extract(_c, _s, _f)
-        extras["render_extract_1M"] = {"live": alive_1m, "ms_device": round(ms_extract, 4)}
-        spc, _t2, cols = effects.stress_test_collision()
+        extras["render_extract_1M"] = {
+            "live": alive_1m, "ms_device": round(_measure_extract(_c, _s, _f), 4)}
+        return {"live": alive_1m, "ms_per_frame": round(ms_1m, 4), "ms_norm": _norm(ms_1m)}
+
+    extra("1M", _1m)
+
+    spc, _t2, cols = effects.stress_test_collision()
+
+    def _coll():
         _c, _s, _f, alive_c, ms_c = _measure(spc, 500_000, 160 * 8192, colliders=cols, n_frames=150)
-        extras["1M_collision"] = {"live": alive_c, "ms_per_frame": round(ms_c, 4), "ms_norm": _norm(ms_c)}
+        return {"live": alive_c, "ms_per_frame": round(ms_c, 4), "ms_norm": _norm(ms_c)}
+
+    extra("1M_collision", _coll)
+
+    def _hulls():
         # convex-hull colliders (VERDICT r3 next #6): same scene vs 8 hulls
         # (a 6-plane floor + 7 tetrahedra) through the unrolled narrow phase
         from bevy_firework_tpu import Collider
@@ -611,8 +630,12 @@ def main():
                 [(0, 0, 0), (2.0, 0, 0), (0, 2.5, 0), (0, 0, 2.0)],
                 position=(float(i * 3 - 9), -0.5, float((i % 3) * 3 - 3))))
         _c, _s, _f, alive_h, ms_h = _measure(spc, 500_000, 160 * 8192, colliders=hulls, n_frames=120)
-        extras["1M_hull8"] = {"live": alive_h, "colliders": len(hulls),
-                              "ms_per_frame": round(ms_h, 4), "ms_norm": _norm(ms_h)}
+        return {"live": alive_h, "colliders": len(hulls),
+                "ms_per_frame": round(ms_h, 4), "ms_norm": _norm(ms_h)}
+
+    extra("1M_hull8", _hulls)
+
+    def _randlife():
         # random-lifetime fast path (VERDICT r3 next #4): same stress scene
         # but lifetime ~ U[0.8, 1.2] s — the generalized ring claim keeps
         # derived-alive + the U=8 unroll; only the lifetime array streams
@@ -623,24 +646,39 @@ def main():
             dataclasses.replace(p, lifetime=RandF32(0.8, 1.2))
             for p in spawner.particle_settings))
         _c, _s, _f, alive_rl, ms_rl = _measure(sprl, TARGET_LIVE, 1 << 18, n_frames=300)
-        extras["stress_randlife_100k"] = {
-            "live": alive_rl, "ms_per_frame": round(ms_rl, 4), "ms_norm": _norm(ms_rl)}
+        return {"live": alive_rl, "ms_per_frame": round(ms_rl, 4), "ms_norm": _norm(ms_rl)}
+
+    extra("stress_randlife_100k", _randlife)
+
+    def _nested():
         alive_n, ms_n = _measure_nested()
-        extras["nested_60k"] = {"live": alive_n, "ms_per_frame": round(ms_n, 4), "ms_norm": _norm(ms_n)}
+        return {"live": alive_n, "ms_per_frame": round(ms_n, 4), "ms_norm": _norm(ms_n)}
+
+    extra("nested_60k", _nested)
+
+    def _chained():
         alive_nc, ms_nc = _measure_nested_chained()
-        extras["nested_chained"] = {"live": alive_nc, "ms_per_frame": round(ms_nc, 4), "ms_norm": _norm(ms_nc)}
+        return {"live": alive_nc, "ms_per_frame": round(ms_nc, 4), "ms_norm": _norm(ms_nc)}
+
+    extra("nested_chained", _chained)
+
+    def _fleet():
         alive_f, ms_f = _measure_fleet()
-        extras["fleet_16x55k"] = {"live": alive_f, "ms_per_frame": round(ms_f, 4), "ms_norm": _norm(ms_f)}
-        extras["scene_batch_12"] = _measure_scene_batch()
-        extras["scene_hetero_100"] = _measure_scene_hetero()
-        extras["group_churn_12"] = _measure_group_churn()
+        return {"live": alive_f, "ms_per_frame": round(ms_f, 4), "ms_norm": _norm(ms_f)}
+
+    extra("fleet_16x55k", _fleet)
+    extra("scene_batch_12", _measure_scene_batch)
+    extra("scene_hetero_100", _measure_scene_hetero)
+    extra("group_churn_12", _measure_group_churn)
+
+    def _10m():
         # single-chip scale headroom: one 10M-lane pool (multi-frame unroll
         # keeps it HBM-traffic bound; ~linear in capacity)
         _c, _s, _f, alive_10m, ms_10m = _measure(
             spawner, 10_000_000, 1280 * 8192, warmup=100, n_frames=80)
-        extras["10M"] = {"live": alive_10m, "ms_per_frame": round(ms_10m, 4), "ms_norm": _norm(ms_10m)}
-    except Exception as e:  # extras must never sink the headline metric
-        extras["error"] = str(e)[:200]
+        return {"live": alive_10m, "ms_per_frame": round(ms_10m, 4), "ms_norm": _norm(ms_10m)}
+
+    extra("10M", _10m)
 
     import os
 

@@ -165,6 +165,10 @@ class ColliderTable:
 
     kinds: Tuple[int, ...]  # static, per collider
     identity_rot: Tuple[bool, ...]  # static, per collider: unrotated?
+    # static per-collider hull plane counts (0 for non-hulls): the unrolled
+    # narrow phase evaluates exactly this many plane rows instead of the
+    # padded HULL_MAX_PLANES width (a 6-plane box costs 6 evals, not 16)
+    hull_counts: Tuple[int, ...]
     position: jax.Array  # [C, 3]
     rotation: jax.Array  # [C, 4] xyzw
     params: jax.Array  # [C, 3] (pad unused with 0)
@@ -189,7 +193,7 @@ class ColliderTable:
 jax.tree_util.register_dataclass(
     ColliderTable,
     data_fields=["position", "rotation", "params", "layers", "active", "hull_planes"],
-    meta_fields=["kinds", "identity_rot"],
+    meta_fields=["kinds", "identity_rot", "hull_counts"],
 )
 
 
@@ -207,6 +211,8 @@ def compile_colliders(colliders: List[Collider]) -> ColliderTable:
                 hp[i, : len(col.planes)] = np.asarray(col.planes, np.float32)
     return ColliderTable(
         hull_planes=jnp.asarray(hp[:c]),
+        hull_counts=tuple(
+            len(col.planes) if col.kind == COLLIDER_HULL else 0 for col in colliders),
         kinds=tuple(int(col.kind) for col in colliders),
         identity_rot=tuple(tuple(col.rotation) == (0.0, 0.0, 0.0, 1.0) for col in colliders),
         position=jnp.asarray(np.array([col.position for col in colliders], dtype=np.float32).reshape(c, 3)),

@@ -325,7 +325,9 @@ def raycast_scene(table: ColliderTable, lane_mask_u32, px, py, pz, dx, dy, dz, m
         elif k == COLLIDER_CONE:
             dist, nx, ny, nz = _ray_cone(ox, oy, oz, rdx, rdy, rdz, p[0], p[1])
         elif k == COLLIDER_HULL:
-            dist, nx, ny, nz = _ray_hull(ox, oy, oz, rdx, rdy, rdz, table.hull_planes[ci])
+            dist, nx, ny, nz = _ray_hull(
+                ox, oy, oz, rdx, rdy, rdz,
+                table.hull_planes[ci, : table.hull_counts[ci]])
         else:
             continue
         layer_ok = (lane_mask_u32 & eff_layers[ci]) != 0

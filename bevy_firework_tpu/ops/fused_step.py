@@ -341,7 +341,8 @@ def _collider_groups(kinds, identity_rot):
 
 def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, vy, vz, dt,
                   restitution, friction, destroy_flag, lane_mask, participating,
-                  scratch=None, loop_groups=None, cidx=None, chul=None):
+                  scratch=None, loop_groups=None, cidx=None, chul=None,
+                  hull_counts=()):
     """particle_collision (core.rs:744-800) on one tile; mirrors
     collision.particle_collision lane-for-lane for `participating` lanes
     (alive + collision-enabled type; other lanes' outputs are ignored by the
@@ -402,9 +403,12 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
             rdx, rdy, rdz = conj_rot(qx, qy, qz, qw, dx, dy, dz)
         p0, p1, p2 = cpar[ci, 0], cpar[ci, 1], cpar[ci, 2]
         if k == COLLIDER_HULL:
-            # plane-set hull: rows [HULL_MAX_PLANES, 4] from the chul small
+            # plane-set hull rows from the chul small, sliced to the hull's
+            # STATIC plane count — a 6-plane box unrolls 6 evals, not the
+            # padded HULL_MAX_PLANES width
             dist, nx, ny, nz = _ray_hull(
-                ox, oy, oz, rdx, rdy, rdz, chul[ci].reshape(-1, 4))
+                ox, oy, oz, rdx, rdy, rdz,
+                chul[ci].reshape(-1, 4)[: hull_counts[ci]])
         else:
             dist, nx, ny, nz = _ray_kind(k, ox, oy, oz, rdx, rdy, rdz, p0, p1, p2)
         layer_ok = (lane_mask & clay[ci, 0]) != 0
@@ -882,7 +886,8 @@ class _SlotView:
 def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump: bool,
                  kernel_spawn: bool, block_rows: int, pack_render: bool = False,
                  unroll: int = 1, field_kinds: tuple = (), nested_merge: tuple = (),
-                 shard_npool: Optional[int] = None, fleet: bool = False):
+                 shard_npool: Optional[int] = None, fleet: bool = False,
+                 hull_counts: tuple = ()):
     E = static.num_emitters
     T = static.num_types
     C = len(collider_kinds)
@@ -1348,6 +1353,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
                     loop_groups=_collider_groups(collider_kinds, collider_identity) if looped else None,
                     cidx=cidx_ref,
                     chul=(chul_ref[:, :] if any_hull else None),
+                    hull_counts=hull_counts,
                 )
                 npx = jnp.where(has_col, cpx, px + vx * dt)
                 npy = jnp.where(has_col, cpy, py + vy * dt)
@@ -1667,7 +1673,8 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
 
     kernel = _make_kernel(static, kinds, identity, dump, kernel_spawn, block_rows, pack_render,
                           unroll=unroll, field_kinds=field_kinds, nested_merge=merge_info,
-                          shard_npool=shard_npool, fleet=fleet)
+                          shard_npool=shard_npool, fleet=fleet,
+                          hull_counts=(colliders.hull_counts if any_hull else ()))
 
     if fleet:
         # per-slot smalls stacked [S, ...]; colliders shared (the group's

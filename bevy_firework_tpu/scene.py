@@ -657,6 +657,8 @@ class Scene:
         return ColliderTable(
             kinds=tuple(s.kind for s in slots),
             identity_rot=tuple(s.identity_rot for s in slots),
+            hull_counts=tuple(
+                len(s.planes) if s.kind == COLLIDER_HULL else 0 for s in slots),
             position=jnp.asarray(np.array([s.position for s in slots], dtype=np.float32)),
             rotation=jnp.asarray(np.array([s.rotation for s in slots], dtype=np.float32)),
             params=jnp.asarray(params),
