@@ -140,6 +140,38 @@ def init_pool(
     )
 
 
+def init_pool_traced(capacity: int, num_emitters: int, rng_key,
+                     starts_enabled: bool = True, lifetime_fill: float = 1.0) -> PoolState:
+    """init_pool built from jnp constants INSIDE a jit (traced twin;
+    bit-identical fields by construction). Used by the Scene's churn path:
+    a fresh member's whole state is constants except the 8-byte rng_key, so
+    materializing it in-program replaces a ~0.5 MB host->device transfer per
+    churn frame with one tiny argument (measured ~30 ms/frame of tunnel
+    transfer at 8192 lanes — the dominant churn cost after everything else
+    was one dispatch)."""
+    n = int(capacity)
+    z = jnp.zeros((n,), jnp.float32)
+    return PoolState(
+        px=z, py=z, pz=z,
+        vx=z, vy=z, vz=z,
+        qx=z, qy=z, qz=z, qw=jnp.ones((n,), jnp.float32),
+        wx=z, wy=z, wz=z,
+        initial_scale=z,
+        age=jnp.full((n,), float(lifetime_fill), jnp.float32),
+        lifetime=jnp.full((n,), float(lifetime_fill), jnp.float32),
+        ptype=jnp.zeros((n,), jnp.int32),
+        alive=jnp.zeros((n,), bool),
+        last_emitted=jnp.full((num_emitters, n), F32_MIN, jnp.float32),
+        time_in_cycle=jnp.zeros((num_emitters,), jnp.float32),
+        last_emission=jnp.zeros((num_emitters,), jnp.float32),
+        enabled=jnp.full((num_emitters,), bool(starts_enabled)),
+        manual_queued=jnp.zeros((), jnp.int32),
+        finished_notified=jnp.zeros((), bool),
+        ring_cursor=jnp.zeros((), jnp.int32),
+        rng_key=jnp.asarray(rng_key, jnp.uint32),
+    )
+
+
 def init_pool_for(compiled, capacity: int, seed: int = 0) -> PoolState:
     """`init_pool` wired to a `CompiledSpawner`: honours starts_enabled and
     satisfies the const-lifetime elision contract (lifetime array pre-filled

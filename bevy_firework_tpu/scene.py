@@ -39,7 +39,6 @@ from .compiled import CompiledSpawner, compile_spawner
 from .ops.fused_step import (
     multi_step_auto_packed,
     step_auto_packed,
-    step_auto_packed_jit,
 )
 from .pool import PoolState, init_pool_for, make_frame_input
 from .render import (
@@ -172,23 +171,65 @@ def _group_multi_step_stacked(static, P, colliders, S, F, n_frames):
     return _group_scan(static, colliders, P, S, F, n_frames)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def _scene_step_combined(statics, sizes, n_frames, colliders, Ps, Ss, Fs):
+def _take_insert_tree(old, idx_map, pos, changed):
+    """Body of _restack_take_insert, usable inside a larger jit."""
+    base = jax.tree_util.tree_map(lambda x: jnp.take(x, idx_map, axis=0), old)
+    if len(changed) == 0:
+        return base
+    rows = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *changed)
+    return jax.tree_util.tree_map(lambda b, c: b.at[pos].set(c), base, rows)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _scene_step_combined(statics, sizes, n_frames, restacks, colliders, Ps, Ss, Fs):
     """ONE device dispatch stepping EVERY archetype group (VERDICT r3 next
     #2): the per-group (vmapped) step programs are traced into a single
     jitted computation, so a scene with K archetypes costs one launch per
-    frame instead of K. On a tunneled attach each dispatch costs ~1.5-2 ms
+    frame instead of K. On a tunneled attach each dispatch costs ~1.5-6 ms
     of host round-trip — with 4+ archetypes that overhead dominated the
     whole frame. Device work serializes inside the program, but it is <1 ms
     total at game scales; the round-trips were the wall.
 
-    statics/sizes are the jit cache key alongside the tree shapes; size 1
-    means an UNSTACKED solo group (same trees the solo path always used)."""
+    statics/sizes/restacks are the jit cache key alongside the tree shapes;
+    size 1 means an UNSTACKED solo group (same trees the solo path always
+    used). restacks[i] marks a group whose membership churned: its
+    Ss[i]/Ps[i] arrive as (old_stacked, changed_rows, idx_map, pos) and the
+    incremental take+insert runs INSIDE this same program — a churn frame
+    costs the same single dispatch as a steady one (round-trip wall, see
+    group_churn_12) plus the changed members' argument transfer."""
     from .ops.fused_step import multi_step_auto_packed, step_auto_packed
 
+    from .pool import init_pool_traced
+
     outs = []
-    for static, n, P, S, F in zip(statics, sizes, Ps, Ss, Fs):
+    for static, n, rs, P, S, F in zip(statics, sizes, restacks, Ps, Ss, Fs):
         col = colliders if static.any_collision else None
+        if rs is not None:
+            s_old, s_changed, idx_map, pos = S
+            p_old, p_changed = P
+            # fresh members (rs flags) ship only (rng_key, enabled) and are
+            # materialized here from constants — a fresh pool is ~0.5 MB of
+            # zeros/fills whose host->device transfer dominated the churn
+            # frame (~30 ms at 8192 lanes on the tunnel)
+            cap = s_old.px.shape[-1]
+            fill = 1.0 if static.const_lifetime is None else static.const_lifetime
+            mats = []
+            for fresh, item in zip(rs, s_changed):
+                if fresh:
+                    key, en = item
+                    st = init_pool_traced(cap, static.num_emitters, key,
+                                          lifetime_fill=fill)
+                    st = dataclasses.replace(st, enabled=jnp.asarray(en))
+                    mats.append(st)
+                else:
+                    mats.append(item)
+            # optimization_barrier: materialize the restacked trees exactly
+            # as a standalone restack dispatch would — XLA fusing the gather
+            # into the step's math otherwise changes FMA contraction ~1 ulp
+            S = jax.lax.optimization_barrier(
+                _take_insert_tree(s_old, idx_map, pos, tuple(mats)))
+            P = jax.lax.optimization_barrier(
+                _take_insert_tree(p_old, idx_map, pos, p_changed))
         if n == 1:
             if n_frames == 1:
                 outs.append(step_auto_packed(static, P, col, S, F))
@@ -196,6 +237,11 @@ def _scene_step_combined(statics, sizes, n_frames, colliders, Ps, Ss, Fs):
                 outs.append(multi_step_auto_packed(static, P, col, S, F, n_frames))
         else:
             outs.append(_group_scan(static, col, P, S, F, n_frames))
+        if rs is not None:
+            # hand the assembled stacked inputs back too: the batch keeps
+            # P as its params authority across frames
+            st, out, planes = outs[-1]
+            outs[-1] = (st, out, planes, P)
     return tuple(outs)
 
 DEFAULT_CAPACITY = 16384
@@ -284,6 +330,10 @@ class _SpawnerSlot:
         # change (Scene._frame_for) — frame-input construction is pure host
         # numpy but costs real python at 100 spawners x 60 Hz
         self._frame_cache = None
+        # True while self._state is exactly init_pool_for's output (a fresh
+        # pool): the churn path then ships only the 8-byte rng_key + enabled
+        # row and materializes the constants in-program (init_pool_traced)
+        self._state_fresh = False
 
     def _slice(self, tree, idx):
         return jax.tree_util.tree_map(lambda x: x[idx], tree)
@@ -307,6 +357,7 @@ class _SpawnerSlot:
     def _detach(self):
         """Materialize everything the batch still holds for this slot, then
         go standalone and mark the batch for restacking."""
+        self._state_fresh = False
         if self._batch is None:
             return
         _ = self.state
@@ -343,6 +394,7 @@ class _SpawnerSlot:
     def state(self, v):
         self._detach()
         self._state = v
+        self._state_fresh = False
 
     @property
     def outputs(self) -> Optional[StepOutputs]:
@@ -508,6 +560,10 @@ class Scene:
             ck, compiled = None, None
         if compiled is None:
             compiled = compile_spawner(spawner, nested_buffer=nested_buffer)
+            # pin the ~30 param leaves once: numpy params re-transfer per
+            # dispatch (per-buffer tunnel overhead dominates churn frames)
+            compiled = dataclasses.replace(
+                compiled, params=jax.device_put(compiled.params))
             if ck is not None:
                 self._compile_cache[ck] = compiled
         seed = self._seed + sid
@@ -529,6 +585,7 @@ class Scene:
             trail_state=init_trail_state(trail, capacity) if trail else None,
             layers=layers,
         )
+        self._spawners[sid]._state_fresh = True
         return sid
 
     def set_layers(self, sid: int, layers: int):
@@ -551,6 +608,7 @@ class Scene:
         slot.state = init_pool_for(slot.compiled, slot.capacity, slot.seed)
         slot.outputs = None
         slot.render_planes = None
+        slot._state_fresh = True  # AFTER the setters (each _detach clears it)
         slot.finished_fired = False
         if slot.trail_settings is not None:  # full re-sync clears trails too
             slot.trail_state = init_trail_state(slot.trail_settings, slot.capacity)
@@ -815,6 +873,18 @@ class Scene:
         slot._frame_cache = (dt, ff, frame)
         return frame
 
+    def _frame_dev_for(self, slot: _SpawnerSlot, dt: float):
+        """Device-pinned twin of _frame_for for SOLO groups (numpy frames
+        re-transfer their ~7 leaves every dispatch; multi groups pin the
+        STACKED tree instead, so they keep consuming the numpy frames)."""
+        frame = self._frame_for(slot, dt)
+        dev = slot._frame_cache[3:]
+        if dev and dev[0][0] is frame:
+            return dev[0][1]
+        fdev = jax.device_put(frame)
+        slot._frame_cache = slot._frame_cache[:3] + ((frame, fdev),)
+        return fdev
+
     def step(self, dt: float):
         """Advance every spawner one frame (spawn -> integrate -> notify).
 
@@ -853,7 +923,8 @@ class Scene:
             self._last_step_dispatches += 1
             if len(slots) == 1:
                 prep.append((key, sids, slots, slots[0].compiled.params,
-                             slots[0].state, frames[0], False, None))
+                             slots[0].state, self._frame_dev_for(slots[0], dt),
+                             False, None, None))
                 continue
             # stacked-frame cache: valid while every member returned the SAME
             # cached FrameInput object (holding the refs prevents id reuse)
@@ -862,11 +933,14 @@ class Scene:
                     and all(a is b for a, b in zip(fc[0], frames))):
                 F = fc[1]
             else:
-                F = _stack_frames_np(frames)
+                # pin on device: a cached numpy stack still re-transfers its
+                # ~7 leaves every dispatch through the tunnel
+                F = jax.device_put(_stack_frames_np(frames))
                 self._frame_stacks[key] = (frames, F)
             sids_t = tuple(sids)
             batch = self._batches.get(key)
             steady = batch is not None and batch.sids == sids_t and not batch.dirty
+            restack = None
             if steady:
                 # steady state: the previous frame's stacked trees feed
                 # the next dispatch directly — no per-member handles
@@ -874,9 +948,11 @@ class Scene:
             else:
                 # (re)formation. Members still attached to the previous
                 # batch re-gather on device; only changed/new members'
-                # trees transfer (one jitted take+insert). A slot is
-                # unchanged iff its authority is still the old batch:
-                # every mutation path goes through _detach().
+                # trees transfer. A slot is unchanged iff its authority is
+                # still the old batch: every mutation path goes through
+                # _detach(). The take+insert itself runs INSIDE the combined
+                # step program (restacks flag) — a churn frame costs the
+                # same single dispatch as a steady one.
                 kept = {}
                 if _INCREMENTAL_RESTACK and batch is not None:
                     for i, s in enumerate(slots):
@@ -888,12 +964,20 @@ class Scene:
                         idx_map[i] = j
                     pos = np.asarray(
                         [i for i in range(len(slots)) if i not in kept], np.int32)
-                    S = _restack_take_insert(
-                        batch.states, idx_map, pos,
-                        tuple(slots[int(i)].state for i in pos))
-                    P = _restack_take_insert(
-                        batch.params, idx_map, pos,
-                        tuple(slots[int(i)].compiled.params for i in pos))
+                    changed, fresh = [], []
+                    for i in pos:
+                        sl = slots[int(i)]
+                        if sl._state_fresh and sl._batch is None:
+                            st = sl._state
+                            changed.append((np.asarray(st.rng_key),
+                                            np.asarray(st.enabled)))
+                            fresh.append(True)
+                        else:
+                            changed.append(sl.state)
+                            fresh.append(False)
+                    S = (batch.states, tuple(changed), idx_map, pos)
+                    P = (batch.params, tuple(slots[int(i)].compiled.params for i in pos))
+                    restack = tuple(fresh)
                 else:
                     # nothing reusable: stack member trees on the host
                     # (see _stack_trees_np), pin the params once
@@ -935,7 +1019,7 @@ class Scene:
                             tuple(slots[int(i)].trail_state for i in t_pos))
                     else:
                         t_prev = _stack_trees_np([s.trail_state for s in slots])
-            prep.append((key, sids, slots, P, S, F, group_trails, t_prev))
+            prep.append((key, sids, slots, P, S, F, group_trails, t_prev, restack))
 
         # ---- ONE device dispatch for the whole scene ----------------------
         if prep:
@@ -944,6 +1028,7 @@ class Scene:
                 tuple(p[0][0] for p in prep),
                 tuple(len(p[2]) for p in prep),
                 n_frames,
+                tuple(p[8] for p in prep),
                 table,
                 tuple(p[3] for p in prep),
                 tuple(p[4] for p in prep),
@@ -953,7 +1038,11 @@ class Scene:
             results = ()
 
         # ---- phase B: re-point authority, trails, events -------------------
-        for (key, sids, slots, P, S, F, group_trails, t_prev), (S2, O, planes) in zip(prep, results):
+        for (key, sids, slots, P, S, F, group_trails, t_prev, restack), res in zip(prep, results):
+            if restack is not None:
+                S2, O, planes, P = res  # P = the program-assembled stacked params
+            else:
+                S2, O, planes = res
             if len(slots) == 1:
                 slot = slots[0]
                 slot.state, slot.outputs, slot.render_planes = S2, O, planes
