@@ -118,8 +118,13 @@ class Collider:
                     if n @ center > d:  # make the normal point OUT
                         n, d = -n, -d
                     if np.all(pts @ n <= d + eps):  # supporting plane
+                        # dedup tolerance scales with the point magnitudes
+                        # (eps above): a fixed absolute tolerance made
+                        # rotated/large-coordinate faces fail dedup and
+                        # spuriously overflow HULL_MAX_PLANES
+                        d_tol = 100.0 * eps
                         dup = any(
-                            abs(d - p[3]) < 1e-6 and float(n @ np.asarray(p[:3])) > 1.0 - 1e-6
+                            abs(d - p[3]) < d_tol and float(n @ np.asarray(p[:3])) > 1.0 - 1e-5
                             for p in planes
                         )
                         if not dup:

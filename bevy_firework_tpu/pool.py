@@ -136,7 +136,12 @@ def init_pool(
         manual_queued=np.zeros((), np.int32),
         finished_notified=np.zeros((), bool),
         ring_cursor=np.zeros((), np.int32),
-        rng_key=np.asarray([int(seed) >> 32, int(seed) & 0xFFFFFFFF], np.uint32),
+        # jax.random.PRNGKey(seed)'s numpy twin, verified empirically across
+        # negative / int32-overflowing seeds: jax truncates the seed to
+        # int32 and zero-extends, so the key is [0, seed mod 2^32] with the
+        # high word always 0 (a previous >>32 formula crashed on negative
+        # seeds and disagreed for seeds >= 2^32).
+        rng_key=np.asarray([0, int(seed) & 0xFFFFFFFF], np.uint32),
     )
 
 

@@ -124,11 +124,7 @@ def _restack_take_insert(old, idx_map, pos, changed):
     idx_map [S_new] — old-batch row for each new position (don't-care 0 for
     changed positions); pos [k] — positions overwritten from `changed`, a
     k-tuple of member trees (k is part of the jit cache key)."""
-    base = jax.tree_util.tree_map(lambda x: jnp.take(x, idx_map, axis=0), old)
-    if len(changed) == 0:
-        return base
-    rows = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *changed)
-    return jax.tree_util.tree_map(lambda b, c: b.at[pos].set(c), base, rows)
+    return _take_insert_tree(old, idx_map, pos, changed)
 
 
 def _vmapped_packed_step(static, colliders):
@@ -192,7 +188,14 @@ def _scene_step_combined(statics, sizes, n_frames, restacks, colliders, Ps, Ss, 
 
     statics/sizes/restacks are the jit cache key alongside the tree shapes;
     size 1 means an UNSTACKED solo group (same trees the solo path always
-    used). restacks[i] marks a group whose membership churned: its
+    used). KNOWN TRADE-OFF: the key couples the groups, so a NEW scene
+    signature (first churn pattern, first appearance of an archetype/count
+    combination) retraces the whole scene's program — a one-time compile
+    hitch per distinct signature, in exchange for every subsequent frame of
+    every signature costing ONE round-trip. Games with a bounded set of
+    archetypes reach a fixed signature set quickly; an unbounded stream of
+    novel archetypes would be better served stepping those spawners in
+    their own Scene. restacks[i] marks a group whose membership churned: its
     Ss[i]/Ps[i] arrive as (old_stacked, changed_rows, idx_map, pos) and the
     incremental take+insert runs INSIDE this same program — a churn frame
     costs the same single dispatch as a steady one (round-trip wall, see
@@ -638,6 +641,10 @@ class Scene:
                 and i not in self._collider_ids.values()
                 and slot.kind == collider.kind
                 and (not slot.identity_rot or col_identity)
+                # hull plane counts are STATIC kernel metadata
+                # (ColliderTable.hull_counts): reusing a freed hull slot
+                # with a different count would silently recompile everything
+                and len(slot.planes) == len(collider.planes)
             ):
                 idx = i
                 break
@@ -909,6 +916,11 @@ class Scene:
             key = (slot.compiled.static, slot.capacity)
             groups.setdefault(key, []).append(sid)
         self._last_step_dispatches = 0
+        # evict stacked-frame caches of groups that no longer exist (each
+        # entry pins a device tree; level transitions would leak them)
+        if len(self._frame_stacks) > len(groups):
+            self._frame_stacks = {
+                k: v for k, v in self._frame_stacks.items() if k in groups}
         new_batches: Dict[tuple, _GroupBatch] = {}
         prep = []  # phase-A record per group
         any_collision = False

@@ -413,6 +413,9 @@ fn pbr_shade(in: VsOut, base: vec4<f32>, emissive: vec4<f32>) -> vec4<f32> {
     // single-light math above is recomputed per light via pbr_light_contrib.
     direct = vec3<f32>(0.0, 0.0, 0.0);
     let n_lights = min(light_table.counts.x, 8u);
+#ifdef SHADOW_MAP
+    var shadow_pending = true;  // the map belongs to the FIRST directional row
+#endif // SHADOW_MAP
     for (var i = 0u; i < n_lights; i = i + 1u) {
         let lt = light_table.lights[i];
         let kind = lt.color_kind.a;
@@ -443,9 +446,11 @@ fn pbr_shade(in: VsOut, base: vec4<f32>, emissive: vec4<f32>) -> vec4<f32> {
         let spec_i = d_ggx(nh_i, a) * v_smith(nl_i, nv, a) * f_schlick(lh_i, f0);
         var contrib = (diffuse + spec_i) * radiance * nl_i;
 #ifdef SHADOW_MAP
-        // the shadow map belongs to the FIRST directional light
-        if (i == 0u && kind < 0.5) {
+        // the shadow map belongs to the FIRST directional light, wherever
+        // it sits in the table (not hard-coded to row 0)
+        if (shadow_pending && kind < 0.5) {
             contrib = contrib * shadow_factor(in.world_position);
+            shadow_pending = false;
         }
 #endif // SHADOW_MAP
         direct = direct + contrib;

@@ -303,3 +303,24 @@ def test_hull_bounce_matches_box_bounce():
     for f in ("px", "py", "pz", "vx", "vy", "vz"):
         a, b = np.asarray(getattr(sH, f))[alive], np.asarray(getattr(sB, f))[alive]
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_hull_from_points_large_rotated_box_dedups_to_six_faces():
+    """Plane dedup must scale its tolerance with the point magnitudes: a
+    rotated box at coordinates of order hundreds produces per-triple d
+    values differing by ~1e-4 absolute, which a fixed 1e-6 tolerance failed
+    to merge (spurious HULL_MAX_PLANES overflow)."""
+    rng = np.random.RandomState(0)
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    x, y, z, w = q
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+    corners = np.array([[sx * 300.0, sy * 250.0, sz * 400.0]
+                        for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)])
+    pts = corners @ R.T + np.array([120.0, -80.0, 55.0])
+    col = Collider.hull_from_points(pts)
+    assert len(col.planes) == 6

@@ -532,3 +532,44 @@ def test_batched_group_mutation_restacks_correctly():
         assert int(a.manual_queued) == int(b.manual_queued), f"slot {i} queue"
     assert big.alive_count(sids[1]) == 7
     assert big.alive_count(sids[2]) == 0
+
+
+def test_init_pool_key_matches_prngkey_for_odd_seeds():
+    """init_pool's numpy rng_key must be bit-identical to
+    jax.random.PRNGKey for NEGATIVE and int32-overflowing seeds too (a >>32
+    formula crashed on negatives): jax truncates the seed to int32 and
+    zero-extends, so the key is [0, seed mod 2^32]."""
+    import jax
+
+    from bevy_firework_tpu.pool import init_pool
+
+    for seed in (-1, -3, -(2 ** 31), 2 ** 31 - 1, 0, 7, 2 ** 40 + 5, -(2 ** 40)):
+        got = np.asarray(init_pool(32, 1, seed=seed).rng_key)
+        want = np.asarray(jax.random.PRNGKey(seed))
+        np.testing.assert_array_equal(got, want, err_msg=str(seed))
+
+
+def test_hull_collider_slot_reuse_requires_matching_plane_count():
+    """ColliderTable.hull_counts is static kernel metadata: reusing a freed
+    hull slot for a hull with a DIFFERENT plane count would silently change
+    the compiled programs' static key. The reuse check must miss, appending
+    a new slot instead."""
+    from bevy_firework_tpu import Collider
+
+    box6 = Collider.hull([(1, 0, 0, 1.0), (-1, 0, 0, 1.0), (0, 1, 0, 1.0),
+                          (0, -1, 0, 1.0), (0, 0, 1, 1.0), (0, 0, -1, 1.0)])
+    tet4 = Collider.hull_from_points([(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1)])
+    scene = Scene()
+    cid = scene.add_collider(box6)
+    scene.remove_collider(cid)
+    scene.add_collider(tet4)  # must NOT reuse the 6-plane slot
+    counts = scene._colliders.hull_counts
+    assert 4 in counts
+    # and a same-count hull DOES reuse (zero-recompile discipline kept)
+    scene2 = Scene()
+    cid2 = scene2.add_collider(box6)
+    scene2.remove_collider(cid2)
+    scene2.add_collider(Collider.hull(
+        [(1, 0, 0, 2.0), (-1, 0, 0, 2.0), (0, 1, 0, 2.0),
+         (0, -1, 0, 2.0), (0, 0, 1, 2.0), (0, 0, -1, 2.0)]))
+    assert len(scene2._collider_slots) == 1

@@ -324,3 +324,13 @@ def test_light_table_bytes_layout():
     np.testing.assert_allclose(rows[2, 11], np.cos(0.5), rtol=1e-6)
     np.testing.assert_allclose(rows[2, 12], np.cos(0.3), rtol=1e-6)
     assert np.all(rows[3:] == 0.0)
+
+
+def test_lights_shadow_applies_to_first_directional_row():
+    """SHADOW_MAP + LIGHTS: the shadow gate must find the FIRST directional
+    row wherever it sits in the table, not hard-code light index 0 (a table
+    ordered (point, directional) silently lost shadows)."""
+    cache = PipelineCache()
+    v = cache.specialize(key_for(ALPHA_BLEND, shadow_map=True, lights=True))
+    assert "shadow_pending" in v.shader_source
+    assert "i == 0u && kind" not in v.shader_source
