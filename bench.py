@@ -698,7 +698,7 @@ def main():
                 pathlib.Path(__file__).resolve().parent / "tools" / "ab_kernel_tpu.py")
             mod = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(mod)
-            extras["ab_vs_r02"] = mod.run(reps=5, base_frames=150)
+            extras["ab_vs_r02"] = mod.run(reps=9, base_frames=150)
         except Exception as e:
             extras["ab_vs_r02"] = {"skipped": True, "reason": str(e)[:160]}
 

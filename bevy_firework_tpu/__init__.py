@@ -10,7 +10,7 @@ sharding the pool/emitter axes over a `jax.sharding.Mesh`.
 
 from .cadence import compute_emission_count, np_compute_emission_count
 from .checkpoint import load_pool, load_scene, save_pool, save_scene
-from .colliders import Collider, ColliderTable, compile_colliders
+from .colliders import Collider, ColliderTable, compile_colliders, hull_decomposition
 from .force_fields import FieldTable, ForceField, compile_force_fields
 from .compiled import CompiledSpawner, compile_spawner
 from .curve import FireworkCurve, FireworkGradient, gradient_constant, gradient_even_samples, gradient_uneven_samples
@@ -70,6 +70,7 @@ __all__ = [
     "BlendMode",
     "Collider",
     "ColliderTable",
+    "hull_decomposition",
     "CompiledSpawner",
     "DestroyedParticle",
     "DummyTextures",

@@ -324,3 +324,82 @@ def test_hull_from_points_large_rotated_box_dedups_to_six_faces():
     pts = corners @ R.T + np.array([120.0, -80.0, 55.0])
     col = Collider.hull_from_points(pts)
     assert len(col.planes) == 6
+
+
+# ---------------------------------------------------------------------------
+# hull_decomposition — trimesh -> compound convex pieces (VERDICT r4 next #8)
+# ---------------------------------------------------------------------------
+
+
+def _l_prism_mesh():
+    """Concave L-shaped prism: the 2D L outline (0,0)(2,0)(2,1)(1,1)(1,2)(0,2)
+    extruded to z in {0,1}; top/bottom faces fanned from the reflex vertex
+    (the L is star-shaped from (1,1))."""
+    outline = [(0, 0), (2, 0), (2, 1), (1, 1), (1, 2), (0, 2)]
+    pts = [(x, y, z) for z in (0.0, 1.0) for (x, y) in outline]
+    n = len(outline)
+    tris = []
+    for z0, base in ((0, 0), (1, n)):
+        for i in range(n):
+            j = (i + 1) % n
+            if outline[i] == (1, 1) or outline[j] == (1, 1):
+                continue
+            tris.append((base + 3, base + i, base + j))  # fan from (1,1,z)
+    for i in range(n):  # side quads
+        j = (i + 1) % n
+        tris.append((i, j, n + j))
+        tris.append((i, n + j, n + i))
+    return np.asarray(pts, np.float64), np.asarray(tris, np.int64)
+
+
+def _inside_any(pieces, p, tol=1e-6):
+    p = np.asarray(p, np.float64)
+    for col in pieces:
+        n = np.asarray([pl[:3] for pl in col.planes])
+        d = np.asarray([pl[3] for pl in col.planes])
+        if np.all(n @ p <= d + tol):
+            return True
+    return False
+
+
+def test_hull_decomposition_convex_mesh_is_one_piece():
+    from bevy_firework_tpu import hull_decomposition
+
+    pts = np.asarray([(0, 0, 0), (2, 0, 0), (0, 2, 0), (0, 0, 2)], np.float64)
+    tris = np.asarray([(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)], np.int64)
+    pieces = hull_decomposition(pts, tris)
+    assert len(pieces) == 1 and len(pieces[0].planes) == 4
+
+
+def test_hull_decomposition_l_prism():
+    """The concave L splits into convex pieces whose union covers the L's
+    vertices but NOT the notch, and raycasts against the compound behave
+    like the true L surface."""
+    from bevy_firework_tpu import hull_decomposition
+
+    pts, tris = _l_prism_mesh()
+    pieces = hull_decomposition(pts, tris, max_pieces=8)
+    assert 2 <= len(pieces) <= 8
+    for p in pts:  # coverage: every input vertex is in some piece
+        assert _inside_any(pieces, p, tol=1e-5), p
+    # the notch (outside the L) stays uncovered
+    assert not _inside_any(pieces, (1.5, 1.5, 0.5))
+    assert not _inside_any(pieces, (1.05, 1.6, 0.5))
+    # compound raycast: ray down over the lower arm hits y=1; over the
+    # upper arm hits y=2; into the notch passes y in (1, 2] and hits y=1...
+    # no — (1.5, *) is outside the upper arm so it falls to the lower arm top
+    hit, dist, n = _cast(pieces, (1.5, 3.0, 0.5), (0, -1, 0))
+    assert hit and abs(dist - 2.0) < 1e-4 and abs(n[1] - 1.0) < 1e-4
+    hit, dist, n = _cast(pieces, (0.5, 3.0, 0.5), (0, -1, 0))
+    assert hit and abs(dist - 1.0) < 1e-4 and abs(n[1] - 1.0) < 1e-4
+    hit, _, _ = _cast(pieces, (2.5, 3.0, 0.5), (0, -1, 0))
+    assert not hit
+
+
+def test_hull_decomposition_deterministic():
+    from bevy_firework_tpu import hull_decomposition
+
+    pts, tris = _l_prism_mesh()
+    a = hull_decomposition(pts, tris)
+    b = hull_decomposition(pts, tris)
+    assert [p.planes for p in a] == [p.planes for p in b]
