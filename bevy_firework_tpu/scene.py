@@ -33,6 +33,11 @@ import numpy as np
 
 from functools import partial
 
+from .capsule import CapsuleSpec
+from .capsule import pack as _cap_pack
+from .capsule import pack_host as _cap_pack_host
+from .capsule import spec_of as _cap_spec_of
+from .capsule import unpack as _cap_unpack
 from .colliders import Collider, ColliderTable, empty_collider_table
 from .force_fields import ForceField
 from .compiled import CompiledSpawner, compile_spawner
@@ -70,21 +75,96 @@ from .step import StepOutputs
 # ---------------------------------------------------------------------------
 
 
-class _GroupBatch:
-    """Stacked authority for one archetype group after a batched step."""
+@dataclasses.dataclass(frozen=True)
+class _FlatSpec:
+    """Static capsule layouts for a flat-dispatch group (VERDICT r4 next
+    #1): params / states / frames each travel as ONE flat buffer instead of
+    ~30/21/7 leaves — per-dispatch cost on the tunneled attach scales with
+    BUFFER COUNT (~8-20 us/handle each way), so a 4-archetype scene frame
+    drops from ~400 handles to ~25 (capsule.py module docstring)."""
 
-    __slots__ = ("sids", "params", "states", "outputs", "planes", "dirty",
-                 "trails", "tdirty")
+    p: CapsuleSpec
+    s: CapsuleSpec
+    f: CapsuleSpec
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _unpack_jit(spec, bufs):
+    return _cap_unpack(bufs, spec)
+
+
+# (static, size, n_frames, s_spec) -> CapsuleSpec of the packed (outputs,
+# planes) pair. Filled DURING the trace of _scene_step_combined (tracing
+# always runs at least once per signature per process, even with a
+# persistent XLA compile cache), read by phase B / lazy batch accessors.
+_GROUP_OUT_SPECS: Dict[tuple, CapsuleSpec] = {}
+
+
+class _GroupBatch:
+    """Stacked authority for one archetype group after a batched step.
+
+    Flat groups (built via from_caps) hold the step results as capsule
+    buffers; `params`/`states`/`outputs`/`planes` unpack lazily on first
+    read (one extra dispatch, paid only when someone actually reads —
+    events, render, checkpoint). The steady-state loop feeds the capsule
+    buffers straight back into the next dispatch."""
+
+    __slots__ = ("sids", "_params", "_states", "_outputs", "_planes", "dirty",
+                 "trails", "tdirty", "pcaps", "scaps", "opcaps",
+                 "p_spec", "s_spec", "o_spec", "_op_done")
 
     def __init__(self, sids, params, states, outputs, planes):
         self.sids = sids
-        self.params = params  # stacked SpawnerParams (reused across frames)
-        self.states = states  # stacked PoolState
-        self.outputs = outputs  # stacked StepOutputs
-        self.planes = planes  # stacked render planes or None
+        self._params = params  # stacked SpawnerParams (reused across frames)
+        self._states = states  # stacked PoolState
+        self._outputs = outputs  # stacked StepOutputs
+        self._planes = planes  # stacked render planes or None
         self.dirty = False  # True => a member was mutated; restack next step
         self.trails = None  # stacked TrailState (all members trailed alike)
         self.tdirty = False  # True => a member's trail was replaced; restack
+        self.pcaps = self.scaps = self.opcaps = None
+        self.p_spec = self.s_spec = self.o_spec = None
+        self._op_done = True
+
+    @classmethod
+    def from_caps(cls, sids, pcaps, p_spec, scaps, s_spec, opcaps, o_spec):
+        b = cls(sids, None, None, None, None)
+        b.pcaps, b.p_spec = pcaps, p_spec
+        b.scaps, b.s_spec = scaps, s_spec
+        b.opcaps, b.o_spec = opcaps, o_spec
+        b._op_done = False
+        return b
+
+    @property
+    def flat(self) -> bool:
+        return self.scaps is not None
+
+    @property
+    def params(self):
+        if self._params is None and self.pcaps is not None:
+            self._params = _unpack_jit(self.p_spec, self.pcaps)
+        return self._params
+
+    @property
+    def states(self):
+        if self._states is None and self.scaps is not None:
+            self._states = _unpack_jit(self.s_spec, self.scaps)
+        return self._states
+
+    def _ensure_op(self):
+        if not self._op_done:
+            self._outputs, self._planes = _unpack_jit(self.o_spec, self.opcaps)
+            self._op_done = True
+
+    @property
+    def outputs(self):
+        self._ensure_op()
+        return self._outputs
+
+    @property
+    def planes(self):
+        self._ensure_op()
+        return self._planes
 
 
 def _stack_frames_np(frames):
@@ -108,6 +188,10 @@ def _stack_trees_np(trees):
 # the incremental device path can be checked bit-exact against it
 # (tests/test_scene.py::test_group_churn_incremental_restack_exact).
 _INCREMENTAL_RESTACK = True
+
+# Testing seam: disable flat-capsule dispatch (tree-style args everywhere)
+# so the capsule path can be A/B'd bit-exact and perf-compared in-process.
+_FLAT_DISPATCH = True
 
 
 @jax.jit
@@ -176,8 +260,8 @@ def _take_insert_tree(old, idx_map, pos, changed):
     return jax.tree_util.tree_map(lambda b, c: b.at[pos].set(c), base, rows)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _scene_step_combined(statics, sizes, n_frames, restacks, colliders, Ps, Ss, Fs):
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _scene_step_combined(statics, sizes, n_frames, restacks, fspecs, colliders, Ps, Ss, Fs):
     """ONE device dispatch stepping EVERY archetype group (VERDICT r3 next
     #2): the per-group (vmapped) step programs are traced into a single
     jitted computation, so a scene with K archetypes costs one launch per
@@ -199,14 +283,30 @@ def _scene_step_combined(statics, sizes, n_frames, restacks, colliders, Ps, Ss, 
     Ss[i]/Ps[i] arrive as (old_stacked, changed_rows, idx_map, pos) and the
     incremental take+insert runs INSIDE this same program — a churn frame
     costs the same single dispatch as a steady one (round-trip wall, see
-    group_churn_12) plus the changed members' argument transfer."""
+    group_churn_12) plus the changed members' argument transfer.
+
+    fspecs[i] is None (legacy tree-style group: trailed or dump-enabled
+    members, or solo) or a _FlatSpec: the group's P/S/F arrive as capsule
+    buffers (VERDICT r4 next #1 — per-dispatch cost on the tunnel is per
+    BUFFER), are unpacked here behind an optimization_barrier (so the
+    slice/bitcast plumbing cannot fuse into the step math and perturb FMA
+    contraction — same 1-ulp discipline as the restack barrier), and the
+    results are packed back into capsules: (scaps, opcaps[, pcaps])."""
     from .ops.fused_step import multi_step_auto_packed, step_auto_packed
 
     from .pool import init_pool_traced
 
     outs = []
-    for static, n, rs, P, S, F in zip(statics, sizes, restacks, Ps, Ss, Fs):
+    for static, n, rs, fsp, P, S, F in zip(statics, sizes, restacks, fspecs, Ps, Ss, Fs):
         col = colliders if static.any_collision else None
+        if fsp is not None:
+            F = jax.lax.optimization_barrier(_cap_unpack(F, fsp.f))
+            if rs is not None:
+                S = (_cap_unpack(S[0], fsp.s),) + tuple(S[1:])
+                P = (_cap_unpack(P[0], fsp.p), P[1])
+            else:
+                S = jax.lax.optimization_barrier(_cap_unpack(S, fsp.s))
+                P = jax.lax.optimization_barrier(_cap_unpack(P, fsp.p))
         if rs is not None:
             s_old, s_changed, idx_map, pos = S
             p_old, p_changed = P
@@ -240,7 +340,18 @@ def _scene_step_combined(statics, sizes, n_frames, restacks, colliders, Ps, Ss, 
                 outs.append(multi_step_auto_packed(static, P, col, S, F, n_frames))
         else:
             outs.append(_group_scan(static, col, P, S, F, n_frames))
-        if rs is not None:
+        if fsp is not None:
+            # pack results into capsules (bit-exact data movement, behind a
+            # barrier so the pack cannot fuse into the step); the (outputs,
+            # planes) layout is recorded during this trace for phase B
+            st, out, planes = jax.lax.optimization_barrier(outs[-1])
+            o_spec = _cap_spec_of((out, planes))
+            _GROUP_OUT_SPECS[(static, n, n_frames, fsp.s)] = o_spec
+            res = (_cap_pack(st, fsp.s), _cap_pack((out, planes), o_spec))
+            if rs is not None:
+                res = res + (_cap_pack(P, fsp.p),)
+            outs[-1] = res
+        elif rs is not None:
             # hand the assembled stacked inputs back too: the batch keeps
             # P as its params authority across frames
             st, out, planes = outs[-1]
@@ -936,24 +1047,43 @@ class Scene:
             if len(slots) == 1:
                 prep.append((key, sids, slots, slots[0].compiled.params,
                              slots[0].state, self._frame_dev_for(slots[0], dt),
-                             False, None, None))
+                             False, None, None, None))
                 continue
+            # flat-capsule eligibility (VERDICT r4 next #1): groups whose
+            # members have no trails and no destroyed-dump handlers ship
+            # P/S/F as ONE buffer each and get capsule results back —
+            # trailed/dump groups keep the legacy tree path (their per-frame
+            # consumers would unpack every frame anyway)
+            flat = (_FLAT_DISPATCH and not static.any_destroyed_dump
+                    and all(s.trail_settings is None for s in slots))
             # stacked-frame cache: valid while every member returned the SAME
             # cached FrameInput object (holding the refs prevents id reuse)
             fc = self._frame_stacks.get(key)
-            if (fc is not None and len(fc[0]) == len(frames)
+            if (fc is not None and len(fc[0]) == len(frames) and fc[3] == flat
                     and all(a is b for a, b in zip(fc[0], frames))):
-                F = fc[1]
+                F, f_spec = fc[1], fc[2]
             else:
                 # pin on device: a cached numpy stack still re-transfers its
                 # ~7 leaves every dispatch through the tunnel
-                F = jax.device_put(_stack_frames_np(frames))
-                self._frame_stacks[key] = (frames, F)
+                stacked = _stack_frames_np(frames)
+                if flat:
+                    f_spec = _cap_spec_of(stacked)
+                    F = jax.device_put(_cap_pack_host(stacked, f_spec))
+                else:
+                    f_spec = None
+                    F = jax.device_put(stacked)
+                self._frame_stacks[key] = (frames, F, f_spec, flat)
             sids_t = tuple(sids)
             batch = self._batches.get(key)
             steady = batch is not None and batch.sids == sids_t and not batch.dirty
             restack = None
-            if steady:
+            p_spec = s_spec = None
+            if steady and flat and batch.flat:
+                # steady state: the previous frame's capsule buffers feed
+                # the next dispatch directly — 2 handles
+                P, S = batch.pcaps, batch.scaps
+                p_spec, s_spec = batch.p_spec, batch.s_spec
+            elif steady and not flat:
                 # steady state: the previous frame's stacked trees feed
                 # the next dispatch directly — no per-member handles
                 P, S = batch.params, batch.states
@@ -966,7 +1096,8 @@ class Scene:
                 # step program (restacks flag) — a churn frame costs the
                 # same single dispatch as a steady one.
                 kept = {}
-                if _INCREMENTAL_RESTACK and batch is not None:
+                if (_INCREMENTAL_RESTACK and batch is not None
+                        and batch.flat == flat):
                     for i, s in enumerate(slots):
                         if s._batch is not None and s._batch[0] is batch:
                             kept[i] = s._batch[1]
@@ -987,9 +1118,25 @@ class Scene:
                         else:
                             changed.append(sl.state)
                             fresh.append(False)
-                    S = (batch.states, tuple(changed), idx_map, pos)
-                    P = (batch.params, tuple(slots[int(i)].compiled.params for i in pos))
+                    if flat:
+                        # old authority rides as capsule buffers; only the
+                        # changed members' (small) trees are tree-style
+                        S = (batch.scaps, tuple(changed), idx_map, pos)
+                        P = (batch.pcaps, tuple(slots[int(i)].compiled.params for i in pos))
+                        p_spec, s_spec = batch.p_spec, batch.s_spec
+                    else:
+                        S = (batch.states, tuple(changed), idx_map, pos)
+                        P = (batch.params, tuple(slots[int(i)].compiled.params for i in pos))
                     restack = tuple(fresh)
+                elif flat:
+                    # formation: stack member trees on the host and ship
+                    # each as ONE packed buffer
+                    S_np = _stack_trees_np([s.state for s in slots])
+                    P_np = _stack_trees_np([s.compiled.params for s in slots])
+                    s_spec = _cap_spec_of(S_np)
+                    p_spec = _cap_spec_of(P_np)
+                    S = jax.device_put(_cap_pack_host(S_np, s_spec))
+                    P = jax.device_put(_cap_pack_host(P_np, p_spec))
                 else:
                     # nothing reusable: stack member trees on the host
                     # (see _stack_trees_np), pin the params once
@@ -1031,7 +1178,8 @@ class Scene:
                             tuple(slots[int(i)].trail_state for i in t_pos))
                     else:
                         t_prev = _stack_trees_np([s.trail_state for s in slots])
-            prep.append((key, sids, slots, P, S, F, group_trails, t_prev, restack))
+            fsp = _FlatSpec(p_spec, s_spec, f_spec) if flat else None
+            prep.append((key, sids, slots, P, S, F, group_trails, t_prev, restack, fsp))
 
         # ---- ONE device dispatch for the whole scene ----------------------
         if prep:
@@ -1041,6 +1189,7 @@ class Scene:
                 tuple(len(p[2]) for p in prep),
                 n_frames,
                 tuple(p[8] for p in prep),
+                tuple(p[9] for p in prep),
                 table,
                 tuple(p[3] for p in prep),
                 tuple(p[4] for p in prep),
@@ -1050,21 +1199,37 @@ class Scene:
             results = ()
 
         # ---- phase B: re-point authority, trails, events -------------------
-        for (key, sids, slots, P, S, F, group_trails, t_prev, restack), res in zip(prep, results):
-            if restack is not None:
-                S2, O, planes, P = res  # P = the program-assembled stacked params
-            else:
-                S2, O, planes = res
-            if len(slots) == 1:
-                slot = slots[0]
-                slot.state, slot.outputs, slot.render_planes = S2, O, planes
-            else:
-                nb = _GroupBatch(tuple(sids), P, S2, O, planes)
+        for (key, sids, slots, P, S, F, group_trails, t_prev, restack, fsp), res in zip(prep, results):
+            if fsp is not None:
+                # capsule results: states + (outputs, planes) stay packed
+                # until somebody reads them (lazy unpack on the batch)
+                if restack is not None:
+                    scaps, opcaps, pcaps = res
+                else:
+                    scaps, opcaps = res
+                    pcaps = P  # steady: reuse; formation: the fresh pack
+                o_spec = _GROUP_OUT_SPECS[(key[0], len(slots), n_frames, fsp.s)]
+                nb = _GroupBatch.from_caps(tuple(sids), pcaps, fsp.p,
+                                           scaps, fsp.s, opcaps, o_spec)
                 new_batches[key] = nb
                 for i, slot in enumerate(slots):
-                    # a slot leaving the stacked-trail regime must carry its
-                    # trail slice with it (materialized off the old batch)
-                    slot.attach_batch(nb, i, materialize_trails=not group_trails)
+                    slot.attach_batch(nb, i)
+                group_trails = False
+            else:
+                if restack is not None:
+                    S2, O, planes, P = res  # P = the program-assembled stacked params
+                else:
+                    S2, O, planes = res
+                if len(slots) == 1:
+                    slot = slots[0]
+                    slot.state, slot.outputs, slot.render_planes = S2, O, planes
+                else:
+                    nb = _GroupBatch(tuple(sids), P, S2, O, planes)
+                    new_batches[key] = nb
+                    for i, slot in enumerate(slots):
+                        # a slot leaving the stacked-trail regime must carry
+                        # its trail slice with it (off the old batch)
+                        slot.attach_batch(nb, i, materialize_trails=not group_trails)
             elapsed = np.float32(dt * n_frames)
             if len(slots) > 1 and group_trails:
                 nb.trails = update_trails_stacked(t_prev, nb.states, elapsed)

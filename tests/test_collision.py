@@ -1,6 +1,7 @@
 """Collision kernel tests: engine vs oracle plane-bounce parity, plus
 analytic raycast checks per primitive (SURVEY.md §3.4 / A.5)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -282,6 +283,7 @@ def test_ray_hull_rotated():
     np.testing.assert_allclose(n1, n2, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_hull_bounce_matches_box_bounce():
     """End-to-end: particles bouncing on a hull floor follow the same
     trajectories as on an equivalent cuboid floor (same claim slots, same

@@ -31,6 +31,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_dcn_fleet(tmp_path):
     port = _free_port()
     env = dict(os.environ)

@@ -1,6 +1,7 @@
 """Fused Pallas kernel vs XLA step parity (interpret mode on CPU; the same
 comparison runs compiled on real TPU in bench/verify flows)."""
 
+import pytest
 import dataclasses
 
 import jax
@@ -105,6 +106,7 @@ def test_fused_collision_parity():
     assert_state_match(sA, sB, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_collision_parity_many_colliders_broadphase():
     """C >= LOOP_MIN_COLLIDERS engages the looped narrow phase: colliders are
     permuted into (kind, identity) groups, each group a fori_loop over SMEM
@@ -253,6 +255,7 @@ def test_fused_on_demand_queue_drain():
     assert int(out.alive_count) == 17  # nothing queued => nothing spawned
 
 
+@pytest.mark.slow
 def test_fused_destroy_on_collision_uses_prefix_claim():
     """Const-lifetime + destroy_on_collision must NOT take the ring claim
     (early destroys punch holes a ring cannot reuse until it wraps); the
@@ -276,6 +279,7 @@ def test_fused_destroy_on_collision_uses_prefix_claim():
     assert_state_match(sA, sB, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_hybrid_kernel_global_fast_path():
     """Production hybrid (global emitters in-kernel, nested in XLA): spawn
     COUNTS are draw-independent, so alive counts per type must match the
@@ -366,6 +370,7 @@ def test_in_kernel_render_pack_matches_xla_pack():
     np.testing.assert_allclose(rows, np.asarray(buf[: int(count)]), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_vmapped_non_ring_carry_parity():
     """VERDICT r1 weak #4: the fused kernel's cross-tile dead-rank claim
     carry (SMEM scratch + program_id(0) tile indexing) under vmap. A
@@ -528,6 +533,7 @@ def test_in_kernel_render_pack_f16():
     assert ((s16[~alive] & 0x7FFF) == 0).all()
 
 
+@pytest.mark.slow
 def test_unrolled_kernel_matches_sequential_exactly():
     """fused_step(unroll=U) advances U frames in ONE kernel invocation
     (can_unroll archetypes: ring claims are per-lane cursor math, deaths
@@ -571,6 +577,7 @@ def test_unrolled_kernel_matches_sequential_exactly():
     assert int(oA.alive_count) == int(oB.alive_count) > 0
 
 
+@pytest.mark.slow
 def test_hybrid_nested_kernel_merge_bit_exact():
     """The in-kernel nested child merge (round-3 fast path: the fused kernel
     reads this frame's [M] child rows through row-aligned dynamic slices of
@@ -633,6 +640,7 @@ def test_hybrid_nested_kernel_merge_bit_exact():
     assert int(np.asarray(sM.alive).sum()) > 500  # the merge path ran for real
 
 
+@pytest.mark.slow
 def test_fleet_kernel_matches_vmapped_solo():
     """fused_step_fleet (grid = (S, tiles), per-slot smalls whole-array
     resident) is slot-for-slot BIT-EXACT with vmap(fused_step): identical
@@ -681,6 +689,7 @@ def test_fleet_kernel_matches_vmapped_solo():
     assert int(np.asarray(oB.alive_count).sum()) > 0
 
 
+@pytest.mark.slow
 def test_fleet_kernel_unroll_matches_singles():
     """multi_step_fleet_stacked's in-kernel unroll (fleet kernel, U frames
     per launch) is bit-exact vs per-frame fleet steps."""
@@ -717,6 +726,7 @@ def test_fleet_kernel_unroll_matches_singles():
         assert np.array_equal(a, b), name
 
 
+@pytest.mark.slow
 def test_fused_collision_parity_hull():
     """Convex-hull colliders (plane-set rows through the chul small) in the
     fused kernel match the XLA path lane-for-lane — incl. a rotated hull

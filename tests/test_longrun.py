@@ -6,6 +6,10 @@ ring reuse must not leak state, nested cadence must not drift.
 The reference runs indefinitely inside a Bevy app; these are the headless
 equivalents of "leave the demo running overnight"."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded by default; CI test-slow job runs these
+
 import numpy as np
 
 from bevy_firework_tpu import (

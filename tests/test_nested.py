@@ -2,6 +2,7 @@
 SURVEY.md #9), modeled on the textures example (`examples/textures.rs:52-173`):
 type 0 parents emit type 1 children during the first 10% of parent life."""
 
+import pytest
 import numpy as np
 
 from bevy_firework_tpu import (
@@ -263,6 +264,7 @@ def test_small_nested_buffer_conserves():
     assert counts[-1] == 160  # conserved, three frames late
 
 
+@pytest.mark.slow
 def test_fuzz_nested_buffer_conservation():
     """Randomized nested archetypes x random tiny nested_buffer sizes: after
     enough settle frames the engine's child totals equal the unbuffered
@@ -303,6 +305,7 @@ def test_fuzz_nested_buffer_conservation():
             f"window={window}: {engine_children} vs oracle {oracle_children}")
 
 
+@pytest.mark.slow
 def test_chained_nested_merge_bit_exact():
     """CHAINED nesting under the in-kernel merge (VERDICT r3 next #3b):
     e2 targets the type e1 spawns. Deferring e1's children past e2's parent

@@ -16,6 +16,7 @@ exact — including SLOT-LEVEL equality of the alive mask, the strongest
 possible check that global claim indexing is right.
 """
 
+import pytest
 import numpy as np
 from jax.experimental.pallas import tpu as pltpu
 
@@ -115,6 +116,7 @@ def test_sharded_fused_ring_claim_matches_xla():
     _assert_parity(sA, oA, sB, oB)
 
 
+@pytest.mark.slow
 def test_sharded_fused_prefix_claim_dead_rank_offsets():
     """Non-ring archetype (destroy_on_collision): each shard's SMEM dead
     carry starts at the exclusive prefix of prior shards' dead counts
@@ -127,6 +129,7 @@ def test_sharded_fused_prefix_claim_dead_rank_offsets():
     _assert_parity(sA, oA, sB, oB)
 
 
+@pytest.mark.slow
 def test_sharded_fused_scalar_state_replicated():
     """Cadence/bookkeeping state (cursor, time_in_cycle, rng_key) must come
     back replicated-consistent: stepping twice more keeps parity (a drifted

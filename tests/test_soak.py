@@ -30,6 +30,8 @@ from bevy_firework_tpu.emission_shape import EmissionShape
 from bevy_firework_tpu.checkpoint import load_scene, save_scene
 from bevy_firework_tpu.settings import ParticleCollisionSettings
 
+pytestmark = pytest.mark.slow  # excluded by default; CI test-slow job runs these
+
 # a small fixed archetype pool bounds compile count while still crossing the
 # big config axes: rate/one-shot/on-demand pacing, collision, nested
 # emission, multi-type, blend modes, trails

@@ -2,6 +2,7 @@
 records, taper, step_n cadence, sorting (trails.py — beyond the reference's
 feature set, `/root/reference/README.md:21-50`)."""
 
+import pytest
 import numpy as np
 
 from bevy_firework_tpu import (
@@ -195,6 +196,7 @@ def test_trails_with_archetype_batched_spawners():
     np.testing.assert_allclose(items[a].segments[:, 0], items[b].segments[:, 0], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_step_n_window_retenant_does_not_bridge_history():
     """A slot whose tenant dies INSIDE a step_n window and is re-claimed
     comes back OLDER than the previous record (age grew) — the elapsed-
@@ -240,6 +242,7 @@ def test_step_n_window_retenant_does_not_bridge_history():
         np.sqrt((d * d).sum(1)), 10 * dt, rtol=1e-4)  # 10-frame spans
 
 
+@pytest.mark.slow
 def test_group_stacked_trails_match_per_slot_path():
     """A fully-trailed archetype group updates trails in ONE vmapped
     dispatch (batch.trails authority); results must equal the per-slot
@@ -285,6 +288,7 @@ def test_group_stacked_trails_match_per_slot_path():
     assert np.abs(items[a].segments[:, 1]).max() < 1.0  # a unaffected
 
 
+@pytest.mark.slow
 def test_group_trail_authority_survives_transitions():
     """The stacked trail authority must hand off correctly at every group
     transition (each case crashed or silently lost history before the fix):
