@@ -58,28 +58,48 @@ class CapsuleSpec:
     treedef: Any
     leaves: Tuple[Tuple[str, Tuple[int, ...], int, int], ...]
     buckets: Tuple[Tuple[int, int], ...]  # (width, total elements), nonempty only
+    n_native: int = 0  # leaves passed through unpacked (>= _TILE elements)
 
     @property
     def n_buffers(self) -> int:
-        return len(self.buckets)
+        return len(self.buckets) + self.n_native
+
+
+# TPU f32/i32 tile = (8 sublanes, 128 lanes). Leaves at least this big stay
+# NATIVE (pass through unpacked): packing a pool-sized plane into a 1-D
+# buffer forces a tiled<->linear relayout copy each way at the dispatch
+# boundary — measured ~10 ms/frame of pure relayout on a 4-group scene.
+# Small leaves (params, frame scalars, per-emitter rows) pack into the flat
+# buffers, which is where the handle-count win lives (~8-20 us/handle).
+_TILE = 8 * 128
+_NATIVE_BUCKET = 0  # bucket id for native (unpacked) leaves
 
 
 def spec_of(tree) -> CapsuleSpec:
     """Build the capsule layout from a concrete tree (numpy / jax arrays /
     ShapeDtypeStructs — anything with .shape/.dtype; python scalars are
-    normalized the way jnp.asarray would)."""
+    normalized the way jnp.asarray would). Leaves of >= _TILE elements stay
+    native (their `off` is the index in the natives tuple); the rest pack
+    per element width."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     totals: dict[int, int] = {}
+    n_native = 0
     rows = []
     for leaf in leaves:
         a = np.asarray(leaf) if not hasattr(leaf, "dtype") else leaf
+        size = int(np.prod(a.shape, dtype=np.int64)) if a.shape else 1
+        if size >= _TILE:
+            rows.append((np.dtype(a.dtype).name, tuple(int(s) for s in a.shape),
+                         _NATIVE_BUCKET, n_native))
+            n_native += 1
+            continue
         b = _bucket_of(a.dtype)
         off = totals.get(b, 0)
-        size = int(np.prod(a.shape, dtype=np.int64)) if a.shape else 1
         rows.append((np.dtype(a.dtype).name, tuple(int(s) for s in a.shape), b, off))
         totals[b] = off + size
     buckets = tuple(sorted((w, n) for w, n in totals.items()))
-    return CapsuleSpec(treedef=treedef, leaves=tuple(rows), buckets=buckets)
+    return CapsuleSpec(treedef=treedef, leaves=tuple(rows), buckets=buckets,
+                       n_native=n_native)
 
 
 def _to_carrier(x, width):
@@ -101,18 +121,27 @@ def _from_carrier(seg, dtype_name, shape):
     return lax.bitcast_convert_type(seg, dt)
 
 
-def pack(tree, spec: CapsuleSpec) -> Tuple[jax.Array, ...]:
-    """Traced: flatten `tree` into one buffer per bucket (spec.buckets
-    order). The tree MUST match the spec's treedef/shapes/dtypes."""
+def pack(tree, spec: CapsuleSpec) -> Tuple:
+    """Traced: flatten `tree` into (one buffer per bucket) + native leaves
+    passed through untouched. The tree MUST match the spec."""
     leaves = jax.tree_util.tree_leaves(tree)
     per_bucket: dict[int, list] = {w: [] for w, _ in spec.buckets}
-    for leaf, (dname, shape, b, _off) in zip(leaves, spec.leaves):
+    natives = [None] * spec.n_native
+    for leaf, (dname, shape, b, off) in zip(leaves, spec.leaves):
         x = jnp.asarray(leaf)
-        per_bucket[b].append(_to_carrier(x, b))
-    return tuple(
-        jnp.concatenate(per_bucket[w]) if len(per_bucket[w]) > 1 else per_bucket[w][0]
-        for w, _n in spec.buckets
-    )
+        if x.shape != shape or x.dtype != jnp.dtype(dname):
+            raise ValueError(
+                f"capsule pack: leaf {x.shape}/{x.dtype} does not match "
+                f"spec {shape}/{dname}")
+        if b == _NATIVE_BUCKET:
+            natives[off] = x
+            continue
+        per_bucket[b].append((off, _to_carrier(x, b)))
+    out = []
+    for w, _n in spec.buckets:
+        segs = [seg for _o, seg in sorted(per_bucket[w], key=lambda t: t[0])]
+        out.append(jnp.concatenate(segs) if len(segs) > 1 else segs[0])
+    return tuple(out) + tuple(natives)
 
 
 def pack_host(tree, spec: CapsuleSpec) -> Tuple[np.ndarray, ...]:
@@ -120,8 +149,12 @@ def pack_host(tree, spec: CapsuleSpec) -> Tuple[np.ndarray, ...]:
     host-built tree (e.g. stacked frame inputs) so ONE device_put ships it."""
     leaves = jax.tree_util.tree_leaves(tree)
     per_bucket: dict[int, list] = {w: [] for w, _ in spec.buckets}
-    for leaf, (dname, shape, b, _off) in zip(leaves, spec.leaves):
+    natives = [None] * spec.n_native
+    for leaf, (dname, shape, b, off) in zip(leaves, spec.leaves):
         a = np.asarray(leaf)
+        if b == _NATIVE_BUCKET:
+            natives[off] = a
+            continue
         carrier = _BUCKETS[b][1]
         if a.dtype == np.bool_:
             flat = a.astype(carrier).ravel()
@@ -129,16 +162,25 @@ def pack_host(tree, spec: CapsuleSpec) -> Tuple[np.ndarray, ...]:
             flat = a.ravel()
         else:
             flat = np.ascontiguousarray(a).view(carrier).ravel()
-        per_bucket[b].append(flat)
-    return tuple(np.concatenate(per_bucket[w]) for w, _n in spec.buckets)
+        per_bucket[b].append((off, flat))
+    return tuple(
+        np.concatenate([seg for _o, seg in sorted(per_bucket[w], key=lambda t: t[0])])
+        for w, _n in spec.buckets
+    ) + tuple(natives)
 
 
-def unpack(bufs: Tuple[jax.Array, ...], spec: CapsuleSpec):
-    """Traced: rebuild the tree from capsule buffers (slice + reshape +
-    bitcast — bit-exact inverse of pack)."""
-    by_width = {w: buf for (w, _n), buf in zip(spec.buckets, bufs)}
+def unpack(bufs: Tuple, spec: CapsuleSpec):
+    """Traced: rebuild the tree from (bucket buffers + native leaves) —
+    bit-exact inverse of pack (slice + reshape + bitcast for packed
+    leaves; natives pass straight through)."""
+    nb = len(spec.buckets)
+    by_width = {w: buf for (w, _n), buf in zip(spec.buckets, bufs[:nb])}
+    natives = bufs[nb:]
     leaves = []
     for dname, shape, b, off in spec.leaves:
+        if b == _NATIVE_BUCKET:
+            leaves.append(natives[off])
+            continue
         size = int(np.prod(shape, dtype=np.int64)) if shape else 1
         seg = lax.slice(by_width[b], (off,), (off + size,))
         leaves.append(_from_carrier(seg, dname, shape))

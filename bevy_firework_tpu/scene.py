@@ -111,7 +111,7 @@ class _GroupBatch:
 
     __slots__ = ("sids", "_params", "_states", "_outputs", "_planes", "dirty",
                  "trails", "tdirty", "pcaps", "scaps", "opcaps",
-                 "p_spec", "s_spec", "o_spec", "_op_done")
+                 "p_spec", "s_spec", "o_spec", "_op_done", "pad", "rows")
 
     def __init__(self, sids, params, states, outputs, planes):
         self.sids = sids
@@ -125,14 +125,24 @@ class _GroupBatch:
         self.pcaps = self.scaps = self.opcaps = None
         self.p_spec = self.s_spec = self.o_spec = None
         self._op_done = True
+        # flat groups: stacked arrays have leading dim `pad` (>= len(sids),
+        # multiple of 8 — mosaic pads the fleet grid's slot dim to 8 anyway,
+        # and pre-padding keeps shapes/executables stable under membership
+        # churn); rows[i] = the PERMANENT stacked row of sids[i] (holes from
+        # removals are reused by later adds, never compacted)
+        self.pad = None
+        self.rows = None
 
     @classmethod
-    def from_caps(cls, sids, pcaps, p_spec, scaps, s_spec, opcaps, o_spec):
+    def from_caps(cls, sids, pcaps, p_spec, scaps, s_spec, opcaps, o_spec,
+                  pad=None, rows=None):
         b = cls(sids, None, None, None, None)
         b.pcaps, b.p_spec = pcaps, p_spec
         b.scaps, b.s_spec = scaps, s_spec
         b.opcaps, b.o_spec = opcaps, o_spec
         b._op_done = False
+        b.pad = pad
+        b.rows = rows
         return b
 
     @property
@@ -191,7 +201,24 @@ _INCREMENTAL_RESTACK = True
 
 # Testing seam: disable flat-capsule dispatch (tree-style args everywhere)
 # so the capsule path can be A/B'd bit-exact and perf-compared in-process.
+# Flip it only between SCENES (a live scene's batches were built under one
+# regime; its padded capsule batches don't re-form as trees mid-flight).
 _FLAT_DISPATCH = True
+
+
+def _pad_target(n: int) -> int:
+    """Stacked-group row capacity for n members: next multiple of 8 (mosaic
+    pads the fleet kernel's slot dim to 8 regardless — measured 16 pad +
+    slice thunks per dispatch at S=12 — so pre-padding is free device-side
+    and keeps shapes/executables stable under +-1 membership churn)."""
+    return max(8, -(-n // 8) * 8)
+
+
+def _pow2_pad(k: int) -> int:
+    p = 1
+    while p < k:
+        p *= 2
+    return p
 
 
 @jax.jit
@@ -211,18 +238,31 @@ def _restack_take_insert(old, idx_map, pos, changed):
     return _take_insert_tree(old, idx_map, pos, changed)
 
 
-def _vmapped_packed_step(static, colliders):
+def _vmapped_packed_step(static, colliders, pack: bool = True):
     """Stacked group step + render planes: the fleet-native kernel where it
     applies (ONE pallas_call for the whole group — vmapping the solo kernel
     re-fetches every small table per slot, ~36 us/slot of pure latency,
-    docs/PERF_NOTES.md round 4), else the vmapped solo path."""
+    docs/PERF_NOTES.md round 4), else the vmapped solo path.
+
+    pack=False elides the in-kernel render pack entirely (planes None):
+    measured ~1 ms/dispatch of per-thunk launch overhead per group on the
+    tunneled attach for 9 plane-sized kernel outputs nobody reads. The
+    Scene only packs while render demand exists (see Scene._render_demand);
+    render_items falls back to the XLA dense pack for the frame that flips
+    demand back on."""
     from .ops.fused_step import _fleet_kernel_ok, can_pack_render, fused_step_fleet
+    from .ops.fused_step import step_auto as _step_auto
 
     def run(P, S, F):
         if _fleet_kernel_ok(static, S):
-            if can_pack_render(static, S.capacity):
+            if pack and can_pack_render(static, S.capacity):
                 return fused_step_fleet(static, P, colliders, S, F, pack_render=True)
             st, out = fused_step_fleet(static, P, colliders, S, F)
+            return st, out, None
+        if not pack:
+            st, out = jax.vmap(
+                lambda p, s, f: _step_auto(static, p, colliders, s, f)
+            )(P, S, F)
             return st, out, None
         return jax.vmap(
             lambda p, s, f: step_auto_packed(static, p, colliders, s, f)
@@ -238,12 +278,12 @@ def _group_step_stacked(static, P, colliders, S, F):
     return _vmapped_packed_step(static, colliders)(P, S, F)
 
 
-def _group_scan(static, colliders, P, S, F, n_frames):
+def _group_scan(static, colliders, P, S, F, n_frames, pack: bool = True):
     from .ops.fused_step import multi_step_fleet_stacked
 
     if n_frames > 1:
         S, _o = multi_step_fleet_stacked(static, P, colliders, S, F, n_frames - 1)
-    return _vmapped_packed_step(static, colliders)(P, S, F)
+    return _vmapped_packed_step(static, colliders, pack)(P, S, F)
 
 
 @partial(jax.jit, static_argnums=(0, 5))
@@ -260,8 +300,8 @@ def _take_insert_tree(old, idx_map, pos, changed):
     return jax.tree_util.tree_map(lambda b, c: b.at[pos].set(c), base, rows)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
-def _scene_step_combined(statics, sizes, n_frames, restacks, fspecs, colliders, Ps, Ss, Fs):
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _scene_step_combined(statics, sizes, n_frames, restacks, fspecs, packs, colliders, Ps, Ss, Fs):
     """ONE device dispatch stepping EVERY archetype group (VERDICT r3 next
     #2): the per-group (vmapped) step programs are traced into a single
     jitted computation, so a scene with K archetypes costs one launch per
@@ -297,17 +337,25 @@ def _scene_step_combined(statics, sizes, n_frames, restacks, fspecs, colliders, 
     from .pool import init_pool_traced
 
     outs = []
-    for static, n, rs, fsp, P, S, F in zip(statics, sizes, restacks, fspecs, Ps, Ss, Fs):
+    for static, n, rs, fsp, pk, P, S, F in zip(statics, sizes, restacks, fspecs, packs, Ps, Ss, Fs):
         col = colliders if static.any_collision else None
         if fsp is not None:
-            F = jax.lax.optimization_barrier(_cap_unpack(F, fsp.f))
+            # no optimization_barrier here: unpack is pure data movement
+            # (slice + bitcast + reshape), so operand VALUES are identical
+            # however XLA fuses it — and each barrier materializes every
+            # leaf as a copy thunk (~60 us of device launch overhead per
+            # thunk through the tunnel; barriers alone added ~130 copies
+            # to a one-group frame program)
+            F = _cap_unpack(F, fsp.f)
             if rs is not None:
                 S = (_cap_unpack(S[0], fsp.s),) + tuple(S[1:])
                 P = (_cap_unpack(P[0], fsp.p), P[1])
             else:
-                S = jax.lax.optimization_barrier(_cap_unpack(S, fsp.s))
-                P = jax.lax.optimization_barrier(_cap_unpack(P, fsp.p))
+                S = _cap_unpack(S, fsp.s)
+                P = _cap_unpack(P, fsp.p)
         if rs is not None:
+            if len(rs) == 2 and rs[0] == "fresh":
+                rs = (True,) * rs[1]  # canonical all-fresh class (pow2 k)
             s_old, s_changed, idx_map, pos = S
             p_old, p_changed = P
             # fresh members (rs flags) ship only (rng_key, enabled) and are
@@ -334,19 +382,27 @@ def _scene_step_combined(statics, sizes, n_frames, restacks, fspecs, colliders, 
             P = jax.lax.optimization_barrier(
                 _take_insert_tree(p_old, idx_map, pos, p_changed))
         if n == 1:
-            if n_frames == 1:
+            if not pk:
+                from .ops.fused_step import multi_step_auto, step_auto
+
+                if n_frames == 1:
+                    st1, o1 = step_auto(static, P, col, S, F)
+                else:
+                    st1, o1 = multi_step_auto(static, P, col, S, F, n_frames)
+                outs.append((st1, o1, None))
+            elif n_frames == 1:
                 outs.append(step_auto_packed(static, P, col, S, F))
             else:
                 outs.append(multi_step_auto_packed(static, P, col, S, F, n_frames))
         else:
-            outs.append(_group_scan(static, col, P, S, F, n_frames))
+            outs.append(_group_scan(static, col, P, S, F, n_frames, pack=pk))
         if fsp is not None:
-            # pack results into capsules (bit-exact data movement, behind a
-            # barrier so the pack cannot fuse into the step); the (outputs,
+            # pack results into capsules (bit-exact data movement — no
+            # barrier, same reasoning as the unpack above); the (outputs,
             # planes) layout is recorded during this trace for phase B
-            st, out, planes = jax.lax.optimization_barrier(outs[-1])
+            st, out, planes = outs[-1]
             o_spec = _cap_spec_of((out, planes))
-            _GROUP_OUT_SPECS[(static, n, n_frames, fsp.s)] = o_spec
+            _GROUP_OUT_SPECS[(static, n, n_frames, fsp.s, pk)] = o_spec
             res = (_cap_pack(st, fsp.s), _cap_pack((out, planes), o_spec))
             if rs is not None:
                 res = res + (_cap_pack(P, fsp.p),)
@@ -603,6 +659,13 @@ class Scene:
         self._field_table = None  # cached FieldTable; None = dirty
         self._spawners: Dict[int, _SpawnerSlot] = {}
         self._next_id = 0
+        # Render demand gate: the in-kernel render pack costs ~1 ms of
+        # per-thunk dispatch overhead per group per frame on a tunneled
+        # attach for planes nobody reads, so headless stepping elides it.
+        # Any render consumer (render_items, async render) flips this on
+        # (sticky); the flipping call itself falls back to the XLA dense
+        # pack for that one frame.
+        self._render_demand = False
         self._seed = seed
         self.time = 0.0
         self._last_step_dispatches = 0  # archetype groups launched last step
@@ -968,6 +1031,24 @@ class Scene:
     def on_finished(self, sid: int, callback: Callable[[int], None]):
         self._spawners[sid].finished_observers.append(callback)
 
+    def _fresh_row_desc(self, slot: _SpawnerSlot, enabled: bool):
+        """(rng_key, enabled) descriptor for an in-program fresh pool row
+        (init_pool_traced materializes the rest from constants). Padding
+        rows use a zero key and enabled=False — they never draw."""
+        E = slot.compiled.num_emitters
+        if enabled:
+            raise ValueError("fresh_row_desc is for disabled padding rows")
+        return (np.zeros((2,), np.uint32), np.zeros((E,), bool))
+
+    def _fresh_dead_state(self, slot: _SpawnerSlot):
+        """Host-numpy fresh pool with every emitter DISABLED: the padding
+        rows of a flat group's stacked state (they step as all-dead,
+        no-spawn pools — pure masked lanes the kernel was already paying
+        for, since mosaic pads the slot dim to 8)."""
+        st = init_pool_for(slot.compiled, slot.capacity, seed=0)
+        return dataclasses.replace(
+            st, enabled=np.zeros_like(np.asarray(st.enabled)))
+
     # ------------------------------------------------------------------ step
     def _frame_for(self, slot: _SpawnerSlot, dt: float):
         ff = self._force_fields  # cached table object; new identity on change
@@ -1035,6 +1116,7 @@ class Scene:
         new_batches: Dict[tuple, _GroupBatch] = {}
         prep = []  # phase-A record per group
         any_collision = False
+        pack = self._render_demand or self._async_enabled
 
         # ---- phase A: assemble every group's inputs (host work + small
         # restack ops only; no step dispatch, no device reads) -------------
@@ -1047,7 +1129,7 @@ class Scene:
             if len(slots) == 1:
                 prep.append((key, sids, slots, slots[0].compiled.params,
                              slots[0].state, self._frame_dev_for(slots[0], dt),
-                             False, None, None, None))
+                             False, None, None, None, 1, None))
                 continue
             # flat-capsule eligibility (VERDICT r4 next #1): groups whose
             # members have no trails and no destroyed-dump handlers ship
@@ -1056,45 +1138,128 @@ class Scene:
             # consumers would unpack every frame anyway)
             flat = (_FLAT_DISPATCH and not static.any_destroyed_dump
                     and all(s.trail_settings is None for s in slots))
-            # stacked-frame cache: valid while every member returned the SAME
-            # cached FrameInput object (holding the refs prevents id reuse)
-            fc = self._frame_stacks.get(key)
-            if (fc is not None and len(fc[0]) == len(frames) and fc[3] == flat
-                    and all(a is b for a, b in zip(fc[0], frames))):
-                F, f_spec = fc[1], fc[2]
-            else:
-                # pin on device: a cached numpy stack still re-transfers its
-                # ~7 leaves every dispatch through the tunnel
-                stacked = _stack_frames_np(frames)
-                if flat:
-                    f_spec = _cap_spec_of(stacked)
-                    F = jax.device_put(_cap_pack_host(stacked, f_spec))
-                else:
-                    f_spec = None
-                    F = jax.device_put(stacked)
-                self._frame_stacks[key] = (frames, F, f_spec, flat)
             sids_t = tuple(sids)
             batch = self._batches.get(key)
             steady = batch is not None and batch.sids == sids_t and not batch.dirty
             restack = None
             p_spec = s_spec = None
-            if steady and flat and batch.flat:
+            rows = None
+            spad = len(slots)
+            if flat:
+                # --- padded, hole-stable rows (VERDICT r4 next #1/#2) ----
+                # Stacked arrays carry `spad` rows (multiple of 8): members
+                # keep PERMANENT rows across membership churn (removals
+                # leave garbage holes nobody reads; adds reuse holes), so
+                # +-1 member keeps shapes AND the executable. Mosaic pads
+                # the fleet slot dim to 8 anyway, so the padding is free.
+                prev_ok = (_INCREMENTAL_RESTACK and batch is not None
+                           and batch.flat and batch.pad is not None
+                           and not steady)
+                row_of: Dict[int, int] = {}
+                if steady:
+                    rows = batch.rows
+                    spad = batch.pad
+                else:
+                    if prev_ok:
+                        for s_i, s in enumerate(slots):
+                            if s._batch is not None and s._batch[0] is batch:
+                                row_of[s_i] = s._batch[1]
+                    kept_rows = set(row_of.values())
+                    old_pad = batch.pad if prev_ok else 0
+                    free = [r for r in range(old_pad) if r not in kept_rows]
+                    nxt = old_pad
+                    for s_i in range(len(slots)):
+                        if s_i in row_of:
+                            continue
+                        if free:
+                            row_of[s_i] = free.pop(0)
+                        else:
+                            row_of[s_i] = nxt
+                            nxt += 1
+                    top = max(max(row_of.values()) + 1, len(slots))
+                    spad = max(_pad_target(top), old_pad)
+                    rows = tuple(row_of[i] for i in range(len(slots)))
+            if flat and not steady and prev_ok and any(
+                    slots[i]._batch is not None and slots[i]._batch[0] is batch
+                    for i in range(len(slots))):
+                # incremental: old capsule rows re-gathered on device
+                # (identity map — rows are permanent); only changed/new
+                # member rows and any NEW padding rows transfer. All-fresh
+                # changes are canonicalized to a pow2-padded class so churn
+                # uses a bounded executable set per group:
+                # {steady, churn-1, churn-2, churn-4, ...}.
+                old_pad = batch.pad
+                write_rows, changed, fresh, p_changed = [], [], [], []
+                p0 = slots[0].compiled.params
+                for s_i, s in enumerate(slots):
+                    attached = s._batch is not None and s._batch[0] is batch
+                    if attached:
+                        continue
+                    r = row_of[s_i]
+                    write_rows.append(r)
+                    p_changed.append(s.compiled.params)
+                    if s._state_fresh:
+                        st = s._state
+                        changed.append((np.asarray(st.rng_key), np.asarray(st.enabled)))
+                        fresh.append(True)
+                    else:
+                        changed.append(s.state)
+                        fresh.append(False)
+                for r in range(old_pad, spad):  # new padding rows: fresh-dead
+                    if r in row_of.values():
+                        continue
+                    write_rows.append(r)
+                    p_changed.append(p0)
+                    changed.append(self._fresh_row_desc(slots[0], enabled=False))
+                    fresh.append(True)
+                if all(fresh):
+                    k_pad = _pow2_pad(max(len(changed), 1))
+                    while len(changed) < k_pad:  # dummies, dropped via OOB pos
+                        write_rows.append(spad)
+                        p_changed.append(p0)
+                        changed.append(self._fresh_row_desc(slots[0], enabled=False))
+                    restack = ("fresh", k_pad)
+                else:
+                    restack = tuple(fresh)
+                idx_map = np.arange(spad, dtype=np.int32)
+                pos = np.asarray(write_rows, np.int32)
+                S = (batch.scaps, tuple(changed), idx_map, pos)
+                P = (batch.pcaps, tuple(p_changed))
+                p_spec, s_spec = batch.p_spec, batch.s_spec
+            elif flat and not steady:
+                # formation: stack member trees (+ fresh-dead padding rows)
+                # on the host by ROW and ship each as ONE packed buffer
+                by_row_s = [None] * spad
+                by_row_p = [None] * spad
+                for s_i, s in enumerate(slots):
+                    by_row_s[rows[s_i]] = s.state
+                    by_row_p[rows[s_i]] = s.compiled.params
+                pad_state = self._fresh_dead_state(slots[0])
+                for r in range(spad):
+                    if by_row_s[r] is None:
+                        by_row_s[r] = pad_state
+                        by_row_p[r] = slots[0].compiled.params
+                S_np = _stack_trees_np(by_row_s)
+                P_np = _stack_trees_np(by_row_p)
+                s_spec = _cap_spec_of(S_np)
+                p_spec = _cap_spec_of(P_np)
+                S = jax.device_put(_cap_pack_host(S_np, s_spec))
+                P = jax.device_put(_cap_pack_host(P_np, p_spec))
+            elif flat:
                 # steady state: the previous frame's capsule buffers feed
                 # the next dispatch directly — 2 handles
                 P, S = batch.pcaps, batch.scaps
                 p_spec, s_spec = batch.p_spec, batch.s_spec
-            elif steady and not flat:
+            elif steady:
                 # steady state: the previous frame's stacked trees feed
                 # the next dispatch directly — no per-member handles
                 P, S = batch.params, batch.states
             else:
-                # (re)formation. Members still attached to the previous
-                # batch re-gather on device; only changed/new members'
-                # trees transfer. A slot is unchanged iff its authority is
-                # still the old batch: every mutation path goes through
-                # _detach(). The take+insert itself runs INSIDE the combined
-                # step program (restacks flag) — a churn frame costs the
-                # same single dispatch as a steady one.
+                # legacy (trailed/dump) (re)formation: members still
+                # attached to the previous batch re-gather on device; only
+                # changed/new members' trees transfer. A slot is unchanged
+                # iff its authority is still the old batch: every mutation
+                # path goes through _detach().
                 kept = {}
                 if (_INCREMENTAL_RESTACK and batch is not None
                         and batch.flat == flat):
@@ -1118,30 +1283,40 @@ class Scene:
                         else:
                             changed.append(sl.state)
                             fresh.append(False)
-                    if flat:
-                        # old authority rides as capsule buffers; only the
-                        # changed members' (small) trees are tree-style
-                        S = (batch.scaps, tuple(changed), idx_map, pos)
-                        P = (batch.pcaps, tuple(slots[int(i)].compiled.params for i in pos))
-                        p_spec, s_spec = batch.p_spec, batch.s_spec
-                    else:
-                        S = (batch.states, tuple(changed), idx_map, pos)
-                        P = (batch.params, tuple(slots[int(i)].compiled.params for i in pos))
+                    S = (batch.states, tuple(changed), idx_map, pos)
+                    P = (batch.params, tuple(slots[int(i)].compiled.params for i in pos))
                     restack = tuple(fresh)
-                elif flat:
-                    # formation: stack member trees on the host and ship
-                    # each as ONE packed buffer
-                    S_np = _stack_trees_np([s.state for s in slots])
-                    P_np = _stack_trees_np([s.compiled.params for s in slots])
-                    s_spec = _cap_spec_of(S_np)
-                    p_spec = _cap_spec_of(P_np)
-                    S = jax.device_put(_cap_pack_host(S_np, s_spec))
-                    P = jax.device_put(_cap_pack_host(P_np, p_spec))
                 else:
                     # nothing reusable: stack member trees on the host
                     # (see _stack_trees_np), pin the params once
                     P = jax.device_put(_stack_trees_np([s.compiled.params for s in slots]))
                     S = _stack_trees_np([s.state for s in slots])  # materializes lazies
+
+            # frames by ROW (padding rows reuse the first member's frame —
+            # their pools are dead + disabled, dt is irrelevant); cache
+            # valid while every row maps to the SAME cached FrameInput
+            # object and the row layout is unchanged
+            if flat:
+                frames_by_row = [frames[0]] * spad
+                for s_i in range(len(slots)):
+                    frames_by_row[rows[s_i]] = frames[s_i]
+            else:
+                frames_by_row = frames
+            fc = self._frame_stacks.get(key)
+            if (fc is not None and len(fc[0]) == len(frames_by_row) and fc[3] == flat
+                    and all(a is b for a, b in zip(fc[0], frames_by_row))):
+                F, f_spec = fc[1], fc[2]
+            else:
+                # pin on device: a cached numpy stack still re-transfers its
+                # ~7 leaves every dispatch through the tunnel
+                stacked = _stack_frames_np(frames_by_row)
+                if flat:
+                    f_spec = _cap_spec_of(stacked)
+                    F = jax.device_put(_cap_pack_host(stacked, f_spec))
+                else:
+                    f_spec = None
+                    F = jax.device_put(stacked)
+                self._frame_stacks[key] = (tuple(frames_by_row), F, f_spec, flat)
 
             # trail plan, decided BEFORE slots re-point at the new batch:
             # all-trailed-alike groups update trails in one vmapped
@@ -1179,17 +1354,19 @@ class Scene:
                     else:
                         t_prev = _stack_trees_np([s.trail_state for s in slots])
             fsp = _FlatSpec(p_spec, s_spec, f_spec) if flat else None
-            prep.append((key, sids, slots, P, S, F, group_trails, t_prev, restack, fsp))
+            prep.append((key, sids, slots, P, S, F, group_trails, t_prev,
+                         restack, fsp, spad, rows))
 
         # ---- ONE device dispatch for the whole scene ----------------------
         if prep:
             table = self._colliders if any_collision else None
             results = _scene_step_combined(
                 tuple(p[0][0] for p in prep),
-                tuple(len(p[2]) for p in prep),
+                tuple(p[10] for p in prep),
                 n_frames,
                 tuple(p[8] for p in prep),
                 tuple(p[9] for p in prep),
+                (pack,) * len(prep),
                 table,
                 tuple(p[3] for p in prep),
                 tuple(p[4] for p in prep),
@@ -1199,7 +1376,7 @@ class Scene:
             results = ()
 
         # ---- phase B: re-point authority, trails, events -------------------
-        for (key, sids, slots, P, S, F, group_trails, t_prev, restack, fsp), res in zip(prep, results):
+        for (key, sids, slots, P, S, F, group_trails, t_prev, restack, fsp, spad, rows), res in zip(prep, results):
             if fsp is not None:
                 # capsule results: states + (outputs, planes) stay packed
                 # until somebody reads them (lazy unpack on the batch)
@@ -1208,12 +1385,13 @@ class Scene:
                 else:
                     scaps, opcaps = res
                     pcaps = P  # steady: reuse; formation: the fresh pack
-                o_spec = _GROUP_OUT_SPECS[(key[0], len(slots), n_frames, fsp.s)]
+                o_spec = _GROUP_OUT_SPECS[(key[0], spad, n_frames, fsp.s, pack)]
                 nb = _GroupBatch.from_caps(tuple(sids), pcaps, fsp.p,
-                                           scaps, fsp.s, opcaps, o_spec)
+                                           scaps, fsp.s, opcaps, o_spec,
+                                           pad=spad, rows=rows)
                 new_batches[key] = nb
                 for i, slot in enumerate(slots):
-                    slot.attach_batch(nb, i)
+                    slot.attach_batch(nb, rows[i])
                 group_trails = False
             else:
                 if restack is not None:
@@ -1428,6 +1606,7 @@ class Scene:
         from .native import compact_dense
         from .render import aabb_intersects_frustum, frustum_planes, pack_instances_dense
 
+        self._render_demand = True  # pack in-kernel from the next step on
         cull_planes = frustum_planes(view_proj) if view_proj is not None else None
         items = []
         for sid, slot in self._spawners.items():
@@ -1493,6 +1672,7 @@ class Scene:
         Contract: items are up to one frame stale (latest-wins; a slow
         consumer skips frames, never blocks the simulation)."""
         self._async_enabled = True
+        self._render_demand = True
         self._async_slots = int(n_slots)
         for sid in self._spawners:
             self._async_reader_for(sid)

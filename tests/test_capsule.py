@@ -42,7 +42,10 @@ def test_roundtrip_pool_state_bitexact():
     compiled, state, out, frame = _stress_state()
     spec = spec_of(state)
     bufs = jax.jit(lambda t: pack(t, spec))(state)
-    assert len(bufs) == spec.n_buffers <= 2
+    # pool-plane-sized leaves stay native (no relayout copies); the small
+    # leaves collapse into one packed buffer
+    assert len(bufs) == spec.n_buffers
+    assert len(spec.buckets) == 1 and spec.n_native == 19
     back = jax.jit(lambda b: unpack(b, spec))(bufs)
     _tree_equal(state, back)
 
