@@ -24,9 +24,12 @@ from .render import (
     Light,
     LightTable,
     RenderItem,
+    ShadowAtlas,
     aabb_intersects_frustum,
     frustum_planes,
     instances_to_bytes,
+    light_view_proj,
+    make_shadow_atlas,
     make_uniform,
     pack_instances,
     pack_instances_dense,
@@ -87,6 +90,9 @@ __all__ = [
     "FogSettings",
     "Light",
     "LightTable",
+    "ShadowAtlas",
+    "make_shadow_atlas",
+    "light_view_proj",
     "ForceField",
     "FrameInput",
     "ParticleCollisionSettings",

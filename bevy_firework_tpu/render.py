@@ -118,7 +118,7 @@ LIGHT_DIRECTIONAL = 0
 LIGHT_POINT = 1
 LIGHT_SPOT = 2
 
-MAX_LIGHTS = 8  # WGSL LightsUniform array size (shaders/particles.wgsl)
+MAX_LIGHTS = 16  # WGSL LightsUniform array size (shaders/particles.wgsl)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,11 +143,17 @@ class Light:
     range: float = 20.0                  # point/spot attenuation window
     inner_angle: float = 0.4             # spot, radians
     outer_angle: float = 0.6             # spot, radians
+    # cast shadows via the SHADOW_ATLAS variant (make_shadow_atlas assigns
+    # this light an atlas tile). Honored for directional + spot; point
+    # lights are not shadowed (cube maps out of scope, RENDER_CONTRACT.md)
+    shadow: bool = False
 
     @staticmethod
-    def directional(direction, color=(1.0, 1.0, 1.0), illuminance: float = 1.0) -> "Light":
+    def directional(direction, color=(1.0, 1.0, 1.0), illuminance: float = 1.0,
+                    shadow: bool = False) -> "Light":
         c = tuple(float(x) * float(illuminance) for x in color[:3])
-        return Light(kind=LIGHT_DIRECTIONAL, color=c, direction=tuple(map(float, direction)))
+        return Light(kind=LIGHT_DIRECTIONAL, color=c,
+                     direction=tuple(map(float, direction)), shadow=bool(shadow))
 
     @staticmethod
     def point(position, color=(1.0, 1.0, 1.0), intensity: float = 4.0 * np.pi,
@@ -160,12 +166,13 @@ class Light:
 
     @staticmethod
     def spot(position, direction, color=(1.0, 1.0, 1.0), intensity: float = 4.0 * np.pi,
-             range: float = 20.0, inner_angle: float = 0.4, outer_angle: float = 0.6) -> "Light":
+             range: float = 20.0, inner_angle: float = 0.4, outer_angle: float = 0.6,
+             shadow: bool = False) -> "Light":
         s = float(intensity) / (4.0 * np.pi)
         return Light(kind=LIGHT_SPOT, color=tuple(float(x) * s for x in color[:3]),
                      position=tuple(map(float, position)), direction=tuple(map(float, direction)),
                      range=float(range), inner_angle=float(inner_angle),
-                     outer_angle=float(outer_angle))
+                     outer_angle=float(outer_angle), shadow=bool(shadow))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -184,6 +191,7 @@ class LightTable:
         head[:4] = np.asarray([n, 0, 0, 0], np.uint32).view(np.float32)
         head[4:7] = self.ambient[:3]
         rows = np.zeros((MAX_LIGHTS, 16), dtype=np.float32)
+        tiles = self.shadow_tiles()
         for i, lt in enumerate(self.lights[:MAX_LIGHTS]):
             rows[i, 0:3] = lt.position
             rows[i, 3] = lt.range
@@ -192,7 +200,22 @@ class LightTable:
             rows[i, 8:11] = lt.direction
             rows[i, 11] = float(np.cos(lt.outer_angle))
             rows[i, 12] = float(np.cos(lt.inner_angle))
+            rows[i, 13] = float(tiles[i])  # extra.y: atlas tile, -1 = none
         return head.tobytes() + rows.tobytes()
+
+    def shadow_tiles(self):
+        """Atlas tile per light row: shadow-casting directional/spot rows
+        get tiles 0..n-1 in table order; everything else -1. Shared by
+        to_bytes, make_shadow_atlas and the software viewer so the three
+        cannot disagree about which map belongs to which light."""
+        tiles, nxt = [], 0
+        for lt in self.lights[:MAX_LIGHTS]:
+            if lt.shadow and lt.kind in (LIGHT_DIRECTIONAL, LIGHT_SPOT):
+                tiles.append(nxt)
+                nxt += 1
+            else:
+                tiles.append(-1)
+        return tiles
 
     def radiance_at(self, world_pos):
         """Per-light (l_dir, radiance) at `world_pos` — the host-side oracle
@@ -224,6 +247,187 @@ class LightTable:
                 radiance = radiance * cone * cone
             out.append((l, radiance))
         return out
+
+
+def _look_at(eye, forward, up_hint=(0.0, 1.0, 0.0)):
+    """Right-handed view matrix looking along `forward` (camera -z)."""
+    eye = np.asarray(eye, np.float64)
+    z = -np.asarray(forward, np.float64)
+    z = z / max(np.linalg.norm(z), 1e-9)
+    up = np.asarray(up_hint, np.float64)
+    if abs(float(up @ z)) > 0.999:
+        up = np.asarray((1.0, 0.0, 0.0), np.float64)
+    x = np.cross(up, z)
+    x = x / max(np.linalg.norm(x), 1e-9)
+    y = np.cross(z, x)
+    v = np.eye(4)
+    v[0, :3], v[1, :3], v[2, :3] = x, y, z
+    v[:3, 3] = -(v[:3, :3] @ eye)
+    return v
+
+
+def light_view_proj(light: Light, center=(0.0, 0.0, 0.0), radius: float = 10.0) -> np.ndarray:
+    """World -> light-clip matrix (WebGPU 0..1 depth) for a shadow-casting
+    light row. Spot: perspective from the light position along its
+    direction, fovy = 2*outer_angle, far = range. Directional: orthographic
+    box of half-extent `radius` about `center` (the caller's scene bounds —
+    the analog of Bevy fitting directional cascades to the view)."""
+    if light.kind == LIGHT_SPOT:
+        near = max(0.02 * light.range, 1e-3)
+        far = max(light.range, near * 2)
+        f = 1.0 / np.tan(max(light.outer_angle, 1e-3))
+        proj = np.zeros((4, 4))
+        proj[0, 0] = f
+        proj[1, 1] = f
+        proj[2, 2] = far / (near - far)
+        proj[2, 3] = near * far / (near - far)
+        proj[3, 2] = -1.0
+        view = _look_at(light.position, light.direction)
+        return (proj @ view).astype(np.float32)
+    if light.kind == LIGHT_DIRECTIONAL:
+        d = np.asarray(light.direction, np.float64)
+        d = d / max(np.linalg.norm(d), 1e-9)
+        r = max(float(radius), 1e-3)
+        eye = np.asarray(center, np.float64) - d * (r + 1.0)
+        near, far = 0.0, 2.0 * (r + 1.0)
+        proj = np.eye(4)
+        proj[0, 0] = 1.0 / r
+        proj[1, 1] = 1.0 / r
+        proj[2, 2] = 1.0 / (near - far)
+        proj[2, 3] = near / (near - far)
+        view = _look_at(eye, d)
+        return (proj @ view).astype(np.float32)
+    raise ValueError("only directional/spot lights cast shadows")
+
+
+@dataclasses.dataclass(frozen=True)
+class ShadowAtlas:
+    """Per-light shadow maps for the SHADOW_ATLAS pipeline variant (VERDICT
+    r4 next #5). One depth texture holds `grid` x `grid` tiles of
+    `resolution`^2 each; `mats[tile]` projects world -> that tile's light
+    clip. The reference gets per-light shadowing (directional cascades +
+    spot maps) free from Bevy's clustered pipeline
+    (`/root/reference/src/particles.wgsl:224`); this is the self-contained
+    analog for every shadow-flagged directional/spot row of a LightTable.
+
+    `factor()` is the host oracle for the WGSL `shadow_atlas_factor` —
+    the software viewer and image tests share it, so the two renderers
+    cannot disagree about shadowing."""
+
+    table: LightTable
+    depth: np.ndarray  # [grid*res, grid*res] f32 light-clip depth (1 = far)
+    mats: np.ndarray  # [MAX_LIGHTS, 4, 4] f32, row `tile` used
+    grid: int
+    bias: float = 2e-3
+    strength: float = 1.0
+
+    def to_bytes(self) -> bytes:
+        """std140 ShadowAtlasUniform: 16 column-major mat4x4 + params."""
+        mats = np.zeros((MAX_LIGHTS, 4, 4), np.float32)
+        mats[: self.mats.shape[0]] = self.mats
+        cols = mats.transpose(0, 2, 1)  # WGSL mat4x4 is column-major
+        params = np.asarray([self.bias, self.strength, float(self.grid), 0.0], np.float32)
+        return cols.tobytes() + params.tobytes()
+
+    def factor(self, world_pos, light_index: int) -> float:
+        """Shadow factor for light row `light_index` at a world position —
+        mirrors shaders/particles.wgsl `shadow_atlas_factor` (projection,
+        tile-local clamp, 4-tap PCF, less-equal compare) on the host map."""
+        tile = self.table.shadow_tiles()[light_index]
+        if tile < 0:
+            return 1.0
+        lc = self.mats[tile] @ np.asarray([*world_pos, 1.0], np.float32)
+        if abs(float(lc[3])) < 1e-9:
+            return 1.0
+        ndc = lc[:3] / lc[3]
+        uv = np.asarray([ndc[0] * 0.5 + 0.5, ndc[1] * -0.5 + 0.5])
+        if not (0.0 <= uv[0] <= 1.0 and 0.0 <= uv[1] <= 1.0 and 0.0 <= ndc[2] <= 1.0):
+            return 1.0
+        n = self.depth.shape[0]
+        atlas_texel = 1.0 / n
+        margin = 1.5 * self.grid * atlas_texel
+        cuv = np.clip(uv, margin, 1.0 - margin)
+        tile_xy = np.asarray([tile % self.grid, tile // self.grid], np.float64)
+        auv = (tile_xy + cuv) / self.grid
+        ref = float(ndc[2]) - self.bias
+        lit = 0.0
+        for ox, oy in ((-0.5, -0.5), (0.5, -0.5), (-0.5, 0.5), (0.5, 0.5)):
+            px = min(max(int((auv[0] + ox * atlas_texel) * n), 0), n - 1)
+            py = min(max(int((auv[1] + oy * atlas_texel) * n), 0), n - 1)
+            lit += 1.0 if ref <= float(self.depth[py, px]) else 0.0
+        return 1.0 - self.strength * (1.0 - lit * 0.25)
+
+
+def make_shadow_atlas(table: LightTable, occluders=(), resolution: int = 256,
+                      center=(0.0, 0.0, 0.0), radius: float = 10.0,
+                      bias: float = 2e-3, strength: float = 1.0) -> ShadowAtlas:
+    """Bake a ShadowAtlas for every shadow-flagged directional/spot row of
+    `table`. `occluders` is a list of world-space AABBs ((min_xyz,
+    max_xyz)) — the shadow CASTERS (scene geometry; particles do not cast
+    shadows, matching the reference where only meshes write Bevy's shadow
+    maps). center/radius bound the directional lights' ortho box.
+
+    A consumer with a real renderer can instead render its own depth into
+    each tile and construct ShadowAtlas directly — the matrices and tile
+    assignment here are the contract."""
+    tiles = table.shadow_tiles()
+    n_tiles = max([t + 1 for t in tiles if t >= 0], default=0)
+    grid = 1
+    while grid * grid < n_tiles:
+        grid += 1
+    grid = max(grid, 1)
+    n = grid * resolution
+    depth = np.ones((n, n), np.float32)
+    mats = np.zeros((MAX_LIGHTS, 4, 4), np.float32)
+    boxes = [(np.asarray(a, np.float64), np.asarray(b, np.float64)) for a, b in occluders]
+    for row, tile in enumerate(tiles):
+        if tile < 0:
+            continue
+        m = light_view_proj(table.lights[row], center=center, radius=radius)
+        mats[tile] = m
+        if not boxes:
+            continue
+        inv = np.linalg.inv(m.astype(np.float64))
+        ty, tx = divmod(tile, grid)
+        # unproject each tile pixel at ndc z=0 and z=1, intersect the ray
+        # segment with every AABB (slab test), store the nearest hit's
+        # re-projected clip depth
+        ys, xs = np.mgrid[0:resolution, 0:resolution]
+        u = (xs + 0.5) / resolution
+        v = (ys + 0.5) / resolution
+        ndc_x = u * 2.0 - 1.0
+        ndc_y = (v - 0.5) * -2.0  # uv.y = ndc.y * -0.5 + 0.5 inverted
+        for zc, store in ((0.0, "p0"), (1.0, "p1")):
+            pts = np.stack([ndc_x, ndc_y, np.full_like(ndc_x, zc), np.ones_like(ndc_x)], -1)
+            w = pts @ inv.T
+            w = w[..., :3] / w[..., 3:4]
+            if store == "p0":
+                p0 = w
+            else:
+                p1 = w
+        ray = p1 - p0
+        best = np.full(u.shape, np.inf)
+        for lo, hi in boxes:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t1 = (lo - p0) / ray
+                t2 = (hi - p0) / ray
+            tmin = np.nanmax(np.minimum(t1, t2), axis=-1)
+            tmax = np.nanmin(np.maximum(t1, t2), axis=-1)
+            hit = (tmax >= np.maximum(tmin, 0.0)) & (tmin <= 1.0)
+            tent = np.where(hit, np.maximum(tmin, 0.0), np.inf)
+            best = np.minimum(best, tent)
+        hitmask = np.isfinite(best)
+        if hitmask.any():
+            hp = p0 + np.where(hitmask, best, 0.0)[..., None] * ray
+            hp4 = np.concatenate([hp, np.ones_like(hp[..., :1])], -1)
+            clip = hp4 @ m.astype(np.float64).T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                z = clip[..., 2] / clip[..., 3]
+            tile_d = depth[ty * resolution:(ty + 1) * resolution,
+                           tx * resolution:(tx + 1) * resolution]
+            tile_d[hitmask] = np.clip(z[hitmask], 0.0, 1.0).astype(np.float32)
+    return ShadowAtlas(table=table, depth=depth, mats=mats, grid=grid,
+                       bias=float(bias), strength=float(strength))
 
 
 def make_uniform(compiled: CompiledSpawner, type_index: int) -> FireworkUniform:

@@ -119,7 +119,7 @@ struct TableLight {
 struct LightsUniform {
     counts: vec4<u32>,           // x = number of live rows
     ambient: vec4<f32>,          // rgb ambient, a unused
-    lights: array<TableLight, 8>,
+    lights: array<TableLight, 16>,
 };
 @group(2) @binding(12) var<uniform> light_table: LightsUniform;
 
@@ -129,6 +129,47 @@ fn distance_attenuation(dist_sq: f32, inv_range_sq: f32) -> f32 {
     let smooth_factor = clamp(1.0 - factor * factor, 0.0, 1.0);
     return smooth_factor * smooth_factor / max(dist_sq, 0.0001);
 }
+#ifdef SHADOW_ATLAS
+// Per-light shadow atlas (VERDICT r4 next #5): one depth texture holding a
+// grid x grid tile array; any directional or spot row whose extra.y >= 0
+// owns tile u32(extra.y) and is projected by shadow_atlas_u.mats[tile].
+// The reference gets per-light shadowing from Bevy's clustered pipeline
+// (directional cascades + spot maps, /root/reference/src/particles.wgsl:224);
+// this is the self-contained analog. Point lights are not shadowed (their
+// cube maps are out of scope; see docs/RENDER_CONTRACT.md).
+struct ShadowAtlasUniform {
+    mats: array<mat4x4<f32>, 16>,  // world -> light clip per TILE index
+    params: vec4<f32>,             // x = depth bias, y = strength, z = grid
+};
+@group(2) @binding(13) var<uniform> shadow_atlas_u: ShadowAtlasUniform;
+@group(2) @binding(14) var shadow_atlas: texture_depth_2d;
+@group(2) @binding(15) var shadow_atlas_samp: sampler_comparison;
+
+// Shadow factor for tile `tile` at a world position: 1 fully lit, toward
+// (1 - strength) in shadow. Same 4-tap PCF/compare semantics as the single
+// SHADOW_MAP path; uv is clamped a half-texel inside the tile so PCF taps
+// never bleed into a neighboring light's tile.
+fn shadow_atlas_factor(world_pos: vec3<f32>, tile: u32) -> f32 {
+    let lc = shadow_atlas_u.mats[tile] * vec4<f32>(world_pos, 1.0);
+    let ndc = lc.xyz / lc.w;
+    let uv = ndc.xy * vec2<f32>(0.5, -0.5) + vec2<f32>(0.5, 0.5);
+    if (uv.x < 0.0 || uv.x > 1.0 || uv.y < 0.0 || uv.y > 1.0 || ndc.z > 1.0 || ndc.z < 0.0) {
+        return 1.0;
+    }
+    let grid = shadow_atlas_u.params.z;
+    let atlas_texel = 1.0 / vec2<f32>(textureDimensions(shadow_atlas));
+    let margin = (1.5 * grid) * atlas_texel;  // 1.5 tile-local texels
+    let cuv = clamp(uv, margin, vec2<f32>(1.0, 1.0) - margin);
+    let tile_xy = vec2<f32>(f32(tile % u32(grid)), floor(f32(tile) / grid));
+    let auv = (tile_xy + cuv) / grid;
+    let ref_depth = ndc.z - shadow_atlas_u.params.x;
+    var lit = textureSampleCompare(shadow_atlas, shadow_atlas_samp, auv + vec2<f32>(-0.5, -0.5) * atlas_texel, ref_depth);
+    lit = lit + textureSampleCompare(shadow_atlas, shadow_atlas_samp, auv + vec2<f32>(0.5, -0.5) * atlas_texel, ref_depth);
+    lit = lit + textureSampleCompare(shadow_atlas, shadow_atlas_samp, auv + vec2<f32>(-0.5, 0.5) * atlas_texel, ref_depth);
+    lit = lit + textureSampleCompare(shadow_atlas, shadow_atlas_samp, auv + vec2<f32>(0.5, 0.5) * atlas_texel, ref_depth);
+    return 1.0 - shadow_atlas_u.params.y * (1.0 - lit * 0.25);
+}
+#endif // SHADOW_ATLAS
 #endif // LIGHTS
 
 #ifdef FOG
@@ -412,7 +453,7 @@ fn pbr_shade(in: VsOut, base: vec4<f32>, emissive: vec4<f32>) -> vec4<f32> {
     // Bevy's attenuation/cone semantics, ambient from the table. The
     // single-light math above is recomputed per light via pbr_light_contrib.
     direct = vec3<f32>(0.0, 0.0, 0.0);
-    let n_lights = min(light_table.counts.x, 8u);
+    let n_lights = min(light_table.counts.x, 16u);
 #ifdef SHADOW_MAP
     var shadow_pending = true;  // the map belongs to the FIRST directional row
 #endif // SHADOW_MAP
@@ -445,6 +486,13 @@ fn pbr_shade(in: VsOut, base: vec4<f32>, emissive: vec4<f32>) -> vec4<f32> {
         let lh_i = max(dot(l_dir, hl), 0.0);
         let spec_i = d_ggx(nh_i, a) * v_smith(nl_i, nv, a) * f_schlick(lh_i, f0);
         var contrib = (diffuse + spec_i) * radiance * nl_i;
+#ifdef SHADOW_ATLAS
+        // per-light shadows: any dir/spot row with an atlas tile assigned
+        // (extra.y >= 0) attenuates by its own map
+        if (lt.extra.y >= 0.0 && kind < 2.5) {
+            contrib = contrib * shadow_atlas_factor(in.world_position, u32(lt.extra.y));
+        }
+#else // SHADOW_ATLAS
 #ifdef SHADOW_MAP
         // the shadow map belongs to the FIRST directional light, wherever
         // it sits in the table (not hard-coded to row 0)
@@ -453,6 +501,7 @@ fn pbr_shade(in: VsOut, base: vec4<f32>, emissive: vec4<f32>) -> vec4<f32> {
             shadow_pending = false;
         }
 #endif // SHADOW_MAP
+#endif // SHADOW_ATLAS
         direct = direct + contrib;
     }
     indirect = base.rgb * light_table.ambient.rgb;

@@ -139,6 +139,10 @@ class PipelineKey:
     # that binds a LightsUniform at group(2) binding 12 and compiles the
     # light loop into pbr_shade)
     lights: bool = False
+    # per-light shadow atlas (VERDICT r4 next #5): one depth texture of
+    # grid x grid tiles + a matrix array uniform; any dir/spot light row
+    # with an atlas tile attenuates by its own map. Requires `lights`.
+    shadow_atlas: bool = False
 
     def target_format(self) -> str:
         # `key.target_format()` (`render.rs:831`): the view's HDR choice.
@@ -154,6 +158,7 @@ def key_for(
     shadow_map: bool = False,
     fog: bool = False,
     lights: bool = False,
+    shadow_atlas: bool = False,
 ) -> PipelineKey:
     """`render.rs:519-535`: alpha_mode -> key blend bit. Premultiplied and
     Add share one key (their difference is applied post-lighting in the
@@ -173,6 +178,7 @@ def key_for(
         shadow_map=bool(shadow_map),
         fog=bool(fog),
         lights=bool(lights),
+        shadow_atlas=bool(shadow_atlas),
     )
 
 
@@ -182,7 +188,8 @@ def key_for(
 
 
 def uniform_layout_entries(msaa: bool, shadow_map: bool = False,
-                           fog: bool = False, lights: bool = False) -> List[dict]:
+                           fog: bool = False, lights: bool = False,
+                           shadow_atlas: bool = False) -> List[dict]:
     """The uniform bind-group layout; the msaa flavor swaps the depth
     entry's texture type (`render.rs:820-824` picks uniform_layout vs
     uniform_layout_msaa). The depth entry is ALWAYS in the layout — when
@@ -213,9 +220,15 @@ def uniform_layout_entries(msaa: bool, shadow_map: bool = False,
         # slot regardless of shadow_map so the two variants compose
         entries.append({"binding": 11, "type": "uniform-buffer", "size": 64, "name": "fog"})
     if lights:
-        # LIGHTS variant: LightsUniform (uvec4 + vec4 + 8 x 4 vec4 = 544 B)
-        # at binding 12 — fixed slot so it composes with shadow/fog
-        entries.append({"binding": 12, "type": "uniform-buffer", "size": 544, "name": "lights"})
+        # LIGHTS variant: LightsUniform (uvec4 + vec4 + 16 x 4 vec4 =
+        # 1056 B) at binding 12 — fixed slot so it composes with shadow/fog
+        entries.append({"binding": 12, "type": "uniform-buffer", "size": 1056, "name": "lights"})
+    if shadow_atlas:
+        # SHADOW_ATLAS variant: matrix-array uniform (16 mat4 + params =
+        # 1040 B), tiled depth atlas, comparison sampler — bindings 13-15
+        entries.append({"binding": 13, "type": "uniform-buffer", "size": 1040, "name": "shadow_atlas"})
+        entries.append({"binding": 14, "type": "texture", "sample_type": "depth", "multisampled": False, "name": "shadow_atlas"})
+        entries.append({"binding": 15, "type": "sampler", "comparison": True, "name": "shadow_atlas"})
     return entries
 
 
@@ -260,6 +273,11 @@ class PipelineCache:
             defs.append("FOG")
         if key.lights:
             defs.append("LIGHTS")
+        if key.shadow_atlas:
+            if not key.lights:
+                raise ValueError("shadow_atlas requires lights (the atlas "
+                                 "attenuates light-table rows)")
+            defs.append("SHADOW_ATLAS")
         wgsl = preprocess(self._source, frozenset(defs))
         errors = check_wgsl(wgsl)
         if errors:
@@ -272,7 +290,8 @@ class PipelineCache:
             shader_defs=tuple(defs),
             shader_source=wgsl,
             layout=uniform_layout_entries(key.msaa_samples > 1, key.shadow_map,
-                                          key.fog, key.lights),
+                                          key.fog, key.lights,
+                                          key.shadow_atlas),
             target_format=key.target_format(),
             blend=ALPHA_BLENDING,
             multisample_count=key.msaa_samples,  # render.rs:864
@@ -329,6 +348,7 @@ class DummyTextures:
         textures: Optional[dict] = None,
         prepass_texture: Optional[np.ndarray] = None,
         shadow_texture: Optional[np.ndarray] = None,
+        shadow_atlas_texture: Optional[np.ndarray] = None,
     ) -> List[dict]:
         """Assemble group(2): real resources where flag bits are set /
         the prepass exists, dummies elsewhere — the binding is never left
@@ -367,4 +387,11 @@ class DummyTextures:
             # the uniform carries the light count (0 = ambient-only), so no
             # dummy resource exists for this slot either
             entries.append({"binding": 12, "resource": "lights-uniform"})
+        if key.shadow_atlas:
+            real = shadow_atlas_texture is not None
+            entries.append({"binding": 13, "resource": "shadow-atlas-uniform"})
+            entries.append({"binding": 14,
+                            "resource": shadow_atlas_texture if real else self.shadow_texture,
+                            "real": real})
+            entries.append({"binding": 15, "resource": self.shadow_sampler, "real": real})
         return entries

@@ -191,6 +191,7 @@ def render_frame(
     light_dir: Tuple[float, float, float] = (0.4, 0.8, 0.3),
     fog=None,
     lights=None,
+    shadow_atlas=None,
 ) -> np.ndarray:
     """Rasterize RenderItems to an [H, W, 3] float image (simple Reinhard
     tonemap for the HDR gradients). Implements the contract's billboard +
@@ -392,8 +393,14 @@ def render_frame(
                 world_pos = (cam.position + xs[pi] * cam.right + ys[pi] * cam.up
                              + depth * cam.forward)
                 direct = np.zeros(3, np.float32)
-                for l_w, radiance in lights.radiance_at(world_pos):
-                    direct = direct + ggx_direct(basis @ np.asarray(l_w, np.float32), radiance)
+                for li, (l_w, radiance) in enumerate(lights.radiance_at(world_pos)):
+                    c = ggx_direct(basis @ np.asarray(l_w, np.float32), radiance)
+                    if shadow_atlas is not None:
+                        # SHADOW_ATLAS semantics: per-light factor on the
+                        # direct contribution only (ShadowAtlas.factor is
+                        # the shared WGSL oracle)
+                        c = c * shadow_atlas.factor(world_pos, li)
+                    direct = direct + c
                 ambient = np.asarray(lights.ambient[:3], np.float32)
             color = direct + base[0:3] * ambient + emis[0:3]
         else:
