@@ -26,12 +26,24 @@ table = LightTable(
     lights=(
         Light.directional((-0.5, -0.7, -0.4), color=(1.0, 0.95, 0.85), illuminance=0.6),
         Light.point((2.0, 2.5, 0.0), color=(0.2, 0.5, 1.0), intensity=150.0, range=18.0),
-        Light.spot((-3.0, 4.0, 2.0), (0.5, -1.0, -0.3), color=(1.0, 0.4, 0.2),
-                   intensity=250.0, range=25.0, inner_angle=0.35, outer_angle=0.55),
+        # SHADOW-CASTING spot (VERDICT r4 next #5): shadow=True assigns it
+        # an atlas tile; the occluder slab below blocks it over half the
+        # smoke column
+        Light.spot((-3.0, 4.0, 8.0), (0.35, -0.3, -1.0), color=(1.0, 0.4, 0.2),
+                   intensity=250.0, range=25.0, inner_angle=0.35, outer_angle=0.55,
+                   shadow=True),
     ),
     ambient=(0.03, 0.03, 0.05),
 )
+from bevy_firework_tpu import make_shadow_atlas
+
+atlas = make_shadow_atlas(
+    table, occluders=[((-2.5, 0.0, 4.5), (0.0, 5.0, 5.2))],
+    resolution=256, strength=0.9)
 cam = Camera(position=(0.0, 3.0, 10.0), look_at=(0.0, 2.0, 0.0))
 render_scene_png(scene, "lights.png", camera=cam, lights=table)
+render_scene_png(scene, "lights_shadow.png", camera=cam, lights=table,
+                 shadow_atlas=atlas)
 render_scene_png(scene, "lights_builtin.png", camera=cam)
-print("wrote lights.png (light table) and lights_builtin.png (built-in env)")
+print("wrote lights.png (light table), lights_shadow.png (per-light shadow "
+      "atlas) and lights_builtin.png (built-in env)")

@@ -404,3 +404,76 @@ def test_fog_amount_falloffs():
     np.testing.assert_allclose(exp2.amount(d), 1.0 - np.exp(-np.square(d * 0.1)), rtol=1e-6)
     off = FogSettings(mode=FOG_OFF)
     np.testing.assert_allclose(off.amount(d), np.zeros_like(d))
+
+
+# ---------------------------------------------------------------------------
+# Shadow atlas (VERDICT r4 next #5) — bake, tile assignment, PCF oracle
+# ---------------------------------------------------------------------------
+
+
+def test_shadow_tiles_assignment():
+    from bevy_firework_tpu import Light, LightTable
+
+    t = LightTable(lights=(
+        Light.point((0, 5, 0)),                                   # never shadowed
+        Light.directional((0, -1, 0), shadow=True),               # tile 0
+        Light.spot((0, 5, 5), (0, -1, -1)),                       # no shadow flag
+        Light.spot((5, 5, 0), (-1, -1, 0), shadow=True),          # tile 1
+    ))
+    assert t.shadow_tiles() == [-1, 0, -1, 1]
+    raw = t.to_bytes()
+    rows = np.frombuffer(raw[32:], np.float32).reshape(16, 16)
+    assert rows[0, 13] == -1 and rows[1, 13] == 0 and rows[3, 13] == 1
+
+
+def test_shadow_atlas_bake_and_factor():
+    """A box occluder between a spot light and a point: the baked tile sees
+    the box, the factor is ~0 behind it, 1 beside it and 1 outside the
+    projection; unshadowed rows always return 1."""
+    from bevy_firework_tpu import Light, LightTable, make_shadow_atlas
+
+    table = LightTable(lights=(
+        Light.point((9, 9, 9)),
+        Light.spot((0.0, 8.0, 0.0), (0.0, -1.0, 0.0), range=20.0,
+                   inner_angle=0.5, outer_angle=0.8, shadow=True),
+    ))
+    atlas = make_shadow_atlas(
+        table, occluders=[((-1.0, 4.0, -1.0), (1.0, 4.5, 1.0))],
+        resolution=128, strength=1.0)
+    assert atlas.grid == 1 and atlas.depth.shape == (128, 128)
+    assert atlas.factor((0.0, 1.0, 0.0), 0) == 1.0  # point light: no tile
+    assert atlas.factor((0.0, 1.0, 0.0), 1) < 0.05  # behind the box
+    assert atlas.factor((3.5, 1.0, 0.0), 1) > 0.95  # beside it (inside cone proj)
+    assert atlas.factor((50.0, 1.0, 0.0), 1) == 1.0  # outside the projection
+    # strength scales the darkening
+    half = make_shadow_atlas(table, occluders=[((-1.0, 4.0, -1.0), (1.0, 4.5, 1.0))],
+                             resolution=128, strength=0.5)
+    assert abs(half.factor((0.0, 1.0, 0.0), 1) - 0.5) < 0.05
+
+
+def test_shadow_atlas_directional_and_grid():
+    """Two shadow casters -> a 2x2 grid (tiles 0 and 1); the directional
+    ortho box covers the given bounds and shadows behind the occluder."""
+    from bevy_firework_tpu import Light, LightTable, make_shadow_atlas
+
+    table = LightTable(lights=(
+        Light.directional((0.0, -1.0, 0.0), shadow=True),
+        Light.spot((0.0, 6.0, 6.0), (0.0, -1.0, -1.0), shadow=True),
+    ))
+    atlas = make_shadow_atlas(
+        table, occluders=[((-1.0, 3.0, -1.0), (1.0, 3.5, 1.0))],
+        resolution=64, center=(0.0, 0.0, 0.0), radius=8.0)
+    assert atlas.grid == 2 and atlas.depth.shape == (128, 128)
+    assert atlas.factor((0.0, 1.0, 0.0), 0) < 0.05  # under the box, dir light
+    assert atlas.factor((5.0, 1.0, 0.0), 0) > 0.95
+
+
+def test_shadow_atlas_uniform_bytes():
+    from bevy_firework_tpu import Light, LightTable, make_shadow_atlas
+
+    table = LightTable(lights=(Light.directional((0, -1, 0), shadow=True),))
+    atlas = make_shadow_atlas(table, resolution=32)
+    raw = atlas.to_bytes()
+    assert len(raw) == 16 * 64 + 16  # 16 column-major mat4 + params vec4
+    params = np.frombuffer(raw[-16:], np.float32)
+    assert params[1] == atlas.strength and params[2] == float(atlas.grid)

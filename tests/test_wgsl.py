@@ -413,3 +413,45 @@ def test_directional_rows_match_builtin_when_equivalent():
     a = render_frame([_item((0.0, 1.0, 0.0), pbr=1)], camera=CAM)
     b = render_frame([_item((0.0, 1.0, 0.0), pbr=1)], camera=CAM, lights=table)
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# SHADOW_ATLAS variant: per-light shadow semantics in the software viewer
+# (ShadowAtlas.factor is the WGSL shadow_atlas_factor's host oracle —
+# VERDICT r4 next #5)
+# ---------------------------------------------------------------------------
+
+
+def test_shadow_atlas_darkens_only_the_shadowed_light():
+    """Two lights on a PBR particle: a shadow-casting spot occluded by a
+    box, and an unshadowed directional. With the atlas the spot's
+    contribution disappears while the directional's remains — per-light
+    shadowing, not the single-map global factor."""
+    from bevy_firework_tpu import Light, LightTable, make_shadow_atlas
+
+    # spot shines along -z from behind the camera so the camera-facing
+    # billboard normal receives it (n.l > 0)
+    spot = Light.spot((0.0, 1.0, 8.0), (0.0, 0.0, -1.0), intensity=400.0,
+                      range=25.0, inner_angle=0.5, outer_angle=0.8, shadow=True)
+    dirl = Light.directional((0.0, -0.3, -1.0), illuminance=0.5)
+    table = LightTable(lights=(spot, dirl), ambient=(0.0, 0.0, 0.0))
+    occ = [((-1.5, 0.0, 3.5), (1.5, 3.0, 4.0))]  # box between spot and particle
+    atlas = make_shadow_atlas(table, occluders=occ, resolution=128, strength=1.0)
+    assert table.shadow_tiles() == [0, -1]
+    assert atlas.factor((0.0, 1.0, 0.0), 0) < 0.05
+
+    def mean(with_atlas, lights):
+        img = render_frame([_item((0.0, 1.0, 0.0), pbr=1)], camera=CAM,
+                           width=160, height=120, lights=lights,
+                           shadow_atlas=atlas if with_atlas else None)
+        empty = render_frame([], camera=CAM, width=160, height=120)
+        covered = np.abs(img - empty).max(axis=2) > 1e-6
+        return float(img[covered].mean()) if covered.any() else 0.0
+
+    both = mean(False, table)
+    shadowed = mean(True, table)
+    dir_only = mean(False, LightTable(lights=(dirl,), ambient=(0.0, 0.0, 0.0)))
+    # the atlas removes the spot's contribution...
+    assert shadowed < both - 0.05, (shadowed, both)
+    # ...and leaves exactly the unshadowed directional's lighting
+    np.testing.assert_allclose(shadowed, dir_only, atol=1e-3)

@@ -19,7 +19,7 @@ wgpu = pytest.importorskip("wgpu")
 from bevy_firework_tpu.shaders import particles_wgsl_source, ribbons_wgsl_source
 from bevy_firework_tpu.shaders.specialize import preprocess
 
-PARTICLE_DEFS = ("MULTISAMPLED", "DEPTH_PREPASS", "SHADOW_MAP", "FOG", "LIGHTS")
+PARTICLE_DEFS = ("MULTISAMPLED", "DEPTH_PREPASS", "SHADOW_MAP", "FOG", "LIGHTS", "SHADOW_ATLAS")
 
 
 @pytest.fixture(scope="module")
