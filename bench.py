@@ -533,6 +533,77 @@ def _measure_group_churn(n_spawners=12, capacity=8192, rate=6000.0, n_frames=40)
     }
 
 
+def _measure_events_overhead(n_frames=60, capacity=8192):
+    """Destroyed-dump cost on the interactive path (VERDICT r4 next #9):
+    three scenes stepped identically — no dump, dump with SYNC delivery
+    (the handler read stalls the pipeline every frame), and dump with
+    enable_async_events (one-frame-late delivery off the sync path). The
+    async mode's target is <= ~1.2x the dump-free wall."""
+    import numpy as np
+
+    from bevy_firework_tpu import Collider, Scene, Transform
+    from bevy_firework_tpu.settings import (
+        EmissionSettings,
+        ParticleCollisionSettings,
+        ParticleEventHandlers,
+        ParticleSettings,
+        ParticleSpawner,
+        RandF32,
+        RandVec3,
+    )
+
+    def build(dump, async_mode):
+        handlers = (ParticleEventHandlers(particles_destroyed=lambda rs: None)
+                    if dump else None)
+        sp = ParticleSpawner(
+            particle_settings=[ParticleSettings(
+                lifetime=RandF32.constant(1.0),
+                collision_settings=ParticleCollisionSettings(
+                    restitution=0.0, friction=0.0, destroy_on_collision=True),
+                event_handlers=handlers,
+            )],
+            emission_settings=[EmissionSettings(
+                emission_pacing=EmissionPacing.rate(3000.0),
+                initial_velocity=RandVec3(magnitude=RandF32(2.0, 5.0),
+                                          direction=(0, 1, 0), spread=0.7))],
+        )
+        scene = Scene(colliders=[Collider.halfspace(position=(0.0, -1.0, 0.0))])
+        for i in range(4):
+            scene.add_spawner(sp, capacity=capacity,
+                              transform=Transform(translation=(float(i), 0.0, 0.0)))
+        if async_mode:
+            scene.enable_async_events()
+        for _ in range(40):
+            scene.step(1.0 / 60.0)
+        for b in scene._batches.values():
+            _fence(b.scaps[0][:1] if getattr(b, "flat", False) else b.states.px[:1, :1])
+        return scene
+
+    def sustained(scene):
+        t0 = time.perf_counter()
+        for _ in range(n_frames):
+            scene.step(1.0 / 60.0)
+        for b in scene._batches.values():
+            _fence(b.scaps[0][:1] if getattr(b, "flat", False) else b.states.px[:1, :1])
+        return (time.perf_counter() - t0) / n_frames * 1e3
+
+    s_free = build(False, False)
+    s_sync = build(True, False)
+    s_async = build(True, True)
+    for s in (s_free, s_sync, s_async):
+        sustained(s)  # warm
+    free = sustained(s_free)
+    sync = sustained(s_sync)
+    asyn = sustained(s_async)
+    return {
+        "dump_free_ms": round(free, 3),
+        "dump_sync_ms": round(sync, 3),
+        "dump_async_ms": round(asyn, 3),
+        "async_over_free": round(asyn / free, 3) if free > 0 else None,
+        "sync_over_free": round(sync / free, 3) if free > 0 else None,
+    }
+
+
 def _measure_churn_storm(n_frames=60, capacity=8192):
     """Worst-frame wall under adversarial spawner churn (VERDICT r4 next
     #2): every frame adds a spawner of a ROTATING set of 6 structurally
@@ -829,6 +900,7 @@ def main():
     extra("scene_hetero_100", _measure_scene_hetero)
     extra("group_churn_12", _measure_group_churn)
     extra("churn_storm", _measure_churn_storm)
+    extra("events_dump_overhead", _measure_events_overhead)
 
     def _10m():
         # single-chip scale headroom: one 10M-lane pool (multi-frame unroll

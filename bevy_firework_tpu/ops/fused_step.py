@@ -492,6 +492,8 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
                             radius = jnp.sqrt(p0 * p0 + p1 * p1 + p2 * p2)
                         elif k == 3:  # capsule: radius + half-segment
                             radius = p0 + p1
+                        elif k == COLLIDER_HULL:  # precomputed bounding radius
+                            radius = p0
                         else:  # cylinder / cone
                             radius = jnp.sqrt(p0 * p0 + p1 * p1)
                         # rotation never changes an origin-centered bounding sphere
@@ -511,7 +513,25 @@ def _collide_tile(kinds, identity_rot, cpos, crot, cpar, clay, px, py, pz, vx, v
                         else:
                             ox, oy, oz = conj_rot(qx, qy, qz, qw, px - cx, py - cy, pz - cz)
                             rdx, rdy, rdz = conj_rot(qx, qy, qz, qw, dx, dy, dz)
-                        dist, nx, ny, nz = _ray_kind(k, ox, oy, oz, rdx, rdy, rdz, p0, p1, p2)
+                        if k == COLLIDER_HULL:
+                            # dynamic VMEM ref row load (pl.ds) + static
+                            # extracts; padded rows (n=0, d=BIG) are exact
+                            # no-ops in the slab math, so the loop
+                            # evaluates the table-max plane count with no
+                            # count branch (VERDICT r4 next #4). KNOWN
+                            # 1-2 ulp seam: with the hull-planes operand
+                            # present, Mosaic FMA-fuses the SPHERE body's
+                            # quadratic differently than the XLA oracle
+                            # (isolated: slab+sphere drifts ~1e-7,
+                            # slab+cuboid/capsule/hull all exact) — the
+                            # sweep's hulls-in-loop check asserts <=2e-6
+                            # with this cause documented
+                            row = chul[pl.ds(ci, 1), :]
+                            planes = row.reshape(-1, 4)[: max(hull_counts)]
+                            dist, nx, ny, nz = _ray_hull(
+                                ox, oy, oz, rdx, rdy, rdz, planes)
+                        else:
+                            dist, nx, ny, nz = _ray_kind(k, ox, oy, oz, rdx, rdy, rdz, p0, p1, p2)
                         layer_ok = (lane_mask & lay) != 0
                         dist = jnp.where(layer_ok, dist, BIG)
                         if ident:
@@ -941,7 +961,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             gmeta_ref = refs[pos]
             pos += 1
         has_coll = C > 0 and static.any_collision
-        looped = has_coll and C >= LOOP_MIN_COLLIDERS and not any_hull
+        looped = has_coll and C >= LOOP_MIN_COLLIDERS
         cidx_ref = None
         if looped:  # SMEM [C, 1] i32: original table index per permuted row
             cidx_ref = refs[pos]
@@ -1352,7 +1372,9 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
                     alive_sp & ~dead_by_age & has_col, coll_scratch,
                     loop_groups=_collider_groups(collider_kinds, collider_identity) if looped else None,
                     cidx=cidx_ref,
-                    chul=(chul_ref[:, :] if any_hull else None),
+                    # looped: the VMEM ref (dynamic pl.ds row loads);
+                    # unrolled: the loaded array
+                    chul=(chul_ref if looped else chul_ref[:, :]) if any_hull else None,
                     hull_counts=hull_counts,
                 )
                 npx = jnp.where(has_col, cpx, px + vx * dt)
@@ -1613,13 +1635,14 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     kinds = colliders.kinds if (colliders is not None and static.any_collision) else ()
     identity = colliders.identity_rot if (colliders is not None and static.any_collision) else ()
     any_hull = COLLIDER_HULL in kinds
-    # hulls keep the unrolled narrow phase (their plane rows are read by
-    # static collider index; practical hull counts stay below the unroll
-    # blowup threshold, docs/PERF_NOTES.md "Collider-count scaling")
-    looped = len(kinds) >= LOOP_MIN_COLLIDERS and not any_hull
+    looped = len(kinds) >= LOOP_MIN_COLLIDERS
+    hull_counts = colliders.hull_counts if any_hull else ()
     perm = None
     if looped:  # group by (kind, identity) for the fori_loop narrow phase
         perm, kinds, identity, _groups = _collider_perm(kinds, identity)
+        if any_hull:  # counts travel with their permuted rows (the loop
+            # pads every hull to the table max anyway — _SmemPlanes)
+            hull_counts = tuple(hull_counts[i] for i in perm)
     dump = static.any_destroyed_dump
     single = static.single_type
     derived = static.derived_alive and can_fuse(static)
@@ -1674,7 +1697,7 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     kernel = _make_kernel(static, kinds, identity, dump, kernel_spawn, block_rows, pack_render,
                           unroll=unroll, field_kinds=field_kinds, nested_merge=merge_info,
                           shard_npool=shard_npool, fleet=fleet,
-                          hull_counts=(colliders.hull_counts if any_hull else ()))
+                          hull_counts=hull_counts)
 
     if fleet:
         # per-slot smalls stacked [S, ...]; colliders shared (the group's

@@ -698,6 +698,11 @@ class Scene:
         self._combined_limit = int(combined_signature_limit)
         self._combined_signatures: set = set()
         self._per_group_mode = False
+        # deferred event surfacing (enable_async_events): (sid, outputs,
+        # state, n_frames) snapshots from the PREVIOUS step, delivered at
+        # the start of the next one
+        self._async_events = False
+        self._pending_events: List[tuple] = []
         # pipelined (async) render extract state — see enable_async_render
         self._async_readers: Dict[int, object] = {}
         self._async_enabled = False
@@ -1057,6 +1062,45 @@ class Scene:
     def on_finished(self, sid: int, callback: Callable[[int], None]):
         self._spawners[sid].finished_observers.append(callback)
 
+    def enable_async_events(self):
+        """Take event surfacing off the sync path (VERDICT r4 next #9):
+        finished callbacks and destroyed-particle dumps are delivered at
+        the START of the NEXT step() (or at flush_events()) instead of
+        inside the step that produced them. Reading a frame's outputs
+        forces a device sync; one frame later the device has long finished,
+        so the read is a cheap fetch instead of a pipeline stall — the
+        analog of the reference's deferred command queue
+        (`core.rs:660-667`: destroyed handlers run via deferred commands,
+        not inline in the integrator).
+
+        Ordering contract: events of step N are delivered, in spawner-id
+        order, before step N+1's simulation runs — exactly once, one frame
+        late. Handlers therefore observe a world one frame ahead of the
+        deaths they describe; call flush_events() before tearing a scene
+        down to drain the final frame's events."""
+        self._async_events = True
+
+    def flush_events(self):
+        """Deliver any deferred events now (see enable_async_events)."""
+        pending, self._pending_events = self._pending_events, []
+        for sid, slot, outputs, state, n_frames in pending:
+            # delivered even if the spawner was removed/replaced since the
+            # event frame: the deaths happened; the snapshot carries
+            # everything the handlers need (reference: deferred commands
+            # still run after the producing system, core.rs:660-667)
+            if slot.finished_observers and not slot.finished_fired:
+                fired_now = (
+                    bool(outputs.finished_event)
+                    if n_frames == 1
+                    else bool(state.finished_notified)
+                )
+                if fired_now:
+                    slot.finished_fired = True
+                    for cb in slot.finished_observers:
+                        cb(sid)
+            if slot.compiled.static.any_destroyed_dump:
+                self._dispatch_destroyed(sid, slot, outputs=outputs, state=state)
+
     def _p_row_spec(self, slot: _SpawnerSlot):
         """CapsuleSpec of ONE member's params tree (all-small leaves -> one
         packed buffer), cached per static: the canonical churn path ships
@@ -1132,6 +1176,9 @@ class Scene:
         spawner. Per-spawner behaviour (events, dumps, outputs) is
         unchanged."""
         self.time += float(dt)
+        if self._async_events:
+            self.flush_events()  # deliver step N-1's events (cheap: the
+            # device finished that frame long ago)
         self._last_dt = float(dt)
         self._run_groups(dt, n_frames=1)
 
@@ -1495,7 +1542,15 @@ class Scene:
                     # INSIDE the window (age grew, but by less than a
                     # continuing tenant's would have)
                     slot.trail_state = update_trails(slot.trail_state, slot.state, elapsed)
-                # host-side event surfacing (syncs only when someone cares)
+                # host-side event surfacing (syncs only when someone
+                # cares; enable_async_events defers delivery one frame so
+                # the read never stalls the pipeline)
+                wants_events = ((slot.finished_observers and not slot.finished_fired)
+                                or slot.compiled.static.any_destroyed_dump)
+                if wants_events and self._async_events:
+                    self._pending_events.append(
+                        (sid, slot, slot.outputs, slot.state, n_frames))
+                    continue
                 if slot.finished_observers and not slot.finished_fired:
                     fired_now = (
                         bool(slot.outputs.finished_event)
@@ -1521,14 +1576,18 @@ class Scene:
         if n_frames <= 0:
             return
         self.time += float(dt) * n_frames
+        if self._async_events:
+            self.flush_events()
         self._last_dt = float(dt)
         self._run_groups(dt, n_frames=n_frames)
 
-    def _dispatch_destroyed(self, sid: int, slot: _SpawnerSlot):
-        mask = np.asarray(slot.outputs.destroyed_mask)
+    def _dispatch_destroyed(self, sid: int, slot: _SpawnerSlot,
+                            outputs=None, state=None):
+        outputs = outputs if outputs is not None else slot.outputs
+        mask = np.asarray(outputs.destroyed_mask)
         if not mask.any():
             return
-        st = slot.state
+        st = state if state is not None else slot.state
         idx = np.nonzero(mask)[0]
         f = {k: np.asarray(getattr(st, k))[idx] for k in (
             "px", "py", "pz", "vx", "vy", "vz", "qx", "qy", "qz", "qw",

@@ -751,3 +751,43 @@ def test_fused_collision_parity_hull():
     sA, oA, sB, oB = run_both(sp, n_frames=12, colliders=colliders)
     assert int(oA.alive_count) == int(oB.alive_count) > 0
     assert_state_match(sA, sB, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_fused_collision_parity_hulls_in_looped_phase():
+    """Hulls now ride the looped narrow phase (VERDICT r4 next #4): with
+    C >= LOOP_MIN_COLLIDERS and hulls present, the hull group is a
+    fori_loop over SMEM plane rows padded to the table-max plane count
+    (_SmemPlanes; padded rows are exact no-ops in the slab math). Mix of
+    hulls the burst hits (a 6-plane floor slab + a tetrahedron in the
+    stream), far-away hulls the broad phase must skip (bounding radius =
+    params[0]), and primitives — all lane-exact vs the XLA oracle, which
+    never culls or loops."""
+    from bevy_firework_tpu.ops.fused_step import LOOP_MIN_COLLIDERS
+
+    sp = det_spawner(
+        ps=dict(
+            linear_drag=0.0,
+            collision_settings=ParticleCollisionSettings(restitution=0.5, friction=0.1),
+        ),
+        pacing=EmissionPacing.one_shot(60),
+    )
+    slab = [(1, 0, 0, 40.0), (-1, 0, 0, 40.0), (0, 1, 0, 0.5),
+            (0, -1, 0, 0.5), (0, 0, 1, 40.0), (0, 0, -1, 40.0)]
+    colliders = [
+        Collider.hull(slab, position=(0.0, -1.0, 0.0)),  # hit: floor slab
+        Collider.hull_from_points(
+            [(0, 0, 0), (0.9, 0, 0), (0, 1.2, 0), (0, 0, 0.9)],
+            position=(0.3, 0.2, 0.0)),  # hit: tetra in the stream
+        Collider.hull_from_points(
+            [(0, 0, 0), (2, 0, 0), (0, 2, 0), (0, 0, 2)],
+            position=(70.0, 0.0, 0.0)),  # culled by the broad phase
+        Collider.sphere(0.4, position=(0.6, 1.0, 0.1)),  # hit: primitive
+        Collider.cuboid((0.3, 0.3, 0.3), position=(50.0, 0.0, 0.0)),  # culled
+        Collider.hull(slab, position=(0.0, 60.0, 0.0),
+                      rotation=(0.0, 0.0, 0.3826834, 0.9238795)),  # culled, rotated
+    ]
+    assert len(colliders) >= LOOP_MIN_COLLIDERS
+    sA, oA, sB, oB = run_both(sp, n_frames=12, colliders=colliders)
+    assert int(oA.alive_count) == int(oB.alive_count) > 0
+    assert_state_match(sA, sB, atol=1e-4)

@@ -29,18 +29,22 @@ from bevy_firework_tpu.settings import EmissionPacing
 CAPACITY = 160 * 8192
 
 
-def colliders_n(n):
+def colliders_n(n, hulls=False):
     cols = [Collider.halfspace(position=(0.0, -2.0, 0.0))]
     rng = np.random.RandomState(7)
     while len(cols) < n:
         p = rng.uniform(-20, 20, 3)
-        k = len(cols) % 3
+        k = len(cols) % (4 if hulls else 3)
         if k == 0:
             cols.append(Collider.sphere(radius=1.0, position=tuple(p)))
         elif k == 1:
             cols.append(Collider.cuboid(half_extents=(1.0, 1.0, 1.0), position=tuple(p)))
-        else:
+        elif k == 2:
             cols.append(Collider.capsule(radius=0.5, half_segment=1.0, position=tuple(p)))
+        else:
+            cols.append(Collider.hull_from_points(
+                [(0, 0, 0), (2.0, 0, 0), (0, 2.5, 0), (0, 0, 2.0)],
+                position=tuple(p)))
     return cols[:n]
 
 
@@ -50,12 +54,12 @@ def _fence(arr) -> float:
     return float(np.asarray(arr.sum()))
 
 
-def measure(n_cols, warmup=140, n=60, reps=7):
+def measure(n_cols, warmup=140, n=60, reps=7, hulls=False):
     sp, _t, _c = effects.stress_test_collision()
     es = dataclasses.replace(sp.emission_settings[0], emission_pacing=EmissionPacing.rate(500_000.0))
     sp = dataclasses.replace(sp, emission_settings=(es,))
     c = compile_spawner(sp)
-    table = compile_colliders(colliders_n(n_cols))
+    table = compile_colliders(colliders_n(n_cols, hulls=hulls))
     state = init_pool_for(c, CAPACITY, 0)
     frame = make_frame_input(1 / 60)
     state, out = multi_step_auto(c.static, c.params, table, state, frame, warmup)
@@ -78,6 +82,12 @@ def main():
     for n_cols in (1, 2, 4, 8, 16, 32):
         live, ms = measure(n_cols)
         print(f"C={n_cols:3d}: {ms:.3f} ms/frame ({live} live)")
+    # hulls in the loop (VERDICT r4 next #4): every 4th collider a
+    # tetrahedron hull — 24+ colliders with hulls must show loop-linear
+    # cost, no unroll code-size blowup
+    for n_cols in (8, 16, 24, 32):
+        live, ms = measure(n_cols, hulls=True)
+        print(f"C={n_cols:3d} (1/4 hulls): {ms:.3f} ms/frame ({live} live)")
 
 
 if __name__ == "__main__":

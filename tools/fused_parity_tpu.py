@@ -350,6 +350,68 @@ def check_hull_colliders(capacity=8192, n_frames=25):
     return None
 
 
+def check_hulls_in_loop(capacity=8192, n_frames=25):
+    """Hulls in the LOOPED narrow phase (VERDICT r4 next #4) COMPILED on the
+    chip: C >= LOOP_MIN_COLLIDERS with hulls present runs the hull group as
+    a fori_loop over SMEM plane rows padded to the table max (_SmemPlanes)
+    — must stay lane-exact vs the XLA path, incl. a rotated hull and
+    far-away hulls the scalar broad phase culls."""
+    from bevy_firework_tpu.ops.fused_step import LOOP_MIN_COLLIDERS
+    from bevy_firework_tpu.step import step_jit
+
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(
+            lifetime=RandF32.constant(1.5), initial_scale=RandF32.constant(0.1),
+            linear_drag=0.0,
+            collision_settings=ParticleCollisionSettings(restitution=0.6, friction=0.2))],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.rate(3000.0),
+            initial_velocity=RandVec3.constant((0.8, -3.0, 0.2)))],
+    )
+    s8 = float(np.sin(np.pi / 8))
+    c8 = float(np.cos(np.pi / 8))
+    slab = [(1, 0, 0, 50.0), (-1, 0, 0, 50.0), (0, 1, 0, 1.0),
+            (0, -1, 0, 1.0), (0, 0, 1, 50.0), (0, 0, -1, 50.0)]
+    cols = [
+        Collider.hull(slab, position=(0.0, -1.5, 0.0)),
+        Collider.hull_from_points(
+            [(0, 0, 0), (1.5, 0, 0), (0, 1.5, 0), (0, 0, 1.5)],
+            position=(0.6, -0.4, 0.2), rotation=(0.0, 0.0, s8, c8)),
+        Collider.hull_from_points(
+            [(0, 0, 0), (2, 0, 0), (0, 2, 0), (0, 0, 2)],
+            position=(80.0, 0.0, 0.0)),  # broad-phase culled
+        Collider.sphere(0.4, position=(0.5, -0.2, 0.1)),
+        Collider.cuboid((0.3, 0.3, 0.3), position=(60.0, 0.0, 0.0)),  # culled
+        Collider.capsule(0.2, 0.5, position=(0.0, 40.0, 0.0)),  # culled
+    ]
+    assert len(cols) >= LOOP_MIN_COLLIDERS
+    table = compile_colliders(cols)
+    c = compile_spawner(sp)
+    sK = init_pool_for(c, capacity, 0)
+    sX = init_pool_for(c, capacity, 0)
+    frame = make_frame_input(1 / 50)
+    for _ in range(n_frames):
+        sK, oK = fused_jit(c.static, c.params, table, sK, frame)
+        sX, oX = step_jit(c.static, c.params, table, sX, frame)
+    if int(oK.alive_count) != int(oX.alive_count) or int(oK.alive_count) == 0:
+        return f"COUNT {int(oK.alive_count)} vs {int(oX.alive_count)}"
+    if not np.array_equal(np.asarray(sK.alive), np.asarray(sX.alive)):
+        return "FIELD alive differs"
+    # NEAR-exact (<= 2e-6), not exact: with the hull-planes operand in the
+    # kernel, Mosaic FMA-fuses the SPHERE narrow-phase body's quadratic
+    # differently than the XLA oracle — isolated to slab+sphere (~1e-7
+    # after 25 bounce frames; slab+cuboid/capsule/hull pairs are exact;
+    # see ops/fused_step.py hull comment). Every other sweep check stays
+    # bit-exact.
+    for f in ("px", "py", "pz", "vx", "vy", "vz", "age"):
+        a, b = np.asarray(getattr(sK, f)), np.asarray(getattr(sX, f))
+        d = np.abs(a.astype(np.float64) - b.astype(np.float64)).max()
+        if d > 2e-6:
+            return (f"FIELD {f} differs beyond the documented ulp seam "
+                    f"(n={int(np.sum(a != b))}, max |d| {d:.2e})")
+    return None
+
+
 def check_randlife_ring(capacity=2 * 8192, n_frames=20):
     """Random-lifetime archetypes now take the ring claim (VERDICT r3 next
     #4). RNG draws differ between the kernel (on-core PRNG) and the XLA path
@@ -870,6 +932,15 @@ def main(n_configs=8):
     else:
         print("hull-colliders: OK (plane-set hulls lane-exact vs XLA path, "
               "incl. rotated hull_from_points)")
+    total += 1
+    err = check_hulls_in_loop()
+    if err:
+        print(f"hulls-in-loop: {err}")
+        failures += 1
+    else:
+        print("hulls-in-loop: OK (hull group in the looped narrow phase "
+              "near-exact (<=2e-6, documented sphere-FMA seam) vs XLA, "
+              "broad-phase culls included)")
     total += 1
     err = check_nested_chained_merge()
     if err:
