@@ -137,7 +137,7 @@ for p in tex_paths:
 # pass and pbr_shade samples it (casing shadows in the textures scene).
 variant = PipelineCache().specialize(
     key_for(ALPHA_BLEND, depth_prepass=True, shadow_map=True, fog=args.fog,
-            lights=args.lights))
+            lights=args.lights, shadow_atlas=args.lights))
 desc = dataclasses.asdict(variant)
 del desc["key"]  # everything the consumer needs is in the descriptor fields
 if args.fog:
@@ -152,20 +152,57 @@ if args.fog:
         directional_light_exponent=12.0, light_dir=(0.5, 0.7, 0.4),
     ).to_bytes()).decode()
 if args.lights:
-    # LIGHTS variant (Bevy clustered-PBR analog): the page binds these 544
-    # std140 bytes at group(2) binding 12; pbr_shade loops the table instead
-    # of the built-in single directional environment.
-    from bevy_firework_tpu.render import Light, LightTable
+    # LIGHTS variant (Bevy clustered-PBR analog): the page binds these std140
+    # bytes at group(2) binding 12; pbr_shade loops the table instead of the
+    # built-in single directional environment. The spot CASTS via the
+    # SHADOW_ATLAS variant (VERDICT r4 next #5): the page renders its tile of
+    # the depth atlas itself against the engine's light_view_proj matrix and
+    # binds the engine's ShadowAtlasUniform bytes at 13-15.
+    import numpy as np
 
-    desc["lights_uniform"] = base64.b64encode(LightTable(
+    from bevy_firework_tpu.render import (MAX_LIGHTS, Light, LightTable,
+                                          ShadowAtlas, light_view_proj)
+
+    _table = LightTable(
         lights=(
             Light.directional((-0.5, -0.7, -0.4), color=(1.0, 0.95, 0.85), illuminance=0.8),
             Light.point((2.0, 2.5, 0.0), color=(0.2, 0.5, 1.0), intensity=120.0, range=18.0),
             Light.spot((-3.0, 4.0, 2.0), (0.5, -1.0, -0.3), color=(1.0, 0.4, 0.2),
-                       intensity=250.0, range=25.0, inner_angle=0.35, outer_angle=0.55),
+                       intensity=250.0, range=25.0, inner_angle=0.35, outer_angle=0.55,
+                       shadow=True),
         ),
         ambient=(0.05, 0.05, 0.07),
-    ).to_bytes()).decode()
+    )
+    desc["lights_uniform"] = base64.b64encode(_table.to_bytes()).decode()
+    _tiles = _table.shadow_tiles()
+    _n_tiles = max([t + 1 for t in _tiles if t >= 0], default=0)
+    _grid = 1
+    while _grid * _grid < _n_tiles:
+        _grid += 1
+    _mats = np.zeros((MAX_LIGHTS, 4, 4), np.float32)
+    _tile_meta = []
+    for _row, _tile in enumerate(_tiles):
+        if _tile < 0:
+            continue
+        _m = light_view_proj(_table.lights[_row], center=(0.0, 1.0, 0.0), radius=12.0)
+        _mats[_tile] = _m
+        # caster-pass basis: the light camera's right/up (billboards face
+        # the light); recover from the view part the same way _look_at does
+        from bevy_firework_tpu.render import _look_at
+
+        _lt = _table.lights[_row]
+        _v = _look_at(_lt.position, _lt.direction)
+        _tile_meta.append({
+            "tile": _tile,
+            "vp": [float(x) for x in np.asarray(_m).T.ravel()],  # column-major
+            "right": [float(x) for x in _v[0, :3]],
+            "up": [float(x) for x in _v[1, :3]],
+        })
+    _atlas = ShadowAtlas(table=_table, depth=np.ones((1, 1), np.float32),
+                         mats=_mats, grid=_grid, bias=0.004, strength=0.8)
+    desc["shadow_atlas_uniform"] = base64.b64encode(_atlas.to_bytes()).decode()
+    desc["shadow_atlas_grid"] = _grid
+    desc["shadow_atlas_tiles"] = _tile_meta
 
 HTML = r"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>bevy_firework_tpu - shipped-WGSL WebGPU viewer</title>
@@ -414,13 +451,36 @@ async function main() {
     for (let i = 0; i < fb.length; i++) fa[i] = fb.charCodeAt(i);
     device.queue.writeBuffer(fogUniBuf, 0, fa);
   }
-  // LIGHTS variant: the engine's 544 std140 LightTable bytes -> binding 12
+  // LIGHTS variant: the engine's std140 LightTable bytes -> binding 12
   let lightsUniBuf = null;
   if (DESC.lights_uniform) {
-    lightsUniBuf = device.createBuffer({size: 544, usage: GPUBufferUsage.UNIFORM | GPUBufferUsage.COPY_DST});
-    const lb = atob(DESC.lights_uniform); const la = new Uint8Array(544);
+    const lb = atob(DESC.lights_uniform); const la = new Uint8Array(lb.length);
     for (let i = 0; i < lb.length; i++) la[i] = lb.charCodeAt(i);
+    lightsUniBuf = device.createBuffer({size: la.length, usage: GPUBufferUsage.UNIFORM | GPUBufferUsage.COPY_DST});
     device.queue.writeBuffer(lightsUniBuf, 0, la);
+  }
+  // SHADOW_ATLAS variant: one tiled depth texture; the page renders each
+  // shadow light's tile itself (the engine authored the matrices — the
+  // same contract a real renderer follows), engine uniform -> binding 13
+  let atlasUniBuf = null, atlasView = null, atlasTiles = [];
+  const ATLAS_TILE = 512;
+  if (DESC.shadow_atlas_uniform) {
+    const ab = atob(DESC.shadow_atlas_uniform); const aa = new Uint8Array(ab.length);
+    for (let i = 0; i < ab.length; i++) aa[i] = ab.charCodeAt(i);
+    atlasUniBuf = device.createBuffer({size: aa.length, usage: GPUBufferUsage.UNIFORM | GPUBufferUsage.COPY_DST});
+    device.queue.writeBuffer(atlasUniBuf, 0, aa);
+    const g = DESC.shadow_atlas_grid;
+    const atlasTex = device.createTexture({size: [g*ATLAS_TILE, g*ATLAS_TILE],
+      format: "depth32float",
+      usage: GPUTextureUsage.RENDER_ATTACHMENT | GPUTextureUsage.TEXTURE_BINDING});
+    atlasView = atlasTex.createView();
+    for (const tm of DESC.shadow_atlas_tiles) {
+      const buf = device.createBuffer({size: 96, usage: GPUBufferUsage.UNIFORM | GPUBufferUsage.COPY_DST});
+      const u = new Float32Array(24);
+      u.set(tm.vp, 0); u.set(tm.right, 16); u.set(tm.up, 20);
+      device.queue.writeBuffer(buf, 0, u);
+      atlasTiles.push({tile: tm.tile, buf});
+    }
   }
   // caster-pass uniform: light vp + the light-facing quad basis
   const lright = [lv.inv[0], lv.inv[1], lv.inv[2]];
@@ -561,6 +621,11 @@ async function main() {
       ];
       if (fogUniBuf) g2e.push({binding: 11, resource: {buffer: fogUniBuf}});
       if (lightsUniBuf) g2e.push({binding: 12, resource: {buffer: lightsUniBuf}});
+      if (atlasUniBuf) {
+        g2e.push({binding: 13, resource: {buffer: atlasUniBuf}});
+        g2e.push({binding: 14, resource: atlasView});
+        g2e.push({binding: 15, resource: compSamp});
+      }
       sys.g2 = device.createBindGroup({layout: g2Layout, entries: g2e});
     }
   }
@@ -585,6 +650,28 @@ async function main() {
       if (s.ribbon) ribbons += s.count; else live += s.count;
     }
     const enc = device.createCommandEncoder();
+    // 0a) shadow ATLAS passes: each shadow light's tile depth-rendered from
+    // its own view (SHADOW_ATLAS variant; per-light maps)
+    if (atlasView) {
+      const g = DESC.shadow_atlas_grid;
+      const pA = enc.beginRenderPass({colorAttachments: [], depthStencilAttachment: {
+        view: atlasView, depthClearValue: 1, depthLoadOp: "clear", depthStoreOp: "store"}});
+      pA.setPipeline(casterPipeline);
+      for (const at of atlasTiles) {
+        pA.setViewport((at.tile % g) * ATLAS_TILE, Math.floor(at.tile / g) * ATLAS_TILE,
+                       ATLAS_TILE, ATLAS_TILE, 0, 1);
+        pA.setBindGroup(0, device.createBindGroup({layout: svLayout,
+          entries: [{binding: 0, resource: {buffer: at.buf}}]}));
+        for (const s of bytes[fi]) {
+          if (!s.count || s.ribbon) continue;
+          const sys = systems.get(s.key);
+          if (new DataView(sys.uniformBytes.buffer, sys.uniformBytes.byteOffset).getUint32(4, true) !== 1) continue;
+          pA.setVertexBuffer(0, sys.ibuf);
+          pA.draw(6, s.count);
+        }
+      }
+      pA.end();
+    }
     // 0) shadow pass: PBR casters depth-rendered from the light's view
     const p0 = enc.beginRenderPass({colorAttachments: [], depthStencilAttachment: {
       view: shadowDepthView, depthClearValue: 1, depthLoadOp: "clear", depthStoreOp: "store"}});

