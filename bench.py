@@ -80,6 +80,16 @@ def _measure_hbm_probe(n_iters=64, reps=7, mib=512):
     return ms, ms / expected_ms
 
 
+def _scene_fence(scene):
+    """Cheap per-batch fence: 4-byte reads (a full px fetch rides the
+    tunnel at ~5-10 ms per pool and pollutes small windows)."""
+    for b in scene._batches.values():
+        if getattr(b, "flat", False):
+            _fence(b.scaps[0][:1])
+        else:
+            _fence(b.states.px[:1, :1])
+
+
 def _measure_dispatch_floor(n_frames=50):
     """Per-dispatch floor of THIS attach at THIS moment: sustained wall of
     a trivial 2-buffer jitted chain (enqueue + tunnel round trip + fence
@@ -106,6 +116,47 @@ def _measure_dispatch_floor(n_frames=50):
     for _ in range(n_frames):
         a, b = f(a, b)
     float(np.asarray(a[:1].sum()))
+    return (time.perf_counter() - t0) / n_frames * 1e3
+
+
+_KPROBE = {}
+
+
+def _measure_kernel_dispatch_probe(n_frames=40):
+    """Per-dispatch cost of a CANONICAL real frame program (sparks fleet,
+    S=8 x 8192 lanes, no pack): the trivial-program floor misses a second
+    drift axis — the per-THUNK/per-operand cost, which moved the solo
+    step's dispatch wall 3.3 -> 9.8 ms within one day while the 2-buffer
+    floor read 0.73 ms. Scene walls divided by this probe are comparable
+    across attach states; the probe's own value IS the attach's
+    interactive-frame tax at measurement time."""
+    import numpy as np
+
+    from bevy_firework_tpu.ops.fused_step import step_auto_fleet
+    from bevy_firework_tpu.parallel.sharding import stack_frames, stack_pools
+
+    if "case" not in _KPROBE:
+        spawner, _tf = effects.sparks(rate=3000.0)
+        compiled = compile_spawner(spawner)
+        states = stack_pools([init_pool_for(compiled, 8192, i) for i in range(8)])
+        frames = stack_frames([make_frame_input(1.0 / 60.0, translation=(float(i), 0.0, 0.0))
+                               for i in range(8)])
+        import jax as _jax
+        import jax.numpy as jnp
+
+        P = _jax.tree_util.tree_map(
+            lambda x: jnp.stack([jnp.asarray(x)] * 8), compiled.params)
+        f = _jax.jit(lambda s: step_auto_fleet(compiled.static, P,
+                                               None, s, frames)[0])
+        _KPROBE["case"] = (f, states)
+    f, states = _KPROBE["case"]
+    s = f(states)
+    s = f(s)
+    _fence(s.px[:1, :1])
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        s = f(s)
+    _fence(s.px[:1, :1])
     return (time.perf_counter() - t0) / n_frames * 1e3
 
 
@@ -380,14 +431,13 @@ def _measure_scene_batch(n_spawners=12, capacity=8192, rate=6000.0, n_frames=50)
                           transform=Transform(translation=(float(i), 0.0, 0.0)))
     for _ in range(30):
         scene.step(1.0 / 60.0)  # warm + compile
-    for b in scene._batches.values():
-        np.asarray(b.states.px)  # drain warmup (compiles/first-exec) BEFORE t0
+    _scene_fence(scene)  # drain warmup (compiles/first-exec) BEFORE t0
     floor = _measure_dispatch_floor()
+    kprobe = _measure_kernel_dispatch_probe()
     t0 = time.perf_counter()
     for _ in range(n_frames):
         scene.step(1.0 / 60.0)
-    for b in scene._batches.values():
-        np.asarray(b.states.px)  # fence on the stacked authority
+    _scene_fence(scene)
     ms = (time.perf_counter() - t0) / n_frames * 1e3
     return {
         "spawners": n_spawners,
@@ -395,7 +445,9 @@ def _measure_scene_batch(n_spawners=12, capacity=8192, rate=6000.0, n_frames=50)
         "dispatch_groups": scene._last_step_dispatches,
         "ms_per_frame_wall": round(ms, 4),
         "dispatch_floor_ms": round(floor, 4),
+        "kernel_dispatch_probe_ms": round(kprobe, 4),
         "ms_minus_floor": round(ms - floor, 4),
+        "wall_over_probe": round(ms / kprobe, 3) if kprobe > 0 else None,
     }
 
 
@@ -437,14 +489,13 @@ def _measure_scene_hetero(n_spawners=100, capacity=8192, n_frames=40):
             transform=Transform(translation=(float(i % 10), 0.0, float(i // 10))))
     for _ in range(30):
         scene.step(1.0 / 60.0)
-    for b in scene._batches.values():
-        np.asarray(b.states.px)  # drain warmup before t0
+    _scene_fence(scene)  # drain warmup (compiles/first-exec) BEFORE t0
     floor = _measure_dispatch_floor()
+    kprobe = _measure_kernel_dispatch_probe()
     t0 = time.perf_counter()
     for _ in range(n_frames):
         scene.step(1.0 / 60.0)
-    for b in scene._batches.values():
-        np.asarray(b.states.px)
+    _scene_fence(scene)
     ms = (time.perf_counter() - t0) / n_frames * 1e3
     return {
         "spawners": n_spawners,
@@ -453,7 +504,9 @@ def _measure_scene_hetero(n_spawners=100, capacity=8192, n_frames=40):
         "dispatch_groups": scene._last_step_dispatches,
         "ms_per_frame_wall": round(ms, 4),
         "dispatch_floor_ms": round(floor, 4),
+        "kernel_dispatch_probe_ms": round(kprobe, 4),
         "ms_minus_floor": round(ms - floor, 4),
+        "wall_over_probe": round(ms / kprobe, 3) if kprobe > 0 else None,
     }
 
 
@@ -502,11 +555,11 @@ def _measure_group_churn(n_spawners=12, capacity=8192, rate=6000.0, n_frames=40)
     sids.append(scene.add_spawner(spawner, capacity=capacity,
                                   transform=Transform(translation=(99.0, 0.0, 0.0))))
     scene.step(1.0 / 60.0)
-    import numpy as np
+    import numpy as np  # noqa: F401
 
-    for b in scene._batches.values():
-        np.asarray(b.states.px)
+    _scene_fence(scene)
     floor = _measure_dispatch_floor()
+    kprobe = _measure_kernel_dispatch_probe()
     t0 = time.perf_counter()
     for k in range(n_frames):
         scene.remove_spawner(sids.pop(0))
@@ -514,14 +567,12 @@ def _measure_group_churn(n_spawners=12, capacity=8192, rate=6000.0, n_frames=40)
             spawner, capacity=capacity,
             transform=Transform(translation=(float(100 + k), 0.0, 0.0))))
         scene.step(1.0 / 60.0)
-    for b in scene._batches.values():
-        np.asarray(b.states.px)
+    _scene_fence(scene)
     churn_ms = (time.perf_counter() - t0) / n_frames * 1e3
     t0 = time.perf_counter()
     for _ in range(n_frames):
         scene.step(1.0 / 60.0)
-    for b in scene._batches.values():
-        np.asarray(b.states.px)
+    _scene_fence(scene)
     steady_ms = (time.perf_counter() - t0) / n_frames * 1e3
     return {
         "spawners": n_spawners,
@@ -529,6 +580,7 @@ def _measure_group_churn(n_spawners=12, capacity=8192, rate=6000.0, n_frames=40)
         "churn_ms_per_frame_wall": round(churn_ms, 4),
         "steady_ms_per_frame_wall": round(steady_ms, 4),
         "dispatch_floor_ms": round(floor, 4),
+        "kernel_dispatch_probe_ms": round(kprobe, 4),
         "churn_over_steady": round(churn_ms / steady_ms, 3) if steady_ms > 0 else None,
     }
 
@@ -553,15 +605,16 @@ def _measure_events_overhead(n_frames=60, capacity=8192):
     )
 
     def build(dump, async_mode):
-        handlers = (ParticleEventHandlers(particles_destroyed=lambda rs: None)
-                    if dump else None)
+        ps_kw = dict(
+            lifetime=RandF32.constant(1.0),
+            collision_settings=ParticleCollisionSettings(
+                restitution=0.0, friction=0.0, destroy_on_collision=True),
+        )
+        if dump:
+            ps_kw["event_handlers"] = ParticleEventHandlers(
+                particles_destroyed=lambda rs: None)
         sp = ParticleSpawner(
-            particle_settings=[ParticleSettings(
-                lifetime=RandF32.constant(1.0),
-                collision_settings=ParticleCollisionSettings(
-                    restitution=0.0, friction=0.0, destroy_on_collision=True),
-                event_handlers=handlers,
-            )],
+            particle_settings=[ParticleSettings(**ps_kw)],
             emission_settings=[EmissionSettings(
                 emission_pacing=EmissionPacing.rate(3000.0),
                 initial_velocity=RandVec3(magnitude=RandF32(2.0, 5.0),
@@ -592,15 +645,25 @@ def _measure_events_overhead(n_frames=60, capacity=8192):
     s_async = build(True, True)
     for s in (s_free, s_sync, s_async):
         sustained(s)  # warm
-    free = sustained(s_free)
-    sync = sustained(s_sync)
-    asyn = sustained(s_async)
+    # interleave windows: the attach's per-dispatch/per-fetch costs drift
+    # minute-to-minute and dominate the dump path on a tunneled attach
+    frees, syncs, asyns = [], [], []
+    for _ in range(3):
+        frees.append(sustained(s_free))
+        syncs.append(sustained(s_sync))
+        asyns.append(sustained(s_async))
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    free, sync, asyn = med(frees), med(syncs), med(asyns)
     return {
         "dump_free_ms": round(free, 3),
         "dump_sync_ms": round(sync, 3),
         "dump_async_ms": round(asyn, 3),
         "async_over_free": round(asyn / free, 3) if free > 0 else None,
         "sync_over_free": round(sync / free, 3) if free > 0 else None,
+        # context: the dump path adds per-frame device->host payload
+        # fetches whose cost is set by the attach (see this probe), not by
+        # the engine — on a co-located host the ratio approaches 1
+        "kernel_dispatch_probe_ms": round(_measure_kernel_dispatch_probe(), 4),
     }
 
 
@@ -929,7 +992,7 @@ def main():
                 pathlib.Path(__file__).resolve().parent / "tools" / "ab_kernel_tpu.py")
             mod = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(mod)
-            extras["ab_vs_r02"] = mod.run(reps=9, base_frames=150)
+            extras["ab_vs_r02"] = mod.run(reps=9, base_frames=600)
         except Exception as e:
             extras["ab_vs_r02"] = {"skipped": True, "reason": str(e)[:160]}
 

@@ -93,6 +93,79 @@ def _unpack_jit(spec, bufs):
     return _cap_unpack(bufs, spec)
 
 
+_DUMP_FIELDS = ("px", "py", "pz", "vx", "vy", "vz", "qx", "qy", "qz", "qw",
+                "wx", "wy", "wz", "initial_scale", "age", "lifetime", "ptype")
+
+
+# Compacted dump rows fetched per frame: the tunnel's device->host path
+# runs ~15 MB/s, so fetching the FULL pool payload (~560 KB at 8192 lanes)
+# cost ~40 ms per spawner per frame; compacting destroyed lanes to the
+# front on-device first fetches ~73 KB. Frames destroying more than this
+# fall back to the full fetch (row 18 carries the true count).
+_DUMP_COMPACT_M = 1024
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _pack_dump_compact(state, destroyed_mask, m):
+    """[19, m] f32: _pack_dump rows gathered for the first m DESTROYED
+    lanes (stable index order), mask in row 17, the TRUE destroyed count
+    broadcast in row 18 (host falls back to the full payload when it
+    exceeds m)."""
+    m = min(m, int(destroyed_mask.shape[0]))
+    order = jnp.argsort(jnp.logical_not(destroyed_mask), stable=True)[:m]
+    rows = [getattr(state, k).astype(jnp.float32)[order] for k in _DUMP_FIELDS]
+    rows.append(destroyed_mask[order].astype(jnp.float32))
+    rows.append(jnp.broadcast_to(
+        destroyed_mask.sum().astype(jnp.float32), (m,)))
+    return jnp.stack(rows)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _pack_dump_compact_stacked(states, destroyed_mask, m):
+    """Per-GROUP compact dump payload: [S, 19, m] in ONE dispatch (packing
+    per slot first materialized each slot's lazy state slice — ~21 tiny
+    dispatches per spawner per frame)."""
+    return jax.vmap(lambda s, d: _pack_dump_compact(s, d, m))(states, destroyed_mask)
+
+
+@jax.jit
+def _pack_dump(state, destroyed_mask):
+    """[18, N] f32: the destroyed-dump payload as ONE buffer — the host
+    used to fetch 17 pool arrays per dump spawner per frame (~0.5-2 ms of
+    tunnel time EACH); one stacked fetch costs one buffer."""
+    rows = [getattr(state, k).astype(jnp.float32) for k in _DUMP_FIELDS]
+    rows.append(destroyed_mask.astype(jnp.float32))
+    return jnp.stack(rows)
+
+
+def _curve_many(curve, t):
+    """Vectorized host twin of FireworkCurve.sample_clamped (np f32 math,
+    same interpolation cases) — the per-record scalar path cost ~0.3-1 ms
+    PER PARTICLE in python at dump rates."""
+    from .curve import CURVE_CONSTANT, CURVE_EVEN
+
+    t = np.asarray(t, np.float32)
+    vs = np.asarray(curve.vs, dtype=np.float32)
+    if curve.kind == CURVE_CONSTANT:
+        return np.broadcast_to(vs[0], t.shape + vs[0:1].shape[1:]).astype(np.float32)
+    if curve.kind == CURVE_EVEN:
+        n = len(curve.vs)
+        tc = np.clip(t, 0.0, 1.0)
+        x = tc * np.float32(n - 1)
+        i = np.minimum(np.floor(x).astype(np.int64), n - 2)
+        frac = (x - i.astype(np.float32)).astype(np.float32)
+        if vs.ndim > 1:
+            frac = frac[..., None]
+        return (vs[i] + (vs[i + 1] - vs[i]) * frac).astype(np.float32)
+    ts = np.asarray(curve.ts, dtype=np.float32)
+    tc = np.clip(t, ts[0], ts[-1]).astype(np.float32)
+    i = np.clip(np.searchsorted(ts, tc, side="right") - 1, 0, len(ts) - 2)
+    frac = ((tc - ts[i]) / (ts[i + 1] - ts[i])).astype(np.float32)
+    if vs.ndim > 1:
+        frac = frac[..., None]
+    return (vs[i] + (vs[i + 1] - vs[i]) * frac).astype(np.float32)
+
+
 # (static, size, n_frames, s_spec) -> CapsuleSpec of the packed (outputs,
 # planes) pair. Filled DURING the trace of _scene_step_combined (tracing
 # always runs at least once per signature per process, even with a
@@ -1083,7 +1156,7 @@ class Scene:
     def flush_events(self):
         """Deliver any deferred events now (see enable_async_events)."""
         pending, self._pending_events = self._pending_events, []
-        for sid, slot, outputs, state, n_frames in pending:
+        for sid, slot, outputs, packed, fin_latch, n_frames in pending:
             # delivered even if the spawner was removed/replaced since the
             # event frame: the deaths happened; the snapshot carries
             # everything the handlers need (reference: deferred commands
@@ -1092,14 +1165,22 @@ class Scene:
                 fired_now = (
                     bool(outputs.finished_event)
                     if n_frames == 1
-                    else bool(state.finished_notified)
+                    else bool(fin_latch)  # step_n: the latch (docstring)
                 )
                 if fired_now:
                     slot.finished_fired = True
                     for cb in slot.finished_observers:
                         cb(sid)
-            if slot.compiled.static.any_destroyed_dump:
-                self._dispatch_destroyed(sid, slot, outputs=outputs, state=state)
+            if slot.compiled.static.any_destroyed_dump and packed is not None:
+                arr = np.asarray(packed)
+                if arr.shape[0] > 18 and arr[18][0] > (arr[17] > 0).sum():
+                    # compact window overflowed: refetch the full payload
+                    # (state snapshot no longer held — deliver from the
+                    # CURRENT state; the overflow path is best-effort and
+                    # bounded by _DUMP_COMPACT_M deaths/frame otherwise)
+                    self._dispatch_destroyed(sid, slot)
+                else:
+                    self._dispatch_destroyed(sid, slot, packed=arr)
 
     def _p_row_spec(self, slot: _SpawnerSlot):
         """CapsuleSpec of ONE member's params tree (all-small leaves -> one
@@ -1527,6 +1608,13 @@ class Scene:
                         # a slot leaving the stacked-trail regime must carry
                         # its trail slice with it (off the old batch)
                         slot.attach_batch(nb, i, materialize_trails=not group_trails)
+            # per-GROUP dump payload (see _pack_dump_stacked): one dispatch
+            # for the whole group; per-slot rows slice off it lazily
+            group_dump = None
+            if (len(slots) > 1 and key[0].any_destroyed_dump
+                    and restack is None and fsp is None):
+                group_dump = _pack_dump_compact_stacked(
+                    nb.states, nb.outputs.destroyed_mask, _DUMP_COMPACT_M)
             elapsed = np.float32(dt * n_frames)
             if len(slots) > 1 and group_trails:
                 nb.trails = update_trails_stacked(t_prev, nb.states, elapsed)
@@ -1548,8 +1636,20 @@ class Scene:
                 wants_events = ((slot.finished_observers and not slot.finished_fired)
                                 or slot.compiled.static.any_destroyed_dump)
                 if wants_events and self._async_events:
+                    if not slot.compiled.static.any_destroyed_dump:
+                        packed = None
+                    elif group_dump is not None:
+                        i = sids.index(sid)
+                        packed = group_dump[i]
+                    else:
+                        packed = _pack_dump_compact(
+                            slot.state, slot.outputs.destroyed_mask,
+                            _DUMP_COMPACT_M)
+                    fin = (slot.state.finished_notified
+                           if (slot.finished_observers and not slot.finished_fired
+                               and n_frames > 1) else False)
                     self._pending_events.append(
-                        (sid, slot, slot.outputs, slot.state, n_frames))
+                        (sid, slot, slot.outputs, packed, fin, n_frames))
                     continue
                 if slot.finished_observers and not slot.finished_fired:
                     fired_now = (
@@ -1562,7 +1662,14 @@ class Scene:
                         for cb in slot.finished_observers:
                             cb(sid)
                 if slot.compiled.static.any_destroyed_dump:
-                    self._dispatch_destroyed(sid, slot)
+                    if group_dump is not None:
+                        arr = np.asarray(group_dump[sids.index(sid)])
+                        if arr[18][0] > (arr[17] > 0).sum():
+                            self._dispatch_destroyed(sid, slot)  # overflow
+                        else:
+                            self._dispatch_destroyed(sid, slot, packed=arr)
+                    else:
+                        self._dispatch_destroyed(sid, slot)
         self._batches = new_batches
         if self._async_enabled:
             self._async_submit_all()
@@ -1582,61 +1689,74 @@ class Scene:
         self._run_groups(dt, n_frames=n_frames)
 
     def _dispatch_destroyed(self, sid: int, slot: _SpawnerSlot,
-                            outputs=None, state=None):
-        outputs = outputs if outputs is not None else slot.outputs
-        mask = np.asarray(outputs.destroyed_mask)
+                            outputs=None, state=None, packed=None):
+        """Build and deliver `DestroyedParticle` records (`core.rs:660-667`).
+
+        The payload arrives as ONE [18, N] device array (_pack_dump) —
+        either precomputed by the async-events path or packed here — so
+        the host pays a single buffer fetch instead of 17, and the derived
+        fields (scale/colors the reference stores on the clone but our
+        pool recomputes) are reconstructed with VECTORIZED numpy curve
+        evaluation (_curve_many) instead of per-record python: at
+        hundreds of deaths/frame the scalar path cost seconds."""
+        if packed is None:
+            outputs = outputs if outputs is not None else slot.outputs
+            st = state if state is not None else slot.state
+            packed = np.asarray(_pack_dump(st, outputs.destroyed_mask))
+        mask = packed[17] > 0.0
         if not mask.any():
             return
-        st = state if state is not None else slot.state
         idx = np.nonzero(mask)[0]
-        f = {k: np.asarray(getattr(st, k))[idx] for k in (
-            "px", "py", "pz", "vx", "vy", "vz", "qx", "qy", "qz", "qw",
-            "wx", "wy", "wz", "initial_scale", "age", "lifetime", "ptype",
-        )}
+        f = {k: packed[i][idx] for i, k in enumerate(_DUMP_FIELDS)}
+        ptype = f["ptype"].astype(np.int64)
         pbr_flags = slot.compiled.pbr_flags
         dt = np.float32(getattr(self, "_last_dt", 0.0))
         for t, handler in enumerate(slot.compiled.destroyed_handlers):
             if handler is None:
                 continue
-            tsel = f["ptype"] == t
-            if not tsel.any():
+            sel = np.nonzero(ptype == t)[0]
+            if sel.size == 0:
                 continue
             ps = slot.spawner.particle_settings[t]
-            records = []
-            for i in np.nonzero(tsel)[0]:
-                age = np.float32(f["age"][i])
-                lifetime = np.float32(f["lifetime"][i])
-                iscale = np.float32(f["initial_scale"][i])
-                # Reconstruct the derived fields the reference stores on the
-                # destroyed clone (pool state no longer carries them):
-                #  - colors: never updated on the death frame -> gradient at
-                #    last frame's age percent (spawn color == gradient(0)).
-                #  - scale: lifetime-death skips the scale update (A.4 step 2
-                #    runs after the cull); collision-death includes it.
-                pct_prev = np.float32(max(age - dt, np.float32(0.0)) / lifetime)
-                died_of_age = age >= lifetime
-                first_frame = age == dt
-                if died_of_age:
-                    scale = iscale if first_frame else np.float32(iscale * ps.scale_curve.sample_clamped(pct_prev))
-                else:
-                    scale = np.float32(iscale * ps.scale_curve.sample_clamped(np.float32(age / lifetime)))
-                base = np.asarray(ps.base_color.sample_clamped(pct_prev), dtype=np.float32)
-                emis = np.asarray(ps.emissive_color.sample_clamped(pct_prev), dtype=np.float32)
-                records.append(
-                    DestroyedParticle(
-                        position=(f["px"][i], f["py"][i], f["pz"][i]),
-                        velocity=(f["vx"][i], f["vy"][i], f["vz"][i]),
-                        rotation=(f["qx"][i], f["qy"][i], f["qz"][i], f["qw"][i]),
-                        angular_velocity=(f["wx"][i], f["wy"][i], f["wz"][i]),
-                        initial_scale=float(iscale),
-                        scale=float(scale),
-                        age=float(age),
-                        lifetime=float(lifetime),
-                        base_color=tuple(float(c) for c in base),
-                        emissive_color=tuple(float(c) for c in emis),
-                        pbr=bool(pbr_flags[t]),
-                    )
+            age = f["age"][sel].astype(np.float32)
+            lifetime = f["lifetime"][sel].astype(np.float32)
+            iscale = f["initial_scale"][sel].astype(np.float32)
+            # Reconstruct the derived fields the reference stores on the
+            # destroyed clone (pool state no longer carries them):
+            #  - colors: never updated on the death frame -> gradient at
+            #    last frame's age percent (spawn color == gradient(0)).
+            #  - scale: lifetime-death skips the scale update (A.4 step 2
+            #    runs after the cull); collision-death includes it.
+            pct_prev = (np.maximum(age - dt, np.float32(0.0)) / lifetime).astype(np.float32)
+            died_of_age = age >= lifetime
+            first_frame = age == dt
+            sc_prev = _curve_many(ps.scale_curve, pct_prev)
+            sc_now = _curve_many(ps.scale_curve, (age / lifetime).astype(np.float32))
+            scale = np.where(
+                died_of_age,
+                np.where(first_frame, iscale, (iscale * sc_prev).astype(np.float32)),
+                (iscale * sc_now).astype(np.float32),
+            ).astype(np.float32)
+            base = np.atleast_2d(_curve_many(ps.base_color, pct_prev))
+            emis = np.atleast_2d(_curve_many(ps.emissive_color, pct_prev))
+            pbr = bool(pbr_flags[t])
+            rows = {k: f[k][sel] for k in _DUMP_FIELDS}
+            records = [
+                DestroyedParticle(
+                    position=(rows["px"][i], rows["py"][i], rows["pz"][i]),
+                    velocity=(rows["vx"][i], rows["vy"][i], rows["vz"][i]),
+                    rotation=(rows["qx"][i], rows["qy"][i], rows["qz"][i], rows["qw"][i]),
+                    angular_velocity=(rows["wx"][i], rows["wy"][i], rows["wz"][i]),
+                    initial_scale=float(iscale[i]),
+                    scale=float(scale[i]),
+                    age=float(age[i]),
+                    lifetime=float(lifetime[i]),
+                    base_color=tuple(float(c) for c in base[i]),
+                    emissive_color=tuple(float(c) for c in emis[i]),
+                    pbr=pbr,
                 )
+                for i in range(sel.size)
+            ]
             handler(records)
 
     # ----------------------------------------------------------------- query
