@@ -101,6 +101,13 @@ LOOP_MIN_COLLIDERS = 5
 # off-TPU so interpret-mode CPU tests cover the merge kernel path.
 _NESTED_KERNEL_MERGE = True
 _FORCE_NESTED_MERGE_CPU = False
+# Nested-cadence fold (VERDICT r4 next #3): multi-frame chains compute each
+# frame's nested cadence + parent fetch in the PREVIOUS frame's kernel
+# epilogue, making a steady nested frame ONE kernel + the [M] child stage.
+# _NESTED_FOLD turns the chain fast path off (A/B seam);
+# _FORCE_NESTED_FOLD_CPU enables it off-TPU for interpret-mode tests.
+_NESTED_FOLD = True
+_FORCE_NESTED_FOLD_CPU = False
 
 _F32_FIELDS = (
     "px", "py", "pz", "vx", "vy", "vz",
@@ -907,7 +914,8 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
                  kernel_spawn: bool, block_rows: int, pack_render: bool = False,
                  unroll: int = 1, field_kinds: tuple = (), nested_merge: tuple = (),
                  shard_npool: Optional[int] = None, fleet: bool = False,
-                 hull_counts: tuple = ()):
+                 hull_counts: tuple = (), nested_fold: tuple = (),
+                 kernel_stats: bool = False):
     E = static.num_emitters
     T = static.num_types
     C = len(collider_kinds)
@@ -934,6 +942,35 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
     # RNG draw budget: 3 shape + 3 velocity + 1 radial + 1 scale, then
     # lifetime and angular-velocity draws only if those fields are live.
     n_draws = 8 + (0 if const_life is not None else 1) + (0 if elide_rot else 3)
+    # Nested-cadence FOLD (VERDICT r4 next #3): when set, this kernel ALSO
+    # computes the NEXT frame's per-parent nested cadence + parent fetch for
+    # each valid nested emitter as an epilogue over the post-frame state —
+    # exactly what the standalone nested_cadence_pass would compute at the
+    # start of the next frame (same expressions on the same values; the pass
+    # reads post-frame state either way). A multi-frame chain then runs ONE
+    # kernel per nested frame instead of [cadence pass -> child stage ->
+    # kernel]. nested_fold = (M, fetch_names, fold_emitter_ids).
+    if nested_fold:
+        fold_M, fold_fetch, fold_es = nested_fold
+        n_fold = len(fold_es)
+        nf_fetch = len(fold_fetch)
+        assert cad and unroll == 1 and not fleet and shard_npool is None
+        assert static.ring_claim
+        assert fold_M % LANES == 0
+    else:
+        n_fold = 0
+        nf_fetch = 0
+    # In-kernel StepOutputs stats (interactive-glue lever, docs/ROADMAP.md):
+    # the XLA epilogue's AABB + alive counts re-read ~5 pool planes and cost
+    # ~10 scheduled thunks per group per frame (~20-60 us each through the
+    # tunnel). With kernel_stats the kernel emits two SMEM stat rows —
+    # [min_xyz, max_xyz] f32 and [alive, per-type...] i32 — accumulated
+    # across tiles in SMEM scratch; BIT-EXACT vs the XLA reductions (f32
+    # min/max and i32 sums are associative). Enabled on the interactive
+    # Scene path; chains keep the XLA epilogue (its stats dead-code-
+    # eliminate inside scans, while kernel outputs would always compute).
+    if kernel_stats:
+        assert T <= 7, "stats row holds alive + up to 7 per-type counts"
 
     def kernel(*refs):
         (
@@ -979,6 +1016,10 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             child_ref = refs[pos]      # VMEM [n*n_rows*rows_b, 128] f32
             nwin_ref = refs[pos + 1]   # SMEM [n, 2] int32: cursor, n_spawn
             pos += 2
+        fold_le_in = ()
+        if n_fold:  # per nested emitter: this frame's last_emitted row
+            fold_le_in = refs[pos : pos + n_fold]
+            pos += n_fold
         alive_ref = None
         if not derived:
             alive_ref = refs[pos]
@@ -988,8 +1029,19 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             ptype_ref = refs[pos]
             pos += 1
         field_in = refs[pos : pos + nf]
-        n_scratch = 1 + (8 if has_coll else 0)
+        n_scratch = (1 + (1 if n_fold else 0) + (2 if kernel_stats else 0)
+                     + (8 if has_coll else 0))
         dead_carry = refs[-n_scratch]  # SMEM scratch: dead slots seen in prior tiles
+        sidx = -n_scratch + 1
+        fold_carry = None
+        if n_fold:  # SMEM [n_fold] cum carry
+            fold_carry = refs[sidx]
+            sidx += 1
+        stats_scr_f = stats_scr_i = None
+        if kernel_stats:  # SMEM stat accumulators across tiles
+            stats_scr_f = refs[sidx]
+            stats_scr_i = refs[sidx + 1]
+            sidx += 2
         coll_scratch = refs[-8:] if has_coll else None  # VMEM substep carries
         outs = refs[pos + nf : -n_scratch]
         oi = 0
@@ -1007,15 +1059,28 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             oi += 1
         out_field = outs[oi : oi + nf]
         out_dyn_ref = out_estate_ref = None
+        obase = oi + nf
         if cad:  # SMEM scalar outputs: updated cadence/bookkeeping state
-            out_dyn_ref = outs[oi + nf]
-            out_estate_ref = outs[oi + nf + 1]
+            out_dyn_ref = outs[obase]
+            out_estate_ref = outs[obase + 1]
+            obase += 2
+        out_stats_f = out_stats_i = None
+        if kernel_stats:  # SMEM stat rows (see kernel_stats note above)
+            out_stats_f = outs[obase]
+            out_stats_i = outs[obase + 1]
+            obase += 2
         # in-kernel render pack planes: f32 mode = scale + base rgba +
         # emissive rgba (positions/rotations reuse the state outputs);
         # f16 mode = the FULL instance record as f16 planes (pos, scale,
         # [quat], colors) for the halved-bandwidth render hand-off.
         n_render = _n_render_planes(static, pack_render)
-        render_outs = outs[-n_render:] if n_render else None
+        render_outs = outs[obase : obase + n_render] if n_render else None
+        obase += n_render
+        fold_le_out = fold_tot_out = fold_pf_out = None
+        if n_fold:  # next frame's cadence outputs (epilogue below)
+            fold_le_out = outs[obase : obase + n_fold]
+            fold_tot_out = outs[obase + n_fold]  # SMEM [n_fold, 1] i32
+            fold_pf_out = outs[obase + n_fold + 1 :]  # n_fold*nf_fetch const blocks
 
         if fleet:
             # fleet mode: grid = (S, tiles). Per-slot smalls are [S, ...]
@@ -1036,6 +1101,7 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
             ffpos_ref = _w(ffpos_ref); ffaxis_ref = _w(ffaxis_ref)  # noqa: E702
             ffpar_ref = _w(ffpar_ref); ffact_ref = _w(ffact_ref)  # noqa: E702
             out_dyn_ref = _w(out_dyn_ref); out_estate_ref = _w(out_estate_ref)  # noqa: E702
+            out_stats_f = _w(out_stats_f); out_stats_i = _w(out_stats_i)  # noqa: E702
             # blocked refs: [1, block_rows, LANES] blocks -> fixed leading 0
             alive_ref = _w(alive_ref, 0); ptype_ref = _w(ptype_ref, 0)  # noqa: E702
             out_alive_ref = _w(out_alive_ref, 0); out_ptype_ref = _w(out_ptype_ref, 0)  # noqa: E702
@@ -1511,6 +1577,129 @@ def _make_kernel(static: SpawnerStatic, collider_kinds, collider_identity, dump:
         for i, name in enumerate(fields):
             out_field[i][:, :] = f[name]
 
+        if kernel_stats:
+            # ---------------- in-kernel StepOutputs stats ---------------------
+            # Exactly the XLA epilogue's reductions (aabb over pos +- scale,
+            # alive + per-type counts) on values already in registers;
+            # accumulated across tiles via SMEM scratch, output rows written
+            # idempotently (last tile's combined value wins). f32 min/max and
+            # i32 add are exact, so this is BIT-EXACT vs _fused_epilogue.
+            first_tile = tid == 0
+            inf_f = jnp.float32(np.inf)
+            tile_stats_f = []
+            for c in ("px", "py", "pz"):
+                tile_stats_f.append(jnp.min(jnp.where(survivor, f[c] - scale_new, inf_f)))
+            for c in ("px", "py", "pz"):
+                tile_stats_f.append(jnp.max(jnp.where(survivor, f[c] + scale_new, -inf_f)))
+            for k in range(3):
+                v = jnp.where(first_tile, tile_stats_f[k],
+                              jnp.minimum(stats_scr_f[k], tile_stats_f[k]))
+                stats_scr_f[k] = v
+                out_stats_f[0, k] = v
+            for k in range(3, 6):
+                v = jnp.where(first_tile, tile_stats_f[k],
+                              jnp.maximum(stats_scr_f[k], tile_stats_f[k]))
+                stats_scr_f[k] = v
+                out_stats_f[0, k] = v
+            out_stats_f[0, 6] = jnp.float32(0.0)
+            out_stats_f[0, 7] = jnp.float32(0.0)
+            tile_counts = [jnp.sum(survivor.astype(jnp.int32))]
+            if single:
+                pass  # per-type == total
+            else:
+                for t in range(T):
+                    tile_counts.append(
+                        jnp.sum((survivor & (ptype == t)).astype(jnp.int32)))
+            for k, tc in enumerate(tile_counts):
+                v = jnp.where(first_tile, tc, stats_scr_i[k] + tc)
+                stats_scr_i[k] = v
+                out_stats_i[0, k] = v
+            for k in range(len(tile_counts), 8):
+                out_stats_i[0, k] = jnp.int32(0)
+
+        if n_fold:
+            # ---------------- folded nested cadence (next frame) -------------
+            # Identical math to _make_nested_cadence_kernel, evaluated on the
+            # POST-frame tile state (survivor/ptype/f) — which is exactly the
+            # pre-spawn state the standalone pass reads next frame. The gate
+            # reduces to the post-frame enabled flag: pm is masked by alive,
+            # and active() is true whenever this emitter is enabled and any
+            # parent lane is alive (its own nested contribution), so the
+            # active factor can never flip a lane that alive hasn't already
+            # masked (proof in fused_step_hybrid's fold notes).
+            @pl.when(tid == 0)
+            def _():
+                for j in range(n_fold):
+                    fold_carry[j] = 0
+                for o in fold_pf_out:
+                    o[:, :] = jnp.zeros(o.shape, jnp.float32)
+
+            # lifetime as a TRACED SMEM scalar (cadp col 4), NOT the python
+            # constant: a literal divisor lets the compiler rewrite x/c into
+            # x*(1/c), drifting the anchor 1 ulp off the standalone pass
+            # (which divides by the streamed lifetime array).
+            age_post = f["age"]
+            alive_post = survivor
+            pf_i32 = [jax.lax.bitcast_convert_type(f[nm], jnp.int32)
+                      for nm in fold_fetch]
+            rows_t = age_post.shape[0]
+            row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows_t, LANES), 0)
+            lane_iota_s = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+            rank_lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+            for j, e in enumerate(fold_es):
+                base_le = fold_le_in[j][:, :]
+                # lazy dead-lane anchor reset (step._spawn_phase skip_global)
+                base_le = jnp.where(alive_post, base_le, F32_MIN)
+                pm = alive_post & en_s[e]
+                if not single:
+                    pm = pm & (ptype == static.target_types[e])
+                off_s_f, off_e_f = cadp_ref[e, 2], cadp_ref[e, 3]
+                cnt_f = cadp_ref[e, 0]
+                # per-lane lifetime when streamed; else the traced SMEM
+                # scalar (NOT the python constant — see cadp col 4 note)
+                life_c = (f["lifetime"] if const_life is None
+                          else cadp_ref[e, 4])
+                counts, next_full = compute_emission_count(
+                    age_post, base_le, life_c, off_s_f, off_e_f, cnt_f)
+                counts = jnp.where(pm, counts, 0)
+                excl, tile_tot = _prefix_exclusive(counts)
+                c0 = fold_carry[j]
+                cum = excl + counts + c0
+                fold_carry[j] = c0 + tile_tot
+                fold_tot_out[j, 0] = c0 + tile_tot  # last tile's value wins
+                emitted = jnp.minimum(cum, fold_M) - jnp.minimum(cum - counts, fold_M)
+                # cadence.emission_next_last, same f32 op order
+                last_pct = base_le / life_c
+                clamped = jnp.maximum(last_pct, off_s_f)
+                between = (off_e_f - off_s_f) / cnt_f
+                trunc = (clamped + emitted.astype(jnp.float32) * between) * life_c
+                nl = jnp.where(emitted < counts, trunc, next_full)
+                fold_le_out[j][:, :] = jnp.where(pm, nl, base_le)
+                # parent fetch: same chunk loop as _make_nested_cadence_kernel
+                rowlast = cum[:, LANES - 1 :]  # [rows_t, 1]
+                for c in range(fold_M // LANES):
+                    lo = c * LANES
+
+                    @pl.when((c0 < lo + LANES) & (c0 + tile_tot > lo))
+                    def _(c=c, lo=lo, j=j, cum=cum, c0=c0, tile_tot=tile_tot,
+                          rowlast=rowlast):
+                        ranks = rank_lane + lo
+                        prow = jnp.sum((rowlast <= ranks).astype(jnp.int32),
+                                       axis=0, keepdims=True)
+                        oh = (row_iota == prow).astype(jnp.float32)
+                        lc = _exact_row_fetch(oh, cum)
+                        fine = jnp.sum((lc <= ranks).astype(jnp.int32),
+                                       axis=0, keepdims=True)
+                        lane_oh = lane_iota_s == fine
+                        m = (ranks >= c0) & (ranks < c0 + tile_tot)
+                        for fi_, vi in enumerate(pf_i32):
+                            o = fold_pf_out[j * nf_fetch + fi_]
+                            vals = jax.lax.bitcast_convert_type(
+                                _exact_row_fetch(oh, vi), jnp.float32)
+                            v = jnp.sum(jnp.where(lane_oh, vals, 0.0), axis=0,
+                                        keepdims=True)
+                            o[c : c + 1, :] = jnp.where(m, v, o[c : c + 1, :])
+
     return kernel
 
 
@@ -1575,6 +1764,12 @@ def _pack_fused_smalls(static: SpawnerStatic, params: SpawnerParams, colliders, 
     cadp = cadp.at[:, 1].set(params.duration)
     cadp = cadp.at[:, 2].set(params.off_start)
     cadp = cadp.at[:, 3].set(params.off_end)
+    # col 4: the pool lifetime as a TRACED scalar for the nested-cadence fold
+    # (const-lifetime archetypes share one value pool-wide). The fold must
+    # NOT use the compile-time constant: XLA rewrites division by a literal
+    # (x / c -> x * (1/c)) and the folded anchor then drifts 1 ulp from the
+    # standalone pass, which divides by the streamed lifetime array.
+    cadp = cadp.at[:, 4].set(params.lifetime_lo[0])
 
     return [fscal, params.shape_params, params.ivel_params, params.iangvel_params, emisc,
             trand, tphys, tcoll, tmask, cmeta, cpos, crot, cpar, clay, cadp]
@@ -1598,7 +1793,8 @@ def _pack_gmeta(params):
 def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptype, f32_fields,
                       kernel_spawn: bool = True, pack_render: bool = False, unroll=1,
                       nested_payloads=None, shard_npool: Optional[int] = None,
-                      fleet_S: Optional[int] = None):
+                      fleet_S: Optional[int] = None, nested_fold=None,
+                      kernel_stats: bool = False):
     """Invoke the fused Pallas kernel on one pool pass.
 
     alive: [N] bool, ptype: [N] i32, f32_fields: name -> [N] f32 covering
@@ -1694,10 +1890,17 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
             merge_info = ()
             child_buf = nwin_arr = None
 
+    # nested-cadence fold: (M, fetch_names, fold_emitter_ids, le_rows) —
+    # le_rows are this frame's post-advance last_emitted rows, one [N] per
+    # folded emitter; the kernel emits next frame's (new_le, total,
+    # parent_vals) as extra outputs (see _make_kernel's fold epilogue).
+    n_fold = len(nested_fold[2]) if nested_fold else 0
+    fold_kernel_arg = tuple(nested_fold[:3]) if nested_fold else ()
     kernel = _make_kernel(static, kinds, identity, dump, kernel_spawn, block_rows, pack_render,
                           unroll=unroll, field_kinds=field_kinds, nested_merge=merge_info,
                           shard_npool=shard_npool, fleet=fleet,
-                          hull_counts=hull_counts)
+                          hull_counts=hull_counts, nested_fold=fold_kernel_arg,
+                          kernel_stats=kernel_stats)
 
     if fleet:
         # per-slot smalls stacked [S, ...]; colliders shared (the group's
@@ -1747,7 +1950,8 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     n_small = (N_SMALL + (1 if pack_render else 0) + (1 if looped else 0)
                + (4 if field_kinds else 0) + (1 if any_hull else 0)
                + (2 if n_merge else 0))
-    n_big_in = (0 if derived else 1) + (0 if single else 1) + nf  # [alive], [ptype], fields
+    # big inputs: [fold le rows], [alive], [ptype], fields (kernel unpack order)
+    n_big_in = n_fold + (0 if derived else 1) + (0 if single else 1) + nf
     n_extra = (0 if derived else 1) + (0 if single else 1) + (1 if dump else 0)
     # looped narrow phase reads collider rows (cpos/crot/cpar/clay, smalls
     # indices CPOS_IDX..+3) by dynamic scalar index — they live in SMEM there
@@ -1775,16 +1979,37 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
             jax.ShapeDtypeStruct(dyn_shape, jnp.int32),
             jax.ShapeDtypeStruct(est_shape, jnp.float32),
         ]
+    if kernel_stats:  # SMEM stat rows: aabb f32 + counts i32
+        st_shape = (fleet_S, 1, 8) if fleet else (1, 8)
+        out_specs = out_specs + [smem_spec, smem_spec]
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct(st_shape, jnp.float32),
+            jax.ShapeDtypeStruct(st_shape, jnp.int32),
+        ]
     n_render = _n_render_planes(static, pack_render)
     if n_render:
         rdtype = jnp.float16 if pack_render == "f16" else jnp.float32
         out_specs = out_specs + [blocked()] * n_render
         out_shape = out_shape + [jax.ShapeDtypeStruct(big, rdtype)] * n_render
+    if n_fold:  # next-frame cadence outputs: le rows, totals, parent fetches
+        M_f, fetch_names_f, _fold_es = nested_fold[:3]
+        m_rows_f = M_f // LANES
+        pf_spec = pl.BlockSpec((m_rows_f, LANES), lambda g: (0, 0),
+                               memory_space=pltpu.VMEM)
+        out_specs = (out_specs + [blocked()] * n_fold + [smem_spec]
+                     + [pf_spec] * (n_fold * len(fetch_names_f)))
+        out_shape = (out_shape
+                     + [jax.ShapeDtypeStruct(big, jnp.float32)] * n_fold
+                     + [jax.ShapeDtypeStruct((n_fold, 1), jnp.int32)]
+                     + [jax.ShapeDtypeStruct((m_rows_f, LANES), jnp.float32)]
+                     * (n_fold * len(fetch_names_f)))
 
     field_arrays = [f32_fields[name].reshape(big) for name in fields]
     inputs = smalls[:]
     if n_merge:
         inputs += [child_buf, nwin_arr]
+    if n_fold:
+        inputs += [r.reshape(big) for r in nested_fold[3]]
     if not derived:
         inputs.append(alive.astype(jnp.int32).reshape(big))
     if not single:
@@ -1795,6 +2020,11 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
     first_field_in = n_small + n_big_in - nf
     first_field_out = n_extra
     aliases = {first_field_in + i: first_field_out + i for i in range(nf)}
+    if n_fold:  # alias the le input rows onto the folded le outputs
+        fold_out_base = (n_extra + nf + (2 if cad else 0)
+                         + (2 if kernel_stats else 0) + n_render)
+        for j in range(n_fold):
+            aliases[n_small + j] = fold_out_base + j
 
     results = pl.pallas_call(
         kernel,
@@ -1803,6 +2033,9 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)]
+        + ([pltpu.SMEM((n_fold,), jnp.int32)] if n_fold else [])
+        + ([pltpu.SMEM((8,), jnp.float32), pltpu.SMEM((8,), jnp.int32)]
+           if kernel_stats else [])
         + (
             [pltpu.VMEM((block_rows, LANES), jnp.float32)] * 7
             + [pltpu.VMEM((block_rows, LANES), jnp.int32)]
@@ -1830,8 +2063,29 @@ def _run_fused_kernel(static, params, colliders, frame, dyn, estate, alive, ptyp
             else new_fields["lifetime"])
     dyn_new = results[n_extra + nf] if cad else None
     estate_new = results[n_extra + nf + 1] if cad else None
-    render_planes = tuple(r.reshape(out_n) for r in results[-n_render:]) if n_render else None
-    return alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new, render_planes
+    rbase = n_extra + nf + (2 if cad else 0)
+    stats_rows = None
+    if kernel_stats:
+        stats_rows = (results[rbase], results[rbase + 1])  # f32 aabb, i32 counts
+        rbase += 2
+    render_planes = (
+        tuple(results[rbase + i].reshape(out_n) for i in range(n_render))
+        if n_render else None
+    )
+    fold_out = None
+    if n_fold:
+        fb = rbase + n_render
+        le_list = [results[fb + j].reshape(out_n) for j in range(n_fold)]
+        totals = results[fb + n_fold]  # [n_fold, 1] i32
+        pf_flat = results[fb + n_fold + 1 :]
+        nfn = len(fetch_names_f)
+        pvals = [
+            {k: pf_flat[j * nfn + fi].reshape(M_f) for fi, k in enumerate(fetch_names_f)}
+            for j in range(n_fold)
+        ]
+        fold_out = (le_list, totals, pvals)
+    return (alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new,
+            render_planes, fold_out, stats_rows)
 
 
 def _pack_scalar_rows(static, manual_queued, ring_cursor, seeds, any_alive,
@@ -1880,6 +2134,7 @@ def fused_step(
     unroll: int = 1,
     shard_axis: Optional[str] = None,
     _shard_override: Optional[tuple] = None,
+    kernel_stats: bool = False,
 ):
     """Drop-in replacement for step() on global-only archetypes, with the
     per-lane pipeline in one Pallas kernel. Same state/outputs contract.
@@ -1915,6 +2170,7 @@ def fused_step(
     assert can_fuse(static)
     assert unroll == 1 or (can_unroll(static) and 1 < unroll <= MAX_UNROLL)
     E = static.num_emitters
+    kernel_stats = kernel_stats and static.num_types <= 7  # stats-row capacity
 
     shard_row = None
     shard_npool = None
@@ -1956,9 +2212,10 @@ def fused_step(
     )
 
     f32_fields = {name: getattr(state, name) for name in active_f32_fields(static)}
-    alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new, planes = _run_fused_kernel(
+    alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new, planes, _fold, _stats = _run_fused_kernel(
         static, params, colliders, frame, dyn, estate, state.alive, state.ptype, f32_fields,
         pack_render=pack_render, unroll=unroll, shard_npool=shard_npool,
+        kernel_stats=kernel_stats and shard_npool is None,
     )
     manual_queued = dyn_new[0, 0]
     new_cursor = dyn_new[0, 1]
@@ -1978,7 +2235,7 @@ def fused_step(
     st, out = _fused_epilogue(
         static, params, state, alive_new, ptype_new, full_fields, dump_mask,
         state.last_emitted, enabled, time_in_cycle, last_emission, manual_queued,
-        new_cursor, new_key, shard_axis=shard_axis,
+        new_cursor, new_key, shard_axis=shard_axis, stats_row=_stats,
     )
     if pack_render:
         return st, out, planes
@@ -1988,15 +2245,32 @@ def fused_step(
 def _fused_epilogue(
     static, params, state, alive_new, ptype_new, new_fields, dump_mask,
     last_emitted, enabled, time_in_cycle, last_emission, manual_queued,
-    ring_cursor, new_key, spawn_stats=None, shard_axis=None,
+    ring_cursor, new_key, spawn_stats=None, shard_axis=None, stats_row=None,
 ):
     """Stats + finished flag (XLA; dead-code-eliminated when the caller only
     consumes the state, e.g. under a multi-frame scan). active() is
     nested-aware (core.rs:288-302): a nested emitter counts only while
     particles exist. shard_axis: inside a shard_map over the particle axis,
     the AABB/count reductions become psum/pmin/pmax so outputs are the
-    GLOBAL values (replicated on every shard)."""
+    GLOBAL values (replicated on every shard). stats_row: the kernel's
+    in-kernel stat rows ([1,8] f32 aabb, [1,8] i32 counts — _make_kernel
+    kernel_stats); when given, the pool-wide recompute below is skipped
+    entirely (bit-exact: the kernel runs the identical reductions)."""
     T = static.num_types
+    if stats_row is not None:
+        assert shard_axis is None
+        sfr, sir = stats_row
+        aabb_min = sfr[0, 0:3]
+        aabb_max = sfr[0, 3:6]
+        alive_count = sir[0, 0]
+        # single-type kernels store only the total (per-type == total)
+        per_type = sir[0, 0:1] if T == 1 else sir[0, 1 : 1 + T]
+        return _epilogue_tail(
+            static, state, alive_new, ptype_new, new_fields, dump_mask,
+            last_emitted, enabled, time_in_cycle, last_emission, manual_queued,
+            ring_cursor, new_key, spawn_stats,
+            aabb_min, aabb_max, alive_count, per_type,
+        )
     if static.const_lifetime is not None:
         age_pct = new_fields["age"] / np.float32(static.const_lifetime)
     else:
@@ -2028,7 +2302,20 @@ def _fused_epilogue(
         aabb_max = jax.lax.pmax(aabb_max, shard_axis)
         alive_count = jax.lax.psum(alive_count, shard_axis)
         per_type = jax.lax.psum(per_type, shard_axis)
+    return _epilogue_tail(
+        static, state, alive_new, ptype_new, new_fields, dump_mask,
+        last_emitted, enabled, time_in_cycle, last_emission, manual_queued,
+        ring_cursor, new_key, spawn_stats,
+        aabb_min, aabb_max, alive_count, per_type,
+    )
 
+
+def _epilogue_tail(
+    static, state, alive_new, ptype_new, new_fields, dump_mask,
+    last_emitted, enabled, time_in_cycle, last_emission, manual_queued,
+    ring_cursor, new_key, spawn_stats,
+    aabb_min, aabb_max, alive_count, per_type,
+):
     all_empty = alive_count == 0
     any_particles = ~all_empty
     active_now = jnp.zeros((), bool)
@@ -2076,6 +2363,7 @@ def fused_step_fleet(
     frames,  # [S]-stacked FrameInput
     pack_render: bool = False,
     unroll: int = 1,
+    kernel_stats: bool = False,
 ):
     """Step a whole same-archetype spawner GROUP in ONE kernel invocation
     (VERDICT r3 next #2): grid = (S, tiles) with per-slot smalls stacked and
@@ -2091,6 +2379,7 @@ def fused_step_fleet(
     assert can_fuse(static)
     assert unroll == 1 or (can_unroll(static) and 1 < unroll <= MAX_UNROLL)
     S = states.alive.shape[0]
+    kernel_stats = kernel_stats and static.num_types <= 7  # stats-row capacity
 
     def prelude(state):
         key = state.rng_key
@@ -2108,9 +2397,10 @@ def fused_step_fleet(
     dyn, estate, new_key = jax.vmap(prelude)(states)
 
     f32_fields = {name: getattr(states, name) for name in active_f32_fields(static)}
-    alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new, planes = _run_fused_kernel(
+    alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new, planes, _fold, _stats = _run_fused_kernel(
         static, params, colliders, frames, dyn, estate, states.alive, states.ptype,
         f32_fields, pack_render=pack_render, unroll=unroll, fleet_S=S,
+        kernel_stats=kernel_stats,
     )
     manual_queued = dyn_new[:, 0, 0]
     new_cursor = dyn_new[:, 0, 1]
@@ -2123,16 +2413,30 @@ def fused_step_fleet(
     if ptype_new is None:
         ptype_new = states.ptype
 
-    def epi(p, st, alive, pt, fields_row, dmask, le, en, tic, le2, mq, cur, nk):
-        return _fused_epilogue(
-            static, p, st, alive, pt, fields_row, dmask, le, en, tic, le2, mq, cur, nk,
-        )
+    if kernel_stats:
+        # per-slot stat rows replace the vmapped pool-wide recompute
+        def epi(p, st, alive, pt, fields_row, dmask, le, en, tic, le2, mq, cur, nk, srf, sri):
+            return _fused_epilogue(
+                static, p, st, alive, pt, fields_row, dmask, le, en, tic, le2, mq,
+                cur, nk, stats_row=(srf, sri),
+            )
 
-    st, out = jax.vmap(epi)(
-        params, states, alive_new, ptype_new, full_fields, dump_mask,
-        states.last_emitted, enabled, time_in_cycle, last_emission, manual_queued,
-        new_cursor, new_key,
-    )
+        st, out = jax.vmap(epi)(
+            params, states, alive_new, ptype_new, full_fields, dump_mask,
+            states.last_emitted, enabled, time_in_cycle, last_emission,
+            manual_queued, new_cursor, new_key, _stats[0], _stats[1],
+        )
+    else:
+        def epi(p, st, alive, pt, fields_row, dmask, le, en, tic, le2, mq, cur, nk):
+            return _fused_epilogue(
+                static, p, st, alive, pt, fields_row, dmask, le, en, tic, le2, mq, cur, nk,
+            )
+
+        st, out = jax.vmap(epi)(
+            params, states, alive_new, ptype_new, full_fields, dump_mask,
+            states.last_emitted, enabled, time_in_cycle, last_emission, manual_queued,
+            new_cursor, new_key,
+        )
     if pack_render:
         return st, out, planes
     return st, out
@@ -2146,6 +2450,9 @@ def fused_step_hybrid(
     frame: FrameInput,
     kernel_global: bool = True,
     pack_render: bool = False,
+    nested_carry=None,
+    fold_out: bool = False,
+    kernel_stats: bool = False,
 ):
     """Nested/mixed archetypes. Default (kernel_global=True, the production
     fast path): the XLA spawn phase handles NESTED emitters only (cross-tile
@@ -2162,6 +2469,7 @@ def fused_step_hybrid(
     from ..step import _spawn_phase
 
     E = static.num_emitters
+    kernel_stats = kernel_stats and static.num_types <= 7  # stats-row capacity
 
     # pre-spawn liveness for the in-kernel active() flag (core.rs:288-302)
     any_alive_pre = jnp.any(state.alive)
@@ -2185,11 +2493,23 @@ def fused_step_hybrid(
     # sweep's nested-chained-merge check.
     merging = (kernel_global and _NESTED_KERNEL_MERGE and static.ring_claim
                and (jax.default_backend() == "tpu" or _FORCE_NESTED_MERGE_CPU))
+    # nested-cadence fold (VERDICT r4 next #3, chain fast path): nested_carry
+    # holds the (new_le, total, parent_vals) this frame's cadence pass WOULD
+    # compute — already produced by the PREVIOUS frame's kernel epilogue on
+    # the identical post-frame state (_make_kernel nested_fold). fold_out
+    # asks this frame's kernel to produce the next frame's carry the same
+    # way. Gate proof (epilogue gate = post-frame enabled only): the
+    # standalone pass's gate is active() & enabled[e]; its pm also masks by
+    # alive, and active() >= enabled[e] & any_alive — an enabled nested
+    # emitter with ANY alive lane forces active() true via its own term
+    # (core.rs:288-302), while with no alive lane pm is all-false anyway.
+    assert nested_carry is None or merging, "nested carry requires the merge path"
+    assert not fold_out or merging, "nested fold requires the merge path"
     if merging:
         (fields, enabled, time_in_cycle, last_emission, manual_queued, new_key,
          spawn_stats, nested_payloads) = _spawn_phase(
             static, params, state, frame, skip_global=True,
-            kernel_cadence=True, nested_merge=True,
+            kernel_cadence=True, nested_merge=True, nested_carry=nested_carry,
         )
     else:
         nested_payloads = None
@@ -2214,10 +2534,22 @@ def fused_step_hybrid(
         dyn = jnp.zeros((1, 16), jnp.int32)  # ignored: kernel has no spawn pipeline
         estate = jnp.zeros((E, 8), jnp.float32)
     f32_fields = {name: fields[name] for name in active_f32_fields(static)}
-    alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new, planes = _run_fused_kernel(
+    fold_spec = None
+    if fold_out:
+        from ..step import nested_parent_fields
+
+        fold_es = tuple(
+            e for e in range(E)
+            if static.mode_kinds[e] != MODE_GLOBAL and static.nested_valid[e]
+        )
+        M = min(static.nested_m, state.capacity)
+        fold_spec = (M, nested_parent_fields(static), fold_es,
+                     [fields["last_emitted"][e] for e in fold_es])
+    alive_new, ptype_new, dump_mask, new_fields, dyn_new, estate_new, planes, fold_raw, _stats = _run_fused_kernel(
         static, params, colliders, frame, dyn, estate, fields["alive"], fields["ptype"], f32_fields,
         kernel_spawn=kernel_global, pack_render=pack_render,
-        nested_payloads=nested_payloads,
+        nested_payloads=nested_payloads, nested_fold=fold_spec,
+        kernel_stats=kernel_stats,
     )
     if kernel_global:
         manual_queued = dyn_new[0, 0]
@@ -2238,24 +2570,114 @@ def fused_step_hybrid(
     st, out = _fused_epilogue(
         static, params, state, alive_new, ptype_new, full_fields, dump_mask,
         fields["last_emitted"], enabled, time_in_cycle, last_emission, manual_queued,
-        cursor_out, new_key, spawn_stats,
+        cursor_out, new_key, spawn_stats, stats_row=_stats,
     )
+    res = (st, out)
     if pack_render:
-        return st, out, planes
-    return st, out
+        res = res + (planes,)
+    if fold_out:
+        le_list, totals, pvals = fold_raw
+        carry = {
+            e: (le_list[j], totals[j, 0], pvals[j])
+            for j, e in enumerate(fold_spec[2])
+        }
+        res = res + (carry,)
+    return res
 
 
-def step_auto(static, params, colliders, state, frame):
+def can_fold_nested(static: SpawnerStatic, capacity: int) -> bool:
+    """The nested-cadence fold applies where the FULL hybrid fast path runs:
+    merge-capable ring archetypes with a 128-aligned child buffer smaller
+    than the pool, at least one valid nested emitter, on a tile-aligned
+    pool. (Testing seams — _ABLATE stage stubs, forced scatter write-back —
+    are checked by the caller so ablation tools keep timing the unfolded
+    chain.)"""
+    if can_fuse(static) or not static.ring_claim:
+        return False
+    if not (_NESTED_FOLD and _NESTED_KERNEL_MERGE):
+        return False
+    M = min(static.nested_m, capacity)
+    return (
+        capacity % (BLOCK_ROWS * LANES) == 0
+        and M % LANES == 0
+        and capacity > M
+        and any(
+            static.mode_kinds[e] != MODE_GLOBAL and static.nested_valid[e]
+            for e in range(static.num_emitters)
+        )
+    )
+
+
+def _seed_nested_carry(static, params, state, frame):
+    """Seed the fold carry for a chain's first frame: the standalone cadence
+    pass per valid nested emitter on the chain's initial state — exactly
+    what _spawn_phase(kernel_cadence=True) would run, hoisted out of the
+    scan so every in-scan frame consumes the previous kernel's epilogue."""
+    from ..step import _active_flag, nested_parent_fields
+
+    M = min(static.nested_m, state.capacity)
+    active = _active_flag(static, state)
+    fetch = {k: getattr(state, k) for k in nested_parent_fields(static)}
+    carry = {}
+    for e in range(static.num_emitters):
+        if static.mode_kinds[e] == MODE_GLOBAL or not static.nested_valid[e]:
+            continue
+        gate = active & state.enabled[e]
+        new_le, _cum, total, pvals = nested_cadence_pass(
+            static, params, e, state.alive, state.ptype, state.age,
+            state.lifetime, state.last_emitted[e], gate, True, M,
+            parent_fields=fetch,
+        )
+        carry[e] = (new_le, total, pvals)
+    return carry
+
+
+def _chain_nested_folded(static, params, colliders, state, frame, n_frames):
+    """Chain n nested frames with the cadence fold: seed once, then each
+    scan frame is [XLA child stage -> ONE kernel whose epilogue emits the
+    next frame's carry]; the last frame consumes its carry without folding.
+    Final state is bit-identical to the unfolded chain (the pending carry
+    dropped at chain end is a pure function of the final state — the next
+    chain's seed recomputes it)."""
+    hoist = _scan_hoist(static, state)
+    if hoist is None:
+        to_carry, from_carry = (lambda s: s), (lambda c: c)
+    else:
+        to_carry, from_carry = hoist
+    ncarry = _seed_nested_carry(static, params, state, frame)
+    if n_frames > 1:
+
+        def body(c, _):
+            sc, nc = c
+            s2, _o, nc2 = fused_step_hybrid(
+                static, params, colliders, from_carry(sc), frame,
+                nested_carry=nc, fold_out=True,
+            )
+            return (to_carry(s2), nc2), None
+
+        (sc, ncarry), _ = jax.lax.scan(
+            body, (to_carry(state), ncarry), None, length=n_frames - 1
+        )
+        state = from_carry(sc)
+    return fused_step_hybrid(
+        static, params, colliders, state, frame, nested_carry=ncarry
+    )
+
+
+def step_auto(static, params, colliders, state, frame, kernel_stats: bool = False):
     """Dispatch: on TPU with a tile-aligned pool, global-only archetypes take
     the all-in-kernel fused path and nested/mixed archetypes the hybrid path
     (XLA spawn + kernel integrate); else the XLA path (CPU backend, odd
-    capacities)."""
+    capacities). kernel_stats: compute StepOutputs' aabb/count stats
+    in-kernel (interactive Scene path; see _make_kernel kernel_stats)."""
     from ..step import step
 
     if jax.default_backend() == "tpu" and state.capacity % (BLOCK_ROWS * LANES) == 0:
         if can_fuse(static):
-            return fused_step(static, params, colliders, state, frame)
-        return fused_step_hybrid(static, params, colliders, state, frame)
+            return fused_step(static, params, colliders, state, frame,
+                              kernel_stats=kernel_stats)
+        return fused_step_hybrid(static, params, colliders, state, frame,
+                                 kernel_stats=kernel_stats)
     return step(static, params, colliders, state, frame)
 
 
@@ -2275,7 +2697,7 @@ def can_pack_render(static: SpawnerStatic, capacity: int) -> bool:
     )
 
 
-def step_auto_packed(static, params, colliders, state, frame):
+def step_auto_packed(static, params, colliders, state, frame, kernel_stats: bool = False):
     """step_auto + the render extract: returns (state, outputs, planes) where
     planes is the in-kernel 9-plane pack (scale + base rgba + emissive rgba)
     when the kernel path applies, else None (caller falls back to the XLA
@@ -2285,9 +2707,11 @@ def step_auto_packed(static, params, colliders, state, frame):
 
     if can_pack_render(static, state.capacity):
         if can_fuse(static):
-            return fused_step(static, params, colliders, state, frame, pack_render=True)
-        return fused_step_hybrid(static, params, colliders, state, frame, pack_render=True)
-    s, o = step_auto(static, params, colliders, state, frame)
+            return fused_step(static, params, colliders, state, frame, pack_render=True,
+                              kernel_stats=kernel_stats)
+        return fused_step_hybrid(static, params, colliders, state, frame, pack_render=True,
+                                 kernel_stats=kernel_stats)
+    s, o = step_auto(static, params, colliders, state, frame, kernel_stats=kernel_stats)
     return s, o, None
 
 
@@ -2403,7 +2827,20 @@ def _chain_with_unroll(static, colliders, state, n_frames, single, make_unrolled
 
 def _multi_step_impl(static, params, colliders, state, frame, n_frames: int):
     """n frames in one dispatch: lax.scan with invariant-array carry
-    hoisting (_scan_hoist) + the in-kernel unroll (_chain_with_unroll)."""
+    hoisting (_scan_hoist) + the in-kernel unroll (_chain_with_unroll).
+    Merge-capable nested archetypes take the cadence-folded chain
+    (_chain_nested_folded): one kernel per frame instead of
+    [cadence pass -> child stage -> kernel]."""
+    from ..step import _ABLATE, _FORCE_SCATTER_WRITEBACK
+
+    if (
+        n_frames >= 2
+        and can_fold_nested(static, state.capacity)
+        and (jax.default_backend() == "tpu" or _FORCE_NESTED_FOLD_CPU)
+        and not _ABLATE
+        and not _FORCE_SCATTER_WRITEBACK
+    ):
+        return _chain_nested_folded(static, params, colliders, state, frame, n_frames)
     return _chain_with_unroll(
         static, colliders, state, n_frames,
         lambda s: step_auto(static, params, colliders, s, frame),

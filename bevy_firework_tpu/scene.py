@@ -327,18 +327,23 @@ def _vmapped_packed_step(static, colliders, pack: bool = True):
     from .ops.fused_step import step_auto as _step_auto
 
     def run(P, S, F):
+        # kernel_stats=True: StepOutputs' aabb/count reductions ride the
+        # kernel as SMEM stat rows instead of ~10 XLA thunks re-reading ~5
+        # pool planes per group per frame (interactive-glue lever,
+        # docs/ROADMAP.md; bit-exact — see _make_kernel kernel_stats).
         if _fleet_kernel_ok(static, S):
             if pack and can_pack_render(static, S.capacity):
-                return fused_step_fleet(static, P, colliders, S, F, pack_render=True)
-            st, out = fused_step_fleet(static, P, colliders, S, F)
+                return fused_step_fleet(static, P, colliders, S, F,
+                                        pack_render=True, kernel_stats=True)
+            st, out = fused_step_fleet(static, P, colliders, S, F, kernel_stats=True)
             return st, out, None
         if not pack:
             st, out = jax.vmap(
-                lambda p, s, f: _step_auto(static, p, colliders, s, f)
+                lambda p, s, f: _step_auto(static, p, colliders, s, f, kernel_stats=True)
             )(P, S, F)
             return st, out, None
         return jax.vmap(
-            lambda p, s, f: step_auto_packed(static, p, colliders, s, f)
+            lambda p, s, f: step_auto_packed(static, p, colliders, s, f, kernel_stats=True)
         )(P, S, F)
 
     return run

@@ -528,6 +528,7 @@ def _spawn_phase(
     skip_global: bool = False,
     kernel_cadence: bool = False,
     nested_merge: bool = False,
+    nested_carry=None,
 ):
     """spawn_particles (`core.rs:367-551`) on the SoA pool: all emitters in
     order (global claim-and-init + nested two-stage). Returns the post-spawn
@@ -618,18 +619,26 @@ def _spawn_phase(
                 # When the in-kernel merge will consume the children, the
                 # same pass also fetches each rank's parent state tile-
                 # locally (gate mirrors _nested_spawn's merge branch).
+                # nested_carry (fold fast path, chains only): the SAME
+                # values, already computed by the PREVIOUS frame's kernel
+                # epilogue on the identical post-frame state
+                # (ops.fused_step._make_kernel nested_fold) — skip the pass.
                 from .ops.fused_step import nested_cadence_pass
 
-                fetch = None
-                if (merge_payloads is not None and static.ring_claim
-                        and N > M and not _FORCE_SCATTER_WRITEBACK
-                        and M % 128 == 0):
-                    fetch = {k: fields[k] for k in nested_parent_fields(static)}
-                new_le, cum, total, pvals = nested_cadence_pass(
-                    static, params, e, fields["alive"], fields["ptype"],
-                    fields["age"], fields["lifetime"], fields["last_emitted"][e],
-                    gate, skip_global, M, parent_fields=fetch,
-                )
+                if nested_carry is not None:
+                    new_le, total, pvals = nested_carry[e]
+                    cum = None
+                else:
+                    fetch = None
+                    if (merge_payloads is not None and static.ring_claim
+                            and N > M and not _FORCE_SCATTER_WRITEBACK
+                            and M % 128 == 0):
+                        fetch = {k: fields[k] for k in nested_parent_fields(static)}
+                    new_le, cum, total, pvals = nested_cadence_pass(
+                        static, params, e, fields["alive"], fields["ptype"],
+                        fields["age"], fields["lifetime"], fields["last_emitted"][e],
+                        gate, skip_global, M, parent_fields=fetch,
+                    )
                 nested_deferred = nested_deferred + (total - jnp.minimum(total, M))
                 fields["last_emitted"] = fields["last_emitted"].at[e].set(new_le)
                 nested_dropped = nested_dropped + _nested_spawn(

@@ -791,3 +791,95 @@ def test_fused_collision_parity_hulls_in_looped_phase():
     sA, oA, sB, oB = run_both(sp, n_frames=12, colliders=colliders)
     assert int(oA.alive_count) == int(oB.alive_count) > 0
     assert_state_match(sA, sB, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_kernel_stats_rows_bit_exact():
+    """kernel_stats (interactive-glue lever): the kernel's SMEM stat rows
+    (aabb + alive/per-type counts) must make StepOutputs BIT-EXACT with the
+    XLA epilogue's pool-wide reductions — global single-type, multi-type
+    with collision, and the hybrid nested path."""
+    import jax
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    import bevy_firework_tpu.ops.fused_step as fs
+    from bevy_firework_tpu import (
+        Collider,
+        EmissionMode,
+        EmissionPacing,
+        EmissionSettings,
+        ParticleCollisionSettings,
+        ParticleSettings,
+        ParticleSpawner,
+        RandF32,
+        RandVec3,
+        compile_colliders,
+        compile_spawner,
+        init_pool_for,
+        make_frame_input,
+    )
+
+    def run_cfg(name, sp, colliders=None, hybrid=False, frames=20, cap=8192):
+        c = compile_spawner(sp, nested_buffer=512)
+        frame = make_frame_input(1 / 50)
+        outs = {}
+        fs._FORCE_NESTED_MERGE_CPU = hybrid
+        try:
+            for ks in (False, True):
+                if hybrid:
+                    f = jax.jit(lambda p, s, fr, k=ks: fs.fused_step_hybrid(
+                        c.static, p, colliders, s, fr, kernel_stats=k))
+                else:
+                    f = jax.jit(lambda p, s, fr, k=ks: fs.fused_step(
+                        c.static, p, colliders, s, fr, kernel_stats=k))
+                s = init_pool_for(c, cap, 0)
+                with pltpu.force_tpu_interpret_mode():
+                    for _ in range(frames):
+                        s, o = f(c.params, s, frame)
+                outs[ks] = (s, o)
+        finally:
+            fs._FORCE_NESTED_MERGE_CPU = False
+        (s0, o0), (s1, o1) = outs[False], outs[True]
+        for fname in ("alive_count", "alive_count_per_type", "finished_event",
+                      "aabb_valid", "aabb_min", "aabb_max"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(o0, fname)), np.asarray(getattr(o1, fname)),
+                err_msg=f"{name}.{fname}")
+        np.testing.assert_array_equal(np.asarray(s0.px), np.asarray(s1.px), err_msg=name)
+        assert int(np.asarray(o0.alive_count)) > 0, name
+
+    run_cfg("global-single", ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(0.4))],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.rate(3000.0),
+            initial_velocity=RandVec3.constant((0.3, 2.0, 0.1)))],
+    ))
+    run_cfg("global-2type-collision", ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(0.5),
+                             collision_settings=ParticleCollisionSettings(
+                                 restitution=0.5, friction=0.2)),
+            ParticleSettings(lifetime=RandF32.constant(0.4)),
+        ],
+        emission_settings=[
+            EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.rate(1500.0),
+                             initial_velocity=RandVec3.constant((0.0, 2.0, 0.0))),
+            EmissionSettings(particle_index=1, emission_pacing=EmissionPacing.rate(800.0),
+                             initial_velocity=RandVec3.constant((0.4, 1.0, 0.0))),
+        ],
+    ), colliders=compile_colliders([Collider.halfspace(position=(0, -1, 0))]))
+    run_cfg("hybrid-nested", ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(0.6), linear_drag=0.1),
+            ParticleSettings(lifetime=RandF32.constant(0.5), linear_drag=0.2),
+        ],
+        emission_settings=[
+            EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.rate(1200.0),
+                             initial_velocity=RandVec3.constant((0.5, 3.0, 0.0))),
+            EmissionSettings(particle_index=1, emission_mode=EmissionMode.nested(0),
+                             emission_pacing=EmissionPacing.count_over_duration(6.0, 1.0, 0.1, 1.0),
+                             initial_velocity=RandVec3.constant((0.0, 0.5, 0.0)),
+                             inherit_parent_velocity=True),
+        ],
+    ), hybrid=True)

@@ -398,3 +398,87 @@ def test_chained_nested_merge_bit_exact():
         np.testing.assert_array_equal(a, b, err_msg=f"last_emitted[{e}] (canonical)")
     per_type = [int(((ptype == t) & alive).sum()) for t in range(3)]
     assert min(per_type) > 0, per_type  # every chain stage live
+
+
+@pytest.mark.slow
+def test_nested_cadence_fold_chain_bit_exact():
+    """The nested-cadence FOLD (VERDICT r4 next #3): a folded chain — each
+    frame's cadence + parent fetch computed in the PREVIOUS frame's kernel
+    epilogue (ops.fused_step._make_kernel nested_fold) — must be BIT-EXACT,
+    last_emitted included, with the frame-by-frame unfolded hybrid. Chained
+    config: two nested emitters fold in one epilogue."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    import bevy_firework_tpu.ops.fused_step as fs
+    from bevy_firework_tpu import (
+        EmissionMode,
+        EmissionPacing,
+        EmissionSettings,
+        ParticleSettings,
+        ParticleSpawner,
+        RandF32,
+        RandVec3,
+        compile_spawner,
+        init_pool_for,
+        make_frame_input,
+    )
+
+    sp = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(0.6), linear_drag=0.1),
+            ParticleSettings(lifetime=RandF32.constant(0.5), linear_drag=0.2),
+            ParticleSettings(lifetime=RandF32.constant(0.4), linear_drag=0.3),
+        ],
+        emission_settings=[
+            EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.rate(1200.0),
+                             initial_velocity=RandVec3(magnitude=RandF32(1.0, 3.0),
+                                                       direction=(0, 1, 0), spread=0.5)),
+            EmissionSettings(particle_index=1, emission_mode=EmissionMode.nested(0),
+                             emission_pacing=EmissionPacing.count_over_duration(6.0, 1.0, 0.1, 1.0),
+                             initial_velocity=RandVec3(magnitude=RandF32(0.1, 0.6),
+                                                       direction=(0, 1, 0), spread=2.0),
+                             inherit_parent_velocity=True),
+            EmissionSettings(particle_index=2, emission_mode=EmissionMode.nested(1),
+                             emission_pacing=EmissionPacing.count_over_duration(3.0, 1.0, 0.2, 0.9),
+                             initial_velocity=RandVec3(magnitude=RandF32(0.05, 0.3),
+                                                       direction=(0, 1, 0), spread=3.0),
+                             inherit_parent_velocity=True),
+        ],
+    )
+    c = compile_spawner(sp, nested_buffer=512)
+    assert c.static.ring_claim
+    assert fs.can_fold_nested(c.static, 8192)
+    frame = make_frame_input(1 / 50)
+    N_FRAMES = 30
+
+    fs._FORCE_NESTED_MERGE_CPU = True
+    fs._FORCE_NESTED_FOLD_CPU = True
+    try:
+        hybrid = jax.jit(
+            lambda st, p, col, s, f: fs.fused_step_hybrid(st, p, col, s, f),
+            static_argnums=(0,))
+        s = init_pool_for(c, 8192, 0)
+        with pltpu.force_tpu_interpret_mode():
+            for _ in range(N_FRAMES):
+                s, _o = hybrid(c.static, c.params, None, s, frame)
+        sU = s
+
+        chain = jax.jit(
+            lambda st, p, col, s, f: fs._chain_nested_folded(st, p, col, s, f, N_FRAMES),
+            static_argnums=(0,))
+        with pltpu.force_tpu_interpret_mode():
+            sF, _o = chain(c.static, c.params, None, init_pool_for(c, 8192, 0), frame)
+    finally:
+        fs._FORCE_NESTED_MERGE_CPU = False
+        fs._FORCE_NESTED_FOLD_CPU = False
+
+    assert int(np.asarray(sU.alive).sum()) > 0
+    for f in (x.name for x in dataclasses.fields(type(sU))):
+        if f == "rng_key":
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sU, f)), np.asarray(getattr(sF, f)), err_msg=f)

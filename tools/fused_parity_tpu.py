@@ -14,6 +14,7 @@ sys.path.insert(0, ".")
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from bevy_firework_tpu import (
@@ -856,6 +857,191 @@ def check_nested_chained_merge(capacity=2 * 8192, n_frames=240):
     return None
 
 
+def check_nested_fold(capacity=2 * 8192, n_frames=240, chunk=24):
+    """The nested-cadence FOLD (VERDICT r4 next #3): multi-frame chains
+    compute each frame's nested cadence + parent fetch in the previous
+    frame's kernel epilogue (_make_kernel nested_fold) instead of a
+    standalone Pallas pass. Folded chunked chains (multi_step_auto routes
+    merge-capable nested archetypes through _chain_nested_folded) must be
+    BIT-EXACT — last_emitted included — with the frame-by-frame unfolded
+    hybrid across repeated ring wraps, both for single nesting and a
+    3-stage chained config (two folded emitters in one epilogue)."""
+    import bevy_firework_tpu.ops.fused_step as fs
+    from bevy_firework_tpu import EmissionMode
+
+    configs = {
+        "single": ParticleSpawner(
+            particle_settings=[
+                ParticleSettings(lifetime=RandF32.constant(0.5), linear_drag=0.1),
+                ParticleSettings(lifetime=RandF32.constant(0.5), linear_drag=0.3),
+            ],
+            emission_settings=[
+                EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.rate(4000.0),
+                                 initial_velocity=RandVec3.constant((0.5, 3.0, 0.0))),
+                EmissionSettings(particle_index=1, emission_mode=EmissionMode.nested(0),
+                                 emission_pacing=EmissionPacing.count_over_duration(12.0, 1.0, 0.0, 1.0),
+                                 initial_velocity=RandVec3.constant((0.0, 0.5, 0.0)),
+                                 inherit_parent_velocity=True),
+            ],
+        ),
+        "chained": ParticleSpawner(
+            particle_settings=[
+                ParticleSettings(lifetime=RandF32.constant(0.6), linear_drag=0.1),
+                ParticleSettings(lifetime=RandF32.constant(0.6), linear_drag=0.2),
+                ParticleSettings(lifetime=RandF32.constant(0.6), linear_drag=0.3),
+            ],
+            emission_settings=[
+                EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.rate(2500.0),
+                                 initial_velocity=RandVec3.constant((0.5, 3.0, 0.0))),
+                EmissionSettings(particle_index=1, emission_mode=EmissionMode.nested(0),
+                                 emission_pacing=EmissionPacing.count_over_duration(8.0, 1.0, 0.1, 1.0),
+                                 initial_velocity=RandVec3.constant((0.0, 0.5, 0.0)),
+                                 inherit_parent_velocity=True),
+                EmissionSettings(particle_index=2, emission_mode=EmissionMode.nested(1),
+                                 emission_pacing=EmissionPacing.count_over_duration(3.0, 1.0, 0.2, 0.9),
+                                 initial_velocity=RandVec3.constant((0.2, -0.3, 0.1)),
+                                 inherit_parent_velocity=True),
+            ],
+        ),
+    }
+    frame = make_frame_input(1 / 50)
+    for name, sp in configs.items():
+        c = compile_spawner(sp, nested_buffer=512)
+        assert c.static.ring_claim
+        if not fs.can_fold_nested(c.static, capacity):
+            return f"{name}: fold gate unexpectedly closed"
+
+        # folded: chunked multi_step_auto dispatches (fold chain inside)
+        s = init_pool_for(c, capacity, 0)
+        done = 0
+        while done < n_frames:
+            n = min(chunk, n_frames - done)
+            s, _ = fs.multi_step_auto(c.static, c.params, None, s, frame, n)
+            done += n
+        sF = s
+
+        # unfolded: frame-by-frame hybrid (standalone cadence pass each frame)
+        f1 = jax.jit(lambda p, s, fr: fs.fused_step_hybrid(c.static, p, None, s, fr))
+        s = init_pool_for(c, capacity, 0)
+        for _ in range(n_frames):
+            s, _ = f1(c.params, s, frame)
+        sU = s
+
+        for fname in ("alive", "px", "py", "pz", "vx", "vy", "vz", "age",
+                      "initial_scale", "ptype", "ring_cursor", "last_emitted"):
+            a, b = np.asarray(getattr(sU, fname)), np.asarray(getattr(sF, fname))
+            if not np.array_equal(a, b):
+                return (f"{name}: FIELD {fname} differs (n={int(np.sum(a != b))}, "
+                        f"max |d| {np.abs(a.astype(np.float64) - b.astype(np.float64)).max():.2e})")
+        if int(np.asarray(sF.alive).sum()) == 0:
+            return f"{name}: no live particles - fold untested"
+    return None
+
+
+def check_kernel_stats(capacity=2 * 8192, n_frames=40):
+    """In-kernel StepOutputs stats (interactive-glue lever): the COMPILED
+    kernel's SMEM stat rows must make StepOutputs bit-exact with the XLA
+    epilogue — fleet kernel (the Scene group path), solo fused with
+    collision, and the hybrid nested path."""
+    import bevy_firework_tpu.ops.fused_step as fs
+    from bevy_firework_tpu import EmissionMode
+
+    frame = make_frame_input(1 / 50)
+
+    def outputs_equal(o0, o1, name):
+        for fname in ("alive_count", "alive_count_per_type", "finished_event",
+                      "aabb_valid", "aabb_min", "aabb_max"):
+            a, b = np.asarray(getattr(o0, fname)), np.asarray(getattr(o1, fname))
+            if not np.array_equal(a, b):
+                return f"{name}: OUTPUT {fname} differs ({a} vs {b})"
+        return None
+
+    # solo fused, 2 types + collision
+    sp = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(0.5),
+                             collision_settings=ParticleCollisionSettings(
+                                 restitution=0.5, friction=0.2)),
+            ParticleSettings(lifetime=RandF32.constant(0.4)),
+        ],
+        emission_settings=[
+            EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.rate(2500.0),
+                             initial_velocity=RandVec3.constant((0.0, 2.0, 0.0))),
+            EmissionSettings(particle_index=1, emission_pacing=EmissionPacing.rate(1200.0),
+                             initial_velocity=RandVec3.constant((0.4, 1.0, 0.0))),
+        ],
+    )
+    c = compile_spawner(sp)
+    tbl = compile_colliders([Collider.halfspace(position=(0, -1, 0))])
+    for ks in (False, True):
+        f = jax.jit(lambda p, s, fr, k=ks: fs.fused_step(c.static, p, tbl, s, fr, kernel_stats=k))
+        s = init_pool_for(c, capacity, 0)
+        for _ in range(n_frames):
+            s, o = f(c.params, s, frame)
+        if ks:
+            err = outputs_equal(o_ref, o, "solo-collision")
+            if err:
+                return err
+        else:
+            o_ref = o
+    if int(np.asarray(o_ref.alive_count)) == 0:
+        return "solo-collision: no live particles"
+
+    # fleet kernel (the Scene group path)
+    sp_f = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(0.4))],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.rate(3000.0),
+            initial_velocity=RandVec3.constant((0.3, 2.0, 0.1)))],
+    )
+    cf = compile_spawner(sp_f)
+    S = 3
+    states = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[init_pool_for(cf, 8192, seed) for seed in range(S)])
+    P = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(jnp.asarray(x), (S,) + jnp.shape(x)), cf.params)
+    F = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(jnp.asarray(x), (S,) + jnp.shape(x)), frame)
+    for ks in (False, True):
+        f = jax.jit(lambda p, s, fr, k=ks: fs.fused_step_fleet(cf.static, p, None, s, fr, kernel_stats=k))
+        s = states
+        for _ in range(n_frames):
+            s, o = f(P, s, F)
+        if ks:
+            err = outputs_equal(o_ref, o, "fleet")
+            if err:
+                return err
+        else:
+            o_ref = o
+
+    # hybrid nested
+    sp_h = ParticleSpawner(
+        particle_settings=[
+            ParticleSettings(lifetime=RandF32.constant(0.6), linear_drag=0.1),
+            ParticleSettings(lifetime=RandF32.constant(0.5), linear_drag=0.2),
+        ],
+        emission_settings=[
+            EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.rate(1500.0),
+                             initial_velocity=RandVec3.constant((0.5, 3.0, 0.0))),
+            EmissionSettings(particle_index=1, emission_mode=EmissionMode.nested(0),
+                             emission_pacing=EmissionPacing.count_over_duration(6.0, 1.0, 0.1, 1.0),
+                             initial_velocity=RandVec3.constant((0.0, 0.5, 0.0)),
+                             inherit_parent_velocity=True),
+        ],
+    )
+    ch = compile_spawner(sp_h, nested_buffer=512)
+    for ks in (False, True):
+        f = jax.jit(lambda p, s, fr, k=ks: fs.fused_step_hybrid(ch.static, p, None, s, fr, kernel_stats=k))
+        s = init_pool_for(ch, capacity, 0)
+        for _ in range(n_frames):
+            s, o = f(ch.params, s, frame)
+        if ks:
+            err = outputs_equal(o_ref, o, "hybrid-nested")
+            if err:
+                return err
+        else:
+            o_ref = o
+    return None
+
+
 def main(n_configs=8):
     failures = 0
     total = 0
@@ -1005,6 +1191,23 @@ def main(n_configs=8):
         failures += 1
     else:
         print("nested-kernel-merge: OK (in-kernel child merge bit-exact vs XLA write-back, 240 frames incl. wraps)")
+    total += 1
+    err = check_nested_fold()
+    if err:
+        print(f"nested-fold: {err}")
+        failures += 1
+    else:
+        print("nested-fold: OK (cadence folded into the previous frame's kernel "
+              "epilogue, chains bit-exact vs unfolded incl. last_emitted, "
+              "single + chained, 240 frames incl. wraps)")
+    total += 1
+    err = check_kernel_stats()
+    if err:
+        print(f"kernel-stats: {err}")
+        failures += 1
+    else:
+        print("kernel-stats: OK (in-kernel SMEM stat rows bit-exact vs the XLA "
+              "epilogue: solo+collision, fleet, hybrid nested)")
     print(f"\n{total - failures}/{total} configs exact-match")
     return failures
 
