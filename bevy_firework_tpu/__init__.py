@@ -19,6 +19,7 @@ from .fleet import Fleet
 from .pool import FrameInput, PoolState, init_pool, init_pool_for, make_frame_input
 from .rand import RandF32, RandVec3
 from .render import (
+    EnvironmentLight,
     FireworkUniform,
     FogSettings,
     Light,
@@ -88,6 +89,7 @@ __all__ = [
     "FieldTable",
     "FireworkUniform",
     "FogSettings",
+    "EnvironmentLight",
     "Light",
     "LightTable",
     "ShadowAtlas",

@@ -117,9 +117,11 @@ struct TableLight {
     extra: vec4<f32>,            // x = cos inner (spot), yzw pad
 };
 struct LightsUniform {
-    counts: vec4<u32>,           // x = number of live rows
+    counts: vec4<u32>,           // x = number of live rows, y = env light flag
     ambient: vec4<f32>,          // rgb ambient, a unused
     lights: array<TableLight, 16>,
+    env_sh: array<vec4<f32>, 9>, // environment radiance SH-L2 (rgb, w pad)
+    env_params: vec4<f32>,       // x = environment intensity
 };
 @group(2) @binding(12) var<uniform> light_table: LightsUniform;
 
@@ -128,6 +130,46 @@ fn distance_attenuation(dist_sq: f32, inv_range_sq: f32) -> f32 {
     let factor = dist_sq * inv_range_sq;
     let smooth_factor = clamp(1.0 - factor * factor, 0.0, 1.0);
     return smooth_factor * smooth_factor / max(dist_sq, 0.0001);
+}
+
+// --- environment light (SH IBL; render.EnvironmentLight is the oracle) ----
+// The reference inherits Bevy's EnvironmentMapLight (diffuse irradiance +
+// prefiltered specular cube maps) via apply_pbr_lighting; here the
+// environment radiance is 9 RGB SH-L2 coefficients. Diffuse applies the
+// cosine convolution over pi (A_l/pi = [1, 2/3, 1/4]); specular evaluates
+// the SH at the reflection vector with a per-band roughness window
+// (w_l = exp(-l(l+1) rough^2), the SH analog of a prefiltered mip) times
+// Karis' analytic split-sum env BRDF.
+fn env_sh_eval(d: vec3<f32>, w1: f32, w2: f32) -> vec3<f32> {
+    var c = light_table.env_sh[0].rgb * 0.282095;
+    c = c + (light_table.env_sh[1].rgb * (0.488603 * d.y)
+           + light_table.env_sh[2].rgb * (0.488603 * d.z)
+           + light_table.env_sh[3].rgb * (0.488603 * d.x)) * w1;
+    c = c + (light_table.env_sh[4].rgb * (1.092548 * d.x * d.y)
+           + light_table.env_sh[5].rgb * (1.092548 * d.y * d.z)
+           + light_table.env_sh[6].rgb * (0.315392 * (3.0 * d.z * d.z - 1.0))
+           + light_table.env_sh[7].rgb * (1.092548 * d.x * d.z)
+           + light_table.env_sh[8].rgb * (0.546274 * (d.x * d.x - d.y * d.y))) * w2;
+    return c * light_table.env_params.x;
+}
+
+fn env_irradiance(n: vec3<f32>) -> vec3<f32> {
+    return env_sh_eval(n, 2.0 / 3.0, 0.25);
+}
+
+fn env_specular(r: vec3<f32>, rough: f32) -> vec3<f32> {
+    let r2 = rough * rough;
+    return max(env_sh_eval(r, exp(-2.0 * r2), exp(-6.0 * r2)),
+               vec3<f32>(0.0, 0.0, 0.0));
+}
+
+fn env_brdf_approx(f0: vec3<f32>, rough: f32, nv: f32) -> vec3<f32> {
+    let c0 = vec4<f32>(-1.0, -0.0275, -0.572, 0.022);
+    let c1 = vec4<f32>(1.0, 0.0425, 1.04, -0.04);
+    let r4 = rough * c0 + c1;
+    let a004 = min(r4.x * r4.x, exp2(-9.28 * nv)) * r4.x + r4.y;
+    let ab = vec2<f32>(-1.04, 1.04) * a004 + r4.zw;
+    return f0 * ab.x + vec3<f32>(ab.y, ab.y, ab.y);
 }
 #ifdef SHADOW_ATLAS
 // Per-light shadow atlas (VERDICT r4 next #5): one depth texture holding a
@@ -505,6 +547,15 @@ fn pbr_shade(in: VsOut, base: vec4<f32>, emissive: vec4<f32>) -> vec4<f32> {
         direct = direct + contrib;
     }
     indirect = base.rgb * light_table.ambient.rgb;
+    if (light_table.counts.y != 0u) {
+        // environment light: diffuse irradiance + windowed-SH specular
+        // with the analytic split-sum BRDF (render.EnvironmentLight's
+        // shade_indirect is the byte-level oracle for this block)
+        let diffuse_color = base.rgb * (1.0 - metallic);
+        let r_env = 2.0 * dot(n, v) * n - v;
+        indirect = indirect + diffuse_color * env_irradiance(n)
+            + env_specular(r_env, perceptual_roughness) * env_brdf_approx(f0, perceptual_roughness, nv);
+    }
 #endif // LIGHTS
     return vec4<f32>(direct + indirect + emissive.rgb, base.a);
 }

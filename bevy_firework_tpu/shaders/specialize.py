@@ -220,9 +220,10 @@ def uniform_layout_entries(msaa: bool, shadow_map: bool = False,
         # slot regardless of shadow_map so the two variants compose
         entries.append({"binding": 11, "type": "uniform-buffer", "size": 64, "name": "fog"})
     if lights:
-        # LIGHTS variant: LightsUniform (uvec4 + vec4 + 16 x 4 vec4 =
-        # 1056 B) at binding 12 — fixed slot so it composes with shadow/fog
-        entries.append({"binding": 12, "type": "uniform-buffer", "size": 1056, "name": "lights"})
+        # LIGHTS variant: LightsUniform (uvec4 + vec4 + 16 x 4 vec4 rows +
+        # 9 env-SH vec4 + env params vec4 = 1216 B) at binding 12 — fixed
+        # slot so it composes with shadow/fog
+        entries.append({"binding": 12, "type": "uniform-buffer", "size": 1216, "name": "lights"})
     if shadow_atlas:
         # SHADOW_ATLAS variant: matrix-array uniform (16 mat4 + params =
         # 1040 B), tiled depth atlas, comparison sampler — bindings 13-15

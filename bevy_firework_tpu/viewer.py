@@ -402,7 +402,16 @@ def render_frame(
                         c = c * shadow_atlas.factor(world_pos, li)
                     direct = direct + c
                 ambient = np.asarray(lights.ambient[:3], np.float32)
-            color = direct + base[0:3] * ambient + emis[0:3]
+            indirect = base[0:3] * ambient
+            if lights is not None and lights.environment is not None:
+                # environment light (SH IBL): same diffuse+specular indirect
+                # term as the WGSL (EnvironmentLight.shade_indirect is the
+                # shared oracle); untextured viewer defaults metallic 0 /
+                # roughness 1 like the direct path above
+                n_w = basis.T @ n
+                indirect = indirect + lights.environment.shade_indirect(
+                    n_w, n_w, base[0:3], metallic=0.0, roughness=1.0)
+            color = direct + indirect + emis[0:3]
         else:
             # unlit path: base color alone (reference particles.wgsl:162-163)
             color = base[0:3]

@@ -160,8 +160,9 @@ if args.lights:
     # binds the engine's ShadowAtlasUniform bytes at 13-15.
     import numpy as np
 
-    from bevy_firework_tpu.render import (MAX_LIGHTS, Light, LightTable,
-                                          ShadowAtlas, light_view_proj)
+    from bevy_firework_tpu.render import (MAX_LIGHTS, EnvironmentLight, Light,
+                                          LightTable, ShadowAtlas,
+                                          light_view_proj)
 
     _table = LightTable(
         lights=(
@@ -172,6 +173,11 @@ if args.lights:
                        shadow=True),
         ),
         ambient=(0.05, 0.05, 0.07),
+        # SH environment (IBL): the LIGHTS uniform's tail block; the page's
+        # mechanically-walked 1216 B buffer carries it to the real GPU
+        environment=EnvironmentLight.gradient(
+            sky=(0.25, 0.35, 0.8), horizon=(0.6, 0.4, 0.3),
+            ground=(0.12, 0.1, 0.08), intensity=0.6),
     )
     desc["lights_uniform"] = base64.b64encode(_table.to_bytes()).decode()
     _tiles = _table.shadow_tiles()

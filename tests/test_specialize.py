@@ -285,7 +285,7 @@ def test_lights_key_bit_specializes():
     assert "light_table" in v.shader_source
     assert "distance_attenuation" in v.shader_source
     le = next(e for e in v.layout if e["binding"] == 12)
-    assert le["type"] == "uniform-buffer" and le["size"] == 1056  # 16-light table (r5)
+    assert le["type"] == "uniform-buffer" and le["size"] == 1216  # 16 lights + env SH (r5)
     plain = cache.specialize(key_for(ALPHA_BLEND))
     assert "LIGHTS" not in plain.shader_defs
     assert "light_table" not in plain.shader_source
@@ -312,11 +312,11 @@ def test_light_table_bytes_layout():
         ambient=(0.1, 0.2, 0.3),
     )
     raw = t.to_bytes()
-    assert len(raw) == 1056  # uvec4 + vec4 + 16 x 4 vec4 rows
+    assert len(raw) == 1216  # uvec4 + vec4 + 16 x 4 vec4 rows + 10 env vec4
     head = np.frombuffer(raw[:32], np.float32)
     assert head[:4].view(np.uint32)[0] == 3
     np.testing.assert_allclose(head[4:7], [0.1, 0.2, 0.3])
-    rows = np.frombuffer(raw[32:], np.float32).reshape(16, 16)
+    rows = np.frombuffer(raw[32:32 + 1024], np.float32).reshape(16, 16)
     np.testing.assert_allclose(rows[0, 4:7], [2.0, 2.0, 2.0])  # illuminance premul
     assert rows[0, 7] == 0.0 and rows[1, 7] == 1.0 and rows[2, 7] == 2.0
     np.testing.assert_allclose(rows[1, 0:4], [1.0, 2.0, 3.0, 10.0])
