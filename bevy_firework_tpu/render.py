@@ -350,8 +350,10 @@ class Light:
     inner_angle: float = 0.4             # spot, radians
     outer_angle: float = 0.6             # spot, radians
     # cast shadows via the SHADOW_ATLAS variant (make_shadow_atlas assigns
-    # this light an atlas tile). Honored for directional + spot; point
-    # lights are not shadowed (cube maps out of scope, RENDER_CONTRACT.md)
+    # this light atlas tiles): directional and spot rows take ONE tile,
+    # point rows take SIX consecutive tiles (a cube map unrolled into the
+    # atlas; face chosen per fragment by dominant axis). Rows that no
+    # longer fit the 16-tile atlas keep extra.y = -1 (unshadowed).
     shadow: bool = False
 
     @staticmethod
@@ -363,12 +365,14 @@ class Light:
 
     @staticmethod
     def point(position, color=(1.0, 1.0, 1.0), intensity: float = 4.0 * np.pi,
-              range: float = 20.0) -> "Light":
+              range: float = 20.0, shadow: bool = False) -> "Light":
         """intensity in lumens, Bevy PointLight convention (radiant
-        intensity = lumens / 4pi)."""
+        intensity = lumens / 4pi). shadow=True takes six atlas tiles (an
+        unrolled cube map — Bevy PointLight.shadows_enabled analog)."""
         s = float(intensity) / (4.0 * np.pi)
         return Light(kind=LIGHT_POINT, color=tuple(float(x) * s for x in color[:3]),
-                     position=tuple(map(float, position)), range=float(range))
+                     position=tuple(map(float, position)), range=float(range),
+                     shadow=bool(shadow))
 
     @staticmethod
     def spot(position, direction, color=(1.0, 1.0, 1.0), intensity: float = 4.0 * np.pi,
@@ -419,15 +423,18 @@ class LightTable:
         return head.tobytes() + rows.tobytes() + env.tobytes()
 
     def shadow_tiles(self):
-        """Atlas tile per light row: shadow-casting directional/spot rows
-        get tiles 0..n-1 in table order; everything else -1. Shared by
-        to_bytes, make_shadow_atlas and the software viewer so the three
+        """FIRST atlas tile per light row, allocated in table order:
+        shadow-casting directional/spot rows take one tile, point rows take
+        SIX consecutive tiles (cube faces +x -x +y -y +z -z); rows without
+        shadows — or that no longer fit the 16-tile atlas — get -1. Shared
+        by to_bytes, make_shadow_atlas and the software viewer so the three
         cannot disagree about which map belongs to which light."""
         tiles, nxt = [], 0
         for lt in self.lights[:MAX_LIGHTS]:
-            if lt.shadow and lt.kind in (LIGHT_DIRECTIONAL, LIGHT_SPOT):
+            need = 6 if lt.kind == LIGHT_POINT else 1
+            if lt.shadow and nxt + need <= MAX_LIGHTS:
                 tiles.append(nxt)
-                nxt += 1
+                nxt += need
             else:
                 tiles.append(-1)
         return tiles
@@ -481,12 +488,50 @@ def _look_at(eye, forward, up_hint=(0.0, 1.0, 0.0)):
     return v
 
 
-def light_view_proj(light: Light, center=(0.0, 0.0, 0.0), radius: float = 10.0) -> np.ndarray:
+# Cube-face order for point-light shadows (tile offsets 0..5 from the
+# row's first atlas tile): +x, -x, +y, -y, +z, -z. Face selection (dominant
+# axis, y-before-z-before-x tie-break) must match the WGSL loop EXACTLY —
+# cube_face() is the single host-side source of truth.
+CUBE_FACE_DIRS = (
+    (1.0, 0.0, 0.0), (-1.0, 0.0, 0.0),
+    (0.0, 1.0, 0.0), (0.0, -1.0, 0.0),
+    (0.0, 0.0, 1.0), (0.0, 0.0, -1.0),
+)
+
+
+def cube_face(d) -> int:
+    """Cube face index for direction d (fragment - light position); mirrors
+    the WGSL face select in shaders/particles.wgsl."""
+    ax, ay, az = abs(float(d[0])), abs(float(d[1])), abs(float(d[2]))
+    if ay >= ax and ay >= az:
+        return 2 if d[1] >= 0.0 else 3
+    if az >= ax:
+        return 4 if d[2] >= 0.0 else 5
+    return 0 if d[0] >= 0.0 else 1
+
+
+def light_view_proj(light: Light, center=(0.0, 0.0, 0.0), radius: float = 10.0,
+                    face: Optional[int] = None) -> np.ndarray:
     """World -> light-clip matrix (WebGPU 0..1 depth) for a shadow-casting
     light row. Spot: perspective from the light position along its
     direction, fovy = 2*outer_angle, far = range. Directional: orthographic
     box of half-extent `radius` about `center` (the caller's scene bounds —
-    the analog of Bevy fitting directional cascades to the view)."""
+    the analog of Bevy fitting directional cascades to the view). Point:
+    pass `face` 0..5 — a 90-degree-fov perspective along CUBE_FACE_DIRS[face]
+    (one unrolled cube-map face, Bevy point-light cube maps analog)."""
+    if light.kind == LIGHT_POINT:
+        if face is None:
+            raise ValueError("point lights need a cube face (0..5)")
+        near = max(0.02 * light.range, 1e-3)
+        far = max(light.range, near * 2)
+        proj = np.zeros((4, 4))
+        proj[0, 0] = 1.0  # fovy 90 deg: f = 1/tan(45) = 1
+        proj[1, 1] = 1.0
+        proj[2, 2] = far / (near - far)
+        proj[2, 3] = near * far / (near - far)
+        proj[3, 2] = -1.0
+        view = _look_at(light.position, CUBE_FACE_DIRS[face])
+        return (proj @ view).astype(np.float32)
     if light.kind == LIGHT_SPOT:
         near = max(0.02 * light.range, 1e-3)
         far = max(light.range, near * 2)
@@ -512,7 +557,7 @@ def light_view_proj(light: Light, center=(0.0, 0.0, 0.0), radius: float = 10.0) 
         proj[2, 3] = near / (near - far)
         view = _look_at(eye, d)
         return (proj @ view).astype(np.float32)
-    raise ValueError("only directional/spot lights cast shadows")
+    raise ValueError(f"unknown light kind {light.kind}")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -547,10 +592,16 @@ class ShadowAtlas:
     def factor(self, world_pos, light_index: int) -> float:
         """Shadow factor for light row `light_index` at a world position —
         mirrors shaders/particles.wgsl `shadow_atlas_factor` (projection,
-        tile-local clamp, 4-tap PCF, less-equal compare) on the host map."""
+        tile-local clamp, 4-tap PCF, less-equal compare) on the host map.
+        Point rows first select the cube face by dominant axis
+        (render.cube_face — the WGSL face select's oracle)."""
         tile = self.table.shadow_tiles()[light_index]
         if tile < 0:
             return 1.0
+        lt = self.table.lights[light_index]
+        if lt.kind == LIGHT_POINT:
+            d = np.asarray(world_pos, np.float64) - np.asarray(lt.position, np.float64)
+            tile += cube_face(d)
         lc = self.mats[tile] @ np.asarray([*world_pos, 1.0], np.float32)
         if abs(float(lc[3])) < 1e-9:
             return 1.0
@@ -586,7 +637,19 @@ def make_shadow_atlas(table: LightTable, occluders=(), resolution: int = 256,
     each tile and construct ShadowAtlas directly — the matrices and tile
     assignment here are the contract."""
     tiles = table.shadow_tiles()
-    n_tiles = max([t + 1 for t in tiles if t >= 0], default=0)
+    # expand rows into (tile, matrix) entries: 1 per dir/spot, 6 cube faces
+    # per point row (tile offsets follow CUBE_FACE_DIRS order)
+    entries = []
+    for row, tile in enumerate(tiles):
+        if tile < 0:
+            continue
+        lt = table.lights[row]
+        if lt.kind == LIGHT_POINT:
+            for fc in range(6):
+                entries.append((tile + fc, light_view_proj(lt, face=fc)))
+        else:
+            entries.append((tile, light_view_proj(lt, center=center, radius=radius)))
+    n_tiles = max([t + 1 for t, _m in entries], default=0)
     grid = 1
     while grid * grid < n_tiles:
         grid += 1
@@ -595,10 +658,7 @@ def make_shadow_atlas(table: LightTable, occluders=(), resolution: int = 256,
     depth = np.ones((n, n), np.float32)
     mats = np.zeros((MAX_LIGHTS, 4, 4), np.float32)
     boxes = [(np.asarray(a, np.float64), np.asarray(b, np.float64)) for a, b in occluders]
-    for row, tile in enumerate(tiles):
-        if tile < 0:
-            continue
-        m = light_view_proj(table.lights[row], center=center, radius=radius)
+    for tile, m in entries:
         mats[tile] = m
         if not boxes:
             continue

@@ -177,8 +177,9 @@ fn env_brdf_approx(f0: vec3<f32>, rough: f32, nv: f32) -> vec3<f32> {
 // owns tile u32(extra.y) and is projected by shadow_atlas_u.mats[tile].
 // The reference gets per-light shadowing from Bevy's clustered pipeline
 // (directional cascades + spot maps, /root/reference/src/particles.wgsl:224);
-// this is the self-contained analog. Point lights are not shadowed (their
-// cube maps are out of scope; see docs/RENDER_CONTRACT.md).
+// this is the self-contained analog. Point rows own SIX consecutive
+// tiles — a cube map unrolled into the atlas, face chosen per fragment by
+// dominant axis (see the light loop below; render.cube_face is the oracle).
 struct ShadowAtlasUniform {
     mats: array<mat4x4<f32>, 16>,  // world -> light clip per TILE index
     params: vec4<f32>,             // x = depth bias, y = strength, z = grid
@@ -529,10 +530,27 @@ fn pbr_shade(in: VsOut, base: vec4<f32>, emissive: vec4<f32>) -> vec4<f32> {
         let spec_i = d_ggx(nh_i, a) * v_smith(nl_i, nv, a) * f_schlick(lh_i, f0);
         var contrib = (diffuse + spec_i) * radiance * nl_i;
 #ifdef SHADOW_ATLAS
-        // per-light shadows: any dir/spot row with an atlas tile assigned
-        // (extra.y >= 0) attenuates by its own map
-        if (lt.extra.y >= 0.0 && kind < 2.5) {
-            contrib = contrib * shadow_atlas_factor(in.world_position, u32(lt.extra.y));
+        // per-light shadows: any row with atlas tiles assigned
+        // (extra.y >= 0) attenuates by its own map. Point rows own SIX
+        // consecutive tiles (an unrolled cube map); the face is selected
+        // by the dominant axis of fragment - light (render.cube_face is
+        // the host oracle — the tie-break order must match it exactly).
+        if (lt.extra.y >= 0.0) {
+            var s_tile = u32(lt.extra.y);
+            if (kind > 0.5 && kind < 1.5) {
+                let dvec = in.world_position - lt.position_range.xyz;
+                let advec = abs(dvec);
+                var face = 0u;
+                if (advec.y >= advec.x && advec.y >= advec.z) {
+                    face = select(3u, 2u, dvec.y >= 0.0);
+                } else if (advec.z >= advec.x) {
+                    face = select(5u, 4u, dvec.z >= 0.0);
+                } else {
+                    face = select(1u, 0u, dvec.x >= 0.0);
+                }
+                s_tile = s_tile + face;
+            }
+            contrib = contrib * shadow_atlas_factor(in.world_position, s_tile);
         }
 #else // SHADOW_ATLAS
 #ifdef SHADOW_MAP

@@ -25,7 +25,10 @@ run(scene, args)
 table = LightTable(
     lights=(
         Light.directional((-0.5, -0.7, -0.4), color=(1.0, 0.95, 0.85), illuminance=0.6),
-        Light.point((2.0, 2.5, 0.0), color=(0.2, 0.5, 1.0), intensity=150.0, range=18.0),
+        # shadow-casting POINT light: six cube-face atlas tiles (unrolled
+        # cube map) — the occluder slab blocks its -x faces over the smoke
+        Light.point((2.0, 2.5, 0.0), color=(0.2, 0.5, 1.0), intensity=150.0, range=18.0,
+                    shadow=True),
         # SHADOW-CASTING spot (VERDICT r4 next #5): shadow=True assigns it
         # an atlas tile; the occluder slab below blocks it over half the
         # smoke column
@@ -38,7 +41,11 @@ table = LightTable(
 from bevy_firework_tpu import make_shadow_atlas
 
 atlas = make_shadow_atlas(
-    table, occluders=[((-2.5, 0.0, 4.5), (0.0, 5.0, 5.2))],
+    table,
+    occluders=[
+        ((-2.5, 0.0, 4.5), (0.0, 5.0, 5.2)),  # blocks the spot over half the column
+        ((0.8, 1.0, -0.6), (1.3, 3.2, 0.6)),  # between the POINT light and the smoke
+    ],
     resolution=256, strength=0.9)
 cam = Camera(position=(0.0, 3.0, 10.0), look_at=(0.0, 2.0, 0.0))
 render_scene_png(scene, "lights.png", camera=cam, lights=table)

@@ -606,3 +606,92 @@ def test_light_table_env_bytes_layout():
     assert len(raw0) == 1216
     assert np.frombuffer(raw0[:32], np.float32)[:4].view(np.uint32)[1] == 0
     assert not np.frombuffer(raw0[1056:], np.float32).any()
+
+
+# ---------------------------------------------------------------------------
+# Point-light shadows: six cube-face tiles per shadow-flagged point row
+# (render.cube_face is the WGSL face select's oracle).
+
+
+def test_point_shadow_tile_allocation():
+    from bevy_firework_tpu import Light, LightTable
+
+    t = LightTable(lights=(
+        Light.point((0, 2, 0), shadow=True),                 # tiles 0-5
+        Light.directional((0, -1, 0), shadow=True),          # tile 6
+        Light.spot((0, 5, 0), (0, -1, 0), shadow=True),      # tile 7
+        Light.point((4, 2, 0), shadow=True),                 # tiles 8-13
+        Light.point((8, 2, 0), shadow=True),                 # needs 6 > 16-14: dropped
+        Light.spot((2, 5, 0), (0, -1, 0), shadow=True),      # tile 14 still fits
+    ))
+    assert t.shadow_tiles() == [0, 6, 7, 8, -1, 14]
+
+
+def test_cube_face_selection():
+    from bevy_firework_tpu.render import CUBE_FACE_DIRS, cube_face
+
+    for fi, d in enumerate(CUBE_FACE_DIRS):
+        assert cube_face(d) == fi
+    assert cube_face((0.9, 0.3, 0.2)) == 0
+    assert cube_face((-0.9, 0.3, 0.2)) == 1
+    assert cube_face((0.1, 0.9, 0.2)) == 2
+    assert cube_face((0.1, -0.9, 0.2)) == 3
+    assert cube_face((0.1, 0.3, 0.9)) == 4
+    assert cube_face((0.1, 0.3, -0.9)) == 5
+    # ties break y, then z, then x — must match the WGSL select order
+    assert cube_face((1.0, 1.0, 1.0)) == 2
+    assert cube_face((1.0, 0.0, 1.0)) == 4
+
+
+def test_point_shadow_occludes_one_side_only():
+    """A point light at the origin with a box occluder on +x: fragments
+    beyond the box on +x are shadowed, fragments on -x / +y are lit —
+    the cube-face atlas resolves per-direction occlusion."""
+    from bevy_firework_tpu import Light, LightTable, make_shadow_atlas
+
+    table = LightTable(lights=(Light.point((0.0, 0.0, 0.0), range=20.0, shadow=True),))
+    atlas = make_shadow_atlas(
+        table, occluders=[((1.5, -1.0, -1.0), (2.0, 1.0, 1.0))],
+        resolution=64, strength=1.0)
+    assert atlas.grid >= 3  # 6 tiles
+    assert atlas.factor((5.0, 0.0, 0.0), 0) < 0.05   # behind the box (+x)
+    assert atlas.factor((-5.0, 0.0, 0.0), 0) > 0.95  # opposite side lit
+    assert atlas.factor((0.0, 5.0, 0.0), 0) > 0.95   # +y face lit
+    assert atlas.factor((1.0, 0.0, 0.0), 0) > 0.95   # in FRONT of the box
+
+
+def test_point_shadow_in_viewer_image():
+    """Software-viewer image: a shadow-casting point light with an occluder
+    between it and the particle darkens the particle; removing the occluder
+    restores it (viewer shares ShadowAtlas.factor per light row)."""
+    import numpy as np
+
+    from bevy_firework_tpu import Light, LightTable, make_shadow_atlas
+    from bevy_firework_tpu.render import FireworkUniform, RenderItem
+    from bevy_firework_tpu.viewer import Camera, render_frame
+
+    inst = np.zeros((1, 16), np.float32)
+    inst[0, :4] = (0.0, 1.0, 0.0, 1.2)
+    inst[0, 7] = 1.0  # identity quat w
+    inst[0, 8:12] = (1.0, 1.0, 1.0, 1.0)
+    item = RenderItem(spawner_id=0, type_index=0, instances=inst, count=1,
+                      uniform=FireworkUniform(alpha_mode=2, pbr=1, fade_edge=0.0,
+                                              fade_scene=0.0, flags=0),
+                      textures=(None, None, None))
+    cam = Camera(position=(0.0, 1.0, 6.0), look_at=(0.0, 1.0, 0.0))
+    table = LightTable(lights=(Light.point((0.0, 1.0, 4.0), intensity=120.0,
+                                           range=25.0, shadow=True),),
+                       ambient=(0.0, 0.0, 0.0))
+
+    def mean_lit(occluders):
+        atlas = make_shadow_atlas(table, occluders=occluders, resolution=64,
+                                  strength=1.0)
+        img = render_frame([item], camera=cam, width=120, height=90,
+                           lights=table, shadow_atlas=atlas)
+        empty = render_frame([], camera=cam, width=120, height=90)
+        covered = np.abs(img - empty).max(axis=2) > 1e-6
+        return float(img[covered].mean()) if covered.any() else 0.0
+
+    lit = mean_lit([])
+    shadowed = mean_lit([((-0.6, 0.4, 2.0), (0.6, 1.6, 2.4))])
+    assert shadowed < 0.3 * lit, (shadowed, lit)
