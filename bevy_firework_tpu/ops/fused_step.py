@@ -2608,7 +2608,7 @@ def can_fold_nested(static: SpawnerStatic, capacity: int) -> bool:
     )
 
 
-def _seed_nested_carry(static, params, state, frame):
+def _seed_nested_carry(static, params, state):
     """Seed the fold carry for a chain's first frame: the standalone cadence
     pass per valid nested emitter on the chain's initial state — exactly
     what _spawn_phase(kernel_cadence=True) would run, hoisted out of the
@@ -2644,7 +2644,7 @@ def _chain_nested_folded(static, params, colliders, state, frame, n_frames):
         to_carry, from_carry = (lambda s: s), (lambda c: c)
     else:
         to_carry, from_carry = hoist
-    ncarry = _seed_nested_carry(static, params, state, frame)
+    ncarry = _seed_nested_carry(static, params, state)
     if n_frames > 1:
 
         def body(c, _):
@@ -2836,7 +2836,11 @@ def _multi_step_impl(static, params, colliders, state, frame, n_frames: int):
     if (
         n_frames >= 2
         and can_fold_nested(static, state.capacity)
-        and (jax.default_backend() == "tpu" or _FORCE_NESTED_FOLD_CPU)
+        # off-TPU the fold needs BOTH force seams: the folded hybrid body
+        # asserts the merge path, which on CPU only _FORCE_NESTED_MERGE_CPU
+        # enables
+        and (jax.default_backend() == "tpu"
+             or (_FORCE_NESTED_FOLD_CPU and _FORCE_NESTED_MERGE_CPU))
         and not _ABLATE
         and not _FORCE_SCATTER_WRITEBACK
     ):

@@ -293,7 +293,9 @@ class EnvironmentLight:
         l = _SH_BAND.astype(np.float32)
         w = np.exp(-(l * (l + 1.0))[..., :] * (rough[..., None] ** 2))  # [..., 9]
         out = np.einsum("...k,kc->...c", basis * w, self._sh_arr())
-        return np.maximum(out, 0.0) * np.float32(self.intensity)
+        # clamp AFTER intensity, matching the WGSL env_specular exactly
+        # (env_sh_eval applies intensity inside, max() wraps the result)
+        return np.maximum(out * np.float32(self.intensity), 0.0)
 
     @staticmethod
     def env_brdf(f0, roughness, nv):
@@ -501,13 +503,16 @@ CUBE_FACE_DIRS = (
 
 def cube_face(d) -> int:
     """Cube face index for direction d (fragment - light position); mirrors
-    the WGSL face select in shaders/particles.wgsl."""
+    the WGSL face select in shaders/particles.wgsl. Comparisons run in f32
+    like the shader's interpolated values, so face-boundary ties resolve
+    identically on both sides."""
+    d = np.asarray(d, np.float32)
     ax, ay, az = abs(float(d[0])), abs(float(d[1])), abs(float(d[2]))
     if ay >= ax and ay >= az:
-        return 2 if d[1] >= 0.0 else 3
+        return 2 if float(d[1]) >= 0.0 else 3
     if az >= ax:
-        return 4 if d[2] >= 0.0 else 5
-    return 0 if d[0] >= 0.0 else 1
+        return 4 if float(d[2]) >= 0.0 else 5
+    return 0 if float(d[0]) >= 0.0 else 1
 
 
 def light_view_proj(light: Light, center=(0.0, 0.0, 0.0), radius: float = 10.0,
@@ -624,6 +629,30 @@ class ShadowAtlas:
         return 1.0 - self.strength * (1.0 - lit * 0.25)
 
 
+def shadow_tile_entries(table: LightTable, center=(0.0, 0.0, 0.0),
+                        radius: float = 10.0):
+    """Expand a table's shadow rows into (row, tile, world->clip matrix,
+    facing direction) entries: one per dir/spot row, six cube faces per
+    point row (tile offsets follow CUBE_FACE_DIRS). SINGLE source of truth
+    for the tile layout — make_shadow_atlas and GPU consumers (the WebGPU
+    page's caster passes) both build from this, so they cannot
+    desynchronize from `shadow_tiles()`/`to_bytes`."""
+    entries = []
+    for row, tile in enumerate(table.shadow_tiles()):
+        if tile < 0:
+            continue
+        lt = table.lights[row]
+        if lt.kind == LIGHT_POINT:
+            for fc in range(6):
+                entries.append((row, tile + fc, light_view_proj(lt, face=fc),
+                                CUBE_FACE_DIRS[fc]))
+        else:
+            entries.append((row, tile,
+                            light_view_proj(lt, center=center, radius=radius),
+                            lt.direction))
+    return entries
+
+
 def make_shadow_atlas(table: LightTable, occluders=(), resolution: int = 256,
                       center=(0.0, 0.0, 0.0), radius: float = 10.0,
                       bias: float = 2e-3, strength: float = 1.0) -> ShadowAtlas:
@@ -636,19 +665,7 @@ def make_shadow_atlas(table: LightTable, occluders=(), resolution: int = 256,
     A consumer with a real renderer can instead render its own depth into
     each tile and construct ShadowAtlas directly — the matrices and tile
     assignment here are the contract."""
-    tiles = table.shadow_tiles()
-    # expand rows into (tile, matrix) entries: 1 per dir/spot, 6 cube faces
-    # per point row (tile offsets follow CUBE_FACE_DIRS order)
-    entries = []
-    for row, tile in enumerate(tiles):
-        if tile < 0:
-            continue
-        lt = table.lights[row]
-        if lt.kind == LIGHT_POINT:
-            for fc in range(6):
-                entries.append((tile + fc, light_view_proj(lt, face=fc)))
-        else:
-            entries.append((tile, light_view_proj(lt, center=center, radius=radius)))
+    entries = [(t, m) for _row, t, m, _d in shadow_tile_entries(table, center, radius)]
     n_tiles = max([t + 1 for t, _m in entries], default=0)
     grid = 1
     while grid * grid < n_tiles:

@@ -161,8 +161,7 @@ if args.lights:
     import numpy as np
 
     from bevy_firework_tpu.render import (MAX_LIGHTS, EnvironmentLight, Light,
-                                          LightTable, ShadowAtlas,
-                                          light_view_proj)
+                                          LightTable, ShadowAtlas)
 
     _table = LightTable(
         lights=(
@@ -180,41 +179,28 @@ if args.lights:
             ground=(0.12, 0.1, 0.08), intensity=0.6),
     )
     desc["lights_uniform"] = base64.b64encode(_table.to_bytes()).decode()
-    _tiles = _table.shadow_tiles()
-    _n_tiles = max(
-        [t + (6 if _table.lights[r].kind == 1 else 1)
-         for r, t in enumerate(_tiles) if t >= 0],
-        default=0)
+    from bevy_firework_tpu.render import _look_at, shadow_tile_entries
+
+    # the engine's single source of truth for tile layout (dir/spot rows:
+    # one tile; point rows: six cube faces)
+    _entries = shadow_tile_entries(_table, center=(0.0, 1.0, 0.0), radius=12.0)
+    _n_tiles = max([t + 1 for _r, t, _m, _d in _entries], default=0)
     _grid = 1
     while _grid * _grid < _n_tiles:
         _grid += 1
     _mats = np.zeros((MAX_LIGHTS, 4, 4), np.float32)
     _tile_meta = []
-    from bevy_firework_tpu.render import CUBE_FACE_DIRS, LIGHT_POINT, _look_at
-
-    for _row, _tile in enumerate(_tiles):
-        if _tile < 0:
-            continue
-        _lt = _table.lights[_row]
-        # point rows: six cube-face tiles; dir/spot: one tile along direction
-        if _lt.kind == LIGHT_POINT:
-            _faces = [(ti, light_view_proj(_lt, face=fi), CUBE_FACE_DIRS[fi])
-                      for fi, ti in enumerate(range(_tile, _tile + 6))]
-        else:
-            _faces = [(_tile,
-                       light_view_proj(_lt, center=(0.0, 1.0, 0.0), radius=12.0),
-                       _lt.direction)]
-        for _ti, _m, _dir in _faces:
-            _mats[_ti] = _m
-            # caster-pass basis: the light camera's right/up (billboards
-            # face the light); recover like _look_at does
-            _v = _look_at(_lt.position, _dir)
-            _tile_meta.append({
-                "tile": _ti,
-                "vp": [float(x) for x in np.asarray(_m).T.ravel()],  # column-major
-                "right": [float(x) for x in _v[0, :3]],
-                "up": [float(x) for x in _v[1, :3]],
-            })
+    for _row, _ti, _m, _dir in _entries:
+        _mats[_ti] = _m
+        # caster-pass basis: the light camera's right/up (billboards face
+        # the light); recover like _look_at does
+        _v = _look_at(_table.lights[_row].position, _dir)
+        _tile_meta.append({
+            "tile": _ti,
+            "vp": [float(x) for x in np.asarray(_m).T.ravel()],  # column-major
+            "right": [float(x) for x in _v[0, :3]],
+            "up": [float(x) for x in _v[1, :3]],
+        })
     _atlas = ShadowAtlas(table=_table, depth=np.ones((1, 1), np.float32),
                          mats=_mats, grid=_grid, bias=0.004, strength=0.8)
     desc["shadow_atlas_uniform"] = base64.b64encode(_atlas.to_bytes()).decode()
