@@ -883,3 +883,51 @@ def test_kernel_stats_rows_bit_exact():
                              inherit_parent_velocity=True),
         ],
     ), hybrid=True)
+
+
+@pytest.mark.slow
+def test_kernel_stats_with_render_pack_bit_exact():
+    """kernel_stats composed with the in-kernel render pack (the Scene
+    packed group path): outputs AND planes bit-exact vs stats off."""
+    import jax
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    import bevy_firework_tpu.ops.fused_step as fs
+    from bevy_firework_tpu import (
+        EmissionPacing,
+        EmissionSettings,
+        ParticleSettings,
+        ParticleSpawner,
+        RandF32,
+        RandVec3,
+        compile_spawner,
+        init_pool_for,
+        make_frame_input,
+    )
+
+    sp = ParticleSpawner(
+        particle_settings=[ParticleSettings(lifetime=RandF32.constant(0.4))],
+        emission_settings=[EmissionSettings(
+            emission_pacing=EmissionPacing.rate(2500.0),
+            initial_velocity=RandVec3.constant((0.3, 2.0, 0.1)))],
+    )
+    c = compile_spawner(sp)
+    frame = make_frame_input(1 / 50)
+    outs = {}
+    for ks in (False, True):
+        f = jax.jit(lambda p, s, fr, k=ks: fs.fused_step(
+            c.static, p, None, s, fr, pack_render=True, kernel_stats=k))
+        s = init_pool_for(c, 8192, 0)
+        with pltpu.force_tpu_interpret_mode():
+            for _ in range(12):
+                s, o, planes = f(c.params, s, frame)
+        outs[ks] = (s, o, planes)
+    (s0, o0, p0), (s1, o1, p1) = outs[False], outs[True]
+    for name in ("alive_count", "alive_count_per_type", "aabb_min", "aabb_max"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(o0, name)), np.asarray(getattr(o1, name)), err_msg=name)
+    for i, (a, b) in enumerate(zip(p0, p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f"plane {i}")
+    np.testing.assert_array_equal(np.asarray(s0.px), np.asarray(s1.px))
+    assert int(np.asarray(o0.alive_count)) > 0
