@@ -954,6 +954,80 @@ def main():
 
     extra("nested_chained", _chained)
 
+    def _nested_fold_ab():
+        """Interleaved fold-on vs fold-off A/B on the nested_60k config
+        (round-5 second pass: the cadence pass folded into the previous
+        frame's kernel epilogue). Distinct chain lengths force distinct
+        jit cache entries per arm (the seam flag is read at trace time,
+        not part of the key); interleaved reps cancel attach drift."""
+        import numpy as np
+
+        import bevy_firework_tpu.ops.fused_step as fs
+        from bevy_firework_tpu.settings import (
+            EmissionMode,
+            EmissionSettings,
+            ParticleSettings,
+            ParticleSpawner,
+            RandF32,
+            RandVec3,
+        )
+
+        spawner_n = ParticleSpawner(
+            particle_settings=[
+                ParticleSettings(lifetime=RandF32.constant(2.0), linear_drag=0.1),
+                ParticleSettings(lifetime=RandF32.constant(2.0), linear_drag=0.3),
+            ],
+            emission_settings=[
+                EmissionSettings(particle_index=0, emission_pacing=EmissionPacing.rate(4000.0),
+                                 initial_velocity=RandVec3(magnitude=RandF32(2.0, 6.0),
+                                                           direction=(0, 1, 0), spread=0.5)),
+                EmissionSettings(particle_index=1, emission_mode=EmissionMode.nested(0),
+                                 emission_pacing=EmissionPacing.count_over_duration(10.0, 1.0, 0.0, 1.0),
+                                 initial_velocity=RandVec3(magnitude=RandF32(0.2, 1.0),
+                                                           direction=(0, 1, 0), spread=3.14),
+                                 inherit_parent_velocity=True),
+            ],
+        )
+        cn = compile_spawner(spawner_n, nested_buffer=1024)
+        st = init_pool_for(cn, 16 * 8192, seed=0)
+        fr = make_frame_input(1.0 / 60.0)
+        st, _o = fs.multi_step_auto(cn.static, cn.params, None, st, fr, 150)
+        _fence(st.px)
+
+        def run(fold_on, n):
+            fs._NESTED_FOLD = fold_on
+            try:
+                s, _ = fs.multi_step_auto(cn.static, cn.params, None, st, fr, n)
+            finally:
+                fs._NESTED_FOLD = True
+            _fence(s.px)
+
+        N_ON, N_OFF = 100, 101
+        for on, n in ((True, N_ON), (False, N_OFF)):
+            run(on, n)
+            run(on, 2 * n)
+        pairs = []
+        for _ in range(7):
+            t0 = time.perf_counter(); run(True, N_ON)
+            t1 = time.perf_counter(); run(True, 2 * N_ON)
+            t2 = time.perf_counter(); run(False, N_OFF)
+            t3 = time.perf_counter(); run(False, 2 * N_OFF)
+            t4 = time.perf_counter()
+            on_ms = ((t2 - t1) - (t1 - t0)) / N_ON * 1e3
+            off_ms = ((t4 - t3) - (t3 - t2)) / N_OFF * 1e3
+            if on_ms > 0:
+                pairs.append((on_ms, off_ms, off_ms / on_ms))
+        pairs.sort(key=lambda p: p[2])
+        med = pairs[len(pairs) // 2] if pairs else (None, None, None)
+        return {
+            "fold_on_ms": round(med[0], 4) if med[0] else None,
+            "fold_off_ms": round(med[1], 4) if med[1] else None,
+            "off_over_on": round(med[2], 3) if med[2] else None,
+            "n_pairs": len(pairs),
+        }
+
+    extra("ab_nested_fold", _nested_fold_ab)
+
     def _fleet():
         alive_f, ms_f = _measure_fleet()
         return {"live": alive_f, "ms_per_frame": round(ms_f, 4), "ms_norm": _norm(ms_f)}
